@@ -13,9 +13,29 @@ layer holds sketches as sorted numpy uint64 arrays.
 
 # JAX config must happen before any jax.numpy usage: we need 64-bit ints
 # for the murmur64 hash space.
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: CLI runs are separate processes, and XLA
+# compiles of the batched kernels (especially over the TPU tunnel) dominate
+# cold-start time otherwise.
+_cache_dir = _os.environ.get(
+    "SOURMASH_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/sourmash_tpu_jax")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax
+    pass
+
+# explicit platform override (the environment's sitecustomize may force a
+# TPU plugin platform list; a config.update after import takes precedence).
+_platform = _os.environ.get("SOURMASH_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
 
 VERSION = "0.1.0"
 __version__ = VERSION

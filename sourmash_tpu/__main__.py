@@ -1,0 +1,71 @@
+"""Entry point: `python -m sourmash_tpu <command> ...`
+(parity: reference `src/sourmash/__main__.py`)."""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(arglist=None):
+    from . import cli
+
+    args = cli.parse_args(arglist)
+
+    if not getattr(args, "cmd", None):
+        cli.get_parser().print_help()
+        return 1
+
+    cmd = args.cmd
+
+    if cmd == "compare":
+        from . import commands
+
+        return commands.compare(args)
+    elif cmd == "plot":
+        from . import commands
+
+        return commands.plot(args)
+    elif cmd == "search":
+        from . import commands
+
+        return commands.search(args)
+    elif cmd == "gather":
+        from . import commands
+
+        return commands.gather(args)
+    elif cmd == "prefetch":
+        from . import commands
+
+        return commands.prefetch(args)
+    elif cmd == "categorize":
+        from . import commands
+
+        return commands.categorize(args)
+    elif cmd == "sketch":
+        from . import command_sketch
+
+        subcmd = getattr(args, "subcmd", None)
+        if subcmd in ("dna", "rna", "nucleotide", "nt"):
+            return command_sketch.dna(args)
+        elif subcmd in ("protein", "aa", "prot"):
+            return command_sketch.protein(args)
+        elif subcmd == "translate":
+            return command_sketch.translate(args)
+        else:
+            cli.get_parser().print_help()
+            return 1
+    elif cmd == "sig":
+        from .sig import __main__ as sig_main
+
+        subcmd = getattr(args, "subfunc", None)
+        if subcmd is None:
+            cli.get_parser().print_help()
+            return 1
+        return getattr(sig_main, subcmd)(args)
+    else:
+        cli.get_parser().print_help()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,230 @@
+"""'sourmash signature' CLI subparsers (parity: reference
+`src/sourmash/cli/sig/*.py`)."""
+
+from __future__ import annotations
+
+from .utils import (
+    add_ksize_arg,
+    add_moltype_args,
+    add_picklist_args,
+    add_pattern_args,
+    add_num_arg,
+)
+from ..sourmash_args import check_scaled_bounds
+
+
+def _common(p, *, output_default=None, from_file=True):
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="suppress non-error output")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="print debugging output")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="try to load all files as signatures")
+    if from_file:
+        p.add_argument("--from-file",
+                       help="a text file containing a list of files to load signatures from")
+
+
+def subparser(subparsers):
+    p = subparsers.add_parser(
+        "sig", aliases=["signature"], description="signature manipulation utilities"
+    )
+    p.set_defaults(cmd="sig", func="sig")
+    ssub = p.add_subparsers(dest="subcmd", metavar="subcmd")
+
+    # cat
+    sp = ssub.add_parser("cat")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("-u", "--unique", action="store_true",
+                    help="keep only distinct signatures")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    add_pattern_args(sp)
+    sp.set_defaults(subfunc="cat")
+
+    # split
+    sp = ssub.add_parser("split")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("--output-dir", "--outdir",
+                    help="output signatures to this directory")
+    sp.add_argument("-e", "--extension", default=".sig",
+                    choices=[".sig", ".sig.gz", ".zip"],
+                    help="write files with this extension/format")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="split")
+
+    # describe
+    sp = ssub.add_parser("describe")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("--csv", metavar="FILE",
+                    help="output information to a CSV file")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    add_pattern_args(sp)
+    sp.set_defaults(subfunc="describe")
+
+    # manifest
+    sp = ssub.add_parser("manifest")
+    sp.add_argument("location")
+    _common(sp, from_file=False)
+    sp.add_argument("-o", "--output", "--csv", metavar="FILE", required=True,
+                    help="output manifest to this file")
+    sp.add_argument("--no-rebuild-manifest", "--no-rebuild", action="store_true",
+                    help="use existing manifest if available")
+    sp.add_argument("-F", "--manifest-format", default="csv",
+                    choices=["csv", "sql"],
+                    help="format of manifest output")
+    sp.set_defaults(subfunc="manifest")
+
+    # overlap
+    sp = ssub.add_parser("overlap")
+    sp.add_argument("signature1")
+    sp.add_argument("signature2")
+    _common(sp, from_file=False)
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    sp.set_defaults(subfunc="overlap")
+
+    # merge
+    sp = ssub.add_parser("merge")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--flatten", action="store_true",
+                    help="remove abundances from all signatures while merging")
+    sp.add_argument("--name", dest="set_name", default=None,
+                    help="rename merged signature")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="merge")
+
+    # intersect
+    sp = ssub.add_parser("intersect")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("-A", "--abundances-from", metavar="FILE",
+                    help="intersect with & take abundances from this signature")
+    sp.add_argument("--name", dest="set_name", default=None,
+                    help="rename intersected signature")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="intersect")
+
+    # inflate
+    sp = ssub.add_parser("inflate")
+    sp.add_argument("signature_from")
+    sp.add_argument("other_sigs", nargs="+")
+    _common(sp, from_file=False)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="inflate")
+
+    # subtract
+    sp = ssub.add_parser("subtract")
+    sp.add_argument("signature_from")
+    sp.add_argument("subtraction_sigs", nargs="+")
+    _common(sp, from_file=False)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--flatten", action="store_true",
+                    help="remove abundances from all signatures while subtracting")
+    sp.add_argument("-A", "--abundances-from", metavar="FILE",
+                    help="take abundances from this signature")
+    sp.add_argument("--name", dest="set_name", default=None,
+                    help="rename subtracted signature")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    sp.set_defaults(subfunc="subtract")
+
+    # rename
+    sp = ssub.add_parser("rename")
+    sp.add_argument("signatures", nargs="*")
+    sp.add_argument("name")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    add_pattern_args(sp)
+    sp.set_defaults(subfunc="rename")
+
+    # extract
+    sp = ssub.add_parser("extract")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--md5", default=None,
+                    help="select signatures whose md5 contains this substring")
+    sp.add_argument("--name", default=None,
+                    help="select signatures whose name contains this substring")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    add_pattern_args(sp)
+    sp.set_defaults(subfunc="extract")
+
+    # filter
+    sp = ssub.add_parser("filter")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp, from_file=False)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--md5", default=None,
+                    help="select signatures whose md5 contains this substring")
+    sp.add_argument("--name", default=None,
+                    help="select signatures whose name contains this substring")
+    sp.add_argument("-m", "--min-abundance", type=int, default=1,
+                    help="keep hashes >= this minimum abundance")
+    sp.add_argument("-M", "--max-abundance", type=int, default=None,
+                    help="keep hashes <= this maximum abundance")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    sp.set_defaults(subfunc="filter")
+
+    # flatten
+    sp = ssub.add_parser("flatten")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--md5", default=None,
+                    help="select signatures whose md5 contains this substring")
+    sp.add_argument("--name", default=None,
+                    help="select signatures whose name contains this substring")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="flatten")
+
+    # downsample
+    sp = ssub.add_parser("downsample")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    sp.add_argument("--scaled", type=check_scaled_bounds, default=0,
+                    help="scaled value to downsample to")
+    add_num_arg(sp, 0)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.set_defaults(subfunc="downsample")

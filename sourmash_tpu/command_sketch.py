@@ -1,0 +1,594 @@
+"""'sketch' subcommand drivers: dna / protein / translate / fromfile.
+
+Behavior parity: reference `src/sourmash/command_sketch.py` (param-string
+parser :33-88, factory :90, dna:234, protein:252, translate:281,
+_compute_individual:662, _compute_merged:791). Defaults are identical:
+dna k=31,scaled=1000,noabund; protein k=10,scaled=200; dayhoff k=16;
+hp k=42; seed 42.
+
+TPU-native: instead of per-record FFI calls, input files are streamed as
+large concatenated byte batches (records joined with k-1 'N' bytes) and
+hashed in one device pass per batch (see `ops/sketch.py`).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import sourmash_args
+from .logging import notify, error, set_quiet, print_results
+from .minhash import MinHash
+from .signature import SourmashSignature, MultiSketchSignature
+from .sourmash_args import check_scaled_bounds, check_num_bounds
+from . import sequence_io
+
+DEFAULT_MMHASH_SEED = 42
+
+DEFAULTS = dict(
+    dna="k=31,scaled=1000,noabund",
+    protein="k=10,scaled=200,noabund",
+    dayhoff="k=16,scaled=200,noabund",
+    hp="k=42,scaled=200,noabund",
+)
+
+
+def _parse_params_str(params_str):
+    "Parse 'k=31,scaled=1000,abund'-style parameter strings."
+    moltype = None
+    params = {}
+    params["ksize"] = []
+    for item in params_str.split(","):
+        if item == "abund":
+            params["track_abundance"] = True
+        elif item == "noabund":
+            params["track_abundance"] = False
+        elif item.startswith("k"):
+            if len(item) < 3 or item[1] != "=":
+                raise ValueError("k takes a parameter, e.g. 'k=31'")
+            params["ksize"].append(int(item[2:]))
+        elif item.startswith("num"):
+            if len(item) < 5 or item[3] != "=":
+                raise ValueError("num takes a parameter, e.g. 'num=500'")
+            if params.get("scaled"):
+                raise ValueError("cannot set both num and scaled in a single minhash")
+            try:
+                num = int(item[4:])
+            except ValueError:
+                raise ValueError(f"cannot parse num='{item[4:]}' as a number")
+            num = check_num_bounds(num)
+            params["num"] = int(item[4:])
+            params["scaled"] = 0
+        elif item.startswith("scaled"):
+            if len(item) < 8 or item[6] != "=":
+                raise ValueError("scaled takes a parameter, e.g. 'scaled=1000'")
+            if params.get("num"):
+                raise ValueError("cannot set both num and scaled in a single minhash")
+            try:
+                scaled = int(item[7:])
+            except ValueError:
+                raise ValueError(f"cannot parse scaled='{item[7:]}' as an integer")
+            scaled = check_scaled_bounds(scaled)
+            params["scaled"] = scaled
+            params["num"] = 0
+        elif item.startswith("seed"):
+            if len(item) < 6 or item[4] != "=":
+                raise ValueError("seed takes a parameter, e.g. 'seed=42'")
+            params["seed"] = int(item[5:])
+        elif item in ("protein", "dayhoff", "hp", "dna"):
+            moltype = item
+        else:
+            raise ValueError(f"unknown component '{item}' in params string")
+
+    return moltype, params
+
+
+@dataclass
+class ComputeParameters:
+    """Sketch-template configuration (reference `cmd.rs:22-130` semantics;
+    ksizes here are stored ALREADY multiplied by 3 for protein moltypes,
+    matching the serialized ksize in .sig files)."""
+
+    ksizes: tuple = (21, 31, 51)
+    seed: int = DEFAULT_MMHASH_SEED
+    protein: bool = False
+    dayhoff: bool = False
+    hp: bool = False
+    dna: bool = True
+    num_hashes: int = 500
+    track_abundance: bool = False
+    scaled: int = 0
+
+    @property
+    def moltype(self):
+        if self.dna:
+            return "DNA"
+        if self.protein:
+            return "protein"
+        if self.dayhoff:
+            return "dayhoff"
+        return "hp"
+
+    def to_param_str(self):
+        "Render as a parameter string."
+        pi = []
+        for k in self.ksizes:
+            if self.dna:
+                pi.append(f"k={k}")
+            else:
+                assert k % 3 == 0
+                pi.append(f"k={k // 3}")
+        if self.num_hashes:
+            pi.append(f"num={self.num_hashes}")
+        elif self.scaled:
+            pi.append(f"scaled={int(self.scaled)}")
+        if self.track_abundance:
+            pi.append("abund")
+        return ",".join(pi)
+
+    def make_minhashes(self):
+        "Build one MinHash per ksize."
+        out = []
+        for k in self.ksizes:
+            if self.dna:
+                mh = MinHash(
+                    self.num_hashes,
+                    k,
+                    track_abundance=self.track_abundance,
+                    seed=self.seed,
+                    scaled=int(self.scaled),
+                )
+            else:
+                mh = MinHash(
+                    self.num_hashes,
+                    k // 3,
+                    is_protein=self.protein,
+                    dayhoff=self.dayhoff,
+                    hp=self.hp,
+                    track_abundance=self.track_abundance,
+                    seed=self.seed,
+                    scaled=int(self.scaled),
+                )
+            out.append(mh)
+        return out
+
+
+def signature_from_params(params: ComputeParameters):
+    "Build an (empty, multi-sketch) signature from compute parameters."
+    mhs = params.make_minhashes()
+    return MultiSketchSignature(mhs)
+
+
+class _signatures_for_sketch_factory:
+    "Build signature templates on demand, per 'sketch' CLI configuration."
+
+    def __init__(self, params_str_list, default_moltype):
+        defaults = {}
+        for moltype, pstr in DEFAULTS.items():
+            mt, d = _parse_params_str(pstr)
+            assert mt is None
+            defaults[moltype] = d
+        self.defaults = defaults
+
+        self.params_list = []
+        self.mult_ksize_by_3 = True
+
+        if params_str_list:
+            for params_str in params_str_list:
+                moltype, params = _parse_params_str(params_str)
+                if moltype and moltype != "dna" and default_moltype == "dna":
+                    raise ValueError(
+                        f"Incompatible sketch type ({default_moltype}) and parameter override ({moltype}) in '{params_str}'; maybe use 'sketch translate'?"
+                    )
+                elif moltype == "dna" and default_moltype and default_moltype != "dna":
+                    raise ValueError(
+                        f"Incompatible sketch type ({default_moltype}) and parameter override ({moltype}) in '{params_str}'"
+                    )
+                elif moltype is None:
+                    if default_moltype is None:
+                        raise ValueError(
+                            "No default moltype and none specified in param string"
+                        )
+                    moltype = default_moltype
+
+                self.params_list.append((moltype, params))
+        else:
+            if default_moltype is None:
+                raise ValueError("No default moltype and none specified in param string")
+            self.params_list.append((default_moltype, {}))
+
+    def get_compute_params(self, *, split_ksizes=False):
+        for moltype, params_d in self.params_list:
+            default_params = self.defaults[moltype]
+            def_seed = default_params.get("seed", DEFAULT_MMHASH_SEED)
+            def_num = default_params.get("num", 0)
+            def_abund = default_params["track_abundance"]
+            def_scaled = default_params.get("scaled", 0)
+            def_dna = moltype == "dna"
+
+            ksizes = params_d.get("ksize")
+            if not ksizes:
+                ksizes = default_params["ksize"]
+
+            if self.mult_ksize_by_3 and not def_dna:
+                ksizes = [k * 3 for k in ksizes]
+
+            def make_param(ksizes):
+                return ComputeParameters(
+                    ksizes=tuple(ksizes),
+                    seed=params_d.get("seed", def_seed),
+                    protein=moltype == "protein",
+                    dayhoff=moltype == "dayhoff",
+                    hp=moltype == "hp",
+                    dna=def_dna,
+                    num_hashes=params_d.get("num", def_num),
+                    track_abundance=params_d.get("track_abundance", def_abund),
+                    scaled=params_d.get("scaled", def_scaled),
+                )
+
+            if split_ksizes:
+                for ksize in ksizes:
+                    yield make_param([ksize])
+            else:
+                yield make_param(ksizes)
+
+    def __call__(self, *, split_ksizes=False):
+        "Produce a fresh set of signature templates."
+        return [
+            signature_from_params(params)
+            for params in self.get_compute_params(split_ksizes=split_ksizes)
+        ]
+
+
+def _add_from_file_to_filenames(args):
+    from .sourmash_args import load_pathlist_from_file
+
+    if args.from_file:
+        args.filenames.extend(load_pathlist_from_file(args.from_file))
+
+
+def _execute_sketch(args, signatures_factory):
+    "Shared sketch runner for dna/protein/translate."
+    set_quiet(args.quiet)
+
+    if not args.filenames:
+        error("error: no input filenames provided! nothing to do - exiting.")
+        sys.exit(-1)
+
+    if args.license != "CC0":
+        error("error: sourmash only supports CC0-licensed signatures. sorry!")
+        sys.exit(-1)
+
+    notify(f'computing signatures for files: {", ".join(args.filenames)}')
+
+    if args.merge and not args.output:
+        error("ERROR: must specify -o with --merge")
+        sys.exit(-1)
+
+    if args.output and args.output_dir:
+        error("ERROR: --output-dir doesn't make sense with -o/--output")
+        sys.exit(-1)
+
+    num_sigs = len(signatures_factory.params_list)
+    notify(f"Computing a total of {num_sigs} signature(s) for each input.")
+
+    if num_sigs == 0:
+        error("...nothing to calculate!? Exiting!")
+        sys.exit(-1)
+
+    if args.merge:
+        _compute_merged(args, signatures_factory)
+    else:
+        _compute_individual(args, signatures_factory)
+
+
+def dna(args):
+    "Compute a DNA signature for one or more files."
+    args.input_is_protein = False
+
+    try:
+        signatures_factory = _signatures_for_sketch_factory(args.param_string, "dna")
+    except ValueError as e:
+        error(f"Error creating signatures: {str(e)}")
+        sys.exit(-1)
+
+    _add_from_file_to_filenames(args)
+    _execute_sketch(args, signatures_factory)
+
+
+def protein(args):
+    "Compute a protein signature for one or more files."
+    args.input_is_protein = True
+    args.check_sequence = False
+
+    if args.dayhoff and args.hp:
+        raise ValueError("cannot set both --dayhoff and --hp")
+    if args.dayhoff:
+        moltype = "dayhoff"
+    elif args.hp:
+        moltype = "hp"
+    else:
+        moltype = "protein"
+
+    try:
+        signatures_factory = _signatures_for_sketch_factory(args.param_string, moltype)
+    except ValueError as e:
+        error(f"Error creating signatures: {str(e)}")
+        sys.exit(-1)
+
+    _add_from_file_to_filenames(args)
+    _execute_sketch(args, signatures_factory)
+
+
+def translate(args):
+    "Compute protein signatures from DNA/RNA input."
+    args.input_is_protein = False
+
+    if args.dayhoff and args.hp:
+        raise ValueError("cannot set both --dayhoff and --hp")
+    if args.dayhoff:
+        moltype = "dayhoff"
+    elif args.hp:
+        moltype = "hp"
+    else:
+        moltype = "protein"
+
+    try:
+        signatures_factory = _signatures_for_sketch_factory(args.param_string, moltype)
+    except ValueError as e:
+        error(f"Error creating signatures: {str(e)}")
+        sys.exit(-1)
+
+    _add_from_file_to_filenames(args)
+    _execute_sketch(args, signatures_factory)
+
+
+def add_seq(sigs, seq, input_is_protein, check_sequence):
+    "Add one sequence record into all signatures."
+    for sig in sigs:
+        if input_is_protein:
+            sig.add_protein(seq)
+        else:
+            sig.add_sequence(seq, not check_sequence)
+
+
+def set_sig_name(sigs, filename, name=None):
+    if filename == "-":
+        filename = ""
+    for sig in sigs:
+        if name is not None:
+            sig._name = name
+        sig._filename = filename
+
+
+def save_siglist(siglist, sigfile_name):
+    "Save multiple signatures to a filename."
+    with sourmash_args.SaveSignaturesToLocation(sigfile_name) as save_sig:
+        for ss in siglist:
+            save_sig.add(ss)
+        notify(f"saved {len(save_sig)} signature(s) to '{save_sig.location}'")
+
+
+def save_sigs_to_location(siglist, save_sig):
+    "Save multiple signatures to an already-open location."
+    for ss in siglist:
+        save_sig.add(ss)
+
+
+def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
+    """Batched sketching of one file into `sigs` (device path).
+
+    Returns (n_records, first_record_name) or (None, None) if empty.
+    Semantics identical to per-record add_seq: records are joined with
+    k-1 'N' separators (invalid windows dropped); with check_sequence,
+    records are validated individually first.
+    """
+    from .ops import encodings as enc
+    from .ops.sketch import seq_chunks_to_hashes
+    from .minhash import MINHASH_MAX_HASH
+
+    if input_is_protein:
+        # protein path: host vectorized, record by record (cheap relative
+        # to DNA-scale inputs)
+        n = None
+        first_name = None
+        for n, (name, seq) in enumerate(sequence_io.iter_records_bytes(filename)):
+            if n == 0:
+                first_name = name
+            add_seq(sigs, seq, True, check_sequence)
+        if n is None:
+            return None, None
+        return n + 1, first_name
+
+    # DNA path: batch records per target minhash config.
+    # group target minhashes by (ksize, seed): one device pass per group.
+    targets = defaultdict(list)  # (ksize, seed) -> list of MinHash
+    for sig in sigs:
+        for mh in sig._all_minhashes():
+            if not mh.is_dna:
+                raise ValueError("Invalid hash function: 'murmur64_DNA'")
+            targets[(mh.ksize, mh.seed)].append(mh)
+
+    max_ksize = max(k for (k, _) in targets)
+
+    n = None
+    first_name = None
+    batches = []
+    for names, joined in sequence_io.iter_record_batches(filename, max_ksize):
+        if n is None and names:
+            first_name = names[0]
+        n = (n or 0) + len(names)
+        if check_sequence:
+            arr = enc.upper(np.frombuffer(joined, dtype=np.uint8))
+            # separators are 'N' bytes; valid records contain only ACGT
+            # find invalid chars that are not separator-injected
+            # simplest exact check: validate each record separately
+            for rname, rseq in zip(names, _split_joined(joined, names, max_ksize)):
+                rarr = enc.upper(np.frombuffer(rseq, dtype=np.uint8))
+                bad = ~enc.VALID_DNA[rarr]
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    start = max(0, i - max_ksize + 1)
+                    kmer = rseq[start : start + max_ksize].decode("ascii", "replace")
+                    raise ValueError(
+                        f"invalid DNA character in input k-mer: {kmer}"
+                    )
+        batches.append(joined)
+
+    if n is None:
+        return None, None
+
+    for (ksize, seed), mh_list in targets.items():
+        # distinct max_hash values within the group share hash computation
+        by_maxhash = defaultdict(list)
+        for mh in mh_list:
+            key = mh._max_hash if mh._max_hash else MINHASH_MAX_HASH
+            by_maxhash[key].append(mh)
+        for max_hash, mhs in by_maxhash.items():
+            all_hashes = []
+            for joined in batches:
+                hs = seq_chunks_to_hashes(joined, ksize, int(max_hash), seed)
+                all_hashes.append(hs)
+            if all_hashes:
+                flat = np.concatenate(all_hashes)
+                for mh in mhs:
+                    mh._insert_hashes(flat)
+
+    return n, first_name
+
+
+def _split_joined(joined: bytes, names, ksize: int):
+    "Split a separator-joined batch back into records."
+    sep = b"N" * (ksize - 1)
+    if len(names) == 1:
+        return [joined]
+    return joined.split(sep)
+
+
+def _compute_individual(args, signatures_factory):
+    save_sigs = None
+    first_file_for_output = True
+    open_output_each_time = not args.output
+
+    for filename in args.filenames:
+        if open_output_each_time:
+            sigfile = os.path.basename(filename) + ".sig"
+            if args.output_dir:
+                sigfile = os.path.join(args.output_dir, sigfile)
+
+            if os.path.exists(sigfile) and not args.force:
+                notify("skipping {} - already done", filename)
+                continue
+
+            assert not save_sigs
+            save_sigs = sourmash_args.SaveSignaturesToLocation(sigfile)
+
+        # peek: empty file?
+        try:
+            peek = next(iter(sequence_io.iter_records_bytes(filename)), None)
+        except ValueError as exc:
+            error(f"ERROR when reading from '{filename}' - ")
+            error(str(exc))
+            sys.exit(-1)
+        if peek is None:
+            notify(f"no sequences found in '{filename}'?!")
+            continue
+
+        if open_output_each_time:
+            save_sigs.open()
+        elif first_file_for_output:
+            save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
+            save_sigs.open()
+            first_file_for_output = False
+
+        if args.singleton:
+            n_calculated = 0
+            n = 0
+            for n, (rname, rseq) in enumerate(
+                sequence_io.iter_records_bytes(filename)
+            ):
+                sigs = signatures_factory()
+                try:
+                    add_seq(sigs, rseq, args.input_is_protein, args.check_sequence)
+                except ValueError as exc:
+                    error(f"ERROR when reading from '{filename}' - ")
+                    error(str(exc))
+                    sys.exit(-1)
+
+                n_calculated += len(sigs)
+                set_sig_name(sigs, filename, name=rname)
+                save_sigs_to_location(sigs, save_sigs)
+
+            notify(
+                "calculated {} signatures for {} sequences in {}",
+                n_calculated,
+                n + 1,
+                filename,
+            )
+        else:
+            sigs = signatures_factory()
+            notify(f"... reading sequences from {filename}")
+            try:
+                n, first_name = _sketch_whole_file(
+                    sigs, filename, args.input_is_protein, args.check_sequence
+                )
+            except ValueError as exc:
+                error(f"ERROR when reading from '{filename}' - ")
+                error(str(exc))
+                sys.exit(-1)
+
+            name = first_name if args.name_from_first else None
+            set_sig_name(sigs, filename, name)
+            save_sigs_to_location(sigs, save_sigs)
+
+            notify(
+                f"calculated {len(sigs)} signatures for {n} sequences in {filename}"
+            )
+
+        if open_output_each_time:
+            save_sigs.close()
+            notify(
+                f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
+            )
+            save_sigs = None
+
+    if args.output and save_sigs is not None:
+        save_sigs.close()
+        notify(
+            f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
+        )
+
+
+def _compute_merged(args, signatures_factory):
+    sigs = signatures_factory()
+
+    total_seq = 0
+    for filename in args.filenames:
+        notify("... reading sequences from {}", filename)
+        try:
+            n, _ = _sketch_whole_file(
+                sigs, filename, args.input_is_protein, args.check_sequence
+            )
+        except ValueError as exc:
+            error(f"ERROR when reading from '{filename}' - ")
+            error(str(exc))
+            sys.exit(-1)
+        if n is not None:
+            notify("... {} {} sequences", filename, n)
+            total_seq += n
+        else:
+            notify(f"no sequences found in '{filename}'?!")
+
+    if total_seq:
+        set_sig_name(sigs, filename, name=args.merge)
+        notify(
+            "calculated 1 signature for {} sequences taken from {} files",
+            total_seq,
+            len(args.filenames),
+        )
+        save_siglist(sigs, args.output)

@@ -83,7 +83,10 @@ class BaseCollectionManifest:
 
     @classmethod
     def load_from_sql(cls, filename):
-        from .index.sqlite_index import load_sqlite_index
+        try:
+            from .index.sqlite_index import load_sqlite_index
+        except ImportError:
+            return None
 
         db = load_sqlite_index(filename, request_manifest=True)
         if db is not None:

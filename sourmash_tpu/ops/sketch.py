@@ -116,6 +116,14 @@ def seq_chunks_to_hashes(
     if S < ksize:
         return np.zeros(0, dtype=np.uint64)
 
+    if S < (1 << 16):
+        # small input: the host numpy twin beats device-dispatch overhead
+        from .encodings import dna_hashes
+
+        h, valid = dna_hashes(arr, ksize, seed)
+        keep = valid & (h <= np.uint64(max_hash))
+        return h[keep]
+
     out = []
     # chunk boundaries overlap by (k-1) so every window is covered exactly once
     starts = list(range(0, max(S - ksize + 1, 1), chunk))

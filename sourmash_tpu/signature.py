@@ -230,9 +230,12 @@ class SourmashSignature:
 
     # -- serialization -----------------------------------------------------
 
+    def _all_minhashes(self):
+        "All sketches serialized in this signature record (usually one)."
+        return [self._minhash]
+
     def _to_jsonable(self):
         "Build the dict matching the Rust serde field order exactly."
-        mh = self._minhash
         d = {
             "class": "sourmash_signature",
             "email": self._email,
@@ -243,20 +246,22 @@ class SourmashSignature:
             d["name"] = self._name
         d["license"] = self._license
 
-        sk = {
-            "num": mh.num,
-            "ksize": mh.ksize,
-            "seed": mh.seed,
-            "max_hash": mh._max_hash,
-            "mins": [int(x) for x in mh.mins_array()],
-            "md5sum": mh.md5sum(),
-        }
-        ab = mh.abunds_array()
-        if ab is not None:
-            sk["abundances"] = [int(x) for x in ab]
-        molecule = mh.moltype if mh.moltype != "DNA" else "DNA"
-        sk["molecule"] = molecule
-        d["signatures"] = [sk]
+        sketches = []
+        for mh in self._all_minhashes():
+            sk = {
+                "num": mh.num,
+                "ksize": mh.ksize,
+                "seed": mh.seed,
+                "max_hash": mh._max_hash,
+                "mins": [int(x) for x in mh.mins_array()],
+                "md5sum": mh.md5sum(),
+            }
+            ab = mh.abunds_array()
+            if ab is not None:
+                sk["abundances"] = [int(x) for x in ab]
+            sk["molecule"] = mh.moltype
+            sketches.append(sk)
+        d["signatures"] = sketches
         d["version"] = SIGNATURE_VERSION
         return d
 
@@ -308,6 +313,52 @@ class FrozenSourmashSignature(SourmashSignature):
         new_sig = self.to_mutable()
         yield new_sig
         new_sig.into_frozen()
+
+
+class MultiSketchSignature(SourmashSignature):
+    """A signature carrying several sketches (e.g. one per ksize) that
+    serialize into a single `.sig` record, mirroring the reference's
+    multi-sketch Rust Signature (one record, N entries under 'signatures').
+    `minhash` is the first sketch; sequence adds go to all sketches."""
+
+    def __init__(self, minhashes, name="", filename=""):
+        self._minhashes = list(minhashes)
+        super().__init__(self._minhashes[0], name=name, filename=filename)
+
+    @property
+    def minhash(self):
+        return self._minhashes[0]
+
+    @minhash.setter
+    def minhash(self, value):
+        self._minhashes = [value]
+        self._minhash = value
+
+    def _all_minhashes(self):
+        return list(self._minhashes)
+
+    def add_sequence(self, sequence, force=False):
+        for mh in self._minhashes:
+            mh.add_sequence(sequence, force)
+        self._minhash = self._minhashes[0]
+
+    def add_protein(self, sequence):
+        for mh in self._minhashes:
+            mh.add_protein(sequence)
+        self._minhash = self._minhashes[0]
+
+
+def expand_signatures(ss):
+    "Yield one single-sketch SourmashSignature per sketch in this signature."
+    mhs = ss._all_minhashes()
+    if len(mhs) == 1:
+        yield ss
+        return
+    for mh in mhs:
+        one = SourmashSignature(mh)
+        one._name = ss._name
+        one._filename = ss._filename
+        yield one.to_frozen()
 
 
 def _molecule_to_kwargs(molecule):

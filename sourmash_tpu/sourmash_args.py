@@ -1,0 +1,625 @@
+"""Command-line utility functions: moltype/picklist handling, query loading,
+database loading, file IO helpers, progress reporting.
+
+API parity: reference `src/sourmash/sourmash_args.py` (calculate_moltype:95,
+load_picklist:121, load_query_signature:217, load_dbs_and_sigs:298,
+traverse_find_sigs:275, FileOutput:402, FileOutputCSV:454, FileInputCSV:528,
+SignatureLoadingProgress:601, get_manifest:727, load_file_as_signatures:765).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import csv
+import gzip
+import os
+import re
+import sys
+import zipfile
+from io import TextIOWrapper
+
+from .logging import notify, error, debug_literal
+from .manifest import CollectionManifest
+from .picklist import SignaturePicklist, PickStyle
+from .index import LinearIndex
+from .save_load import SaveSignaturesToLocation, load_file_as_index, _load_database
+
+DEFAULT_LOAD_K = 31
+
+
+def check_scaled_bounds(arg):
+    f = float(arg)
+    if f < 0:
+        raise argparse.ArgumentTypeError("ERROR: scaled value must be positive")
+    if f < 100:
+        notify("WARNING: scaled value should be >= 100. Continuing anyway.")
+    if f > 1e6:
+        notify("WARNING: scaled value should be <= 1e6. Continuing anyway.")
+    return f
+
+
+def check_num_bounds(arg):
+    f = int(arg)
+    if f < 0:
+        raise argparse.ArgumentTypeError("ERROR: num value must be positive")
+    if f < 50:
+        notify("WARNING: num value should be >= 50. Continuing anyway.")
+    if f > 50000:
+        notify("WARNING: num value should be <= 50000. Continuing anyway.")
+    return f
+
+
+def get_moltype(sig, require=False):
+    mh = sig.minhash
+    if mh.moltype in ("DNA", "dayhoff", "hp", "protein"):
+        return mh.moltype
+    raise ValueError(f"unknown molecule type for sig {sig}")
+
+
+def calculate_moltype(args, default=None):
+    "Derive moltype from --dna/--protein/--dayhoff/--hp flags."
+    moltype = default
+    n = 0
+    if getattr(args, "dna", False):
+        moltype = "DNA"
+        n += 1
+    if getattr(args, "dayhoff", False):
+        moltype = "dayhoff"
+        n += 1
+    if getattr(args, "hp", False):
+        moltype = "hp"
+        n += 1
+    if getattr(args, "protein", False):
+        moltype = "protein"
+        n += 1
+
+    if n > 1:
+        error(
+            "cannot specify more than one of --dna/--rna/--nucleotide/--protein/--hp/--dayhoff"
+        )
+        sys.exit(-1)
+
+    return moltype
+
+
+def load_picklist(args):
+    "Load a SignaturePicklist from --picklist arguments."
+    picklist = None
+    if args.picklist:
+        try:
+            picklist = SignaturePicklist.from_picklist_args(args.picklist)
+            notify(
+                f"picking column '{picklist.column_name}' of type '{picklist.coltype}' from '{picklist.pickfile}'"
+            )
+            n_empty_val, dup_vals = picklist.load()
+        except ValueError as exc:
+            error("ERROR: could not load picklist.")
+            error(str(exc))
+            sys.exit(-1)
+
+        notify(f"loaded {len(picklist.pickset)} distinct values into picklist.")
+        if n_empty_val:
+            notify(
+                f"WARNING: {n_empty_val} empty values in column '{picklist.column_name}' in picklist file"
+            )
+        if dup_vals:
+            notify(
+                f"WARNING: {len(dup_vals)} values in picklist column '{picklist.column_name}' were not distinct"
+            )
+    return picklist
+
+
+def report_picklist(args, picklist):
+    if picklist.pickstyle == PickStyle.INCLUDE:
+        notify(
+            f"for given picklist, found {len(picklist.found)} matches to {len(picklist.pickset)} distinct values"
+        )
+        n_missing = len(picklist.pickset - picklist.found)
+    elif picklist.pickstyle == PickStyle.EXCLUDE:
+        notify(
+            f"for given picklist, found {len(picklist.found)} matches by excluding {len(picklist.pickset)} distinct values"
+        )
+        n_missing = 0
+    if n_missing:
+        notify(f"WARNING: {n_missing} missing picklist values.")
+        if getattr(args, "picklist_require_all", False):
+            error("ERROR: failing because --picklist-require-all was set")
+            sys.exit(-1)
+
+
+def load_include_exclude_db_patterns(args):
+    if args.picklist and (args.include_db_pattern or args.exclude_db_pattern):
+        error(
+            "ERROR: --picklist and --include-db-pattern/--exclude cannot be used together."
+        )
+        sys.exit(-1)
+
+    if args.include_db_pattern and args.exclude_db_pattern:
+        error(
+            "ERROR: --include-db-pattern and --exclude-db-pattern cannot be used together."
+        )
+        sys.exit(-1)
+
+    if args.include_db_pattern:
+        pattern = re.compile(args.include_db_pattern, re.IGNORECASE)
+
+        def search_pattern(vals):
+            return any(pattern.search(val) for val in vals)
+
+    elif args.exclude_db_pattern:
+        pattern = re.compile(args.exclude_db_pattern, re.IGNORECASE)
+
+        def search_pattern(vals):
+            return all(not pattern.search(val) for val in vals)
+
+    else:
+        search_pattern = None
+
+    return search_pattern
+
+
+def apply_picklist_and_pattern(db, picklist, pattern):
+    assert not (picklist and pattern)
+    if picklist:
+        db = db.select(picklist=picklist)
+    elif pattern:
+        manifest = db.manifest
+        if manifest is None:
+            error(f"ERROR on filename '{db.location}'.")
+            error("--include-db-pattern/--exclude-db-pattern require a manifest.")
+            sys.exit(-1)
+
+        manifest = manifest.filter_on_columns(pattern, ["name", "filename", "md5"])
+        db = db.select(picklist=manifest.to_picklist())
+
+    return db
+
+
+def load_query_signature(filename, ksize, select_moltype, select_md5=None):
+    "Load a single signature to use as a query, from any collection type."
+    try:
+        sl = list(
+            load_file_as_signatures(filename, ksize=ksize, select_moltype=select_moltype)
+        )
+    except (OSError, ValueError):
+        error(f"Cannot open query file '{filename}'")
+        sys.exit(-1)
+
+    if len(sl) and select_md5:
+        found_sig = None
+        for sig in sl:
+            sig_md5 = sig.md5sum()
+            if sig_md5.startswith(select_md5.lower()):
+                if found_sig is not None:
+                    error(f"Error! Multiple signatures start with md5 '{select_md5}'")
+                    error("Please use a longer --md5 selector.")
+                    sys.exit(-1)
+                else:
+                    found_sig = sig
+            sl = [found_sig]
+
+    if len(sl) and ksize is None:
+        ksizes = set([ss.minhash.ksize for ss in sl])
+        if len(ksizes) == 1:
+            ksize = ksizes.pop()
+            sl = [ss for ss in sl if ss.minhash.ksize == ksize]
+            notify(f"select query k={ksize} automatically.")
+        elif DEFAULT_LOAD_K in ksizes:
+            sl = [ss for ss in sl if ss.minhash.ksize == DEFAULT_LOAD_K]
+            notify(f"selecting default query k={DEFAULT_LOAD_K}.")
+    elif ksize:
+        notify(f"selecting specified query k={ksize}")
+
+    if len(sl) != 1:
+        error(f"When loading query from '{filename}'", filename)
+        error(f"{len(sl)} signatures matching ksize and molecule type;")
+        error("need exactly one. Specify --ksize or --dna, --rna, or --protein.")
+        sys.exit(-1)
+
+    return sl[0]
+
+
+def _check_suffix(filename, endings):
+    return any(filename.endswith(ending) for ending in endings)
+
+
+def traverse_find_sigs(filenames, yield_all_files=False):
+    "Find all .sig/.sig.gz files in & beneath 'filenames'."
+    endings = (".sig", ".sig.gz")
+    for filename in filenames:
+        if os.path.isfile(filename):
+            if yield_all_files or _check_suffix(filename, endings):
+                yield filename
+        elif os.path.isdir(filename):
+            for root, dirs, files in os.walk(filename):
+                for name in sorted(files):
+                    fullname = os.path.join(root, name)
+                    if yield_all_files or _check_suffix(fullname, endings):
+                        yield fullname
+
+
+def load_dbs_and_sigs(
+    filenames,
+    query,
+    is_similarity_query,
+    *,
+    cache_size=None,
+    picklist=None,
+    pattern=None,
+    fail_on_empty_database=False,
+):
+    "Load Index objects to search; select on query compat + picklists."
+    query_mh = query.minhash
+    containment = not is_similarity_query
+
+    databases = []
+    total_signatures_loaded = 0
+    sum_signatures_after_select = 0
+    for filename in filenames:
+        notify(f"loading from '{filename}'...", end="\r")
+
+        try:
+            db = _load_database(filename, False, cache_size=cache_size)
+        except ValueError as e:
+            notify(f"ERROR on loading from '{filename}':")
+            notify(str(e))
+            sys.exit(-1)
+
+        total_signatures_loaded += len(db)
+
+        try:
+            db = db.select(
+                moltype=query_mh.moltype,
+                ksize=query_mh.ksize,
+                num=query_mh.num,
+                scaled=query_mh.scaled,
+                containment=containment,
+            )
+        except ValueError as exc:
+            notify(f"ERROR: cannot use '{filename}' for this query.")
+            notify(str(exc))
+            if fail_on_empty_database:
+                sys.exit(-1)
+            else:
+                db = LinearIndex([])
+
+        if not db:
+            notify(f"no compatible signatures found in '{filename}'")
+            if fail_on_empty_database:
+                sys.exit(-1)
+
+        sum_signatures_after_select += len(db)
+
+        db = apply_picklist_and_pattern(db, picklist, pattern)
+        databases.append(db)
+
+    notify("--")
+    notify(
+        f"loaded {total_signatures_loaded} total signatures from {len(databases)} locations."
+    )
+    notify(
+        f"after selecting signatures compatible with search, {sum_signatures_after_select} remain."
+    )
+    print("")
+
+    return databases
+
+
+def load_pathlist_from_file(filename):
+    "Load a list-of-files text file."
+    try:
+        with open(filename) as fp:
+            file_list = [x.rstrip("\r\n") for x in fp]
+        file_list = set(file_list)
+        if not file_list:
+            raise ValueError("pathlist is empty")
+        for checkfile in file_list:
+            if not os.path.exists(checkfile):
+                raise ValueError(
+                    f"file '{checkfile}' inside the pathlist does not exist"
+                )
+    except OSError:
+        raise ValueError(f"pathlist file '{filename}' does not exist")
+    except UnicodeDecodeError:
+        raise ValueError(f"cannot parse file '{filename}' as list of filenames")
+    return file_list
+
+
+class FileOutput:
+    "File-output context manager treating '-'/None as stdout."
+
+    def __init__(self, filename, mode="wt", *, newline=None, encoding="utf-8"):
+        self.filename = filename
+        self.mode = mode
+        self.fp = None
+        self.newline = newline
+        self.encoding = encoding
+
+    def open(self):
+        if self.filename == "-" or self.filename is None:
+            return sys.stdout
+        self.fp = open(
+            self.filename, self.mode, newline=self.newline, encoding=self.encoding
+        )
+        return self.fp
+
+    def close(self):
+        if self.fp is not None:
+            self.fp.close()
+
+    def __enter__(self):
+        return self.open()
+
+    def __exit__(self, type, value, traceback):
+        if self.fp:
+            self.fp.close()
+        return False
+
+
+class FileOutputCSV(FileOutput):
+    "CSV file-output context manager; handles '-'/None and .gz."
+
+    def __init__(self, filename):
+        self.filename = filename
+        self.fp = None
+
+    def open(self):
+        if self.filename == "-" or self.filename is None:
+            return sys.stdout
+        if self.filename.endswith(".gz"):
+            self.fp = gzip.open(self.filename, "wt", newline="")
+        else:
+            self.fp = open(self.filename, "w", newline="")
+        return self.fp
+
+
+class _DictReader_with_version:
+    """csv.DictReader variant allowing a '# KEY: version' first line;
+    version stored in 'version_info'."""
+
+    def __init__(self, textfp, *, delimiter=","):
+        self.version_info = []
+
+        ch = textfp.buffer.peek(1)
+        try:
+            ch = ch.decode("utf-8")
+        except UnicodeDecodeError:
+            raise csv.Error("unable to read CSV file")
+
+        if ch.startswith("#"):
+            line = textfp.readline()
+            assert line.startswith("# "), line
+            self.version_info = line[2:].strip().split(": ", 2)
+
+        self.reader = csv.DictReader(textfp, delimiter=delimiter)
+        self.fieldnames = self.reader.fieldnames
+
+    def __iter__(self):
+        yield from self.reader
+
+
+@contextlib.contextmanager
+def FileInputCSV(
+    filename,
+    *,
+    encoding="utf-8",
+    default_csv_name=None,
+    zipfile_obj=None,
+    delimiter=",",
+):
+    "Read CSV from gzip, zip, or plain text; yields a DictReader-alike."
+    if zipfile_obj and not default_csv_name:
+        raise ValueError("must provide default_csv_name with a zipfile_obj")
+
+    if default_csv_name:
+        if zipfile_obj:
+            try:
+                zi = zipfile_obj.getinfo(default_csv_name)
+                with zipfile_obj.open(zi) as fp:
+                    textfp = TextIOWrapper(fp, encoding=encoding, newline="")
+                    yield _DictReader_with_version(textfp, delimiter=delimiter)
+            except (zipfile.BadZipFile, KeyError):
+                pass
+            return
+        else:
+            try:
+                with zipfile.ZipFile(filename, "r") as zip_fp:
+                    zi = zip_fp.getinfo(default_csv_name)
+                    with zip_fp.open(zi) as fp:
+                        textfp = TextIOWrapper(fp, encoding=encoding, newline="")
+                        yield _DictReader_with_version(textfp, delimiter=delimiter)
+                return
+            except (zipfile.BadZipFile, KeyError):
+                pass
+
+    try:
+        with gzip.open(filename, "rt", newline="", encoding=encoding) as fp:
+            fp.buffer.peek(1)
+            yield _DictReader_with_version(fp, delimiter=delimiter)
+        return
+    except gzip.BadGzipFile:
+        pass
+
+    with open(filename, newline="", encoding=encoding) as fp:
+        yield _DictReader_with_version(fp, delimiter=delimiter)
+
+
+class SignatureLoadingProgress:
+    "Progress reporting for bulk signature loading."
+
+    def __init__(self, reporting_interval=10):
+        self.n_sig = 0
+        self.interval = reporting_interval
+        self.screen_width = 79
+
+    def __len__(self):
+        return self.n_sig
+
+    def short_notify(self, msg_template, *args, **kwargs):
+        "Shorten the notification message so that it fits on one line."
+        msg = msg_template.format(*args, **kwargs)
+        end = kwargs.get("end", "\n")
+        w = self.screen_width
+        if len(msg) > w:
+            truncate_len = len(msg) - w + 3
+            msg = "<<<" + msg[truncate_len:]
+        notify(msg, end=end)
+
+    def notify(self, location):
+        self.short_notify(
+            f"...{self.n_sig} sigs so far. Now reading from file '{location}'", end="\r"
+        )
+
+    def start_file(self, location, loader):
+        n_this = 0
+        n_before = self.n_sig
+
+        try:
+            for result in loader:
+                n_this += 1
+                n_total = n_before + n_this
+                if n_this and n_total % self.interval == 0:
+                    self.short_notify(
+                        "...loading from '{}' / {} sigs total",
+                        location,
+                        n_total,
+                        end="\r",
+                    )
+                yield result
+        except KeyboardInterrupt:
+            notify("\n(CTRL-C received! quitting.)")
+            sys.exit(-1)
+        finally:
+            self.n_sig += n_this
+
+        self.short_notify(f"Loaded {n_this} sigs from '{location}'", end="\r")
+
+
+def load_many_signatures(
+    locations,
+    progress,
+    *,
+    yield_all_files=False,
+    ksize=None,
+    moltype=None,
+    picklist=None,
+    force=False,
+    pattern=None,
+):
+    "Load signatures from many files with progress; yields (sig, location)."
+    for loc in locations:
+        try:
+            idx = load_file_as_index(loc, yield_all_files=yield_all_files)
+            idx = idx.select(ksize=ksize, moltype=moltype)
+            idx = apply_picklist_and_pattern(idx, picklist, pattern)
+
+            loader = idx.signatures_with_location()
+            n = 0
+            for sig, sigloc in progress.start_file(loc, loader):
+                yield sig, sigloc
+                n += 1
+            notify(f"loaded {n} signatures from '{loc}'", end="\r")
+        except ValueError as exc:
+            if force:
+                notify(f"ERROR: {str(exc)}")
+                notify("(continuing)")
+                continue
+            else:
+                notify(f"ERROR: {str(exc)}")
+                sys.exit(-1)
+        except KeyboardInterrupt:
+            notify("Received CTRL-C - exiting.")
+            sys.exit(-1)
+
+    n_files = len(locations)
+    notify(f"loaded {len(progress)} signatures total, from {n_files} files")
+
+
+def get_manifest(idx, *, require=True, rebuild=False):
+    "Retrieve or build a manifest for this index."
+    m = idx.manifest
+    if m is not None and not rebuild:
+        debug_literal("get_manifest: found manifest")
+        return m
+
+    debug_literal(f"get_manifest: no manifest found / rebuild={rebuild}")
+
+    try:
+        notify("Generating a manifest...")
+        m = CollectionManifest.create_manifest(
+            idx._signatures_with_internal(), include_signature=False
+        )
+        debug_literal("get_manifest: rebuilt manifest.")
+    except NotImplementedError:
+        if require:
+            error(f"ERROR: manifests cannot be generated for {idx.location}")
+            sys.exit(-1)
+        else:
+            debug_literal("get_manifest: cannot build manifest, not req'd")
+            return None
+
+    return m
+
+
+def load_file_as_signatures(
+    filename,
+    *,
+    select_moltype=None,
+    ksize=None,
+    picklist=None,
+    yield_all_files=False,
+    progress=None,
+    pattern=None,
+    _use_manifest=True,
+):
+    "Load 'filename' as an iterable of signatures (any collection format)."
+    if progress:
+        progress.notify(filename)
+
+    db = _load_database(filename, yield_all_files)
+
+    if not _use_manifest and db.manifest:
+        db.manifest = None
+
+    db = db.select(moltype=select_moltype, ksize=ksize)
+    db = apply_picklist_and_pattern(db, picklist, pattern)
+
+    loader = db.signatures()
+
+    if progress is not None:
+        return progress.start_file(filename, loader)
+    return loader
+
+
+def load_one_signature(
+    filename,
+    *,
+    select_moltype=None,
+    ksize=None,
+    picklist=None,
+    yield_all_files=False,
+    pattern=None,
+):
+    "Load exactly one signature from the given location."
+    db = _load_database(filename, yield_all_files)
+    db = db.select(moltype=select_moltype, ksize=ksize)
+    db = apply_picklist_and_pattern(db, picklist, pattern)
+
+    loader = db.signatures()
+    it = iter(loader)
+
+    try:
+        ss = next(it)
+    except StopIteration:
+        raise ValueError(f"no signatures in '{filename}'? expected exactly one.")
+
+    try:
+        _ = next(it)
+        raise ValueError(
+            f"more than one signature in '{filename}'; expected exactly one"
+        )
+    except StopIteration:
+        pass
+
+    return ss

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The environment's sitecustomize force-registers a TPU PJRT plugin and
+# overrides JAX_PLATFORMS; an explicit config.update after import wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
