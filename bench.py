@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark: k-mer sketching throughput on the accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json): k-mers hashed+thresholded+sorted per
+second per chip on the flagship sketch kernel (canonical k-mer extraction,
+murmur64, scaled threshold, sort/compact), measured on the reference
+E. coli genome at k=31/scaled=1000. `vs_baseline` is the speedup over the
+single-threaded host (numpy) implementation of the identical pipeline —
+a stand-in for the reference's single-core Rust hot loop, measured in the
+same process on the same input (the reference publishes no absolute
+numbers; see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import sourmash_tpu  # configures x64 + compilation cache
+    import jax
+    import jax.numpy as jnp
+
+    from sourmash_tpu.ops.sketch import _seq_to_sorted_hashes
+    from sourmash_tpu.ops import encodings as enc
+    from sourmash_tpu.minhash import _get_max_hash_for_scaled
+    from sourmash_tpu.sequence_io import iter_records_bytes
+
+    ksize = 31
+    scaled = 1000
+    max_hash = np.uint64(_get_max_hash_for_scaled(scaled))
+
+    # load the benchmark genome (E. coli GCF_000005845, ~4.64 Mbp)
+    genome = "/root/reference/data/GCF_000005845.2_ASM584v2_genomic.fna.gz"
+    seq = b"".join(s for _, s in iter_records_bytes(genome))
+    arr = enc.upper(np.frombuffer(seq, dtype=np.uint8))
+
+    chunk = 1 << 21  # windows per device call
+    n_windows_total = len(arr) - ksize + 1
+
+    # Device-resident steady-state measurement. The dev harness reaches the
+    # chip over a tunnel with ~150 ms round-trip latency, so the honest
+    # per-chip number comes from: upload a pool of distinct chunks once,
+    # dispatch many kernel calls (args varied so no result cache can hit),
+    # chain all results into one device-side accumulator, and read back a
+    # single scalar at the end — one RTT amortized over the whole batch.
+    from sourmash_tpu.ops.sketch import _seq_to_compact_hashes
+
+    cap = 16384
+    n_buffers = 8
+    calls = 256
+
+    def make_pieces(a):
+        ps = []
+        for s in range(0, len(a) - ksize + 1, chunk):
+            e = min(s + chunk + ksize - 1, len(a))
+            piece = a[s:e]
+            pad = (chunk + ksize - 1) - len(piece)
+            if pad:
+                piece = np.concatenate([piece, np.zeros(pad, dtype=np.uint8)])
+            ps.append(piece)
+        return ps
+
+    base_pieces = make_pieces(arr)
+    pool = []
+    r = 0
+    while len(pool) < n_buffers:
+        for p in make_pieces(np.roll(arr, 104729 * r)):
+            pool.append(jax.device_put(p))
+            if len(pool) >= n_buffers:
+                break
+        r += 1
+    # force uploads to complete before timing
+    for p in pool:
+        _ = int(np.asarray(p[:8]).sum())
+
+    dev = jax.devices()[0]
+    print(
+        f"bench: device={dev}, pool={n_buffers} x {chunk} windows, "
+        f"calls={calls}",
+        file=sys.stderr,
+    )
+
+    # warmup/compile
+    h, n = _seq_to_compact_hashes(pool[0], jnp.uint64(max_hash), ksize, 42, cap)
+    _ = int(n)
+
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    for i in range(calls):
+        # vary max_hash per call: distinct args defeat any result caching
+        mh_i = jnp.uint64(max_hash - np.uint64(i % 97))
+        h, n = _seq_to_compact_hashes(pool[i % n_buffers], mh_i, ksize, 42, cap)
+        acc = acc + n
+    total_valid = int(acc)  # single readback closes the dependency chain
+    t_device = time.perf_counter() - t0
+    n_windows_timed = calls * chunk
+    kmers_per_sec = n_windows_timed / t_device
+    print(
+        f"bench: {calls} calls, total_valid={total_valid}, "
+        f"{t_device:.3f}s total",
+        file=sys.stderr,
+    )
+
+    # host single-thread baseline on a slice, extrapolated
+    slice_windows = min(1 << 20, n_windows_total)
+    sub = arr[: slice_windows + ksize - 1]
+    t0 = time.perf_counter()
+    hh, valid = enc.dna_hashes(sub, ksize, 42)
+    _ = np.sort(hh[valid & (hh <= max_hash)])
+    t_host_slice = time.perf_counter() - t0
+    host_kmers_per_sec = slice_windows / t_host_slice
+
+    vs_baseline = kmers_per_sec / host_kmers_per_sec
+
+    print(
+        f"bench: device {kmers_per_sec/1e6:.2f} Mk-mers/s "
+        f"({t_device*1e3:.1f} ms/genome), host {host_kmers_per_sec/1e6:.2f} Mk-mers/s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "kmers_hashed_per_sec_per_chip",
+                "value": round(kmers_per_sec, 1),
+                "unit": "kmers/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

