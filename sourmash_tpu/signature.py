@@ -476,6 +476,10 @@ def load_signatures_from_json(
         records = json.loads(buf)
         if isinstance(records, dict):
             records = [records]
+        if not isinstance(records, list) or not all(
+            isinstance(rec, dict) and "signatures" in rec for rec in records
+        ):
+            raise ValueError("JSON data is not a list of sourmash signatures")
 
         sigs = []
         for rec in records:
