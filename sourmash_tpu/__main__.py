@@ -66,6 +66,15 @@ def main(arglist=None):
         from . import commands
 
         return getattr(commands, cmd)(args)
+    elif cmd == "tax":
+        subcmd = getattr(args, "subfunc", None)
+        if subcmd is None:
+            cli.get_parser().print_help()
+            return 1
+        from .tax import __main__ as tax_main
+
+        fn_name = subcmd[len("tax_"):]
+        return getattr(tax_main, fn_name)(args)
     elif cmd == "lca":
         subcmd = getattr(args, "subfunc", None)
         if subcmd is None:

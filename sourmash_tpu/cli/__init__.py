@@ -434,9 +434,11 @@ def get_parser():
 
     from . import sig as _sig_cli
     from . import lca as _lca_cli
+    from . import tax as _tax_cli
 
     _sig_cli.subparser(sub)
     _lca_cli.subparser(sub)
+    _tax_cli.subparser(sub)
 
     parser._action_groups.reverse()
     return parser

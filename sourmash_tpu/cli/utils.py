@@ -129,3 +129,33 @@ def add_num_arg(parser, default=0):
         default=default,
         help="num value should be between 50 and 50000",
     )
+
+
+def add_rank_arg(parser):
+    parser.add_argument(
+        "-r", "--rank", "--position", "--lin-position",
+        help="Classify to this rank (tax genome) or summarize taxonomy at this"
+             " rank and above (tax metagenome). Choices: 'strain', 'species',"
+             " 'genus', 'family', 'order', 'class', 'phylum', 'superkingdom'"
+             " or an integer LIN position",
+    )
+
+
+def check_rank(args):
+    "Check that --rank matches the selected taxonomy."
+    standard_ranks = [
+        "strain", "species", "genus", "family", "order", "class",
+        "phylum", "superkingdom",
+    ]
+    if getattr(args, "lins", False):
+        if args.rank.isdigit():
+            return str(args.rank)
+        raise argparse.ArgumentTypeError(
+            f"Invalid '--rank'/'--position' input: '{args.rank}'. '--lins' is specified. Rank must be an integer corresponding to a LIN position."
+        )
+    elif args.rank in standard_ranks:
+        return args.rank
+    else:
+        raise argparse.ArgumentTypeError(
+            f"Invalid '--rank'/'--position' input: '{args.rank}'. Please choose: 'strain', 'species', 'genus', 'family', 'order', 'class', 'phylum', 'superkingdom'"
+        )

@@ -10,6 +10,7 @@ incrementally; the core lineage types live here first.
 from __future__ import annotations
 
 import csv
+import sqlite3
 from collections import defaultdict
 from dataclasses import dataclass, field, replace
 from typing import NamedTuple
@@ -197,14 +198,14 @@ class BaseLineageInfo:
             zipped = [a.taxid for a in self.lineage]
         return ["" if x is None else str(x) for x in zipped]
 
-    def display_lineage(self, truncate_empty=True, null_as_unclassified=False):
-        lin = ";".join(self.zip_lineage(truncate_empty=truncate_empty))
+    def display_lineage(self, truncate_empty=True, null_as_unclassified=False, sep=";"):
+        lin = sep.join(self.zip_lineage(truncate_empty=truncate_empty))
         if null_as_unclassified and (lin == "" or lin is None):
             return "unclassified"
         return lin
 
-    def display_taxid(self, truncate_empty=True):
-        return ";".join(self.zip_taxid(truncate_empty=truncate_empty))
+    def display_taxid(self, truncate_empty=True, sep=";"):
+        return sep.join(self.zip_taxid(truncate_empty=truncate_empty))
 
     def check_rank_availability(self, rank):
         if rank in self.ranks:
@@ -615,6 +616,10 @@ class MultiLineageDB:
     def keys(self):
         yield from iter(self)
 
+    def values(self):
+        for k, v in self.items():
+            yield v
+
     def __getitem__(self, ident):
         "Return lineage tuple for first match to identifier."
         for db in self.lineage_dbs:
@@ -648,10 +653,8 @@ class MultiLineageDB:
             db = None
             # try sqlite first
             try:
-                from .tax_sql import LineageDB_Sqlite
-
                 db = LineageDB_Sqlite.load(location)
-            except (ImportError, ValueError):
+            except ValueError:
                 db = None
             if db is None:
                 db = LineageDB.load(location, **kwargs)
@@ -660,15 +663,70 @@ class MultiLineageDB:
         return tax_assign
 
     def save(self, filename_or_fp, file_format="csv"):
-        "Save to CSV (or sql later)."
+        "Save to CSV or a sqlite taxonomy database."
         is_filename = isinstance(filename_or_fp, str)
         if file_format == "sql":
-            raise NotImplementedError("sql lineage output: TODO")
+            if not is_filename:
+                raise ValueError("sql output requires a filename")
+            self._save_sqlite(filename_or_fp)
+            return
         if is_filename:
             with open(filename_or_fp, "w", newline="") as fp:
                 self._save_csv(fp)
         else:
             self._save_csv(filename_or_fp)
+
+    def _save_sqlite(self, filename, *, conn=None):
+        "Save taxonomy into a sqlite 'sourmash_taxonomy' table."
+        from .. import sqlite_utils
+
+        if conn is None:
+            db = sqlite3.connect(filename)
+        else:
+            assert not filename
+            db = conn
+
+        cursor = db.cursor()
+        try:
+            sqlite_utils.add_sourmash_internal(cursor, "SqliteLineage", "1.0")
+        except sqlite3.OperationalError:
+            raise ValueError("attempt to write a readonly database")
+
+        try:
+            cursor.execute(
+                """
+        CREATE TABLE sourmash_taxonomy (
+            ident TEXT NOT NULL,
+            superkingdom TEXT,
+            phylum TEXT,
+            class TEXT,
+            order_ TEXT,
+            family TEXT,
+            genus TEXT,
+            species TEXT,
+            strain TEXT
+        )
+        """
+            )
+        except sqlite3.OperationalError:
+            raise ValueError(f"taxonomy table already exists in '{filename}'")
+
+        cursor.execute(
+            "CREATE UNIQUE INDEX sourmash_taxonomy_ident ON sourmash_taxonomy(ident);"
+        )
+        for ident, tax in self.items():
+            names = {p.rank: p.name for p in tax}
+            x = [ident] + [
+                names.get(r) for r in
+                ("superkingdom", "phylum", "class", "order", "family",
+                 "genus", "species", "strain")
+            ]
+            cursor.execute(
+                "INSERT INTO sourmash_taxonomy (ident, superkingdom, phylum, class, order_, family, genus, species, strain) VALUES (?,?,?,?,?,?,?,?,?)",
+                x,
+            )
+
+        db.commit()
 
     def _save_csv(self, fp):
         ranks = sorted(
@@ -689,3 +747,1374 @@ def get_ident(ident, *, keep_full_identifiers=False, keep_identifier_versions=Fa
         if not keep_identifier_versions:
             i = i.split(".")[0]
     return i
+
+
+class LineageDB_Sqlite:
+    """A LineageDB over a sqlite3 'sourmash_taxonomy' table
+    (parity: reference `tax_utils.py:1455+`)."""
+
+    # NOTE: 'order' is a reserved word in SQL; the column is 'order_'.
+    columns = (
+        "superkingdom",
+        "phylum",
+        "class",
+        "order_",
+        "family",
+        "genus",
+        "species",
+        "strain",
+    )
+    table_name = "sourmash_taxonomy"
+
+    def __init__(self, conn, *, table_name=None):
+        self.conn = conn
+
+        if table_name is not None:
+            self.table_name = table_name
+
+        c = conn.cursor()
+        try:
+            c.execute(f"SELECT * FROM {self.table_name} LIMIT 1")
+        except (sqlite3.DatabaseError, sqlite3.OperationalError):
+            raise ValueError("not a taxonomy database")
+
+        self.__len__()
+        c = conn.cursor()
+
+        ranks = set()
+        for column, rank in zip(self.columns, RANKS):
+            query = (
+                f'SELECT COUNT({column}) FROM {self.table_name} '
+                f'WHERE {column} IS NOT NULL AND {column} != ""'
+            )
+            c.execute(query)
+            (cnt,) = c.fetchone()
+            if cnt:
+                ranks.add(rank)
+
+        self.available_ranks = ranks
+        self.cursor = c
+
+    @classmethod
+    def load(cls, location):
+        "Load taxonomy information from an existing sqlite3 database."
+        from .. import sqlite_utils
+
+        conn = sqlite_utils.open_sqlite_db(location)
+        if not conn:
+            raise ValueError("not a sqlite taxonomy database")
+
+        table_name = None
+        c = conn.cursor()
+        try:
+            info = sqlite_utils.get_sourmash_internal(c)
+        except sqlite3.OperationalError:
+            info = {}
+
+        if "SqliteLineage" in info:
+            if info["SqliteLineage"] != "1.0":
+                from ..exceptions import IndexNotSupported
+
+                raise IndexNotSupported("unsupported SqliteLineage version")
+            table_name = "sourmash_taxonomy"
+        else:
+            try:
+                c.execute("SELECT * FROM taxonomy LIMIT 1")
+                table_name = "taxonomy"
+            except sqlite3.OperationalError:
+                pass
+
+        if table_name is None:
+            raise ValueError("not a sqlite taxonomy database")
+
+        return cls(conn, table_name=table_name)
+
+    def _make_tup(self, row):
+        "Build a lineage tuple of LineagePairs from a sqlite row."
+        return tuple(LineagePair(n, r) for (n, r) in zip(RANKS, row))
+
+    def __getitem__(self, ident):
+        c = self.cursor
+        c.execute(
+            f"SELECT superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name} WHERE ident=?",
+            (ident,),
+        )
+
+        names = c.fetchone()
+        if names:
+            tup = self._make_tup(names)
+            while tup and not tup[-1].name:
+                tup = tup[:-1]
+            return tup
+
+        raise KeyError(ident)
+
+    def __bool__(self):
+        return bool(len(self))
+
+    def __len__(self):
+        c = self.conn.cursor()
+        c.execute(f"SELECT COUNT(DISTINCT ident) FROM {self.table_name}")
+        (nrows,) = c.fetchone()
+        return nrows
+
+    def __iter__(self):
+        c = self.conn.cursor()
+        c.execute(f"SELECT DISTINCT ident FROM {self.table_name}")
+        for (ident,) in c:
+            yield ident
+
+    def __contains__(self, ident):
+        try:
+            self[ident]
+            return True
+        except KeyError:
+            return False
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def keys(self):
+        yield from iter(self)
+
+    def items(self):
+        c = self.conn.cursor()
+        c.execute(
+            f"SELECT DISTINCT ident, superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name}"
+        )
+        for ident, *names in c:
+            tup = self._make_tup(names)
+            while tup and not tup[-1].name:
+                tup = tup[:-1]
+            yield ident, tup
+
+    def values(self):
+        for k, v in self.items():
+            yield v
+
+
+# -- gather-CSV taxonomic summarization machinery -------------------------
+# (parity: reference tax_utils.py:1810-2829)
+
+from dataclasses import asdict, fields  # noqa: E402
+
+from ..logging import notify  # noqa: E402
+from ..distance_utils import containment_to_distance  # noqa: E402
+from ..sourmash_args import load_pathlist_from_file  # noqa: E402
+from .. import sourmash_args  # noqa: E402
+
+RANKCODE = {
+    "superkingdom": "D",
+    "kingdom": "K",
+    "phylum": "P",
+    "class": "C",
+    "order": "O",
+    "family": "F",
+    "genus": "G",
+    "species": "S",
+    "unclassified": "U",
+}
+
+
+class LineageTree:
+    """Tree of nested dicts over LineagePair / LineageInfo objects, for
+    LCA-finding and ordered path traversal."""
+
+    def __init__(self, assignments):
+        self.assignments = assignments
+        self.tree = {}
+        self.add_lineages(assignments)
+
+    def add_lineage(self, lineage):
+        if isinstance(lineage, BaseLineageInfo):
+            lineage = lineage.filled_lineage
+        node = self.tree
+        for lineage_tup in lineage:
+            if lineage_tup.name:
+                child = node.get(lineage_tup, {})
+                node[lineage_tup] = child
+                node = child
+
+    def add_lineages(self, lineages):
+        if not lineages:
+            raise ValueError("empty assignment passed to build_tree")
+        for lineageInf in lineages:
+            self.add_lineage(lineageInf)
+
+    def find_lca(self):
+        "Find the first node with multiple children (or the only leaf)."
+        node = self.tree
+        lca = []
+        while 1:
+            if len(node) == 1:
+                lineage_tup = next(iter(node.keys()))
+                lca.append(lineage_tup)
+                node = node[lineage_tup]
+            elif len(node) == 0:
+                return tuple(lca), 0
+            else:
+                return tuple(lca), len(node)
+
+    def ordered_paths(self, include_internal=False):
+        "Depth-first list of all root->leaf paths (optionally internal too)."
+        paths = []
+        stack = [((), self.tree)]
+        while stack:
+            path, node = stack.pop()
+            for key, val in node.items():
+                if len(val) == 0:
+                    if include_internal:
+                        internal_path = path
+                        while internal_path:
+                            if internal_path not in paths:
+                                paths.append(internal_path)
+                            internal_path = internal_path[:-1]
+                    paths.append(path + (key,))
+                else:
+                    stack.append((path + (key,), val))
+        return paths
+
+
+def filter_row(row, dataclass_type):
+    "Keep only keys matching the dataclass fields ('match_name' -> 'name')."
+    valid_keys = {field.name for field in fields(dataclass_type)}
+    if "match_name" in row.keys() and "name" not in row.keys():
+        row["name"] = row.pop("match_name")
+    return {k: v for k, v in row.items() if k in valid_keys}
+
+
+@dataclass
+class GatherRow:
+    """Typed view of one gather-CSV row; fields match gather_write_cols in
+    search.py. Required columns raise TypeError if missing."""
+
+    # essential columns
+    query_name: str
+    name: str
+    f_unique_weighted: float
+    f_unique_to_query: float
+    unique_intersect_bp: int
+    remaining_bp: int
+    query_md5: str
+    query_filename: str
+    query_bp: int
+    ksize: int
+    scaled: int
+
+    # non-essential
+    query_n_hashes: int = None
+    sum_weighted_found: int = None
+    total_weighted_hashes: int = None
+
+
+@dataclass
+class QueryInfo:
+    "Query metadata carried through taxonomic summarization."
+
+    query_name: str
+    query_md5: str
+    query_filename: str
+    query_bp: int
+    ksize: int
+    scaled: int
+    query_n_hashes: int = None
+    total_weighted_hashes: int = 0
+
+    def __post_init__(self):
+        self.query_bp = int(self.query_bp)
+        self.ksize = int(self.ksize)
+        self.scaled = int(self.scaled)
+        self.query_n_hashes = int(self.query_n_hashes) if self.query_n_hashes else 0
+        self.total_weighted_hashes = (
+            int(self.total_weighted_hashes) if self.total_weighted_hashes else 0
+        )
+
+    @property
+    def total_weighted_bp(self):
+        return self.total_weighted_hashes * self.scaled
+
+
+@dataclass
+class BaseTaxResult:
+    "Base class for taxonomic annotation of one CSV row."
+
+    raw: dict
+    keep_full_identifiers: bool = False
+    keep_identifier_versions: bool = False
+    match_ident: str = field(init=False)
+    skipped_ident: bool = False
+    missed_ident: bool = False
+    match_lineage_attempted: bool = False
+    lins: bool = False
+    ictv: bool = False
+
+    def get_ident(self, id_col=None):
+        "Hack and slash identifiers."
+        if id_col:
+            self.match_ident = self.raw[id_col]
+        else:
+            self.match_ident = self.raw.name
+        if not self.keep_full_identifiers:
+            self.match_ident = self.match_ident.split(" ")[0]
+        else:
+            self.keep_identifier_versions = True
+        if not self.keep_identifier_versions:
+            self.match_ident = self.match_ident.split(".")[0]
+
+    def get_match_lineage(
+        self, tax_assignments, skip_idents=None, fail_on_missing_taxonomy=False
+    ):
+        if skip_idents and self.match_ident in skip_idents:
+            self.skipped_ident = True
+        else:
+            lin = tax_assignments.get(self.match_ident)
+            if lin:
+                if self.lins:
+                    self.lineageInfo = LINLineageInfo(lineage=lin)
+                else:
+                    self.lineageInfo = RankLineageInfo(lineage=lin)
+            else:
+                self.missed_ident = True
+        self.match_lineage_attempted = True
+        if self.missed_ident and fail_on_missing_taxonomy:
+            raise ValueError(
+                f"Error: ident '{self.match_ident}' is not in the taxonomy database. Failing, as requested via --fail-on-missing-taxonomy"
+            )
+
+
+@dataclass
+class AnnotateTaxResult(BaseTaxResult):
+    "Taxonomic annotation for any sourmash CSV with a name-ish column."
+
+    id_col: str = "name"
+
+    def __post_init__(self):
+        if self.id_col not in self.raw.keys():
+            raise ValueError(f"ID column '{self.id_col}' not found.")
+        self.get_ident(id_col=self.id_col)
+        if self.lins:
+            self.lineageInfo = LINLineageInfo()
+        else:
+            self.lineageInfo = RankLineageInfo()
+
+    def row_with_lineages(self):
+        lineage = self.lineageInfo.display_lineage(truncate_empty=True)
+        rl = {"lineage": lineage}
+        rl.update(self.raw)
+        return rl
+
+
+@dataclass
+class TaxResult(BaseTaxResult):
+    "Taxonomic result of a single gather-CSV row."
+
+    raw: GatherRow = None
+    query_name: str = field(init=False)
+    query_info: QueryInfo = field(init=False)
+
+    def __post_init__(self):
+        self.get_ident()
+        self.query_name = self.raw.query_name
+        self.query_info = QueryInfo(
+            query_name=self.raw.query_name,
+            query_md5=self.raw.query_md5,
+            query_filename=self.raw.query_filename,
+            query_bp=self.raw.query_bp,
+            query_n_hashes=self.raw.query_n_hashes,
+            total_weighted_hashes=self.raw.total_weighted_hashes,
+            ksize=self.raw.ksize,
+            scaled=self.raw.scaled,
+        )
+        self.f_unique_to_query = float(self.raw.f_unique_to_query)
+        self.f_unique_weighted = float(self.raw.f_unique_weighted)
+        self.unique_intersect_bp = int(self.raw.unique_intersect_bp)
+        if self.lins:
+            self.lineageInfo = LINLineageInfo()
+        else:
+            self.lineageInfo = RankLineageInfo()
+
+
+@dataclass
+class SummarizedGatherResult:
+    "Lineage-summarized gather information at one rank."
+
+    rank: str
+    fraction: float
+    lineage: RankLineageInfo
+    f_weighted_at_rank: float
+    bp_match_at_rank: int
+    query_ani_at_rank: float = None
+
+    def __post_init__(self):
+        self.check_values()
+
+    def check_values(self):
+        if any([self.fraction > 1, self.f_weighted_at_rank > 1]):
+            raise ValueError(
+                "Summarized fraction is > 100% of the query! This should not be possible. Please check that your input files come directly from a single gather run per query."
+            )
+        if any([self.fraction <= 0, self.f_weighted_at_rank <= 0]):
+            raise ValueError(
+                "Summarized fraction is <=0% of the query! This should not occur."
+            )
+
+    def set_query_ani(self, query_info):
+        self.query_ani_at_rank = containment_to_distance(
+            self.fraction,
+            query_info.ksize,
+            query_info.scaled,
+            n_unique_kmers=query_info.query_n_hashes,
+            sequence_len_bp=query_info.query_bp,
+        ).ani
+
+    def as_lineage_dict(self, query_info, ranks):
+        "Lineage-CSV row dict ('ident' + one column per rank)."
+        lD = {}
+        lD["ident"] = query_info.query_name
+        for rank in ranks:
+            lin_name = self.lineage.name_at_rank(rank)
+            if lin_name is None:
+                lin_name = ""
+            lD[rank] = lin_name
+        return lD
+
+    def as_summary_dict(self, query_info, limit_float=False, lingroups=None):
+        sD = asdict(self)
+        sD["lineage"] = self.lineage.display_lineage(null_as_unclassified=True)
+        if lingroups is not None and sD["lineage"] in lingroups.keys():
+            sD["lineage"] = lingroups[sD["lineage"]]
+        elif (
+            lingroups
+            and sD["lineage"] != "unclassified"
+            and sD["lineage"] not in lingroups.keys()
+        ):
+            return None
+        sD["query_name"] = query_info.query_name
+        sD["query_md5"] = query_info.query_md5
+        sD["query_filename"] = query_info.query_filename
+        sD["total_weighted_hashes"] = str(query_info.total_weighted_hashes)
+        sD["bp_match_at_rank"] = str(self.bp_match_at_rank)
+        if limit_float:
+            sD["fraction"] = f"{self.fraction:.3f}"
+            sD["f_weighted_at_rank"] = f"{self.f_weighted_at_rank:.3f}"
+            if self.query_ani_at_rank:
+                sD["query_ani_at_rank"] = f"{self.query_ani_at_rank:.3f}"
+        else:
+            sD["fraction"] = str(self.fraction)
+            sD["f_weighted_at_rank"] = str(self.f_weighted_at_rank)
+
+        return sD
+
+    def as_human_friendly_dict(self, query_info):
+        sD = self.as_summary_dict(query_info=query_info, limit_float=True)
+        sD["f_weighted_at_rank"] = f"{self.f_weighted_at_rank*100:>4.1f}%"
+        if self.query_ani_at_rank is not None:
+            sD["query_ani_at_rank"] = f"{self.query_ani_at_rank*100:>3.1f}%"
+        else:
+            sD["query_ani_at_rank"] = "-    "
+        return sD
+
+    def as_kreport_dict(self, query_info):
+        "kraken-style kreport row."
+        lowest_assignment_rank = "species"
+        sD = {}
+        sD["num_bp_assigned"] = str(0)
+        sD["ncbi_taxid"] = None
+        sD["percent_containment"] = f"{self.f_weighted_at_rank * 100:.2f}"
+        sD["num_bp_contained"] = str(
+            int(self.f_weighted_at_rank * query_info.total_weighted_bp)
+        )
+        if isinstance(self.lineage, LINLineageInfo):
+            raise ValueError("Cannot produce 'kreport' with LIN taxonomy.")
+        if self.lineage != RankLineageInfo():
+            this_rank = self.lineage.lowest_rank
+            sD["rank_code"] = RANKCODE[this_rank]
+            sD["sci_name"] = self.lineage.lowest_lineage_name
+            taxid = self.lineage.lowest_lineage_taxid
+            if taxid:
+                sD["ncbi_taxid"] = str(taxid)
+            if this_rank == lowest_assignment_rank:
+                sD["num_bp_assigned"] = sD["num_bp_contained"]
+        else:
+            sD["sci_name"] = "unclassified"
+            sD["rank_code"] = RANKCODE["unclassified"]
+            sD["num_bp_assigned"] = sD["num_bp_contained"]
+        return sD
+
+    def as_lingroup_dict(self, query_info, lg_name):
+        "lingroup report row."
+        sD = {}
+        sD["percent_containment"] = f"{self.f_weighted_at_rank * 100:.2f}"
+        sD["num_bp_contained"] = str(
+            int(self.f_weighted_at_rank * query_info.total_weighted_bp)
+        )
+        sD["lin"] = self.lineage.display_lineage()
+        sD["name"] = lg_name
+        return sD
+
+    def as_cami_bioboxes(self):
+        "CAMI profiling Bioboxes row: TAXID RANK TAXPATH TAXPATHSN PERCENTAGE."
+        if isinstance(self.lineage, LINLineageInfo):
+            raise ValueError("Cannot produce 'bioboxes' with LIN taxonomy.")
+        if self.lineage != RankLineageInfo():
+            taxid = self.lineage.lowest_lineage_taxid
+            if taxid:
+                taxpath = self.lineage.display_taxid(sep="|")
+                taxid = str(taxid)
+            else:
+                taxpath = None
+            taxpathsn = self.lineage.display_lineage(sep="|")
+            percentage = f"{(self.f_weighted_at_rank * 100):.2f}"
+            return [taxid, self.rank, taxpath, taxpathsn, percentage]
+        return []
+
+
+@dataclass
+class ClassificationResult(SummarizedGatherResult):
+    "Query classification result (thresholded best-at-rank)."
+
+    status: str = field(init=False)
+
+    def __post_init__(self):
+        self.check_values()
+        self.status = "nomatch"
+
+    def set_status(self, query_info, containment_threshold=None, ani_threshold=None):
+        if any([containment_threshold is not None, ani_threshold is not None]):
+            self.status = "below_threshold"
+        self.set_query_ani(query_info=query_info)
+        if ani_threshold is not None:
+            if self.query_ani_at_rank >= ani_threshold:
+                self.status = "match"
+        elif (
+            containment_threshold is not None and self.fraction >= containment_threshold
+        ):
+            self.status = "match"
+
+    def build_krona_result(self, rank=None):
+        krona_classified, krona_unclassified = None, None
+        if rank is not None and rank == self.rank:
+            lin_as_list = self.lineage.display_lineage().split(";")
+            krona_classification = (self.fraction, *lin_as_list)
+            krona_classified = krona_classification
+            unclassified_fraction = 1.0 - self.fraction
+            len_unclassified_lin = len(lin_as_list)
+            unclassifed_lin = ["unclassified"] * (len_unclassified_lin)
+            krona_unclassified = (unclassified_fraction, *unclassifed_lin)
+        return krona_classified, krona_unclassified
+
+
+@dataclass
+class QueryTaxResult:
+    "All TaxResults for one query + summarization/classification methods."
+
+    query_info: QueryInfo
+    lins: bool = False
+    ictv: bool = False
+
+    def __post_init__(self):
+        self.query_name = self.query_info.query_name
+        self._init_taxresult_vars()
+        self._init_summarization_vars()
+        self._init_classification_results()
+
+    def _init_taxresult_vars(self):
+        self.ranks = []
+        self.raw_taxresults = []
+        self.skipped_idents = set()
+        self.missed_idents = set()
+        self.n_missed = 0
+        self.n_skipped = 0
+        self.perfect_match = set()
+
+    def _init_summarization_vars(self):
+        self.sum_uniq_weighted = defaultdict(lambda: defaultdict(float))
+        self.sum_uniq_to_query = defaultdict(lambda: defaultdict(float))
+        self.sum_uniq_bp = defaultdict(lambda: defaultdict(int))
+        self.summarized_ranks = []
+        self._init_summarization_results()
+
+    def _init_summarization_results(self):
+        self.total_f_weighted = defaultdict(float)
+        self.total_f_classified = defaultdict(float)
+        self.total_bp_classified = defaultdict(int)
+        self.summarized_lineage_results = defaultdict(list)
+
+    def _init_classification_results(self):
+        self.status = "nomatch"
+        self.classified_ranks = []
+        self.classification_result = None
+        self.krona_classified = None
+        self.krona_unclassified = None
+        self.krona_header = []
+
+    def is_compatible(self, taxresult):
+        return (
+            taxresult.query_info == self.query_info
+            and taxresult.lins == self.lins
+            and taxresult.ictv == self.ictv
+        )
+
+    @property
+    def ascending_ranks(self):
+        if not self.ranks:
+            return []
+        return self.ranks[::-1]
+
+    def add_taxresult(self, taxresult):
+        if self.is_compatible(taxresult=taxresult):
+            if not taxresult.match_lineage_attempted:
+                raise ValueError(
+                    "Error: Cannot add TaxResult. Please use get_match_lineage() to add taxonomic lineage information first."
+                )
+            if not self.ranks:
+                self.ranks = taxresult.lineageInfo.ranks
+            if taxresult.skipped_ident:
+                self.n_skipped += 1
+                self.skipped_idents.add(taxresult.match_ident)
+            elif taxresult.missed_ident:
+                self.n_missed += 1
+                self.missed_idents.add(taxresult.match_ident)
+            self.raw_taxresults.append(taxresult)
+        else:
+            raise ValueError(
+                "Error: Cannot add TaxResult: query information does not match."
+            )
+
+    def summarize_up_ranks(self, single_rank=None, force_resummarize=False):
+        if self.summarized_ranks:
+            if force_resummarize:
+                self._init_summarization_vars()
+            else:
+                raise ValueError(
+                    f"Error: already summarized using rank(s): '{', '.join(self.summarized_ranks)}'. Use 'force_resummarize=True' to reset and resummarize"
+                )
+        self.summarized_ranks = self.ascending_ranks
+        if single_rank:
+            if single_rank not in self.summarized_ranks:
+                raise ValueError(
+                    f"Error: rank '{single_rank}' not in available ranks ({', '.join(self.summarized_ranks)})"
+                )
+            self.summarized_ranks = [single_rank]
+        for taxres in self.raw_taxresults:
+            lininfo = taxres.lineageInfo
+            if lininfo and lininfo.filled_lineage:
+                if taxres.f_unique_to_query >= 1.0:
+                    if taxres.match_ident not in self.perfect_match:
+                        notify(
+                            f"WARNING: 100% match! Is query '{self.query_name}' identical to its database match, '{taxres.match_ident}'?"
+                        )
+                        self.perfect_match.add(taxres.match_ident)
+                for rank in self.summarized_ranks:
+                    if rank in lininfo.filled_ranks:
+                        lin_at_rank = lininfo.pop_to_rank(rank)
+                        self.sum_uniq_weighted[rank][lin_at_rank] += (
+                            taxres.f_unique_weighted
+                        )
+                        self.sum_uniq_to_query[rank][lin_at_rank] += (
+                            taxres.f_unique_to_query
+                        )
+                        self.sum_uniq_bp[rank][lin_at_rank] += (
+                            taxres.unique_intersect_bp
+                        )
+        self.summarized_ranks = [
+            x for x in self.summarized_ranks if x in self.sum_uniq_bp.keys()
+        ]
+        if single_rank and single_rank not in self.summarized_ranks:
+            raise ValueError(
+                f"Error: rank '{single_rank}' was not available for any matching lineages."
+            )
+
+    def build_summarized_result(self, single_rank=None, force_resummarize=False):
+        self._init_summarization_results()
+        if not self.summarized_ranks or force_resummarize:
+            self.summarize_up_ranks(
+                single_rank=single_rank, force_resummarize=force_resummarize
+            )
+        if single_rank and single_rank not in self.summarized_ranks:
+            raise ValueError(
+                f"Error: rank '{single_rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
+            )
+        for rank in self.summarized_ranks[::-1]:
+            sum_uniq_to_query = self.sum_uniq_to_query[rank]
+            sorted_sum_uniq_to_query = list(sum_uniq_to_query.items())
+            sorted_sum_uniq_to_query.sort(key=lambda x: -x[1])
+            for lineage, f_unique in sorted_sum_uniq_to_query:
+                if f_unique == 0:
+                    continue
+                f_weighted_at_rank = self.sum_uniq_weighted[rank][lineage]
+                bp_intersect_at_rank = self.sum_uniq_bp[rank][lineage]
+                sres = SummarizedGatherResult(
+                    lineage=lineage,
+                    rank=rank,
+                    f_weighted_at_rank=f_weighted_at_rank,
+                    fraction=f_unique,
+                    bp_match_at_rank=bp_intersect_at_rank,
+                )
+                sres.set_query_ani(query_info=self.query_info)
+                self.summarized_lineage_results[rank].append(sres)
+
+                self.total_f_classified[rank] += f_unique
+                self.total_f_weighted[rank] += f_weighted_at_rank
+                self.total_bp_classified[rank] += bp_intersect_at_rank
+
+            if self.lins:
+                lineage = LINLineageInfo()
+            else:
+                lineage = RankLineageInfo()
+            query_ani = None
+            f_unique = 1.0 - self.total_f_classified[rank]
+            if f_unique > 0:
+                f_weighted_at_rank = 1.0 - self.total_f_weighted[rank]
+                bp_intersect_at_rank = (
+                    self.query_info.query_bp - self.total_bp_classified[rank]
+                )
+                sres = SummarizedGatherResult(
+                    lineage=lineage,
+                    rank=rank,
+                    f_weighted_at_rank=f_weighted_at_rank,
+                    fraction=f_unique,
+                    bp_match_at_rank=bp_intersect_at_rank,
+                    query_ani_at_rank=query_ani,
+                )
+                self.summarized_lineage_results[rank].append(sres)
+
+    def build_classification_result(
+        self,
+        rank=None,
+        ani_threshold=None,
+        containment_threshold=0.1,
+        force_resummarize=False,
+        lingroup_ranks=None,
+        lingroups=None,
+    ):
+        if containment_threshold is not None and not 0 <= containment_threshold <= 1:
+            raise ValueError(
+                f"Containment threshold must be between 0 and 1 (input value: {containment_threshold})."
+            )
+        if ani_threshold is not None and not 0 <= ani_threshold <= 1:
+            raise ValueError(
+                f"ANI threshold must be between 0 and 1 (input value: {ani_threshold})."
+            )
+        self._init_classification_results()
+        if not self.summarized_ranks or force_resummarize:
+            self.summarize_up_ranks(
+                single_rank=rank, force_resummarize=force_resummarize
+            )
+        self.classified_ranks = self.summarized_ranks
+        if rank:
+            if rank not in self.summarized_ranks:
+                raise ValueError(
+                    f"Error: rank '{rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
+                )
+            else:
+                self.classified_ranks = [rank]
+        if lingroup_ranks:
+            notify("Restricting classification to lingroups.")
+            self.classified_ranks = [
+                x for x in self.classified_ranks if x in lingroup_ranks
+            ]
+        if not self.classified_ranks:
+            raise ValueError("Error: no ranks remain for classification.")
+        classif = None
+        for this_rank in self.classified_ranks:
+            f_weighted = 0.0
+            f_unique_at_rank = 0.0
+            bp_intersect_at_rank = 0
+            sum_uniq_to_query = self.sum_uniq_to_query[this_rank]
+            sorted_sum_uniq_to_query = list(sum_uniq_to_query.items())
+            sorted_sum_uniq_to_query.sort(key=lambda x: -x[1])
+            if not sorted_sum_uniq_to_query:
+                continue
+            this_lineage, f_unique_at_rank = sorted_sum_uniq_to_query[0]
+            if lingroups and this_lineage not in lingroups:
+                continue
+            bp_intersect_at_rank = self.sum_uniq_bp[this_rank][this_lineage]
+            f_weighted = self.sum_uniq_weighted[this_rank][this_lineage]
+
+            classif = ClassificationResult(
+                rank=this_rank,
+                fraction=f_unique_at_rank,
+                lineage=this_lineage,
+                f_weighted_at_rank=f_weighted,
+                bp_match_at_rank=bp_intersect_at_rank,
+            )
+
+            classif.set_status(
+                self.query_info,
+                containment_threshold=containment_threshold,
+                ani_threshold=ani_threshold,
+            )
+            if classif.status == "match" or classif.status == "nomatch":
+                break
+
+        self.classification_result = classif
+        if classif is not None:
+            (
+                self.krona_classified,
+                self.krona_unclassified,
+            ) = self.classification_result.build_krona_result(rank=rank)
+            self.krona_header = self.make_krona_header(min_rank=rank)
+
+    def make_krona_header(self, min_rank):
+        if min_rank is None:
+            return []
+        if min_rank not in self.summarized_ranks:
+            raise ValueError(f"Rank '{min_rank}' not present in summarized ranks.")
+        rank_index = self.ranks.index(min_rank)
+        return ["fraction"] + list(self.ranks[: rank_index + 1])
+
+    def check_classification(self):
+        if not self.classification_result:
+            raise ValueError("query not classified yet.")
+
+    def check_summarization(self):
+        if not self.summarized_lineage_results:
+            raise ValueError("lineages not summarized yet.")
+
+    def make_human_summary(self, display_rank, classification=False):
+        results = []
+        if classification:
+            self.check_classification()
+            display_rank_results = [self.classification_result]
+        else:
+            self.check_summarization()
+            display_rank_results = self.summarized_lineage_results[display_rank]
+            display_rank_results.sort(key=lambda res: -res.f_weighted_at_rank)
+
+        for res in display_rank_results:
+            results.append(res.as_human_friendly_dict(query_info=self.query_info))
+        return results
+
+    def make_full_summary(
+        self, classification=False, limit_float=False, lingroups=None
+    ):
+        results = []
+        rD = {}
+        if classification:
+            self.check_classification()
+            header = [
+                "query_name",
+                "status",
+                "rank",
+                "fraction",
+                "lineage",
+                "query_md5",
+                "query_filename",
+                "f_weighted_at_rank",
+                "bp_match_at_rank",
+                "query_ani_at_rank",
+            ]
+            rD = self.classification_result.as_summary_dict(
+                query_info=self.query_info, limit_float=limit_float
+            )
+            del rD["total_weighted_hashes"]
+            results.append(rD)
+        else:
+            self.check_summarization()
+            header = [
+                "query_name",
+                "rank",
+                "fraction",
+                "lineage",
+                "query_md5",
+                "query_filename",
+                "f_weighted_at_rank",
+                "bp_match_at_rank",
+                "query_ani_at_rank",
+                "total_weighted_hashes",
+            ]
+
+            lingroup_ranks = set()
+            if lingroups is not None:
+                for lin in lingroups.keys():
+                    lin_rank = len(lin.split(";")) - 1
+                    lingroup_ranks.add(lin_rank)
+
+            for rank in self.summarized_ranks[::-1]:
+                if lingroup_ranks:
+                    if int(rank) not in lingroup_ranks:
+                        continue
+                unclassified = []
+                rank_results = self.summarized_lineage_results[rank]
+                rank_results.sort(key=lambda res: -res.fraction)
+                for res in rank_results:
+                    rD = res.as_summary_dict(
+                        query_info=self.query_info,
+                        limit_float=limit_float,
+                        lingroups=lingroups,
+                    )
+                    if rD is None:
+                        continue
+                    if rD["lineage"] == "unclassified":
+                        unclassified.append(rD)
+                    else:
+                        results.append(rD)
+                results += unclassified
+        return header, results
+
+    def make_kreport_results(self):
+        "Format summarized results as a kraken-style kreport."
+        self.check_summarization()
+        header = [
+            "percent_containment",
+            "num_bp_contained",
+            "num_bp_assigned",
+            "rank_code",
+            "ncbi_taxid",
+            "sci_name",
+        ]
+        if self.query_info.total_weighted_hashes == 0:
+            raise ValueError(
+                "ERROR: cannot produce 'kreport' format from gather results before sourmash v4.5.0"
+            )
+        required_ranks = set(RANKCODE.keys())
+        acceptable_ranks = list(self.ranks) + ["unclassified", "kingdom"]
+        if not required_ranks.issubset(set(acceptable_ranks)):
+            raise ValueError(
+                f"ERROR: cannot produce 'kreport' format from ranks {', '.join(self.ranks)}"
+            )
+        kreport_results = []
+        unclassified_recorded = False
+        for rank in self.ranks:
+            if rank == "strain":
+                continue
+            rank_results = self.summarized_lineage_results[rank]
+            for res in rank_results:
+                kresD = res.as_kreport_dict(self.query_info)
+                if kresD["sci_name"] == "unclassified":
+                    if unclassified_recorded:
+                        continue
+                    else:
+                        unclassified_recorded = True
+                kreport_results.append(kresD)
+        return header, kreport_results
+
+    def make_lingroup_results(self, LINgroupsD):
+        "Report results for the specified LINgroups (prefix -> name dict)."
+        self.check_summarization()
+        header = ["name", "lin", "percent_containment", "num_bp_contained"]
+
+        if self.query_info.total_weighted_hashes == 0:
+            raise ValueError(
+                "ERROR: cannot produce 'lingroup' format from gather results before sourmash v4.5.0"
+            )
+
+        lg_ranks, all_lgs = parse_lingroups(LINgroupsD)
+
+        lg_results = {}
+        for rank in lg_ranks:
+            rank_results = self.summarized_lineage_results[rank]
+            for res in rank_results:
+                if res.lineage in all_lgs:
+                    this_lingroup_name = LINgroupsD[
+                        res.lineage.display_lineage(truncate_empty=True)
+                    ]
+                    lg_resD = res.as_lingroup_dict(self.query_info, this_lingroup_name)
+                    lg_results[res.lineage] = lg_resD
+
+        lg_tree = LineageTree(all_lgs)
+        ordered_paths = lg_tree.ordered_paths(include_internal=True)
+        lingroup_results = []
+        for lg in ordered_paths:
+            lg_LINInfo = LINLineageInfo(lineage=lg)
+            lg_res = lg_results.get(lg_LINInfo)
+            if lg_res:
+                lingroup_results.append(lg_res)
+
+        return header, lingroup_results
+
+    def make_cami_bioboxes(self):
+        "CAMI profiling Bioboxes format output."
+        header_title = "# Taxonomic Profiling Output"
+        version_info = "@Version:0.10.0"
+        program = "@__program__:sourmash"
+        sample_info = f"@SampleID:{self.query_info.query_name}"
+        ranks = list(self.ranks)
+        rank_info = f"@Ranks:{'|'.join(ranks)}"
+
+        header_lines = [header_title, sample_info, version_info, rank_info, program]
+        colnames = ["@@TAXID", "RANK", "TAXPATH", "TAXPATHSN", "PERCENTAGE"]
+        header_lines.append("\t".join(colnames))
+
+        bioboxes_results = []
+        for rank in ranks:
+            rank_results = self.summarized_lineage_results[rank]
+            for res in rank_results:
+                bb_info = res.as_cami_bioboxes()
+                if bb_info:
+                    bioboxes_results.append(bb_info)
+
+        return header_lines, bioboxes_results
+
+
+# -- gather-CSV collection/writing helpers --------------------------------
+
+
+def collect_gather_csvs(cmdline_gather_input, *, from_file=None):
+    "Collect gather files from the command line + --from-file, deduplicated."
+    gather_csvs = []
+    for gf in cmdline_gather_input:
+        if gf not in gather_csvs:
+            gather_csvs.append(gf)
+        else:
+            notify(f"ignoring duplicated reference to file: {gf}")
+    if from_file:
+        for gf in load_pathlist_from_file(from_file):
+            if gf not in gather_csvs:
+                gather_csvs.append(gf)
+            else:
+                notify(f"ignoring duplicated reference to file: {gf}")
+    return gather_csvs
+
+
+def read_lingroups(lingroup_csv):
+    lingroupD = {}
+    n = None
+    with sourmash_args.FileInputCSV(lingroup_csv) as r:
+        header = r.fieldnames
+        if not header:
+            raise ValueError(
+                f"Cannot read lingroups from '{lingroup_csv}'. Is file empty?"
+            )
+        if "lin" not in header or "name" not in header:
+            raise ValueError(
+                f"'{lingroup_csv}' must contain the following columns: 'name', 'lin'."
+            )
+        for n, row in enumerate(r):
+            lingroupD[row["lin"]] = row["name"]
+
+    if n is None:
+        raise ValueError(f"No lingroups loaded from {lingroup_csv}.")
+    n_lg = len(lingroupD.keys())
+    notify(f"Read {n+1} lingroup rows and found {n_lg} distinct lingroup prefixes.")
+    return lingroupD
+
+
+def parse_lingroups(lingroupD):
+    all_lgs = set()
+    lg_ranks = set()
+    for lg_prefix in lingroupD.keys():
+        lg_info = LINLineageInfo(lineage_str=lg_prefix)
+        all_lgs.add(lg_info)
+        lg_rank = str(lg_info.lowest_rank)
+        lg_ranks.add(lg_rank)
+    return lg_ranks, all_lgs
+
+
+def load_gather_results(
+    gather_csv,
+    tax_assignments,
+    *,
+    seen_queries=None,
+    force=False,
+    skip_idents=None,
+    fail_on_missing_taxonomy=False,
+    keep_full_identifiers=False,
+    keep_identifier_versions=False,
+    lins=False,
+    ictv=False,
+):
+    "Load a single gather CSV into {query_name: QueryTaxResult}."
+    if not seen_queries:
+        seen_queries = set()
+    header = []
+    gather_results = {}
+    with sourmash_args.FileInputCSV(gather_csv) as r:
+        header = r.fieldnames
+        if not header:
+            raise ValueError(
+                f"Cannot read gather results from '{gather_csv}'. Is file empty?"
+            )
+
+        this_querytaxres = None
+        for n, row in enumerate(r):
+            try:
+                filt_row = filter_row(row, GatherRow)
+                gatherRow = GatherRow(**filt_row)
+            except TypeError as exc:
+                raise ValueError(
+                    f"'{gather_csv}' is missing columns needed for taxonomic summarization. Please run gather with sourmash >= 4.4."
+                ) from exc
+            if gatherRow.query_name in seen_queries:
+                raise ValueError(
+                    f"Gather query {gatherRow.query_name} was found in more than one CSV. Cannot load from '{gather_csv}'."
+                )
+            taxres = TaxResult(
+                raw=gatherRow,
+                keep_full_identifiers=keep_full_identifiers,
+                keep_identifier_versions=keep_identifier_versions,
+                lins=lins,
+                ictv=ictv,
+            )
+            taxres.get_match_lineage(
+                tax_assignments=tax_assignments,
+                skip_idents=skip_idents,
+                fail_on_missing_taxonomy=fail_on_missing_taxonomy,
+            )
+            if not this_querytaxres or not this_querytaxres.is_compatible(taxres):
+                this_querytaxres = gather_results.get(
+                    gatherRow.query_name,
+                    QueryTaxResult(taxres.query_info, lins=lins, ictv=ictv),
+                )
+            this_querytaxres.add_taxresult(taxres)
+            gather_results[gatherRow.query_name] = this_querytaxres
+
+    if not gather_results:
+        raise ValueError(f"No gather results loaded from {gather_csv}.")
+    else:
+        notify(f"loaded {len(gather_results)} gather results from '{gather_csv}'.")
+    return (gather_results, header)
+
+
+def check_and_load_gather_csvs(
+    gather_csvs,
+    tax_assign,
+    *,
+    fail_on_missing_taxonomy=False,
+    force=False,
+    keep_full_identifiers=False,
+    keep_identifier_versions=False,
+    lins=False,
+    ictv=False,
+):
+    "Load gather CSVs, handling empties and missing-taxonomy idents."
+    if not isinstance(gather_csvs, list):
+        gather_csvs = [gather_csvs]
+    gather_results = {}
+    header = []
+    n_ignored = 0
+    n = 0
+    for n, gather_csv in enumerate(gather_csvs):
+        these_results = {}
+        try:
+            these_results, header = load_gather_results(
+                gather_csv,
+                tax_assign,
+                seen_queries=gather_results.keys(),
+                force=force,
+                keep_full_identifiers=keep_full_identifiers,
+                keep_identifier_versions=keep_identifier_versions,
+                fail_on_missing_taxonomy=fail_on_missing_taxonomy,
+                lins=lins,
+                ictv=ictv,
+            )
+        except ValueError as exc:
+            if force:
+                if "found in more than one CSV" in str(exc):
+                    notify("Cannot force past duplicated gather query. Exiting.")
+                    raise
+                if "Failing, as requested via --fail-on-missing-taxonomy" in str(exc):
+                    raise
+                notify(str(exc))
+                notify(
+                    "--force is set. Attempting to continue to next set of gather results."
+                )
+                n_ignored += 1
+                continue
+            else:
+                notify("Exiting.")
+                raise
+
+        gather_results.update(these_results)
+
+    num_gather_csvs_loaded = n + 1 - n_ignored
+    notify(
+        f"loaded results for {len(gather_results)} queries from {str(num_gather_csvs_loaded)} gather CSVs"
+    )
+    report_missing_and_skipped_identities(gather_results)
+
+    return list(gather_results.values())
+
+
+def report_missing_and_skipped_identities(gather_results):
+    "Report match identifiers absent from the taxonomy assignments."
+    ident_missed = set()
+    ident_skipped = set()
+    total_n_missed = 0
+    total_n_skipped = 0
+    total_taxresults = 0
+    for querytaxres in gather_results.values():
+        ident_missed.update(querytaxres.missed_idents)
+        ident_skipped.update(querytaxres.skipped_idents)
+        total_n_missed += querytaxres.n_missed
+        total_n_skipped += querytaxres.n_skipped
+        total_taxresults += len(querytaxres.raw_taxresults)
+
+    if ident_missed:
+        notify(
+            f"of {total_taxresults} gather results, lineage assignments for {total_n_missed} results were missed."
+        )
+        notify(
+            f'The following are missing from the taxonomy information: {", ".join(ident_missed)}'
+        )
+
+
+def aggregate_by_lineage_at_rank(query_gather_results, rank, *, by_query=False):
+    "Aggregate summarized results at one rank, optionally per query."
+    lineage_summary = defaultdict(float)
+    if by_query:
+        lineage_summary = defaultdict(dict)
+    all_queries = []
+
+    for queryResult in query_gather_results:
+        query_name = queryResult.query_name
+        all_queries.append(query_name)
+
+        if rank not in queryResult.summarized_ranks:
+            raise ValueError(f"Error: rank '{rank}' not available for aggregation.")
+
+        for res in queryResult.summarized_lineage_results[rank]:
+            lineage = res.lineage.display_lineage(null_as_unclassified=True)
+            if by_query:
+                lineage_summary[lineage][query_name] = res.fraction
+            else:
+                lineage_summary[lineage] += res.fraction
+
+    if not by_query:
+        n_queries = len(all_queries)
+        for lin, fraction in lineage_summary.items():
+            lineage_summary[lin] = fraction / n_queries
+    return lineage_summary, all_queries
+
+
+def format_for_krona(query_gather_results, rank, *, classification=False):
+    "Aggregate and format for krona output."
+    header = query_gather_results[0].make_krona_header(min_rank=rank)
+    krona_results = []
+    if len(query_gather_results) > 1:
+        notify(
+            "WARNING: results from more than one query found. Krona summarization not recommended.\n"
+            "Percentage assignment will be normalized by the number of queries to maintain range 0-100%."
+        )
+
+    if classification:
+        for q_res in query_gather_results:
+            if q_res.classified_ranks != [rank]:
+                q_res.build_classification_result(rank=rank)
+                header = q_res.make_krona_header(min_rank=rank)
+            krona_results.extend([q_res.krona_classified])
+    else:
+        lineage_summary, _ = aggregate_by_lineage_at_rank(
+            query_gather_results, rank, by_query=False
+        )
+
+        lin_items = list(lineage_summary.items())
+        lin_items.sort(key=lambda x: -x[1])
+
+        unclassified_fraction = 0
+        for lin, fraction in lin_items:
+            if lin == "unclassified":
+                unclassified_fraction = fraction
+                continue
+            else:
+                lin_list = lin.split(";")
+                krona_results.append((fraction, *lin_list))
+
+        if unclassified_fraction:
+            len_unclassified_lin = len(header) - 1
+            unclassifed_lin = ["unclassified"] * len_unclassified_lin
+            krona_results.append((unclassified_fraction, *unclassifed_lin))
+
+    return krona_results, header
+
+
+def write_krona(header, krona_results, out_fp, *, sep="\t"):
+    "Write krona output."
+    tsv_output = csv.writer(out_fp, delimiter=sep)
+    tsv_output.writerow(header)
+    for res in krona_results:
+        tsv_output.writerow(res)
+
+
+def write_output(header, results, out_fp, *, sep=",", write_header=True):
+    "Write a list of result-row dicts."
+    output = csv.DictWriter(out_fp, header, delimiter=sep)
+    if write_header:
+        output.writeheader()
+    for res in results:
+        output.writerow(res)
+
+
+def write_bioboxes(header_lines, results, out_fp, *, sep="\t"):
+    "Write bioboxes-format rows (lists)."
+    for inf in header_lines:
+        out_fp.write(inf + "\n")
+    for res in results:
+        out_fp.write(sep.join(res) + "\n")
+
+
+def write_summary(
+    query_gather_results,
+    csv_fp,
+    *,
+    sep=",",
+    limit_float_decimals=False,
+    classification=False,
+    lingroups=None,
+):
+    "Write taxonomy-summarized gather results for each rank."
+    w = None
+    for q_res in query_gather_results:
+        header, summary = q_res.make_full_summary(
+            limit_float=limit_float_decimals,
+            classification=classification,
+            lingroups=lingroups,
+        )
+        if w is None:
+            w = csv.DictWriter(csv_fp, header, delimiter=sep)
+            w.writeheader()
+        for res in summary:
+            w.writerow(res)
+
+
+def write_human_summary(
+    query_gather_results, out_fp, display_rank, classification=False
+):
+    "Write human-readable summary for a specific rank."
+    for queryResult in query_gather_results:
+        results = queryResult.make_human_summary(
+            display_rank=display_rank, classification=classification
+        )
+
+        if classification:
+            out_fp.write("sample name    status    proportion   cANI   lineage\n")
+            out_fp.write("-----------    ------    ----------   ----   -------\n")
+            for rD in results:
+                out_fp.write(
+                    "{query_name:<15s}   {status}    {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n".format(
+                        **rD
+                    )
+                )
+        else:
+            out_fp.write("sample name    proportion   cANI   lineage\n")
+            out_fp.write("-----------    ----------   ----   -------\n")
+            for rD in results:
+                out_fp.write(
+                    "{query_name:<15s}   {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n".format(
+                        **rD
+                    )
+                )
+
+
+def write_lineage_sample_frac(sample_names, lineage_dict, out_fp, *, sep="\t"):
+    "Write per-sample lineage fractions as a tab-separated table."
+    header = ["lineage"] + sample_names
+    w = csv.DictWriter(out_fp, header, delimiter=sep)
+    w.writeheader()
+    blank_row = {query_name: 0 for query_name in sample_names}
+    unclassified_row = None
+    for lin, sampleinfo in sorted(lineage_dict.items()):
+        row = {"lineage": lin}
+        row.update(blank_row)
+        row.update(sampleinfo)
+        if lin == "unclassified":
+            row.update({"lineage": "unclassified"})
+            unclassified_row = row
+            continue
+        w.writerow(row)
+    if unclassified_row:
+        w.writerow(unclassified_row)
