@@ -405,13 +405,23 @@ def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
             return None, None
         return n + 1, first_name
 
+    # translate path (DNA input, protein-family targets): host per record
+    if any(not mh.is_dna for sig in sigs for mh in sig._all_minhashes()):
+        n = None
+        first_name = None
+        for n, (name, seq) in enumerate(sequence_io.iter_records_bytes(filename)):
+            if n == 0:
+                first_name = name
+            add_seq(sigs, seq, False, check_sequence)
+        if n is None:
+            return None, None
+        return n + 1, first_name
+
     # DNA path: batch records per target minhash config.
     # group target minhashes by (ksize, seed): one device pass per group.
     targets = defaultdict(list)  # (ksize, seed) -> list of MinHash
     for sig in sigs:
         for mh in sig._all_minhashes():
-            if not mh.is_dna:
-                raise ValueError("Invalid hash function: 'murmur64_DNA'")
             targets[(mh.ksize, mh.seed)].append(mh)
 
     max_ksize = max(k for (k, _) in targets)

@@ -172,6 +172,10 @@ class MinHash:
             self._moltype = "DNA"
 
         self._num = int(n)
+        # internal _ksize is the serialized value: 3x the aa ksize for
+        # protein-family moltypes (reference minhash.py:75-84)
+        if self._moltype != "DNA":
+            ksize = int(ksize) * 3
         self._ksize = int(ksize)
         self._seed = int(seed)
         self._max_hash = int(max_hash)
@@ -191,7 +195,7 @@ class MinHash:
     def __copy__(self):
         a = MinHash(
             self._num,
-            self._ksize,
+            self.ksize,
             is_protein=self.is_protein,
             dayhoff=self.dayhoff,
             hp=self.hp,
@@ -209,7 +213,7 @@ class MinHash:
     def __getstate__(self):
         return (
             self._num,
-            self._ksize,
+            self.ksize,
             self.is_protein,
             self.dayhoff,
             self.hp,
@@ -262,7 +266,7 @@ class MinHash:
         "Create an empty copy of this MinHash (same parameters)."
         return MinHash(
             self._num,
-            self._ksize,
+            self.ksize,
             is_protein=self.is_protein,
             dayhoff=self.dayhoff,
             hp=self.hp,
@@ -279,6 +283,9 @@ class MinHash:
 
     @property
     def ksize(self):
+        if self._moltype != "DNA":
+            assert self._ksize % 3 == 0
+            return self._ksize // 3
         return self._ksize
 
     @property
@@ -465,11 +472,18 @@ class MinHash:
         return h, valid
 
     def add_sequence(self, sequence, force=False):
-        "Add a DNA sequence into the sketch."
-        if not self.is_dna:
-            raise ValueError("Invalid hash function: 'murmur64_DNA'")
+        """Add a DNA sequence into the sketch. For protein-family sketches
+        this six-frame translates the DNA first (reference
+        `signature.rs:38-58` add_sequence dispatch)."""
         if isinstance(sequence, str):
             sequence = sequence.encode("ascii")
+        if not self.is_dna:
+            seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
+            if seq.shape[0] < self.ksize * 3:
+                return
+            h = enc.translate_hashes(seq, self.ksize, self._moltype, self._seed)
+            self._insert_hashes(h)
+            return
         seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
         if seq.shape[0] < self._ksize:
             return
@@ -504,8 +518,8 @@ class MinHash:
                 raise ValueError(f"kmer to add is not {self._ksize} in length")
             self.add_sequence(kmer)
         else:
-            if len(kmer) != self._ksize * 3:
-                raise ValueError(f"kmer to add is not {self._ksize * 3} in length")
+            if len(kmer) != self._ksize:
+                raise ValueError(f"kmer to add is not {self._ksize} in length")
             self.add_protein(kmer)
 
     def add_protein(self, sequence):
@@ -515,7 +529,7 @@ class MinHash:
         if isinstance(sequence, str):
             sequence = sequence.encode("ascii")
         seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
-        h = enc.protein_hashes(seq, self._ksize, self._moltype, self._seed)
+        h = enc.protein_hashes(seq, self.ksize, self._moltype, self._seed)
         self._insert_hashes(h)
 
     def seq_to_hashes(
@@ -546,10 +560,10 @@ class MinHash:
                 return [int(x) if v else 0 for x, v in zip(h, valid)]
             return [int(x) for x, v in zip(h, valid) if v]
         elif is_protein:
-            h = enc.protein_hashes(seq, self._ksize, self._moltype, self._seed)
+            h = enc.protein_hashes(seq, self.ksize, self._moltype, self._seed)
             return [int(x) for x in h]
         else:
-            h = enc.translate_hashes(seq, self._ksize, self._moltype, self._seed)
+            h = enc.translate_hashes(seq, self.ksize, self._moltype, self._seed)
             return [int(x) for x in h]
 
     def kmers_and_hashes(self, sequence, *, force=False, is_protein=False):
@@ -880,7 +894,7 @@ class MinHash:
 
         a = MinHash(
             num,
-            self._ksize,
+            self.ksize,
             is_protein=self.is_protein,
             dayhoff=self.dayhoff,
             hp=self.hp,
@@ -899,7 +913,7 @@ class MinHash:
         if self._track_abundance:
             a = MinHash(
                 self._num,
-                self._ksize,
+                self.ksize,
                 is_protein=self.is_protein,
                 dayhoff=self.dayhoff,
                 hp=self.hp,

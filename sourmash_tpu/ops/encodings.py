@@ -77,8 +77,10 @@ def revcomp(seq: np.ndarray) -> np.ndarray:
     return COMPLEMENT[seq][::-1]
 
 
-def translate_codon(codon: bytes) -> str:
+def translate_codon(codon) -> str:
     """Single-codon translation (reference `encodings.rs:307-330`)."""
+    if isinstance(codon, str):
+        codon = codon.encode("ascii")
     if len(codon) == 1:
         return "X"
     if len(codon) == 2:

@@ -250,7 +250,7 @@ class SourmashSignature:
         for mh in self._all_minhashes():
             sk = {
                 "num": mh.num,
-                "ksize": mh.ksize,
+                "ksize": mh._ksize,
                 "seed": mh.seed,
                 "max_hash": mh._max_hash,
                 "mins": [int(x) for x in mh.mins_array()],
@@ -386,9 +386,14 @@ def _sig_from_dict(d, ignore_md5sum=False):
             num = 0
         mol_kwargs = _molecule_to_kwargs(sk.get("molecule", "DNA"))
         abund = sk.get("abundances")
+        ksize = int(sk["ksize"])
+        if mol_kwargs:
+            # protein-family sketches serialize ksize as 3x the aa ksize
+            assert ksize % 3 == 0, ksize
+            ksize = ksize // 3
         mh = MinHash(
             num,
-            int(sk["ksize"]),
+            ksize,
             seed=int(sk.get("seed", 42)),
             max_hash=max_hash,
             track_abundance=abund is not None,
