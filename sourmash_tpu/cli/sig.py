@@ -228,3 +228,141 @@ def subparser(subparsers):
     add_moltype_args(sp)
     add_picklist_args(sp)
     sp.set_defaults(subfunc="downsample")
+
+    # fileinfo / summarize
+    for name in ("fileinfo", "summarize"):
+        sp = ssub.add_parser(name)
+        sp.add_argument("path")
+        _common(sp, from_file=False)
+        sp.add_argument("--rebuild-manifest", action="store_true",
+                        help="forcibly rebuild the manifest")
+        sp.add_argument("--json-out", action="store_true",
+                        help="output JSON rather than text summary")
+        sp.set_defaults(subfunc="fileinfo")
+
+    # kmers
+    sp = ssub.add_parser("kmers")
+    sp.add_argument("--signatures", nargs="*", default=[])
+    _common(sp)
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.add_argument("--sequences", nargs="+", required=True,
+                    help="FASTA/FASTQ files with sequences")
+    sp.add_argument("--save-kmers",
+                    help="save k-mers and hash values to a CSV file")
+    sp.add_argument("--save-sequences",
+                    help="save sequences with matching hashes to a FASTA file")
+    sp.add_argument("--translate", action="store_true",
+                    help="translate DNA k-mers into amino acids (for protein, dayhoff, and hp sketches)")
+    sp.add_argument("--check-sequence", action="store_true",
+                    help="complain if input sequence is invalid")
+    sp.set_defaults(subfunc="kmers")
+
+    # export
+    sp = ssub.add_parser("export")
+    sp.add_argument("filename")
+    _common(sp, from_file=False)
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output signature to this file (default stdout)")
+    sp.add_argument("--md5", default=None,
+                    help="select the signature with this md5 as query")
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    sp.set_defaults(subfunc="export")
+
+    # import / ingest
+    for name in ("import", "ingest"):
+        sp = ssub.add_parser(name)
+        sp.add_argument("filenames", nargs="+")
+        sp.add_argument("-q", "--quiet", action="store_true",
+                        help="suppress non-error output")
+        sp.add_argument("--csv", action="store_true",
+                        help="import in Mash CSV format")
+        sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                        help="output signature to this file (default stdout)")
+        sp.set_defaults(subfunc="ingest")
+
+    # check
+    sp = ssub.add_parser("check")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    add_pattern_args(sp)
+    sp.add_argument("-o", "--output-missing",
+                    help="output picklist with remaining unmatched entries to this file")
+    sp.add_argument("-m", "--save-manifest-matching",
+                    help="save a manifest of matching entries to this file")
+    sp.add_argument("--fail-if-missing", action="store_true",
+                    help="exit with an error code if any picklist values are not found")
+    sp.add_argument("--no-require-manifest", action="store_true",
+                    help="do not require a manifest; generate dynamically if needed")
+    sp.add_argument("-F", "--manifest-format", default="csv",
+                    choices=["csv", "sql"],
+                    help="format of manifest output file; default is 'csv'")
+    sp.add_argument("--abspath", "--use-absolute-paths", action="store_true",
+                    default=None, help="convert all locations to absolute paths")
+    sp.add_argument("--no-abspath", action="store_false", dest="abspath",
+                    help="do not convert all locations to absolute paths")
+    sp.add_argument("--relpath", "--use-relative-paths", action="store_true",
+                    default=None,
+                    help="convert all locations to paths relative to the output manifest")
+    sp.add_argument("--no-relpath", action="store_false", dest="relpath",
+                    help="do not convert all locations to paths relative to the output manifest")
+    sp.set_defaults(subfunc="check")
+
+    # collect
+    sp = ssub.add_parser("collect")
+    sp.add_argument("locations", nargs="*",
+                    help="locations of input signatures")
+    sp.add_argument("-o", "--output", required=True,
+                    help="manifest output file")
+    sp.add_argument("-q", "--quiet", action="store_true",
+                    help="suppress non-error output")
+    sp.add_argument("-d", "--debug", action="store_true",
+                    help="provide debugging output")
+    sp.add_argument("--from-file",
+                    help="a text file containing a list of files to load signatures from")
+    sp.add_argument("--no-require-manifest", action="store_true",
+                    help="do not require a manifest; generate dynamically if needed")
+    sp.add_argument("-F", "--manifest-format", default="sql",
+                    choices=["csv", "sql"],
+                    help="format of manifest output file; default is 'sql'")
+    sp.add_argument("--merge-previous", action="store_true",
+                    help="merge new manifests into existing output file")
+    sp.add_argument("--abspath", "--use-absolute-paths", action="store_true",
+                    default=None, help="convert all locations to absolute paths")
+    sp.add_argument("--no-abspath", action="store_false", dest="abspath",
+                    help="do not convert all locations to absolute paths")
+    sp.add_argument("--relpath", "--use-relative-paths", action="store_true",
+                    default=None,
+                    help="convert all locations to paths relative to the output manifest")
+    sp.add_argument("--no-relpath", action="store_false", dest="relpath",
+                    help="do not convert all locations to paths relative to the output manifest")
+    sp.set_defaults(subfunc="collect")
+
+    # grep
+    sp = ssub.add_parser("grep")
+    sp.add_argument("pattern", help="search pattern (string/regex)")
+    sp.add_argument("signatures", nargs="*")
+    _common(sp)
+    add_ksize_arg(sp)
+    add_moltype_args(sp)
+    add_picklist_args(sp)
+    sp.add_argument("-v", "--invert-match", action="store_true",
+                    help="select non-matching signatures")
+    sp.add_argument("-i", "--ignore-case", action="store_true",
+                    help="ignore case distinctions")
+    sp.add_argument("-o", "--output", metavar="FILE", default="-",
+                    help="output matching signatures to this file (default stdout)")
+    sp.add_argument("--silent", "--no-signatures-output", action="store_true",
+                    help="do not output signatures")
+    sp.add_argument("-c", "--count", action="store_true",
+                    help="only print a count of discovered signatures; implies --silent")
+    sp.add_argument("--csv",
+                    help="save manifest of matching signatures to this CSV file")
+    sp.add_argument("--no-require-manifest", action="store_true",
+                    help="do not require a manifest; generate dynamically if needed")
+    sp.set_defaults(subfunc="grep")

@@ -197,6 +197,19 @@ class BaseCollectionManifest:
     def to_picklist(self):
         "Convert to a picklist."
 
+    def _check_row_values(self):
+        "Check that manifest rows have legit types/values (reference `manifest.py:230-239`)."
+        from . import index as index_mod
+
+        for row in self.rows:
+            index_mod._check_select_parameters(
+                num=row["num"],
+                ksize=row["ksize"],
+                moltype=row["moltype"],
+                scaled=row["scaled"],
+                abund=row["with_abundance"],
+            )
+
 
 class CollectionManifest(BaseCollectionManifest):
     "In-memory manifest: a list of row dicts + md5 set."

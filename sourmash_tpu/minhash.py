@@ -581,8 +581,32 @@ class MinHash:
             return [
                 (k, int(x) if x else None) for k, x in zip(kmers, h)
             ]
-        ksize = self._ksize * 3 if not is_protein else self._ksize
-        raise NotImplementedError("kmers_and_hashes for protein: TODO round 2")
+        if is_protein:
+            # aa windows of aa-ksize; hashes may be dayhoff/hp-remapped but
+            # the yielded kmer is the raw aa window (reference
+            # `minhash.py:454-460`).
+            ksize = self.ksize
+            h = self.seq_to_hashes(sequence, is_protein=True)
+            return [
+                (sequence[i : i + ksize], x)
+                for i, x in zip(range(len(sequence) - ksize + 1), h)
+            ]
+        # translate: DNA windows of 3*aa_ksize in frame order
+        # fwd,rc per frame 0,1,2 (reference `minhash.py:432-453`), matching
+        # ops.encodings.translate_hashes ordering.
+        ksize = self.ksize * 3
+        h = self.seq_to_hashes(sequence)
+        arr = enc.upper(np.frombuffer(sequence.encode("ascii"), dtype=np.uint8))
+        seqrc = enc.revcomp(arr).tobytes().decode("ascii")
+        out = []
+        hash_i = 0
+        for frame in (0, 1, 2):
+            for s in (sequence, seqrc):
+                for start in range(0, len(s) - ksize + 1 - frame, 3):
+                    out.append((s[start + frame : start + frame + ksize], h[hash_i]))
+                    hash_i += 1
+        assert hash_i == len(h)
+        return out
 
     # -- comparison -------------------------------------------------------
 

@@ -21,10 +21,12 @@ from ..minhash import _get_max_hash_for_scaled, MinHash
 _extend_notes = "(also see 'sourmash sig --help')"
 
 
-def _extend_signatures_with_from_file(args):
+def _extend_signatures_with_from_file(args, target_attr="signatures"):
     if getattr(args, "from_file", None):
         more = sourmash_args.load_pathlist_from_file(args.from_file)
-        args.signatures = list(args.signatures) + list(more)
+        setattr(
+            args, target_attr, list(getattr(args, target_attr)) + list(more)
+        )
 
 
 def _check_abundance_compatibility(sig1, sig2):
@@ -859,5 +861,677 @@ def downsample(args):
 
     notify(f"loaded {len(progress)} signatures")
     notify(f"output {len(save_sigs)} downsampled signatures", len(save_sigs))
+    if picklist:
+        sourmash_args.report_picklist(args, picklist)
+
+
+def ingest(args):
+    """Import signatures from mash JSON or CSV into sourmash format
+    (reference `sig/__main__.py:1002-1056`)."""
+    import json
+
+    set_quiet(args.quiet)
+
+    siglist = []
+    if args.csv:
+        for filename in args.filenames:
+            with open(filename, newline="") as csv_fp:
+                reader = csv.reader(csv_fp)
+                siglist = []
+                for row in reader:
+                    hashfn = row[0]
+                    hashseed = int(row[1])
+                    assert hashfn == "murmur64"
+                    assert hashseed == 42
+                    _, _, ksize, name, hashes = row
+                    ksize = int(ksize)
+                    hashes = [int(x) for x in hashes.strip().split(" ")]
+                    e = MinHash(len(hashes), ksize)
+                    e.add_many(hashes)
+                    s = sourmash.SourmashSignature(e, filename=name)
+                    siglist.append(s)
+                    notify(f"loaded signature: {name} {s.md5sum()[:8]}")
+    else:
+        for filename in args.filenames:
+            with open(filename) as fp:
+                x = json.loads(fp.read())
+            ksize = x["kmer"]
+            num = x["sketchSize"]
+            assert x["hashType"] == "MurmurHash3_x64_128"
+            assert x["hashBits"] == 64
+            assert x["hashSeed"] == 42
+            hashes = x["sketches"][0]["hashes"]
+            mh = MinHash(ksize=ksize, n=num, is_protein=False)
+            mh.add_many(hashes)
+            siglist.append(sourmash.SourmashSignature(mh, filename=filename))
+
+    notify(f"saving {len(siglist)} signatures to JSON")
+    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
+        save_sigs.add_many(siglist)
+
+
+def export(args):
+    """Export a signature to mash-style JSON (reference
+    `sig/__main__.py:1059-1084`)."""
+    import json
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+
+    query = sourmash_args.load_query_signature(
+        args.filename, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
+    )
+    mh = query.minhash
+
+    x = {}
+    x["kmer"] = mh.ksize
+    x["sketchSize"] = len(mh)
+    x["hashType"] = "MurmurHash3_x64_128"
+    x["hashBits"] = 64
+    x["hashSeed"] = mh.seed
+    x["sketches"] = [{"hashes": list(mh.hashes)}]
+
+    with sourmash_args.FileOutput(args.output, "wt") as fp:
+        print(json.dumps(x), file=fp)
+    notify(f"exported signature {query} ({query.md5sum()[:8]})")
+
+
+def kmers(args):
+    """Retrieve k-mers/sequences matching the hashes of given sketches
+    (reference `sig/__main__.py:1087-1340`)."""
+    from ..search import format_bp
+    from .. import sequence_io
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+    _extend_signatures_with_from_file(args)
+
+    first_sig = None
+    query_mh = None
+
+    progress = sourmash_args.SignatureLoadingProgress()
+    loader = sourmash_args.load_many_signatures(
+        args.signatures,
+        ksize=args.ksize,
+        moltype=moltype,
+        picklist=picklist,
+        progress=progress,
+        yield_all_files=args.force,
+        force=args.force,
+    )
+
+    for sigobj, sigloc in loader:
+        if first_sig is None:
+            first_sig = sigobj
+            query_mh = first_sig.minhash.copy_and_clear()
+            query_mh.track_abundance = False
+        try:
+            sigobj_mh = sigobj.minhash.to_mutable()
+            sigobj_mh.track_abundance = False
+            query_mh.merge(sigobj_mh)
+        except (TypeError, ValueError) as exc:
+            error(
+                f"ERROR when merging signature '{sigobj}' ({sigobj.md5sum()[:8]}) from file {sigloc}"
+            )
+            error(str(exc))
+            sys.exit(-1)
+
+    if not len(progress):
+        error("no signatures in query!?")
+        sys.exit(-1)
+
+    notify(f"loaded and merged {len(progress)} signatures")
+    if picklist:
+        sourmash_args.report_picklist(args, picklist)
+
+    if query_mh.moltype == "DNA" and args.translate:
+        error("ERROR: cannot use --translate with DNA sketches.")
+        sys.exit(-1)
+
+    if not query_mh:
+        notify("ERROR: no hashes in query signature!?")
+        sys.exit(-1)
+
+    notify("")
+    notify("merged signature has the following properties:")
+    notify(
+        f"k={query_mh.ksize} molecule={query_mh.moltype} num={query_mh.num} scaled={query_mh.scaled} seed={query_mh.seed}"
+    )
+    notify(f"total hashes in merged signature: {len(query_mh)}")
+    notify("")
+    notify("now processing sequence files for matches!")
+
+    found_mh = query_mh.copy_and_clear()
+
+    save_kmers = None
+    kmer_w = None
+    if args.save_kmers:
+        save_kmers = sourmash_args.FileOutputCSV(args.save_kmers)
+        save_kmers.open()
+        kmer_w = csv.DictWriter(
+            save_kmers.fp,
+            fieldnames=["sequence_file", "sequence_name", "kmer", "hashval"],
+        )
+        kmer_w.writeheader()
+
+    save_seqs = None
+    if args.save_sequences:
+        save_seqs = sourmash_args.FileOutput(args.save_sequences)
+        save_seqs.open()
+
+    is_protein = False
+    if query_mh.moltype != "DNA" and not args.translate:
+        is_protein = True
+
+    n_files_searched = 0
+    n_sequences_searched = 0
+    n_bp_searched = 0
+    n_kmers_found = 0
+    n_sequences_found = 0
+    n_bp_saved = 0
+
+    progress_threshold = 1e6
+    progress_interval = 1e6
+    query_hash_set = set(query_mh.hashes)
+    for filename in args.sequences:
+        notify(f"opening sequence file '{filename}'")
+        n_files_searched += 1
+
+        for name, seq_bytes in sequence_io.iter_records_bytes(filename):
+            sequence = seq_bytes.decode("ascii")
+            seq_mh = query_mh.copy_and_clear()
+
+            if is_protein:
+                seq_mh.add_protein(sequence)
+            else:
+                try:
+                    seq_mh.add_sequence(sequence, not args.check_sequence)
+                except ValueError as exc:
+                    seqname = name
+                    if len(seqname) > 40:
+                        seqname = seqname[:37] + "..."
+                    notify(f"ERROR in sequence '{seqname}', file '{filename}'")
+                    notify(str(exc))
+                    if args.force:
+                        notify("(continuing)")
+                        continue
+                    else:
+                        sys.exit(-1)
+
+            if seq_mh.intersection(query_mh):
+                if save_seqs:
+                    save_seqs.fp.write(f">{name}\n{sequence}\n")
+                    n_sequences_found += 1
+                    n_bp_saved += len(sequence)
+
+                if kmer_w:
+                    kh_iter = seq_mh.kmers_and_hashes(
+                        sequence, force=False, is_protein=is_protein
+                    )
+                    for kmer, hashval in kh_iter:
+                        if hashval in query_hash_set:
+                            found_mh.add_hash(hashval)
+                            n_kmers_found += 1
+                            kmer_w.writerow(
+                                dict(
+                                    sequence_file=filename,
+                                    sequence_name=name,
+                                    kmer=kmer,
+                                    hashval=hashval,
+                                )
+                            )
+
+                found_mh += seq_mh.intersection(query_mh)
+
+            n_sequences_searched += 1
+            n_bp_searched += len(sequence)
+
+            if n_bp_searched >= progress_threshold:
+                notify(
+                    f"... searched {n_bp_searched} from {n_files_searched} files so far"
+                )
+                while n_bp_searched >= progress_threshold:
+                    progress_threshold += progress_interval
+
+    if save_kmers:
+        save_kmers.close()
+    if save_seqs:
+        save_seqs.close()
+
+    if not n_sequences_searched:
+        notify("ERROR: no sequences searched!?")
+        sys.exit(-1)
+
+    notify("DONE.")
+    notify(
+        f"searched {n_sequences_searched} sequences from {n_files_searched} files, containing a total of {format_bp(n_bp_searched)}."
+    )
+
+    if save_seqs:
+        notify(
+            f"matched and saved a total of {n_sequences_found} sequences with {format_bp(n_bp_saved)}."
+        )
+    if kmer_w:
+        notify(f"matched and saved a total of {n_kmers_found} k-mers.")
+
+    query_hashes = set(query_mh.hashes)
+    found_hashes = set(found_mh.hashes)
+    cont = len(query_hashes.intersection(found_hashes)) / len(query_hashes)
+
+    notify(f"found {len(found_mh)} distinct matching hashes ({cont * 100:.1f}%)")
+
+    if not kmer_w and not save_seqs:
+        notify("NOTE: see --save-kmers or --save-sequences for output options.")
+
+
+from collections import namedtuple, Counter
+
+_SketchInfo = namedtuple("_SketchInfo", "ksize, moltype, scaled, num, abund")
+
+
+def _summarize_manifest(manifest):
+    "Summary dict of sketch types in a manifest (reference :1283-1313)."
+    info_d = {}
+    total_size = 0
+    counter = Counter()
+    hashcounts = Counter()
+    for row in manifest.rows:
+        ski = _SketchInfo(
+            ksize=row["ksize"],
+            moltype=row["moltype"],
+            scaled=row["scaled"],
+            num=row["num"],
+            abund=row["with_abundance"],
+        )
+        counter[ski] += 1
+        hashcounts[ski] += row["n_hashes"]
+        total_size += row["n_hashes"]
+
+    info_d["total_hashes"] = total_size
+    sketch_info = []
+    for ski, count in counter.items():
+        sketch_d = dict(ski._asdict())
+        sketch_d["count"] = count
+        sketch_d["n_hashes"] = hashcounts[ski]
+        sketch_info.append(sketch_d)
+    info_d["sketch_info"] = sketch_info
+    return info_d
+
+
+def fileinfo(args):
+    """Summary information on a signature collection/index (reference
+    `sig/__main__.py:1343-1409`). Aliased as 'summarize'."""
+    import json
+
+    set_quiet(args.quiet, args.debug)
+
+    text_out = not args.json_out
+
+    try:
+        notify(f"** loading from '{args.path}'")
+        idx = sourmash_args.load_file_as_index(args.path, yield_all_files=args.force)
+    except ValueError:
+        error(f"Cannot open '{args.path}' as a sourmash signature collection.")
+        error("Use -d/--debug for details.")
+        sys.exit(-1)
+
+    def print_bool(x):
+        return "yes" if x else "no"
+
+    info_d = {}
+    info_d["path_filetype"] = type(idx).__name__
+    info_d["location"] = "" if not idx.location else idx.location
+    info_d["is_database"] = bool(idx.is_database)
+    info_d["has_manifest"] = bool(idx.manifest)
+    info_d["num_sketches"] = len(idx)
+
+    if text_out:
+        print_results(f"path filetype: {info_d['path_filetype']}")
+        print_results(f"location: {info_d['location']}")
+        print_results(f"is database? {print_bool(info_d['is_database'])}")
+        print_results(f"has manifest? {print_bool(info_d['has_manifest'])}")
+        print_results(f"num signatures: {info_d['num_sketches']}")
+
+    notify("** examining manifest...")
+
+    manifest = sourmash_args.get_manifest(
+        idx, rebuild=args.rebuild_manifest, require=False
+    )
+
+    if manifest is None:
+        notify("** no manifest and cannot be generated; exiting.")
+        sys.exit(0)
+
+    info_d.update(_summarize_manifest(manifest))
+
+    if text_out:
+        print_results(f"total hashes: {info_d['total_hashes']}")
+        print_results("summary of sketches:")
+        for ski in info_d["sketch_info"]:
+            mh_type = f"num={ski['num']}" if ski["num"] else f"scaled={ski['scaled']}"
+            mh_abund = ", abund" if ski["abund"] else ""
+            sketch_str = f"{ski['count']} sketches with {ski['moltype']}, k={ski['ksize']}, {mh_type}{mh_abund}"
+            print_results(f"   {sketch_str: <50} {ski['n_hashes']} total hashes")
+    else:
+        print(json.dumps(info_d))
+
+
+# alias, reference cli aliases 'summarize' to fileinfo
+summarize = fileinfo
+
+
+def check(args):
+    """Check signature db(s) against a picklist (reference
+    `sig/__main__.py:1412-1550`)."""
+    from ..picklist import PickStyle
+    from ..manifest import CollectionManifest
+
+    set_quiet(args.quiet, args.debug)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+    sourmash_args.load_include_exclude_db_patterns(args)
+    _extend_signatures_with_from_file(args)
+
+    if not picklist:
+        error("** No picklist provided?! Exiting.")
+        sys.exit(-1)
+
+    if picklist.pickstyle == PickStyle.EXCLUDE and args.output_missing:
+        error("** ERROR: Cannot use an 'exclude' picklist with '-o/--output-missing'")
+        sys.exit(-1)
+
+    require_manifest = not args.no_require_manifest
+
+    if args.abspath and args.relpath:
+        error("** Cannot specify both --abspath and --relpath; pick one!")
+        sys.exit(-1)
+
+    if args.relpath or args.abspath and not args.save_manifest_matching:
+        notify(
+            "** WARNING: --abspath and --relpath only have effects when saving a manifest"
+        )
+
+    relpath = "."
+    if args.relpath and args.save_manifest_matching:
+        output_manifest_dir = os.path.dirname(args.save_manifest_matching)
+        relpath = os.path.relpath(os.curdir, output_manifest_dir)
+
+    total_manifest_rows = CollectionManifest([])
+
+    total_rows_examined = 0
+    for filename in args.signatures:
+        if args.abspath:
+            new_iloc = os.path.abspath(filename)
+        elif args.relpath:
+            if filename.startswith("/"):
+                notify(
+                    f"** WARNING: cannot convert abspath {filename} into relative path."
+                )
+            new_iloc = os.path.join(relpath, filename)
+        else:
+            new_iloc = filename
+
+        idx = sourmash_args.load_file_as_index(filename, yield_all_files=args.force)
+        idx = idx.select(ksize=args.ksize, moltype=moltype)
+
+        if idx.manifest is None and require_manifest:
+            error(f"ERROR on filename '{filename}'.")
+            error("sig check requires a manifest by default, but no manifest present.")
+            error("specify --no-require-manifest to dynamically generate one.")
+            sys.exit(-1)
+
+        new_manifest = sourmash_args.get_manifest(idx, require=True)
+        sub_manifest = new_manifest.select_to_manifest(picklist=picklist)
+        total_rows_examined += len(new_manifest)
+
+        for row in sub_manifest.rows:
+            row = dict(row)
+            row["internal_location"] = new_iloc
+            total_manifest_rows.add_row(row)
+
+    notify(f"loaded {total_rows_examined} signatures.")
+
+    sourmash_args.report_picklist(args, picklist)
+
+    n_missing = len(picklist.pickset - picklist.found)
+    if args.output_missing and n_missing:
+        pickfile = picklist.pickfile
+        n_input = 0
+        n_output = 0
+        with sourmash_args.FileInputCSV(pickfile) as r:
+            with open(args.output_missing, "w", newline="") as outfp:
+                w = csv.DictWriter(outfp, fieldnames=r.fieldnames)
+                w.writeheader()
+                for row in r:
+                    n_input += 1
+                    if not picklist.matched_csv_row(row):
+                        n_output += 1
+                        w.writerow(row)
+        notify(
+            f"saved {n_output} non-matching rows of {n_input} picklist rows to '{args.output_missing}'"
+        )
+    elif args.output_missing:
+        notify(
+            f"(no remaining picklist entries; not saving to '{args.output_missing}')"
+        )
+
+    if args.save_manifest_matching and total_manifest_rows:
+        mf = total_manifest_rows
+        mf.write_to_filename(
+            args.save_manifest_matching, database_format=args.manifest_format
+        )
+        notify(
+            f"wrote {len(mf)} matching manifest rows to '{args.save_manifest_matching}'"
+        )
+    elif args.save_manifest_matching:
+        notify(
+            f"(not saving matching manifest to '{args.save_manifest_matching}' because no matches)"
+        )
+
+    if args.fail_if_missing and n_missing:
+        error("** ERROR: missing values, and --fail-if-missing requested. Exiting.")
+        sys.exit(-1)
+
+
+def collect(args):
+    """Collect signature metadata across many locations into one manifest
+    (reference `sig/__main__.py:1553-1667`)."""
+    from ..manifest import CollectionManifest
+
+    set_quiet(False, args.debug)
+
+    if os.path.exists(args.output):
+        if not args.merge_previous:
+            error(f"ERROR: '{args.output}' already exists!")
+            error("ERROR: please remove it, or use --merge-previous to merge")
+            sys.exit(-1)
+    elif args.merge_previous:
+        notify(
+            f"WARNING: --merge-previous specified, but output file '{args.output}' does not already exist?"
+        )
+
+    if args.abspath and args.relpath:
+        error("** Cannot specify both --abspath and --relpath; pick one!")
+        sys.exit(-1)
+
+    try:
+        if args.manifest_format == "sql":
+            from ..index.sqlite_index import SqliteCollectionManifest
+
+            if args.merge_previous:
+                collected_mf = SqliteCollectionManifest.create_or_open(args.output)
+            else:
+                collected_mf = SqliteCollectionManifest.create(args.output)
+        else:
+            assert args.manifest_format == "csv"
+            if args.merge_previous and os.path.exists(args.output):
+                collected_mf = CollectionManifest.load_from_filename(args.output)
+            else:
+                collected_mf = CollectionManifest()
+            if not isinstance(collected_mf, CollectionManifest):
+                raise Exception
+    except Exception:
+        error(
+            f"ERROR loading '{args.output}' with --merge-previous. Is it of type {args.manifest_format}?"
+        )
+        sys.exit(-1)
+
+    if args.merge_previous:
+        notify(f"merging new locations with {len(collected_mf)} previous rows.")
+
+    require_manifest = not args.no_require_manifest
+
+    _extend_signatures_with_from_file(args, target_attr="locations")
+
+    relpath = None
+    if args.relpath:
+        output_manifest_dir = os.path.dirname(args.output)
+        relpath = os.path.relpath(os.curdir, output_manifest_dir)
+
+    for n_files, loc in enumerate(args.locations):
+        notify(f"Loading signature information from {loc}.")
+        if n_files and n_files % 100 == 0:
+            notify(f"... loaded {len(collected_mf)} sigs from {n_files} files")
+        idx = sourmash.load_file_as_index(loc)
+        if idx.manifest is None and require_manifest:
+            error(f"ERROR on location '{loc}'")
+            error(
+                "sig collect requires a manifest by default, but no manifest present."
+            )
+            error("specify --no-require-manifest to dynamically generate one.")
+            sys.exit(-1)
+
+        mf = sourmash_args.get_manifest(idx)
+
+        if args.abspath:
+            new_iloc = os.path.abspath(loc)
+        elif args.relpath:
+            if loc.startswith("/"):
+                notify(f"** WARNING: cannot convert abspath {loc} into relative path.")
+            new_iloc = os.path.join(relpath, loc)
+        else:
+            new_iloc = loc
+
+        for row in mf.rows:
+            row = dict(row)
+            row["internal_location"] = new_iloc
+            collected_mf.add_row(row)
+
+    if args.manifest_format == "csv":
+        collected_mf.write_to_filename(
+            args.output, database_format="csv", ok_if_exists=args.merge_previous
+        )
+    else:
+        collected_mf.close()
+
+    notify(f"saved {len(collected_mf)} manifest rows to '{args.output}'")
+    return 0
+
+
+def grep(args):
+    """Extract signatures matching a name/filename/md5 pattern (reference
+    `sig/grep.py:14-139`)."""
+    import re
+
+    from ..manifest import CollectionManifest
+
+    set_quiet(args.quiet, args.debug)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+    _extend_signatures_with_from_file(args)
+
+    pattern = args.pattern
+    if args.ignore_case:
+        pattern = re.compile(pattern, re.IGNORECASE)
+    else:
+        pattern = re.compile(pattern)
+
+    if args.invert_match:
+
+        def search_pattern(vals):
+            return all(not pattern.search(val) for val in vals)
+
+    else:
+
+        def search_pattern(vals):
+            return any(pattern.search(val) for val in vals)
+
+    require_manifest = not args.no_require_manifest
+
+    if args.count:
+        args.silent = True
+
+    if args.silent:
+        notify("(no signatures will be saved because of --silent/--count).")
+        save_sigs = sourmash_args.SaveSignaturesToLocation(None)
+    else:
+        notify(f"saving matching signatures to '{args.output}'")
+        save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
+        save_sigs.open()
+
+    csv_obj = None
+    if args.csv:
+        csv_obj = sourmash_args.FileOutputCSV(args.csv)
+        csv_fp = csv_obj.open()
+        CollectionManifest.write_csv_header(csv_fp)
+
+    total_rows_examined = 0
+    for filename in args.signatures:
+        idx = sourmash_args.load_file_as_index(filename, yield_all_files=args.force)
+        idx = idx.select(ksize=args.ksize, moltype=moltype, picklist=picklist)
+
+        manifest = idx.manifest
+        if manifest is None:
+            if require_manifest:
+                error(f"ERROR on filename '{filename}'.")
+                error(
+                    "sig grep requires a manifest by default, but no manifest present."
+                )
+                error("specify --no-require-manifest to dynamically generate one.")
+                sys.exit(-1)
+            else:
+                manifest = sourmash_args.get_manifest(idx, require=False)
+
+        sub_manifest = manifest.filter_on_columns(
+            search_pattern, ["name", "filename", "md5"]
+        )
+        total_rows_examined += len(manifest)
+
+        if args.csv:
+            sub_manifest.write_to_csv(csv_fp)
+
+        if args.count:
+            print_results(f"{len(sub_manifest)} matches: {filename}")
+        elif not args.silent:
+            sub_picklist = sub_manifest.to_picklist()
+            try:
+                idx = idx.select(picklist=sub_picklist)
+            except ValueError:
+                error("** This input collection doesn't support 'grep' with picklists.")
+                error("** EXITING.")
+                error("**")
+                error("** You can use 'sourmash sig cat' with a picklist,")
+                error("** and then pipe the output to 'sourmash sig grep -")
+                sys.exit(-1)
+
+            for ss in idx.signatures():
+                save_sigs.add(ss)
+
+    if not args.silent:
+        notify(f"loaded {total_rows_examined} total that matched ksize & molecule type")
+        if save_sigs:
+            notify(
+                f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)"
+            )
+            save_sigs.close()
+        else:
+            error("no matching signatures found!")
+            sys.exit(-1)
+
+    if args.csv:
+        notify(f"wrote manifest containing all matches to CSV file '{args.csv}'")
+        csv_obj.close()
+
     if picklist:
         sourmash_args.report_picklist(args, picklist)
