@@ -1,0 +1,324 @@
+"""HyperLogLog cardinality sketch with Ertl maximum-likelihood estimators.
+
+Behavior parity: reference `src/sourmash/hll.py` (API surface) and
+`src/core/src/sketch/hyperloglog/mod.rs` + `estimators.rs` (register
+update :217-225, cardinality :83-107, joint mle, binary 'HLL' v1 save
+format :145-157). Implementation here is original: registers are a numpy
+uint8 array, hash batches are folded with `np.maximum.at`, and rank
+(leading-zero) extraction is vectorized with exact `np.frexp` exponents
+instead of a per-hash loop.
+
+The MLE estimator follows the published algorithm of Ertl,
+"New cardinality estimation algorithms for HyperLogLog sketches" (the
+same source the reference cites), matching the reference's iteration
+order and saturating casts so results agree exactly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+
+import numpy as np
+
+from .ops import encodings as enc
+
+_HLL_MAGIC = b"HLL"
+
+
+def _mle(counts, p, q, relerr):
+    """Ertl MLE cardinality from register-value histogram `counts`
+    (length q+2). Mirrors reference `estimators.rs:57-160` exactly."""
+    m = 1 << p
+    counts = [int(c) for c in counts]
+    if counts[0] == m:
+        return 0.0
+    if counts[q + 1] == m:
+        return math.inf
+
+    k_min = next(i for i, v in enumerate(counts) if v != 0)
+    k_min_prime = max(1, k_min)
+    k_max = next(i for i in range(len(counts) - 1, -1, -1) if counts[i] != 0)
+    k_max_prime = min(q, k_max)
+
+    z = 0.0
+    for i in range(k_max_prime, k_min_prime - 1, -1):
+        z = 0.5 * z + counts[i]
+    z = math.ldexp(z, -k_min_prime)
+
+    c_prime = counts[q + 1]
+    if q >= 1:
+        c_prime += counts[k_max_prime]
+
+    g_prev = 0.0
+    a = z + counts[0]
+    b = z + math.ldexp(counts[q + 1], -q)
+    m_prime = m - counts[0]
+
+    if b <= 1.5 * a:
+        x = m_prime / (0.5 * b + a)  # weak lower bound (47)
+    else:
+        x = m_prime / (b * math.log1p(b / a))  # strong lower bound (46)
+
+    delta_x = x
+    del_ = relerr / math.sqrt(m)
+    while delta_x > x * del_:
+        # secant method iteration
+        kappa = 2 + math.floor(math.log2(x))
+        kappa = max(0, int(kappa))  # reference uses a saturating usize cast
+
+        x_prime = math.ldexp(x, -(max(k_max_prime, kappa)) - 1)
+        x_pp = x_prime * x_prime
+        # Taylor approximation (58)
+        h = x_prime - (x_pp / 3.0) + (x_pp * x_pp) * (1.0 / 45.0 - x_pp / 472.5)
+
+        for _k in range(kappa - 1, k_max_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            x_prime += x_prime
+
+        g = c_prime * h
+        for k in range(k_max_prime - 1, k_min_prime - 1, -1):
+            h_prime = 1.0 - h
+            h = (x_prime + h * h_prime) / (x_prime + h_prime)
+            g += counts[k] * h
+            x_prime += x_prime
+
+        g += x * a
+        if g > g_prev or m_prime >= g:
+            delta_x = delta_x * (m_prime - g) / (g - g_prev)
+        else:
+            delta_x = 0.0
+
+        x += delta_x
+        g_prev = g
+
+    return m * x
+
+
+def _joint_mle(k1, k2, p, q):
+    """Joint MLE over two register arrays. Returns (only-in-A, only-in-B,
+    intersection) — reference `estimators.rs:163-255`."""
+    nbins = q + 2
+    less = k1 < k2
+    greater = k1 > k2
+    equal = k1 == k2
+
+    def bc(vals, mask):
+        return np.bincount(vals[mask].astype(np.int64), minlength=nbins)[:nbins]
+
+    c1 = bc(k1, less)
+    cg2 = bc(k2, less)
+    cg1 = bc(k1, greater)
+    c2 = bc(k2, greater)
+    ceq = bc(k1, equal)
+    cu = np.bincount(np.maximum(k1, k2).astype(np.int64), minlength=nbins)[:nbins]
+
+    c1 = c1 + cg1 + ceq
+    c2 = c2 + cg2 + ceq
+
+    c_ax = _mle(c1, p, q, 0.01)
+    c_bx = _mle(c2, p, q, 0.01)
+    c_abx = _mle(cu, p, q, 0.01)
+
+    counts_axb_half = np.zeros(nbins, dtype=np.int64)
+    counts_bxa_half = np.zeros(nbins, dtype=np.int64)
+    counts_axb_half[q] = len(k1)
+    counts_bxa_half[q] = len(k2)
+
+    for _q in range(q):
+        counts_axb_half[_q] = cg1[_q] + ceq[_q] + cg2[_q + 1]
+        counts_axb_half[q] -= counts_axb_half[_q]
+        counts_bxa_half[_q] = cg2[_q] + ceq[_q] + cg1[_q + 1]
+        counts_bxa_half[q] -= counts_bxa_half[_q]
+
+    c_axb_half = _mle(counts_axb_half, p, q - 1, 0.01)
+    c_bxa_half = _mle(counts_bxa_half, p, q - 1, 0.01)
+
+    cx1 = 1.5 * c_bx + 1.5 * c_ax - c_bxa_half - c_axb_half
+    cx2 = 2.0 * (c_bxa_half + c_axb_half) - 3.0 * c_abx
+
+    only_a = max(0, int(c_abx - c_bx))
+    only_b = max(0, int(c_abx - c_ax))
+    inter = max(0, int(0.5 * (cx1 + cx2)))
+    return only_a, only_b, inter
+
+
+def _ranks(hashes, p):
+    """Vectorized (index, rank) extraction for a batch of uint64 hashes.
+
+    index = low p bits; rank = leading_zeros(hash >> p) + 1 - p, computed
+    with exact frexp exponents on 32-bit halves (uint32 -> float64 is
+    exact, so the exponent is the exact bit length)."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    index = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    value = h >> np.uint64(p)
+    hi = (value >> np.uint64(32)).astype(np.uint32)
+    lo = (value & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.frexp(hi.astype(np.float64))[1]
+    bl_lo = np.frexp(lo.astype(np.float64))[1]
+    bitlen = np.where(hi > 0, 32 + bl_hi, bl_lo)
+    leftmost = 64 - bitlen + 1 - p
+    return index, leftmost.astype(np.uint8)
+
+
+class HLL:
+    """HyperLogLog sketch (API parity: reference `hll.py:12-112`)."""
+
+    def __init__(self, error_rate, ksize, _registers=None, _p=None):
+        if _registers is not None:
+            self.p = _p
+            self.registers = _registers
+        else:
+            p = math.ceil(math.log2((1.04 / error_rate) ** 2))
+            if not 4 <= p <= 18:
+                raise ValueError(f"error rate is too {'small' if p > 18 else 'large'}")
+            self.p = p
+            self.registers = np.zeros(1 << p, dtype=np.uint8)
+        self.q = 64 - self.p
+        self._ksize = ksize
+
+    @property
+    def ksize(self):
+        return self._ksize
+
+    def __len__(self):
+        return self.cardinality()
+
+    def _relerr(self):
+        # precision-dependent relative error for the counts histogram
+        # (reference `mod.rs:83-107` dispatches on p)
+        if self.p < 8:
+            return 0.01
+        if self.p < 16:
+            return 0.05
+        return 0.1
+
+    def cardinality(self):
+        counts = np.bincount(self.registers, minlength=self.q + 2)[: self.q + 2]
+        card = _mle(counts, self.p, self.q, self._relerr())
+        return int(card) if math.isfinite(card) else card
+
+    def add_many(self, hashes):
+        if len(hashes) == 0:
+            return
+        index, leftmost = _ranks(hashes, self.p)
+        np.maximum.at(self.registers, index, leftmost)
+
+    def add_hash(self, h):
+        self.add_many(np.asarray([h], dtype=np.uint64))
+
+    def add(self, h):
+        if isinstance(h, (str, bytes)):
+            return self.add_kmer(h)
+        return self.add_hash(h)
+
+    def count(self, h):
+        self.add(h)
+
+    def get(self, h):
+        raise NotImplementedError("HLL doesn't support membership query")
+
+    def add_sequence(self, sequence, force=False):
+        "Add all canonical k-mers of a DNA sequence."
+        if isinstance(sequence, str):
+            sequence = sequence.encode("ascii")
+        seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
+        h, valid = enc.dna_hashes(seq, self._ksize, 42)
+        if not valid.all() and not force:
+            bad = int(np.argmin(valid))
+            kmer = seq[bad : bad + self._ksize].tobytes().decode("ascii", "replace")
+            raise ValueError(f"invalid DNA character in input k-mer: {kmer}")
+        self.add_many(h[valid])
+
+    def add_kmer(self, kmer):
+        if len(kmer) != self._ksize:
+            raise ValueError(f"kmer to add is not {self._ksize} in length")
+        self.add_sequence(kmer)
+
+    def _check_compatible(self, other):
+        if self._ksize != other._ksize:
+            raise ValueError("different ksizes cannot be compared")
+        if len(self.registers) != len(other.registers):
+            raise ValueError("different sizes cannot be compared")
+
+    def update(self, other):
+        from .minhash import MinHash
+
+        if isinstance(other, HLL):
+            self._check_compatible(other)
+            np.maximum(self.registers, other.registers, out=self.registers)
+        elif isinstance(other, MinHash):
+            self.add_many(other._mins)
+        else:
+            raise TypeError("Must be a HyperLogLog or MinHash")
+
+    def merge(self, other):
+        self.update(other)
+
+    def union(self, other):
+        only_a, only_b, inter = _joint_mle(
+            self.registers, other.registers, self.p, self.q
+        )
+        return only_a + only_b + inter
+
+    def similarity(self, other):
+        if not isinstance(other, HLL):
+            raise TypeError("other must be a HyperLogLog")
+        only_a, only_b, inter = _joint_mle(
+            self.registers, other.registers, self.p, self.q
+        )
+        return inter / (only_a + only_b + inter)
+
+    def containment(self, other):
+        if not isinstance(other, HLL):
+            raise TypeError("other must be a HyperLogLog")
+        only_a, _, inter = _joint_mle(self.registers, other.registers, self.p, self.q)
+        return inter / (only_a + inter)
+
+    def intersection(self, other):
+        if not isinstance(other, HLL):
+            raise TypeError("other must be a HyperLogLog")
+        _, _, inter = _joint_mle(self.registers, other.registers, self.p, self.q)
+        return inter
+
+    def matches(self, mh):
+        "Intersection size with a MinHash's hash set (reference `hll.py:104-112`)."
+        from .minhash import MinHash
+
+        if not isinstance(mh, MinHash):
+            raise ValueError("mh must be a MinHash")
+        other = HLL(0.01, mh.ksize)
+        other.add_many(mh._mins)
+        return self.intersection(other)
+
+    # -- binary IO (reference `mod.rs:145-191`: 'HLL' magic, version 1) ---
+
+    def to_bytes(self, compression=1):
+        header = _HLL_MAGIC + bytes([1, self.p, self.q, self._ksize])
+        return header + self.registers.tobytes()
+
+    def save(self, filename):
+        with open(filename, "wb") as fp:
+            fp.write(self.to_bytes())
+
+    @staticmethod
+    def from_buffer(buf):
+        buf = bytes(buf)
+        if buf[:2] == b"\x1f\x8b":  # reference reads through niffler
+            buf = gzip.decompress(buf)
+        if buf[:3] != _HLL_MAGIC:
+            raise ValueError("invalid HLL file: bad magic")
+        version, p, q, ksize = buf[3], buf[4], buf[5], buf[6]
+        if version != 1:
+            raise ValueError(f"unsupported HLL version {version}")
+        n = 1 << p
+        registers = np.frombuffer(buf[7 : 7 + n], dtype=np.uint8).copy()
+        hll = HLL(None, ksize, _registers=registers, _p=p)
+        assert hll.q == q or q == 64 - p
+        return hll
+
+    @staticmethod
+    def load(filename):
+        with open(filename, "rb") as fp:
+            return HLL.from_buffer(fp.read())
