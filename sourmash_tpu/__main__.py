@@ -62,10 +62,22 @@ def main(arglist=None):
             cli.get_parser().print_help()
             return 1
         return getattr(sig_main, subcmd)(args)
-    elif cmd in ("index", "info", "import_csv", "sbt_combine", "migrate", "watch"):
+    elif cmd in (
+        "index",
+        "info",
+        "import_csv",
+        "sbt_combine",
+        "migrate",
+        "watch",
+        "multigather",
+    ):
         from . import commands
 
         return getattr(commands, cmd)(args)
+    elif cmd == "compute":
+        from .command_compute import compute
+
+        return compute(args)
     elif cmd == "tax":
         subcmd = getattr(args, "subfunc", None)
         if subcmd is None:

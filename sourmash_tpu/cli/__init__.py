@@ -232,6 +232,89 @@ def _add_gather(sub):
     p.set_defaults(func="gather")
 
 
+def _add_multigather(sub):
+    p = sub.add_parser(
+        "multigather",
+        description="gather many signatures against multiple databases",
+    )
+    p.add_argument("--query", nargs="*", default=[], action="append",
+                   help="query signature")
+    p.add_argument("--query-from-file",
+                   help="file containing list of signature files to query")
+    p.add_argument("--db", nargs="+", action="append",
+                   help="signatures/SBTs to search")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("--threshold-bp", metavar="REAL", type=float, default=5e4,
+                   help="threshold (in bp) for reporting results (default=50,000)")
+    p.add_argument("--ignore-abundance", action="store_true",
+                   help="do NOT use k-mer abundances if present")
+    p.add_argument("--estimate-ani-ci", action="store_true",
+                   help="output confidence intervals for ANI estimates")
+    p.add_argument("--fail-on-empty-database", action="store_true")
+    p.add_argument("--no-fail-on-empty-database", action="store_false",
+                   dest="fail_on_empty_database")
+    p.set_defaults(fail_on_empty_database=True)
+    p.add_argument("--force-allow-overwrite-output", action="store_true",
+                   help="allow overwriting of output files")
+    p.add_argument("--output-dir", "--outdir",
+                   help="output CSV results to this directory")
+    p.add_argument("-U", "--output-add-query-md5sum", action="store_true",
+                   help="add query md5sum to output file names")
+    p.add_argument("-E", "--extension", default=".sig",
+                   choices=[".sig", ".sig.gz", ".zip"],
+                   help="extension for unassigned-hash outputs")
+    add_ksize_arg(p)
+    add_moltype_args(p)
+    add_scaled_arg(p, 0)
+    p.set_defaults(func="multigather")
+
+
+def _ksize_list_parser(value):
+    "parse '21,31,51' (or '21 31 51') into a list of ints"
+    value = value.replace(" ", ",")
+    return [int(k) for k in value.split(",") if k]
+
+
+def _add_compute(sub):
+    p = sub.add_parser(
+        "compute", description="compute signatures for sequences (legacy; use 'sketch')"
+    )
+    p.add_argument("filenames", nargs="+", help="file(s) of sequences")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-k", "--ksizes", default="21,31,51", type=_ksize_list_parser,
+                   help="comma-separated list of k-mer sizes; default=%(default)s")
+    add_num_arg(p, 500)
+    p.add_argument("--track-abundance", action="store_true",
+                   help="track k-mer abundances in the generated signature")
+    p.add_argument("--scaled", type=float, default=0,
+                   help="choose number of hashes as 1 in FRACTION of input k-mers")
+    add_construct_moltype_args(p)
+    p.add_argument("--input-is-protein", action="store_true",
+                   help="Consume protein sequences - no translation needed.")
+    p.add_argument("--seed", type=int, default=42,
+                   help="seed used by MurmurHash; default=42")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="recompute signatures even if the file exists")
+    p.add_argument("-o", "--output",
+                   help="output computed signatures to this file")
+    p.add_argument("--output-dir", "--outdir",
+                   help="output computed signatures to this directory")
+    p.add_argument("--singleton", action="store_true",
+                   help="compute a signature for each sequence record individually")
+    p.add_argument("--merge", "--name", dest="merge", type=str, default="",
+                   help="merge all input files into one signature with this name")
+    p.add_argument("--name-from-first", action="store_true",
+                   help="name the signature after the first record in each file")
+    p.add_argument("--randomize", action="store_true",
+                   help="shuffle the list of input filenames randomly")
+    p.add_argument("--license", default="CC0", type=str,
+                   help="signature license. Currently only CC0 is supported.")
+    p.add_argument("--check-sequence", action="store_true",
+                   help="complain if input sequence is invalid")
+    p.set_defaults(func="compute", from_file=None)
+
+
 def _add_prefetch(sub):
     p = sub.add_parser("prefetch", description="overlap search")
     p.add_argument("query", help="query signature")
@@ -427,6 +510,8 @@ def get_parser():
     _add_plot(sub)
     _add_search(sub)
     _add_gather(sub)
+    _add_multigather(sub)
+    _add_compute(sub)
     _add_prefetch(sub)
     _add_sketch(sub)
     _add_index(sub)

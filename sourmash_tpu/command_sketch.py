@@ -132,29 +132,38 @@ class ComputeParameters:
         return ",".join(pi)
 
     def make_minhashes(self):
-        "Build one MinHash per ksize."
+        """Build minhashes per ksize. Multiple moltype flags may be set at
+        once (legacy 'compute' computes DNA+protein together); emission
+        order per k is protein, dayhoff, hp, dna — reference
+        `cmd.rs:108-180` build_template."""
         out = []
         for k in self.ksizes:
+            for molt_flag, kwargs in (
+                (self.protein, dict(is_protein=True)),
+                (self.dayhoff, dict(dayhoff=True)),
+                (self.hp, dict(hp=True)),
+            ):
+                if molt_flag:
+                    out.append(
+                        MinHash(
+                            self.num_hashes,
+                            k // 3,
+                            track_abundance=self.track_abundance,
+                            seed=self.seed,
+                            scaled=int(self.scaled),
+                            **kwargs,
+                        )
+                    )
             if self.dna:
-                mh = MinHash(
-                    self.num_hashes,
-                    k,
-                    track_abundance=self.track_abundance,
-                    seed=self.seed,
-                    scaled=int(self.scaled),
+                out.append(
+                    MinHash(
+                        self.num_hashes,
+                        k,
+                        track_abundance=self.track_abundance,
+                        seed=self.seed,
+                        scaled=int(self.scaled),
+                    )
                 )
-            else:
-                mh = MinHash(
-                    self.num_hashes,
-                    k // 3,
-                    is_protein=self.protein,
-                    dayhoff=self.dayhoff,
-                    hp=self.hp,
-                    track_abundance=self.track_abundance,
-                    seed=self.seed,
-                    scaled=int(self.scaled),
-                )
-            out.append(mh)
         return out
 
 

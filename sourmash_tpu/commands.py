@@ -1335,3 +1335,245 @@ def migrate(args):
 
     notify(f'saving SBT under "{args.sbt_name}".')
     tree.save(args.sbt_name, structure_only=True)
+
+
+def multigather(args):
+    """Gather many signatures against multiple databases (reference
+    `commands.py:1124-1382`). Per query: one .csv, one .matches.sig, one
+    .unassigned<ext> output, named after the query filename."""
+    from .search import GatherDatabases, format_bp
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+
+    if not args.db:
+        error("Error! must specify at least one database with --db")
+        sys.exit(-1)
+
+    if not args.query and not args.query_from_file:
+        error("Error! must specify at least one query signature with --query")
+        sys.exit(-1)
+
+    args.db = [item for sublist in args.db for item in sublist]
+    inp_files = [item for sublist in args.query for item in sublist]
+    if args.query_from_file:
+        more_files = sourmash_args.load_pathlist_from_file(args.query_from_file)
+        inp_files.extend(more_files)
+
+    # need a query to get ksize, moltype for db loading
+    query = next(
+        iter(
+            sourmash_args.load_file_as_signatures(
+                inp_files[0], ksize=args.ksize, select_moltype=moltype
+            )
+        )
+    )
+    notify(
+        f"loaded first query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
+    )
+
+    databases = sourmash_args.load_dbs_and_sigs(
+        args.db, query, False, fail_on_empty_database=args.fail_on_empty_database
+    )
+
+    n = 0
+    size_may_be_inaccurate = False
+    output_base_tracking = set()
+    for queryfile in inp_files:
+        for query in sourmash_args.load_file_as_signatures(
+            queryfile, ksize=args.ksize, select_moltype=moltype
+        ):
+            notify(
+                f"loaded query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
+            )
+
+            if not query.minhash.scaled:
+                error("query signature needs to be created with --scaled; skipping")
+                continue
+
+            if args.scaled and args.scaled != query.minhash.scaled:
+                notify(
+                    f"downsampling query from scaled={query.minhash.scaled} to {int(args.scaled)}"
+                )
+                with query.update() as query:
+                    query.minhash = query.minhash.downsample(scaled=args.scaled)
+
+            if not len(query.minhash):
+                error("no query hashes!? skipping to next..")
+                continue
+
+            prefetch_query = query.copy()
+            if prefetch_query.minhash.track_abundance:
+                with prefetch_query.update() as prefetch_query:
+                    prefetch_query.minhash = prefetch_query.minhash.flatten()
+
+            ident_mh = prefetch_query.minhash.copy_and_clear()
+            noident_mh = prefetch_query.minhash.to_mutable()
+
+            counters = []
+            for db in databases:
+                try:
+                    counter = db.counter_gather(prefetch_query, args.threshold_bp)
+                except ValueError:
+                    continue
+                counters.append(counter)
+
+                union_found = counter.union_found
+                noident_mh.remove_many(union_found)
+                ident_mh.add_many(union_found)
+
+            found = 0
+            is_abundance = query.minhash.track_abundance and not args.ignore_abundance
+            orig_query_mh = query.minhash
+            gather_iter = GatherDatabases(
+                query,
+                counters,
+                threshold_bp=args.threshold_bp,
+                ignore_abundance=args.ignore_abundance,
+                noident_mh=noident_mh,
+                ident_mh=ident_mh,
+            )
+
+            screen_width = _get_screen_width()
+            sum_f_uniq_found = 0.0
+            result = None
+
+            query_filename = query.filename
+            if not query_filename or query_filename == "-":
+                output_base = query.md5sum()
+            elif args.output_add_query_md5sum:
+                output_base = os.path.basename(query_filename) + "." + query.md5sum()
+            else:
+                output_base = os.path.basename(query_filename)
+
+            if args.output_dir:
+                output_base = os.path.join(args.output_dir, output_base)
+
+            if output_base in output_base_tracking:
+                error(
+                    f"ERROR: detected overwritten outputs! '{output_base}' has already been used. Failing."
+                )
+                if args.force_allow_overwrite_output:
+                    error("continuing because --force-allow-overwrite was specified")
+                else:
+                    error(
+                        "Consider using '-U/--output-add-query-md5sum' to build unique outputs"
+                    )
+                    error("and/or '--force-allow-overwrite-output'")
+                    sys.exit(-1)
+            output_base_tracking.add(output_base)
+
+            output_matches = output_base + ".matches.sig"
+            save_sig_obj = SaveSignaturesToLocation(output_matches)
+            save_sig = save_sig_obj.__enter__()
+            notify(f"saving all matching signatures to '{output_matches}'")
+
+            output_csv = output_base + ".csv"
+            notify(f'saving all CSV matches to "{output_csv}"')
+            csv_out_obj = FileOutputCSV(output_csv)
+            csv_outfp = csv_out_obj.__enter__()
+            csv_writer = None
+
+            for result in gather_iter:
+                found += 1
+                sum_f_uniq_found += result.f_unique_to_query
+                if found == 1:
+                    if is_abundance:
+                        print_results("")
+                        print_results("overlap     p_query p_match avg_abund")
+                        print_results("---------   ------- ------- ---------")
+                    else:
+                        print_results("")
+                        print_results("overlap     p_query p_match")
+                        print_results("---------   ------- -------")
+
+                pct_query = f"{result.f_unique_weighted * 100:.1f}%"
+                pct_genome = f"{result.f_match * 100:.1f}%"
+
+                if is_abundance:
+                    name = result.match._display_name(screen_width - 41)
+                    average_abund = f"{result.average_abund:.1f}"
+                    print_results(
+                        "{:9}   {:>7} {:>7} {:>9}    {}",
+                        format_bp(result.intersect_bp),
+                        pct_query,
+                        pct_genome,
+                        average_abund,
+                        name,
+                    )
+                else:
+                    name = result.match._display_name(screen_width - 31)
+                    print_results(
+                        "{:9}   {:>7} {:>7}    {}",
+                        format_bp(result.intersect_bp),
+                        pct_query,
+                        pct_genome,
+                        name,
+                    )
+
+                if csv_writer is None:
+                    csv_writer = result.init_dictwriter(csv_outfp)
+                result.write(csv_writer)
+
+                save_sig.add(result.match)
+
+                if not size_may_be_inaccurate and result.size_may_be_inaccurate:
+                    size_may_be_inaccurate = True
+
+            if gather_iter.query.minhash:
+                notify(
+                    f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
+                )
+
+            print_results("\nfound {} matches total;", found)
+
+            save_sig_obj.close()
+            save_sig_obj = save_sig = None
+
+            csv_out_obj.close()
+            csv_out_obj = csv_outfp = csv_writer = None
+
+            if is_abundance and result:
+                p_covered = result.sum_weighted_found / result.total_weighted_hashes
+                p_covered *= 100
+                print_results(
+                    f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
+                )
+
+            print_results(
+                f"the recovered matches hit {sum_f_uniq_found * 100:.1f}% of the query k-mers (unweighted)."
+            )
+            print_results("")
+
+            if found == 0:
+                notify("nothing found... skipping.")
+                continue
+
+            output_unassigned = output_base + f".unassigned{args.extension}"
+            remaining_query = gather_iter.query
+            if noident_mh:
+                remaining_mh = remaining_query.minhash.to_mutable()
+                remaining_mh += noident_mh.downsample(scaled=remaining_mh.scaled)
+                remaining_query.minhash = remaining_mh
+
+            if is_abundance:
+                abund_query_mh = remaining_query.minhash.inflate(orig_query_mh)
+                remaining_query.minhash = abund_query_mh
+
+            if found == 0:
+                notify("nothing found - entire query signature unassigned.")
+            elif not remaining_query:
+                notify("no unassigned hashes! not saving.")
+            else:
+                notify(f'saving unassigned hashes to "{output_unassigned}"')
+
+            with SaveSignaturesToLocation(output_unassigned) as save_sig:
+                save_sig.add(remaining_query)
+
+            n += 1
+
+    notify(f"\nconducted gather searches on {n} signatures")
+    if size_may_be_inaccurate:
+        notify(
+            "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will not be reported for these comparisons."
+        )

@@ -322,8 +322,11 @@ class MultiSketchSignature(SourmashSignature):
     `minhash` is the first sketch; sequence adds go to all sketches."""
 
     def __init__(self, minhashes, name="", filename=""):
-        self._minhashes = list(minhashes)
-        super().__init__(self._minhashes[0], name=name, filename=filename)
+        minhashes = list(minhashes)
+        # base __init__ assigns via the overridden `minhash` setter, which
+        # collapses _minhashes to one entry — restore the full list after.
+        super().__init__(minhashes[0], name=name, filename=filename)
+        self._minhashes = minhashes
 
     @property
     def minhash(self):

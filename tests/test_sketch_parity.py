@@ -123,3 +123,22 @@ def test_gz_sig_loading():
     path = utils_test_data("genome-s10+s11.sig.gz")
     sigs = list(load_signatures_from_json(open(path, "rb")))
     assert len(sigs) > 0
+
+
+def test_multisketch_signature_keeps_all_minhashes():
+    """Regression: SourmashSignature.__init__ assigns via the overridden
+    minhash setter, which used to collapse a MultiSketchSignature to its
+    first sketch (broke 'compute' defaults and 'sketch -p k=21,k=31')."""
+    from sourmash_tpu.command_sketch import ComputeParameters, signature_from_params
+
+    p = ComputeParameters(ksizes=(21, 31, 51))
+    sig = signature_from_params(p)
+    assert [mh.ksize for mh in sig._all_minhashes()] == [21, 31, 51]
+
+    # dna + protein simultaneously (legacy compute): order protein, dna per k
+    p2 = ComputeParameters(ksizes=(21,), dna=True, protein=True)
+    sig2 = signature_from_params(p2)
+    assert [(mh.moltype, mh.ksize) for mh in sig2._all_minhashes()] == [
+        ("protein", 7),
+        ("DNA", 21),
+    ]
