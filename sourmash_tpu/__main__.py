@@ -51,6 +51,8 @@ def main(arglist=None):
             return command_sketch.protein(args)
         elif subcmd == "translate":
             return command_sketch.translate(args)
+        elif subcmd == "fromfile":
+            return command_sketch.fromfile(args)
         else:
             cli.get_parser().print_help()
             return 1
@@ -78,6 +80,21 @@ def main(arglist=None):
         from .command_compute import compute
 
         return compute(args)
+    elif cmd in ("scripts", "ext"):
+        from .cli import _scripts_extension_dict
+
+        subcmd = getattr(args, "subcmd", None)
+        obj = _scripts_extension_dict.get(subcmd)
+        if obj is None:
+            from . import cli as _cli
+
+            _cli.get_parser().parse_args([cmd, "--help"])
+            return 1
+        return obj.main(args)
+    elif cmd == "storage":
+        from .sbt import convert_cmd
+
+        return convert_cmd(args.sbt, args.backend)
     elif cmd == "tax":
         subcmd = getattr(args, "subfunc", None)
         if subcmd is None:

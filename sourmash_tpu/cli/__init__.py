@@ -270,6 +270,47 @@ def _add_multigather(sub):
     p.set_defaults(func="multigather")
 
 
+_scripts_extension_dict = {}
+
+
+def _add_scripts(sub):
+    """'sourmash scripts' plugin commands (parity: reference
+    `cli/scripts/__init__.py`)."""
+    from .. import plugins
+
+    p = sub.add_parser(
+        "scripts",
+        usage=SUPPRESS,
+        formatter_class=RawDescriptionHelpFormatter,
+        aliases=["ext"],
+    )
+    p.set_defaults(cmd="scripts")
+
+    descrs = list(plugins.get_cli_scripts_descriptions())
+    description = "\n".join(descrs) if descrs else "(No script plugins detected!)"
+
+    s = p.add_subparsers(
+        title="available plugin/extension commands",
+        dest="subcmd",
+        metavar="subcmd",
+        help=SUPPRESS,
+        description=description,
+    )
+    _scripts_extension_dict.update(plugins.add_cli_scripts(s))
+
+
+def _add_storage(sub):
+    "'sourmash storage convert' (parity: reference `cli/storage/convert.py`)."
+    p = sub.add_parser("storage", description="SBT storage-backend utilities")
+    p.set_defaults(cmd="storage")
+    ssub = p.add_subparsers(dest="subcmd", metavar="subcmd")
+    sp = ssub.add_parser("convert")
+    sp.add_argument("sbt", help="name to save SBT into")
+    sp.add_argument("-b", "--backend", type=str, help="Backend to convert to")
+    sp.add_argument("-q", "--quiet", action="store_true")
+    sp.set_defaults(subfunc="storage_convert")
+
+
 def _ksize_list_parser(value):
     "parse '21,31,51' (or '21 31 51') into a list of ints"
     value = value.replace(" ", ",")
@@ -395,6 +436,33 @@ def _add_sketch(sub):
     add_moltype_args(sp)
     sp.set_defaults(subfunc="sketch_translate", subcmd="translate")
 
+    sp = ssub.add_parser("fromfile")
+    sp.add_argument("csvs", nargs="+",
+                    help="input CSVs with 'name', 'genome_filename', and 'protein_filename' columns")
+    sp.add_argument("-q", "--quiet", action="store_true")
+    sp.add_argument("-d", "--debug", action="store_true")
+    sp.add_argument("-p", "--param-string", default=[], action="append",
+                    help="signature parameters to use.")
+    sp.add_argument("--already-done", nargs="+", default=[],
+                    help="one or more collections of existing signatures to avoid rebuilding")
+    sp.add_argument("--license", default="CC0", type=str,
+                    help="signature license. Currently only CC0 is supported.")
+    sp.add_argument("--check-sequence", action="store_true",
+                    help="complain if input sequence is invalid")
+    sp.add_argument("-o", "--output-signatures",
+                    help="output computed signatures to this file")
+    sp.add_argument("--force-output-already-exists", action="store_true",
+                    help="overwrite/append to --output-signatures location")
+    sp.add_argument("--ignore-missing", action="store_true",
+                    help="proceed with building possible signatures, even if some input files are missing")
+    sp.add_argument("--output-csv-info",
+                    help="output information about what signatures need to be generated")
+    sp.add_argument("--output-manifest-matching",
+                    help="output a manifest file of already-existing signatures")
+    sp.add_argument("--report-duplicated", action="store_true",
+                    help="report duplicated names")
+    sp.set_defaults(subfunc="sketch_fromfile", subcmd="fromfile")
+
 
 def _add_index(sub):
     p = sub.add_parser("index", description="build an SBT index of signatures")
@@ -516,6 +584,8 @@ def get_parser():
     _add_sketch(sub)
     _add_index(sub)
     _add_misc(sub)
+    _add_scripts(sub)
+    _add_storage(sub)
 
     from . import sig as _sig_cli
     from . import lca as _lca_cli

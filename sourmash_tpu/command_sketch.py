@@ -104,6 +104,12 @@ class ComputeParameters:
     track_abundance: bool = False
     scaled: int = 0
 
+    def __post_init__(self):
+        # the CLI passes scaled through a float bounds check; the stored
+        # template value is integral (reference keeps it as u64)
+        self.scaled = int(self.scaled)
+        self.ksizes = tuple(self.ksizes)
+
     @property
     def moltype(self):
         if self.dna:
@@ -130,6 +136,36 @@ class ComputeParameters:
         if self.track_abundance:
             pi.append("abund")
         return ",".join(pi)
+
+    @classmethod
+    def from_manifest_row(cls, row):
+        """Convert a manifest row into a ComputeParameters object
+        (reference `command_sketch.py:893-930`)."""
+        is_dna = is_protein = is_dayhoff = is_hp = False
+        if row["moltype"] == "DNA":
+            is_dna = True
+        elif row["moltype"] == "protein":
+            is_protein = True
+        elif row["moltype"] == "hp":
+            is_hp = True
+        elif row["moltype"] == "dayhoff":
+            is_dayhoff = True
+        else:
+            assert 0
+
+        ksize = row["ksize"] if is_dna else row["ksize"] * 3
+
+        return cls(
+            ksizes=(ksize,),
+            seed=DEFAULT_MMHASH_SEED,
+            protein=is_protein,
+            dayhoff=is_dayhoff,
+            hp=is_hp,
+            dna=is_dna,
+            num_hashes=row["num"],
+            track_abundance=bool(row["with_abundance"]),
+            scaled=int(row["scaled"]),
+        )
 
     def make_minhashes(self):
         """Build minhashes per ksize. Multiple moltype flags may be set at
@@ -611,3 +647,290 @@ def _compute_merged(args, signatures_factory):
             len(args.filenames),
         )
         save_siglist(sigs, args.output)
+
+
+def _compute_sigs(to_build, output, *, check_sequence=False):
+    """Build the signatures in 'to_build' and save them to 'output'
+    (reference `command_sketch.py:309-362`)."""
+    save_sigs = sourmash_args.SaveSignaturesToLocation(output)
+    save_sigs.open()
+
+    for (name, filename), param_objs in to_build.items():
+        assert param_objs
+
+        sigs = []
+        is_dna = param_objs[0].dna
+        for p in param_objs:
+            if p.dna:
+                assert is_dna
+            sigs.append(signature_from_params(p))
+
+        input_is_protein = not is_dna
+
+        notify(f"... reading sequences from {filename}")
+        n = -1
+        for n, (rname, rseq) in enumerate(sequence_io.iter_records_bytes(filename)):
+            if n and n % 10000 == 0:
+                notify("\r...{} {}", filename, n, end="")
+            try:
+                add_seq(sigs, rseq, input_is_protein, check_sequence)
+            except ValueError as exc:
+                error(f"ERROR when reading from '{filename}' - ")
+                error(str(exc))
+                sys.exit(-1)
+        if n < 0:
+            error(f"ERROR: no sequences found in '{filename}'?!")
+            sys.exit(-1)
+
+        notify("...{} {} sequences", filename, n, end="")
+        set_sig_name(sigs, filename, name)
+        for sig in sigs:
+            save_sigs.add(sig)
+
+    save_sigs.close()
+    notify(
+        f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
+    )
+
+
+def _output_csv_info(filename, sigs_to_build):
+    "Output info needed to construct signatures, in CSV (reference :365-400)."
+    with sourmash_args.FileOutputCSV(filename) as csv_fp:
+        w = csv.DictWriter(
+            csv_fp,
+            fieldnames=["filename", "sketchtype", "output_index", "name", "param_strs"],
+        )
+        w.writeheader()
+
+        output_n = 0
+        for (name, filename_), param_objs in sigs_to_build.items():
+            param_strs = []
+
+            if param_objs[0].dna:
+                assert all(p.dna for p in param_objs)
+                sketchtype = "dna"
+            else:
+                assert not any(p.dna for p in param_objs)
+                sketchtype = "protein"
+
+            for p in param_objs:
+                param_strs.append(p.to_param_str())
+
+            w.writerow(
+                dict(
+                    filename=filename_,
+                    sketchtype=sketchtype,
+                    param_strs="-p " + " -p ".join(param_strs),
+                    name=name,
+                    output_index=output_n,
+                )
+            )
+            output_n += 1
+
+
+def fromfile(args):
+    """Build sketches for many named genomes/proteomes listed in CSV(s)
+    (reference `command_sketch.py:403-633`)."""
+    from collections import Counter
+
+    from .manifest import CollectionManifest
+    from .sig.__main__ import _SketchInfo, _summarize_manifest
+    import sourmash_tpu as sourmash
+
+    if args.license != "CC0":
+        error("error: sourmash only supports CC0-licensed signatures. sorry!")
+        sys.exit(-1)
+
+    if args.output_signatures and os.path.exists(args.output_signatures):
+        if not args.force_output_already_exists:
+            error(
+                f"** ERROR: output location '{args.output_signatures}' already exists!"
+            )
+            error("** Not overwriting/appending.")
+            error(
+                "** Use --force-output-already-exists if you want to overwrite/append."
+            )
+            sys.exit(-1)
+
+    try:
+        sig_factory = _signatures_for_sketch_factory(args.param_string, None)
+    except ValueError as e:
+        error(f"Error creating signatures: {str(e)}")
+        sys.exit(-1)
+
+    build_params = list(sig_factory.get_compute_params(split_ksizes=True))
+
+    for p in build_params:
+        if p.seed != DEFAULT_MMHASH_SEED:
+            error("** ERROR: cannot set 'seed' in 'sketch fromfile'")
+            sys.exit(-1)
+
+    to_build = defaultdict(list)
+    all_names = {}
+    total_rows = 0
+    skipped_sigs = 0
+    n_missing_name = 0
+    n_duplicate_name = 0
+    duplicate_names = set()
+
+    for csvfile in args.csvs:
+        with sourmash_args.FileInputCSV(csvfile) as r:
+            for row in r:
+                name = row["name"]
+                if not name:
+                    n_missing_name += 1
+                    continue
+
+                genome = row["genome_filename"]
+                proteome = row["protein_filename"]
+                total_rows += 1
+
+                if name in all_names:
+                    n_duplicate_name += 1
+                    duplicate_names.add(name)
+                else:
+                    all_names[name] = (genome, proteome)
+
+    fail_exit = False
+    if n_duplicate_name:
+        if args.report_duplicated:
+            notify("duplicated:\n" + "\n".join(sorted(duplicate_names)))
+        error(
+            f"** ERROR: {n_duplicate_name} entries have duplicate 'name' records. Exiting!"
+        )
+        fail_exit = True
+
+    if n_missing_name:
+        error(f"** ERROR: {n_missing_name} entries have blank 'name's? Exiting!")
+        fail_exit = True
+
+    if fail_exit:
+        sys.exit(-1)
+
+    already_done = defaultdict(list)
+    already_done_rows = []
+    for filename in args.already_done:
+        idx = sourmash.load_file_as_index(filename)
+        manifest = idx.manifest
+        assert manifest
+
+        for row in manifest.rows:
+            name = row["name"]
+            if name:
+                p = ComputeParameters.from_manifest_row(row)
+                already_done[name].append(p)
+                if name in all_names:
+                    if p in build_params:
+                        already_done_rows.append(row)
+
+    already_done_manifest = CollectionManifest(already_done_rows)
+    if args.already_done:
+        notify(f"Loaded {len(already_done)} pre-existing names from manifest(s)")
+        notify(f"collected {len(already_done_rows)} rows for already-done signatures.")
+
+    total_sigs = 0
+    missing = defaultdict(list)
+    missing_count = 0
+    for name, (genome, proteome) in all_names.items():
+        plist = already_done.get(name, [])
+
+        for p in build_params:
+            total_sigs += 1
+
+            if p not in plist:
+                filename = genome if p.dna else proteome
+                filetype = "genome" if p.dna else "proteome"
+
+                if filename:
+                    to_build[(name, filename)].append(p)
+                else:
+                    notify(f"WARNING: fromfile entry '{name}' is missing a {filetype}")
+                    missing[name].append(p)
+                    missing_count += 1
+            else:
+                skipped_sigs += 1
+
+    notify(f"Read {total_rows} rows, requesting that {total_sigs} signatures be built.")
+
+    if already_done_manifest:
+        info_d = _summarize_manifest(already_done_manifest)
+        print_results("---")
+        print_results("summary of already-done sketches:")
+
+        for ski in info_d["sketch_info"]:
+            mh_type = f"num={ski['num']}" if ski["num"] else f"scaled={ski['scaled']}"
+            mh_abund = ", abund" if ski["abund"] else ""
+            sketch_str = f"{ski['count']} sketches with {ski['moltype']}, k={ski['ksize']}, {mh_type}{mh_abund}"
+            print_results(f"   {sketch_str: <50} {ski['n_hashes']} total hashes")
+
+        print_results("---")
+
+    if args.output_manifest_matching:
+        already_done_manifest.write_to_filename(args.output_manifest_matching)
+        notify(
+            f"output {len(already_done_manifest)} already-done signatures to '{args.output_manifest_matching}' in manifest format."
+        )
+
+    if missing:
+        error("** ERROR: we cannot build some of the requested signatures.")
+        error(
+            f"** {missing_count} total signatures (for {len(missing)} names) cannot be built."
+        )
+        if args.ignore_missing:
+            error("** (continuing past this error because --ignore-missing was set)")
+        else:
+            sys.exit(-1)
+
+    notify(
+        f"** {total_sigs - skipped_sigs} new signatures to build from {len(to_build)} files;"
+    )
+    if not to_build:
+        notify("** Nothing to build. Exiting!")
+        sys.exit(0)
+
+    if skipped_sigs:
+        notify(f"** {skipped_sigs} already exist, so skipping those.")
+    else:
+        notify("** we found no pre-existing signatures that match.")
+
+    print_results("---")
+    print_results("summary of sketches to build:")
+
+    counter = Counter()
+    for filename, param_objs in to_build.items():
+        for p in param_objs:
+            assert len(p.ksizes) == 1
+            ksize = p.ksizes[0]
+            if not p.dna:
+                ksize //= 3
+
+            ski = _SketchInfo(
+                ksize=ksize,
+                moltype=p.moltype,
+                scaled=p.scaled,
+                num=p.num_hashes,
+                abund=p.track_abundance,
+            )
+            counter[ski] += 1
+
+    for ski, count in counter.items():
+        mh_type = f"num={ski.num}" if ski.num else f"scaled={ski.scaled}"
+        mh_abund = ", abund" if ski.abund else ""
+        sketch_str = (
+            f"{count} sketches with {ski.moltype}, k={ski.ksize}, {mh_type}{mh_abund}"
+        )
+        print_results(f"   {sketch_str: <50}")
+
+    print_results("---")
+
+    if args.output_signatures:
+        _compute_sigs(
+            to_build, args.output_signatures, check_sequence=args.check_sequence
+        )
+
+    if args.output_csv_info:
+        _output_csv_info(args.output_csv_info, to_build)
+
+    notify(
+        f"** {total_sigs} total requested; output {total_sigs - skipped_sigs}, skipped {skipped_sigs}"
+    )

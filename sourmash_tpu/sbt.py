@@ -1079,3 +1079,50 @@ class Leaf:
         return cls(
             info["metadata"], name=info["name"], path=info["filename"], storage=storage
         )
+
+
+def convert_cmd(name, backend):
+    """Convert an SBT to use a different storage back end (reference
+    `sbt.py:1554-1596`). zip and fs backends are supported; ipfs/redis
+    require client libraries not present in this environment."""
+    from .sbtmh import SigLeaf
+    from .sbt_storage import FSStorage, ZipStorage, IPFSStorage, RedisStorage
+
+    options = backend.split("(")
+    backend = options.pop(0)
+    backend = backend.lower().strip("'")
+
+    kwargs = {}
+
+    if options:
+        options = options[0].split(")")
+        # the option is passed shell-quoted, e.g. 'ZipStorage("/path.zip")'
+        options = [options.pop(0).strip("\"'")]
+    else:
+        options = []
+
+    if backend in ("ipfs", "ipfsstorage"):
+        backend = IPFSStorage
+    elif backend in ("redis", "redisstorage"):
+        backend = RedisStorage
+    elif backend in ("zip", "zipstorage"):
+        backend = ZipStorage
+        kwargs["mode"] = "w"
+    elif backend in ("fs", "fsstorage"):
+        backend = FSStorage
+        if options:
+            options = [os.path.dirname(options[0]), os.path.basename(options[0])]
+        else:
+            # default layout used by SBT v2
+            tag = ".sbt." + os.path.basename(name)
+            if tag.endswith(".sbt.json"):
+                tag = tag[:-9]
+            path = os.path.dirname(name)
+            options = [path, tag]
+    else:
+        error(f"backend not recognized: {backend}")
+        return 1
+
+    with backend(*options, **kwargs) as storage:
+        sbt = SBT.load(name, leaf_loader=SigLeaf.load)
+        sbt.save(name, storage=storage)

@@ -484,8 +484,13 @@ def load_signatures_from_json(
         records = json.loads(buf)
         if isinstance(records, dict):
             records = [records]
+        # an SBT index JSON also has a top-level "signatures" key (leaf map),
+        # so require the value to be a list of sketch dicts
         if not isinstance(records, list) or not all(
-            isinstance(rec, dict) and "signatures" in rec for rec in records
+            isinstance(rec, dict)
+            and isinstance(rec.get("signatures"), list)
+            and all(isinstance(sk, dict) for sk in rec["signatures"])
+            for rec in records
         ):
             raise ValueError("JSON data is not a list of sourmash signatures")
 
