@@ -531,6 +531,12 @@ def _compute_individual(args, signatures_factory):
     open_output_each_time = not args.output
 
     for filename in args.filenames:
+        # stdin can only be read once; buffer it so peek + sketch both work
+        read_obj = filename
+        if filename == "-":
+            import io as _io
+
+            read_obj = _io.BytesIO(sys.stdin.buffer.read())
         if open_output_each_time:
             sigfile = os.path.basename(filename) + ".sig"
             if args.output_dir:
@@ -545,8 +551,8 @@ def _compute_individual(args, signatures_factory):
 
         # peek: empty file?
         try:
-            peek = next(iter(sequence_io.iter_records_bytes(filename)), None)
-        except ValueError as exc:
+            peek = next(iter(sequence_io.iter_records_bytes(read_obj)), None)
+        except (OSError, ValueError) as exc:
             error(f"ERROR when reading from '{filename}' - ")
             error(str(exc))
             sys.exit(-1)
@@ -565,7 +571,7 @@ def _compute_individual(args, signatures_factory):
             n_calculated = 0
             n = 0
             for n, (rname, rseq) in enumerate(
-                sequence_io.iter_records_bytes(filename)
+                sequence_io.iter_records_bytes(read_obj)
             ):
                 sigs = signatures_factory()
                 try:
@@ -590,7 +596,7 @@ def _compute_individual(args, signatures_factory):
             notify(f"... reading sequences from {filename}")
             try:
                 n, first_name = _sketch_whole_file(
-                    sigs, filename, args.input_is_protein, args.check_sequence
+                    sigs, read_obj, args.input_is_protein, args.check_sequence
                 )
             except ValueError as exc:
                 error(f"ERROR when reading from '{filename}' - ")
@@ -624,10 +630,15 @@ def _compute_merged(args, signatures_factory):
 
     total_seq = 0
     for filename in args.filenames:
+        read_obj = filename
+        if filename == "-":
+            import io as _io
+
+            read_obj = _io.BytesIO(sys.stdin.buffer.read())
         notify("... reading sequences from {}", filename)
         try:
             n, _ = _sketch_whole_file(
-                sigs, filename, args.input_is_protein, args.check_sequence
+                sigs, read_obj, args.input_is_protein, args.check_sequence
             )
         except ValueError as exc:
             error(f"ERROR when reading from '{filename}' - ")

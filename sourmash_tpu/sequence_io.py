@@ -27,10 +27,20 @@ class Record:
 
 
 def _open_maybe_compressed(path):
+    if path == "-":
+        import sys
+
+        path = sys.stdin.buffer
     if hasattr(path, "read"):
         f = path
-        head = f.read(2)
-        f.seek(0)
+        if hasattr(f, "seekable") and f.seekable():
+            f.seek(0)  # rewind before sniffing: object may have been read
+            head = f.read(2)
+            f.seek(0)
+        else:
+            head = f.read(2)
+            # non-seekable stream (stdin, pipes): chain the sniffed bytes back
+            f = io.BufferedReader(_Chain(head, f))
     else:
         f = open(path, "rb")
         head = f.read(2)
@@ -56,8 +66,30 @@ def iter_records(path):
         yield Record(name=name, sequence=seq.decode("ascii"))
 
 
+def _native_ok(path):
+    "Native parser handles plain/gzip file paths (not bz2, not streams)."
+    if hasattr(path, "read") or path == "-":
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(2)
+    except OSError:
+        return False
+    if head == b"BZ":
+        return False
+    from . import native
+
+    return native.available()
+
+
 def iter_records_bytes(path):
     "Yield (name:str, seq:bytes) tuples."
+    if _native_ok(path):
+        from . import native
+
+        yield from native.iter_records_bytes(path)
+        return
+    we_opened = not hasattr(path, "read")
     f = _open_maybe_compressed(path)
     try:
         first = f.read(1)
@@ -76,7 +108,8 @@ def iter_records_bytes(path):
                 f"invalid sequence file: does not start with '>' or '@'"
             )
     finally:
-        f.close()
+        if we_opened:
+            f.close()
 
 
 class _Chain(io.RawIOBase):
@@ -143,6 +176,16 @@ def iter_record_batches(path, ksize: int, target_bytes: int = 8 << 20):
     record boundary. `names` is the list of record names in the batch.
     """
     sep = b"N" * (ksize - 1)
+    if _native_ok(path):
+        from . import native
+
+        for bnames, blob, off in native.iter_batches(path, target_bytes=target_bytes):
+            mv = memoryview(blob)
+            joined = sep.join(
+                mv[off[i] : off[i + 1]] for i in range(len(bnames))
+            )
+            yield bnames, joined
+        return
     names: list[str] = []
     parts: list[bytes] = []
     size = 0
