@@ -66,7 +66,11 @@ class FlatIndex(Index):
 
     def select(self, **kwargs):
         _check_select_parameters(**kwargs)
+        # manifest semantics for containment (reference manifest.py:324)
+        containment = kwargs.pop("containment", False)
         sigs = [ss for ss in self._signatures if select_signature(ss, **kwargs)]
+        if containment or kwargs.get("scaled"):
+            sigs = [ss for ss in sigs if ss.minhash.scaled]
         return FlatIndex(sigs, self._location)
 
     # -- device state ------------------------------------------------------

@@ -1,0 +1,228 @@
+"""RevIndex: inverted hash -> dataset index, in memory and on disk.
+
+Behavior parity: reference `src/sourmash/index/revindex.py` (Python
+wrapper API) and `src/core/src/index/revindex/` (mem_revindex.rs:1-461,
+disk_revindex.rs:45-466 — the RocksDB-backed "branchwater" index with
+incremental, resumable builds keyed on processed dataset md5s).
+
+TPU-native design: instead of RocksDB posting lists the index is two flat
+device tensors H [N] uint64 (sorted hashes, with multiplicity per dataset)
+and D [N] int32 (dataset ids) — overlap counting is a batched
+searchsorted-membership + segment-sum on device (`ops/index_ops.py`), and
+gather decrements ride the same tensors (`index/flat.py`). The on-disk
+format replaces RocksDB with a versioned directory:
+
+    <path>/revindex.json   header: version, sketch params, processed md5s
+    <path>/hashes.npy      H, sorted uint64
+    <path>/datasets.npy    D, int32
+    <path>/sigs.zip        signature collection (manifest-bearing zip)
+
+numpy mmap-loads the tensors, so opening is O(1) and the first query
+uploads them to HBM once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from . import Index, LinearIndex, _check_select_parameters, select_signature
+from .flat import FlatIndex
+
+FORMAT_NAME = "sourmash-tpu-revindex"
+FORMAT_VERSION = 1
+
+
+class RevIndex(FlatIndex):
+    """In-memory reverse index (reference `index/revindex.py:14-239` API).
+
+    Accepts signatures or signature paths; `template` (a MinHash) acts as
+    the selection template, `threshold` filters low-overlap candidates in
+    `counter_gather`.
+    """
+
+    is_database = True
+
+    def __init__(
+        self,
+        *,
+        signatures=None,
+        signature_paths=None,
+        template=None,
+        threshold=0,
+        queries=None,
+        keep_sigs=False,
+        location=None,
+    ):
+        sigs = list(signatures) if signatures else []
+        if signature_paths:
+            from .. import sourmash_args
+
+            for path in signature_paths:
+                sigs.extend(sourmash_args.load_file_as_signatures(path))
+        if template is not None:
+            sigs = [
+                ss
+                for ss in sigs
+                if select_signature(
+                    ss, ksize=template.ksize, moltype=template.moltype
+                )
+            ]
+        super().__init__(sigs, location)
+        self.template = template
+        self.threshold = threshold
+        self.queries = queries
+        self.keep_sigs = keep_sigs
+
+    def select(self, **kwargs):
+        _check_select_parameters(**kwargs)
+        # manifest semantics: containment filters to scaled sketches rather
+        # than requiring an explicit scaled= (reference manifest.py:324)
+        containment = kwargs.pop("containment", False)
+        sigs = [ss for ss in self._signatures if select_signature(ss, **kwargs)]
+        if containment or kwargs.get("scaled"):
+            sigs = [ss for ss in sigs if ss.minhash.scaled]
+        out = RevIndex(signatures=sigs, location=self._location)
+        out.template = self.template
+        out.threshold = self.threshold
+        return out
+
+    @property
+    def scaled(self):
+        self._build()
+        return self._scaled
+
+    def save(self, path):
+        "Write the versioned on-disk format (see module docstring)."
+        save_revindex(self, path)
+
+    @classmethod
+    def load(cls, location):
+        return load_revindex(location)
+
+
+def save_revindex(index, path, *, processed=None):
+    "Serialize any collection of scaled signatures as a disk revindex."
+    from ..save_load import SaveSignaturesToLocation
+
+    sigs = list(index.signatures())
+    os.makedirs(path, exist_ok=True)
+
+    # sigs.zip holds the actual sketches for returning matches
+    zip_path = os.path.join(path, "sigs.zip")
+    if os.path.exists(zip_path):
+        os.unlink(zip_path)
+    with SaveSignaturesToLocation(zip_path) as save_sigs:
+        for ss in sigs:
+            save_sigs.add(ss)
+
+    # flat pair tensors at the common scaled
+    fi = FlatIndex(sigs)
+    fi._build()
+    H, D = (np.asarray(x) for x in fi._pairs)
+    real = D < len(sigs)  # strip the lane padding
+    np.save(os.path.join(path, "hashes.npy"), H[real])
+    np.save(os.path.join(path, "datasets.npy"), D[real])
+
+    if processed is None:
+        processed = [ss.md5sum() for ss in sigs]
+    header = {
+        "format": FORMAT_NAME,
+        "version": FORMAT_VERSION,
+        "n_datasets": len(sigs),
+        "dataset_order": [ss.md5sum() for ss in sigs],
+        "scaled": int(fi._scaled),
+        "ksize": sigs[0].minhash.ksize if sigs else None,
+        "moltype": sigs[0].minhash.moltype if sigs else None,
+        "seed": sigs[0].minhash.seed if sigs else None,
+        "processed": processed,
+    }
+    with open(os.path.join(path, "revindex.json"), "w") as fp:
+        json.dump(header, fp)
+    return path
+
+
+def is_revindex_dir(path):
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "revindex.json")
+    )
+
+
+def load_revindex(path):
+    "Load a disk revindex; tensors are mmapped until first device use."
+    import jax.numpy as jnp
+
+    from ..minhash import _get_max_hash_for_scaled
+    from .. import save_load
+    from ..save_load import IndexNotLoaded
+
+    header_path = os.path.join(path, "revindex.json")
+    if not os.path.exists(header_path):
+        raise IndexNotLoaded(f"{path} is not a revindex directory")
+    with open(header_path) as fp:
+        header = json.load(fp)
+    if header.get("format") != FORMAT_NAME:
+        raise IndexNotLoaded(f"{path}: unknown revindex format")
+    if header.get("version", 0) > FORMAT_VERSION:
+        raise IndexNotLoaded(
+            f"{path}: revindex version {header['version']} too new"
+        )
+
+    sigs_idx = save_load._load_database(os.path.join(path, "sigs.zip"), False)
+    sigs = list(sigs_idx.signatures())
+
+    # restore the save-time dataset order (D ids index into it)
+    order = header.get("dataset_order")
+    if order:
+        by_md5 = {}
+        for ss in sigs:
+            by_md5.setdefault(ss.md5sum(), []).append(ss)
+        sigs = [by_md5[md5].pop(0) for md5 in order]
+
+    idx = RevIndex(signatures=sigs, location=path)
+
+    H = np.load(os.path.join(path, "hashes.npy"), mmap_mode="r")
+    D = np.load(os.path.join(path, "datasets.npy"), mmap_mode="r")
+    N = H.shape[0]
+    Np = max(128, -(-N // 128) * 128)
+    Hp = np.full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    Hp[:N] = H
+    Dp = np.full(Np, len(sigs), dtype=np.int32)
+    Dp[:N] = D
+    idx._pairs = (jnp.asarray(Hp), jnp.asarray(Dp))
+    idx._scaled = int(header["scaled"])
+    cutoff = np.uint64(_get_max_hash_for_scaled(idx._scaled))
+    idx._ds_mins = [
+        m if int(ss.minhash.scaled) == idx._scaled else m[m <= cutoff]
+        for ss, m in ((ss, ss.minhash.mins_array()) for ss in sigs)
+    ]
+    return idx
+
+
+def update_revindex(path, new_sigs):
+    """Incrementally add signatures (reference `disk_revindex.rs:96-112`
+    resumable-build semantics: datasets whose md5 is already recorded in
+    the 'processed' header list are skipped)."""
+    idx = load_revindex(path)
+    processed = set()
+    with open(os.path.join(path, "revindex.json")) as fp:
+        header = json.load(fp)
+    processed.update(header.get("processed", []))
+
+    added = 0
+    sigs = list(idx.signatures())
+    for ss in new_sigs:
+        md5 = ss.md5sum()
+        if md5 in processed:
+            continue
+        sigs.append(ss)
+        processed.add(md5)
+        added += 1
+    if not added:
+        return idx, 0
+
+    merged = LinearIndex(sigs)
+    save_revindex(merged, path, processed=sorted(processed))
+    return load_revindex(path), added

@@ -149,7 +149,12 @@ def _load_sbt(filename, **kwargs):
 
 @add_loader("load revindex", 70)
 def _load_revindex(filename, **kwargs):
-    "Load collection from an LCA database."
+    "Load collection from a disk revindex directory or an LCA database."
+    from .index.revindex import is_revindex_dir, load_revindex
+
+    if is_revindex_dir(filename):
+        return load_revindex(filename)
+
     try:
         from .lca.lca_db import load_single_database
     except ImportError as exc:

@@ -1,0 +1,105 @@
+"""RevIndex (memory + disk) tests: roundtrip, incremental update, loader
+chain, and gather parity with the host CounterGather."""
+
+import numpy as np
+import pytest
+
+import sourmash_tpu
+from sourmash_tpu.index import CounterGather
+from sourmash_tpu.index.revindex import (
+    RevIndex,
+    load_revindex,
+    update_revindex,
+)
+from sourmash_tpu.sourmash_args import load_file_as_signatures
+
+from conftest import utils_test_data
+
+
+@pytest.fixture
+def sigs47_63():
+    a = list(load_file_as_signatures(utils_test_data("47.fa.sig")))
+    b = list(load_file_as_signatures(utils_test_data("63.fa.sig")))
+    return a + b
+
+
+@pytest.fixture
+def query4763():
+    return list(load_file_as_signatures(utils_test_data("47+63.fa.sig")))[0]
+
+
+def test_revindex_memory(sigs47_63, query4763):
+    ri = RevIndex(signatures=sigs47_63)
+    assert len(ri) == 2
+    assert ri.scaled == 1000
+    counts = ri.counts_for(query4763.minhash.mins_array())
+    assert counts.tolist() == [5177, 5238]  # known 47/63 overlaps with 47+63
+
+
+def test_revindex_disk_roundtrip(tmp_path, sigs47_63, query4763):
+    path = str(tmp_path / "db.revindex")
+    RevIndex(signatures=sigs47_63).save(path)
+
+    back = load_revindex(path)
+    assert len(back) == 2
+    assert back.scaled == 1000
+    assert {ss.md5sum() for ss in back.signatures()} == {
+        ss.md5sum() for ss in sigs47_63
+    }
+
+    # device tensors loaded from disk give the same counts
+    counts = back.counts_for(query4763.minhash.mins_array())
+    assert counts.tolist() == [5177, 5238]
+
+
+def test_revindex_loader_chain_and_gather_parity(
+    tmp_path, sigs47_63, query4763
+):
+    path = str(tmp_path / "db.revindex")
+    RevIndex(signatures=sigs47_63).save(path)
+
+    idx = sourmash_tpu.load_file_as_index(path)
+    assert type(idx).__name__ == "RevIndex"
+
+    q = query4763.copy()
+    with q.update() as q:
+        q.minhash = q.minhash.flatten()
+
+    host = CounterGather(q)
+    for ss in idx.signatures():
+        host.add(ss)
+    dev = idx.counter_gather(query4763, 0)
+
+    cur = q.minhash.to_mutable()
+    while True:
+        a = host.peek(cur)
+        b = dev.peek(cur)
+        if not a:
+            assert not b
+            break
+        assert a[0].signature.md5sum() == b[0].signature.md5sum()
+        assert set(a[1].hashes) == set(b[1].hashes)
+        host.consume(a[1])
+        dev.consume(b[1])
+        cur.remove_many(a[1].hashes)
+
+
+def test_revindex_incremental_update(tmp_path, sigs47_63):
+    path = str(tmp_path / "db.revindex")
+    RevIndex(signatures=sigs47_63[:1]).save(path)
+
+    # re-adding the same signature is skipped (resumable-build semantics)
+    _, added = update_revindex(path, sigs47_63[:1])
+    assert added == 0
+
+    idx, added = update_revindex(path, sigs47_63)
+    assert added == 1
+    assert len(idx) == 2
+    assert len(load_revindex(path)) == 2
+
+
+def test_revindex_select(sigs47_63):
+    ri = RevIndex(signatures=sigs47_63)
+    assert len(ri.select(ksize=31)) == 2
+    assert len(ri.select(ksize=21)) == 0
+    assert len(ri.select(moltype="protein")) == 0
