@@ -136,9 +136,10 @@ def murmur_cols32(col, L: int, seed: int, n: int):
     col(i) -> [n] uint32 lane holding byte i of every window.
     Returns (hi, lo) uint32 pair arrays of shape [n].
     """
+    shape = (n,) if isinstance(n, int) else tuple(n)
     seed_pair = (
-        jnp.full((n,), np.uint32((seed >> 32) & 0xFFFFFFFF), dtype=jnp.uint32),
-        jnp.full((n,), np.uint32(seed & 0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.full(shape, np.uint32((seed >> 32) & 0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.full(shape, np.uint32(seed & 0xFFFFFFFF), dtype=jnp.uint32),
     )
     h1 = seed_pair
     h2 = (seed_pair[0], seed_pair[1])
@@ -177,8 +178,8 @@ def murmur_cols32(col, L: int, seed: int, n: int):
     t = L & 15
     base = nblocks * 16
     if t > 8:
-        k2hi = jnp.zeros((n,), dtype=jnp.uint32)
-        k2lo = jnp.zeros((n,), dtype=jnp.uint32)
+        k2hi = jnp.zeros(shape, dtype=jnp.uint32)
+        k2lo = jnp.zeros(shape, dtype=jnp.uint32)
         for i in range(t - 1, 7, -1):
             shift = 8 * (i - 8)
             if shift < 32:
@@ -191,8 +192,8 @@ def murmur_cols32(col, L: int, seed: int, n: int):
         k2 = mul64_const(k2, C1)
         h2 = xor64(h2, k2)
     if t > 0:
-        k1hi = jnp.zeros((n,), dtype=jnp.uint32)
-        k1lo = jnp.zeros((n,), dtype=jnp.uint32)
+        k1hi = jnp.zeros(shape, dtype=jnp.uint32)
+        k1lo = jnp.zeros(shape, dtype=jnp.uint32)
         for i in range(min(t, 8) - 1, -1, -1):
             shift = 8 * i
             if shift < 32:

@@ -1,0 +1,170 @@
+"""Pallas TPU kernel for the canonical-k-mer murmur sketch hot path.
+
+Replaces the XLA elementwise pipeline in `ops/sketch.py:_window_hash_pairs`
+with a single fused VMEM-resident kernel: every shifted window column, the
+canonical-strand compare, and the 32-bit-limb murmur pipeline execute on
+one block of windows without intermediate HBM round-trips. The XLA path
+materializes ~2k shifted [n] arrays per chunk in HBM; here they are lane
+rolls of a VMEM block.
+
+Behavioral reference: `/root/reference/src/core/src/signature.rs:246-306`
+(SeqToHashes canonical window iteration) — implementation is an original
+TPU design.
+
+Layout: windows are laid out flat as rows of 128 lanes; each grid step
+processes R rows (R*128 windows) and reads an (R+1, 128) block so shifted
+columns j in [0, k) resolve inside the block:
+
+    col_j[r, l] = block[r + (l + j) // 128, (l + j) % 128]
+                = select(l < 128 - j, roll(block, -j, lanes)[r],
+                                      roll(block, -j, lanes)[r + 1])
+
+requiring k <= 129.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .murmur32 import murmur_cols32
+
+LANES = 128
+DEFAULT_ROWS = 64  # windows per grid step = ROWS * LANES
+
+
+def _shifted(block, j: int, rows: int, lane_idx, interpret: bool):
+    "Flat shift by j of an (rows+1, LANES) block -> (rows, LANES)."
+    if j == 0:
+        return block[:rows]
+    if interpret:
+        rolled = jnp.roll(block, -j, axis=1)
+    else:
+        # pltpu.roll requires non-negative shifts; LANES - j == -j (mod LANES).
+        # The shift must be an i32 scalar (x64 mode would make a bare int i64).
+        rolled = pltpu.roll(block, shift=jnp.int32(LANES - j), axis=1)
+    return jnp.where(lane_idx < LANES - j, rolled[:rows], rolled[1 : rows + 1])
+
+
+def _sketch_block_kernel(
+    squ_ref, comp_ref, hi_ref, lo_ref, *, ksize: int, seed: int, rows: int,
+    interpret: bool
+):
+    squ = squ_ref[:].astype(jnp.uint32)
+    comp = comp_ref[:].astype(jnp.uint32)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+
+    fcols = [_shifted(squ, j, rows, lane_idx, interpret) for j in range(ksize)]
+    rcols = [
+        _shifted(comp, ksize - 1 - j, rows, lane_idx, interpret)
+        for j in range(ksize)
+    ]
+
+    # canonical strand: fwd <= rc over the k bytes, compared in 4-byte
+    # big-endian uint32 groups (zero padding past k matches on both sides)
+    G = -(-ksize // 4)
+
+    def be_group(cols, t):
+        acc = jnp.zeros((rows, LANES), dtype=jnp.uint32)
+        for b in range(4):
+            i = t * 4 + b
+            if i < ksize:
+                acc = acc | (cols[i] << np.uint32(8 * (3 - b)))
+        return acc
+
+    use_fwd = jnp.ones((rows, LANES), dtype=bool)
+    for t in reversed(range(G)):
+        gf = be_group(fcols, t)
+        gr = be_group(rcols, t)
+        use_fwd = (gf < gr) | ((gf == gr) & use_fwd)
+
+    cols = [jnp.where(use_fwd, f, r) for f, r in zip(fcols, rcols)]
+    hi, lo = murmur_cols32(lambda i: cols[i], ksize, seed, (rows, LANES))
+    hi_ref[:] = hi
+    lo_ref[:] = lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "rows", "interpret")
+)
+def window_hash_pairs_pallas(
+    squ,
+    comp,
+    n_windows: None = None,
+    *,
+    ksize: int,
+    seed: int = 42,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Canonical murmur hashes for all windows of an uppercased byte array.
+
+    squ / comp: [S] uint8 — uppercased sequence and its complement.
+    Returns (hi, lo) uint32 arrays of shape [n_pad] where
+    n_pad = ceil((S - ksize + 1) / (rows*128)) * rows*128; entries past the
+    real window count are junk (computed over zero padding) and must be
+    masked by the caller (which it already does via validity).
+    """
+    batched = squ.ndim == 2
+    if not batched:
+        squ = squ[None, :]
+        comp = comp[None, :]
+    B, S = squ.shape
+    n = S - ksize + 1
+    block = rows * LANES
+    nblocks = -(-n // block)
+    n_pad = nblocks * block
+
+    # flat byte stream padded so every block's view exists; blocks carry
+    # rows+8 rows (sublane dim must be a multiple of 8) though only rows+1
+    # are read
+    need = n_pad + 8 * LANES
+    pad = need - S
+    squ32 = jnp.pad(squ, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
+    comp32 = jnp.pad(comp, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
+
+    # overlapping block views, duplicated once in HBM (~1.6% overhead)
+    brows = rows + 8
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    offs = jnp.arange(brows * LANES, dtype=jnp.int32)
+    idx = starts[:, None] + offs[None, :]
+    squ_blocks = squ32[:, idx].reshape(B * nblocks * brows, LANES)
+    comp_blocks = comp32[:, idx].reshape(B * nblocks * brows, LANES)
+
+    kernel = functools.partial(
+        _sketch_block_kernel,
+        ksize=ksize,
+        seed=seed,
+        rows=rows,
+        interpret=interpret,
+    )
+    hi, lo = pl.pallas_call(
+        kernel,
+        grid=(B * nblocks,),
+        # index maps return int32 zeros explicitly: under jax_enable_x64 a
+        # bare 0 traces as i64, which Mosaic cannot legalize in func.return
+        in_specs=[
+            pl.BlockSpec((brows, LANES), lambda b: (b, np.int32(0))),
+            pl.BlockSpec((brows, LANES), lambda b: (b, np.int32(0))),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
+            pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(squ_blocks, comp_blocks)
+    hi = hi.reshape(B, n_pad)
+    lo = lo.reshape(B, n_pad)
+    if not batched:
+        return hi[0], lo[0]
+    return hi, lo

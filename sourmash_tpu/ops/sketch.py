@@ -175,20 +175,58 @@ def _window_hashes(seq, n: int, ksize: int, seed: int):
     return le64_pair(*h_pair), valid
 
 
-@functools.partial(jax.jit, static_argnames=("ksize", "seed", "cap"))
-def _seq_to_compact_hashes(seq, max_hash, ksize: int, seed: int, cap: int):
+def _use_pallas_default():
+    """Pallas kernel on real TPU backends; XLA path elsewhere.
+    Overridable with SOURMASH_PALLAS=1/0."""
+    import os
+
+    env = os.environ.get("SOURMASH_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _window_validity(seq, n: int, ksize: int):
+    valid_pos = jnp.asarray(VALID_DNA)[seq]
+    bad = (~valid_pos).astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
+    return (cs[ksize:] - cs[:-ksize]) == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "cap", "use_pallas")
+)
+def _seq_to_compact_hashes(
+    seq, max_hash, ksize: int, seed: int, cap: int, use_pallas: bool = False
+):
     """Fused sketch kernel: bytes -> compacted surviving hashes.
 
     Returns (out [cap] uint64 — surviving hashes in window order, padded
     with MAX_U64 — and n_valid). If n_valid > cap the output is truncated
     (caller retries with a bigger cap). Everything before the final pack
-    runs in uint32 limb arithmetic.
+    runs in uint32 limb arithmetic; with use_pallas the hash pipeline runs
+    as a fused VMEM kernel (ops/pallas_sketch.py).
     """
     from .murmur32 import pair_leq, le64_pair
 
     S = seq.shape[0]
     n = S - ksize + 1
-    (h_hi, h_lo), valid = _window_hash_pairs(seq, n, ksize, seed)
+    if use_pallas:
+        from .pallas_sketch import window_hash_pairs_pallas
+
+        interp = jax.default_backend() == "cpu"
+        comp = jnp.asarray(COMPLEMENT)[seq]
+        h_hi, h_lo = window_hash_pairs_pallas(
+            seq, comp, ksize=ksize, seed=seed, interpret=interp
+        )
+        h_hi = h_hi[:n]
+        h_lo = h_lo[:n]
+        valid = _window_validity(seq, n, ksize)
+    else:
+        (h_hi, h_lo), valid = _window_hash_pairs(seq, n, ksize, seed)
 
     mh = max_hash.astype(jnp.uint64)
     th = (mh >> np.uint64(32)).astype(jnp.uint32)
@@ -206,18 +244,57 @@ def _seq_to_compact_hashes(seq, max_hash, ksize: int, seed: int, cap: int):
     return le64_pair(out_hi[:cap], out_lo[:cap]), n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("ksize", "seed", "cap"))
-def _seq_batch_to_compact_hashes(seqs, max_hash, ksize: int, seed: int, cap: int):
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "cap", "use_pallas")
+)
+def _seq_batch_to_compact_hashes(
+    seqs, max_hash, ksize: int, seed: int, cap: int, use_pallas: bool = False
+):
     """Batched variant: [B, S] byte rows -> ([B, cap] survivors, [B] counts).
 
     One device dispatch for a whole batch of chunks — essential when the
-    host<->device link has high per-call latency.
+    host<->device link has high per-call latency. The pallas path folds the
+    batch dimension into the kernel grid rather than vmapping the kernel.
     """
+    if not use_pallas:
 
-    def one(seq):
-        return _seq_to_compact_hashes(seq, max_hash, ksize, seed, cap)
+        def one(seq):
+            return _seq_to_compact_hashes(seq, max_hash, ksize, seed, cap)
 
-    return jax.vmap(one)(seqs)
+        return jax.vmap(one)(seqs)
+
+    from .murmur32 import pair_leq, le64_pair
+    from .pallas_sketch import window_hash_pairs_pallas
+
+    B, S = seqs.shape
+    n = S - ksize + 1
+    interp = jax.default_backend() == "cpu"
+    comp = jnp.asarray(COMPLEMENT)[seqs]
+    h_hi, h_lo = window_hash_pairs_pallas(
+        seqs, comp, ksize=ksize, seed=seed, interpret=interp
+    )
+    h_hi = h_hi[:, :n]
+    h_lo = h_lo[:, :n]
+    valid = jax.vmap(lambda s: _window_validity(s, n, ksize))(seqs)
+
+    mh = max_hash.astype(jnp.uint64)
+    th = (mh >> np.uint64(32)).astype(jnp.uint32)
+    tl = mh.astype(jnp.uint32)
+
+    keep = valid & pair_leq((h_hi, h_lo), (th, tl))
+    n_valid = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+    def compact(keep_r, hi_r, lo_r):
+        pos = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
+        idx = jnp.where(keep_r, pos, cap)
+        out_hi = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+        out_lo = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
+        out_hi = out_hi.at[idx].set(hi_r, mode="drop")
+        out_lo = out_lo.at[idx].set(lo_r, mode="drop")
+        return le64_pair(out_hi[:cap], out_lo[:cap])
+
+    out = jax.vmap(compact)(keep, h_hi, h_lo)
+    return out, n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "seed"))
@@ -296,7 +373,7 @@ def seq_chunks_to_hashes(
     for b0 in range(0, len(pieces), max_batch):
         batch = np.stack(pieces[b0 : b0 + max_batch])
         vals_dev, n_valid = _seq_batch_to_compact_hashes(
-            jnp.asarray(batch), mh, ksize, seed, cap
+            jnp.asarray(batch), mh, ksize, seed, cap, _use_pallas_default()
         )
         nvs = np.asarray(n_valid)
         vals = np.asarray(vals_dev)
@@ -307,7 +384,8 @@ def seq_chunks_to_hashes(
             if nv > cap:
                 # rare overflow: retry this chunk at full capacity
                 v2, n2 = _seq_to_compact_hashes(
-                    jnp.asarray(batch[i]), mh, ksize, seed, chunk
+                    jnp.asarray(batch[i]), mh, ksize, seed, chunk,
+                    _use_pallas_default(),
                 )
                 out.append(np.asarray(v2)[: int(n2)])
             else:

@@ -99,3 +99,28 @@ def test_known_kmer_hash():
     # Regression anchor: murmur("TTAACCTTAACC", 42) per mmh3.hash64.
     h = hash_murmur_scalar(b"TTAACCTTAACC", 42)
     assert h == murmur_oracle(b"TTAACCTTAACC", 42)
+
+
+def test_pallas_kernel_matches_xla_path():
+    """Pallas sketch kernel (interpret mode) is bit-identical to the XLA
+    elementwise path for several ksizes, including invalid-byte masking."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sourmash_tpu.ops.pallas_sketch import window_hash_pairs_pallas
+    from sourmash_tpu.ops.sketch import _window_hash_pairs
+    from sourmash_tpu.ops.encodings import COMPLEMENT, UPPER
+
+    rng = np.random.default_rng(11)
+    S = 64 * 128 * 2 + 333
+    seq = rng.choice(list(b"ACGTN"), size=S, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    squ = UPPER[seq.astype(np.uint8)]
+    comp = COMPLEMENT[squ]
+    for k in (7, 21, 31, 51):
+        n = S - k + 1
+        (hr, lr), _ = _window_hash_pairs(jnp.asarray(squ), n, k, 42)
+        hp, lp = window_hash_pairs_pallas(
+            jnp.asarray(squ), jnp.asarray(comp), ksize=k, interpret=True
+        )
+        assert np.array_equal(np.asarray(hr), np.asarray(hp)[:n])
+        assert np.array_equal(np.asarray(lr), np.asarray(lp)[:n])
