@@ -52,7 +52,11 @@ def main():
     from sourmash_tpu.ops.sketch import (
         _seq_to_compact_hashes,
         _seq_batch_to_compact_hashes,
+        _use_pallas_default,
     )
+
+    use_pallas = _use_pallas_default()
+    print(f"bench: pallas kernel = {use_pallas}", file=sys.stderr)
 
     cap = 16384
     n_buffers = 8
@@ -94,7 +98,9 @@ def main():
     )
 
     # warmup/compile
-    h, n = _seq_batch_to_compact_hashes(batches[0], mh_variants[0], ksize, 42, cap)
+    h, n = _seq_batch_to_compact_hashes(
+        batches[0], mh_variants[0], ksize, 42, cap, use_pallas
+    )
     _ = int(np.asarray(n)[0])
 
     reps = 24
@@ -102,7 +108,12 @@ def main():
     last = None
     for i in range(reps):
         h, n = _seq_batch_to_compact_hashes(
-            batches[i % n_batches], mh_variants[i % len(mh_variants)], ksize, 42, cap
+            batches[i % n_batches],
+            mh_variants[i % len(mh_variants)],
+            ksize,
+            42,
+            cap,
+            use_pallas,
         )
         last = n
     total_valid = int(np.asarray(last).sum())  # one readback closes the chain

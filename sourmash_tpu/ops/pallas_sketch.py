@@ -52,19 +52,39 @@ def _shifted(block, j: int, rows: int, lane_idx, interpret: bool):
     return jnp.where(lane_idx < LANES - j, rolled[:rows], rolled[1 : rows + 1])
 
 
+_A = np.uint32(ord("A"))
+_C = np.uint32(ord("C"))
+_G = np.uint32(ord("G"))
+_T = np.uint32(ord("T"))
+
+
+def _complement_col(c):
+    "Branchless ACGT complement (table gathers are slow on TPU)."
+    out = jnp.where(c == _A, _T, c)
+    out = jnp.where(c == _T, _A, out)
+    out = jnp.where(c == _C, _G, out)
+    out = jnp.where(c == _G, _C, out)
+    return out
+
+
 def _sketch_block_kernel(
-    squ_ref, comp_ref, hi_ref, lo_ref, *, ksize: int, seed: int, rows: int,
+    squ_ref, hi_ref, lo_ref, valid_ref, *, ksize: int, seed: int, rows: int,
     interpret: bool
 ):
     squ = squ_ref[:].astype(jnp.uint32)
-    comp = comp_ref[:].astype(jnp.uint32)
     lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
 
-    fcols = [_shifted(squ, j, rows, lane_idx, interpret) for j in range(ksize)]
-    rcols = [
-        _shifted(comp, ksize - 1 - j, rows, lane_idx, interpret)
-        for j in range(ksize)
-    ]
+    # one roll per byte offset; rc-window columns are complements of the
+    # SAME shifted columns: rcol_j = complement(scol_{k-1-j})
+    scols = [_shifted(squ, j, rows, lane_idx, interpret) for j in range(ksize)]
+    fcols = scols
+    rcols = [_complement_col(scols[ksize - 1 - j]) for j in range(ksize)]
+
+    # window validity: every byte ACGT (computed in-kernel; the XLA path
+    # needs a full-array cumsum for this)
+    valid = jnp.ones((rows, LANES), dtype=bool)
+    for c in scols:
+        valid = valid & ((c == _A) | (c == _C) | (c == _G) | (c == _T))
 
     # canonical strand: fwd <= rc over the k bytes, compared in 4-byte
     # big-endian uint32 groups (zero padding past k matches on both sides)
@@ -88,6 +108,7 @@ def _sketch_block_kernel(
     hi, lo = murmur_cols32(lambda i: cols[i], ksize, seed, (rows, LANES))
     hi_ref[:] = hi
     lo_ref[:] = lo
+    valid_ref[:] = valid.astype(jnp.uint32)
 
 
 @functools.partial(
@@ -95,26 +116,23 @@ def _sketch_block_kernel(
 )
 def window_hash_pairs_pallas(
     squ,
-    comp,
-    n_windows: None = None,
     *,
     ksize: int,
     seed: int = 42,
     rows: int = DEFAULT_ROWS,
     interpret: bool = False,
 ):
-    """Canonical murmur hashes for all windows of an uppercased byte array.
+    """Canonical murmur hashes + validity for all windows of an uppercased
+    byte array.
 
-    squ / comp: [S] uint8 — uppercased sequence and its complement.
-    Returns (hi, lo) uint32 arrays of shape [n_pad] where
+    squ: [S] or [B, S] uint8 — uppercased sequence(s). Returns
+    (hi, lo, valid) uint32 arrays of shape [n_pad] (or [B, n_pad]) where
     n_pad = ceil((S - ksize + 1) / (rows*128)) * rows*128; entries past the
-    real window count are junk (computed over zero padding) and must be
-    masked by the caller (which it already does via validity).
+    real window count have valid == 0 (zero padding is non-ACGT).
     """
     batched = squ.ndim == 2
     if not batched:
         squ = squ[None, :]
-        comp = comp[None, :]
     B, S = squ.shape
     n = S - ksize + 1
     block = rows * LANES
@@ -127,7 +145,6 @@ def window_hash_pairs_pallas(
     need = n_pad + 8 * LANES
     pad = need - S
     squ32 = jnp.pad(squ, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
-    comp32 = jnp.pad(comp, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
 
     # overlapping block views, duplicated once in HBM (~1.6% overhead)
     brows = rows + 8
@@ -135,7 +152,6 @@ def window_hash_pairs_pallas(
     offs = jnp.arange(brows * LANES, dtype=jnp.int32)
     idx = starts[:, None] + offs[None, :]
     squ_blocks = squ32[:, idx].reshape(B * nblocks * brows, LANES)
-    comp_blocks = comp32[:, idx].reshape(B * nblocks * brows, LANES)
 
     kernel = functools.partial(
         _sketch_block_kernel,
@@ -144,27 +160,29 @@ def window_hash_pairs_pallas(
         rows=rows,
         interpret=interpret,
     )
-    hi, lo = pl.pallas_call(
+    hi, lo, valid = pl.pallas_call(
         kernel,
         grid=(B * nblocks,),
         # index maps return int32 zeros explicitly: under jax_enable_x64 a
         # bare 0 traces as i64, which Mosaic cannot legalize in func.return
         in_specs=[
             pl.BlockSpec((brows, LANES), lambda b: (b, np.int32(0))),
-            pl.BlockSpec((brows, LANES), lambda b: (b, np.int32(0))),
         ],
         out_specs=[
+            pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
             pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
             pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
         ],
         interpret=interpret,
-    )(squ_blocks, comp_blocks)
+    )(squ_blocks)
     hi = hi.reshape(B, n_pad)
     lo = lo.reshape(B, n_pad)
+    valid = valid.reshape(B, n_pad)
     if not batched:
-        return hi[0], lo[0]
-    return hi, lo
+        return hi[0], lo[0], valid[0]
+    return hi, lo, valid

@@ -218,13 +218,12 @@ def _seq_to_compact_hashes(
         from .pallas_sketch import window_hash_pairs_pallas
 
         interp = jax.default_backend() == "cpu"
-        comp = jnp.asarray(COMPLEMENT)[seq]
-        h_hi, h_lo = window_hash_pairs_pallas(
-            seq, comp, ksize=ksize, seed=seed, interpret=interp
+        h_hi, h_lo, validu = window_hash_pairs_pallas(
+            seq, ksize=ksize, seed=seed, interpret=interp
         )
         h_hi = h_hi[:n]
         h_lo = h_lo[:n]
-        valid = _window_validity(seq, n, ksize)
+        valid = validu[:n] != 0
     else:
         (h_hi, h_lo), valid = _window_hash_pairs(seq, n, ksize, seed)
 
@@ -269,13 +268,12 @@ def _seq_batch_to_compact_hashes(
     B, S = seqs.shape
     n = S - ksize + 1
     interp = jax.default_backend() == "cpu"
-    comp = jnp.asarray(COMPLEMENT)[seqs]
-    h_hi, h_lo = window_hash_pairs_pallas(
-        seqs, comp, ksize=ksize, seed=seed, interpret=interp
+    h_hi, h_lo, validu = window_hash_pairs_pallas(
+        seqs, ksize=ksize, seed=seed, interpret=interp
     )
     h_hi = h_hi[:, :n]
     h_lo = h_lo[:, :n]
-    valid = jax.vmap(lambda s: _window_validity(s, n, ksize))(seqs)
+    valid = validu[:, :n] != 0
 
     mh = max_hash.astype(jnp.uint64)
     th = (mh >> np.uint64(32)).astype(jnp.uint32)

@@ -115,12 +115,15 @@ def test_pallas_kernel_matches_xla_path():
     S = 64 * 128 * 2 + 333
     seq = rng.choice(list(b"ACGTN"), size=S, p=[0.24, 0.24, 0.24, 0.24, 0.04])
     squ = UPPER[seq.astype(np.uint8)]
-    comp = COMPLEMENT[squ]
     for k in (7, 21, 31, 51):
         n = S - k + 1
-        (hr, lr), _ = _window_hash_pairs(jnp.asarray(squ), n, k, 42)
-        hp, lp = window_hash_pairs_pallas(
-            jnp.asarray(squ), jnp.asarray(comp), ksize=k, interpret=True
+        (hr, lr), vr = _window_hash_pairs(jnp.asarray(squ), n, k, 42)
+        hp, lp, vp = window_hash_pairs_pallas(
+            jnp.asarray(squ), ksize=k, interpret=True
         )
-        assert np.array_equal(np.asarray(hr), np.asarray(hp)[:n])
-        assert np.array_equal(np.asarray(lr), np.asarray(lp)[:n])
+        vp = np.asarray(vp)[:n] != 0
+        vr = np.asarray(vr)
+        assert np.array_equal(vr, vp)
+        # hashes must agree on valid windows (invalid windows are masked)
+        assert np.array_equal(np.asarray(hr)[vr], np.asarray(hp)[:n][vp])
+        assert np.array_equal(np.asarray(lr)[vr], np.asarray(lp)[:n][vp])
