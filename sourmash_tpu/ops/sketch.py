@@ -189,6 +189,30 @@ def _use_pallas_default():
         return False
 
 
+def _compact_keep(keep, h_hi, h_lo, cap: int):
+    """Compact surviving (hi, lo) hash pairs into the first n_valid slots of
+    a [cap] uint64 output (MAX_U64-padded), preserving window order.
+
+    Scatter-free: output slot j gathers the window whose inclusive keep-
+    cumsum first reaches j+1 (a vectorized binary search). TPU scatters
+    serialize (~3x slower than this searchsorted+gather on v5e).
+    """
+    from .murmur32 import le64_pair
+
+    n = keep.shape[0]
+    cs = jnp.cumsum(keep.astype(jnp.int32))
+    n_valid = cs[-1]
+    targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    idx = jnp.searchsorted(cs, targets, side="left")
+    idxc = jnp.minimum(idx, n - 1)
+    gh = h_hi[idxc]
+    gl = h_lo[idxc]
+    ok = targets <= n_valid
+    gh = jnp.where(ok, gh, np.uint32(0xFFFFFFFF))
+    gl = jnp.where(ok, gl, np.uint32(0xFFFFFFFF))
+    return le64_pair(gh, gl), n_valid
+
+
 def _window_validity(seq, n: int, ksize: int):
     valid_pos = jnp.asarray(VALID_DNA)[seq]
     bad = (~valid_pos).astype(jnp.int32)
@@ -232,15 +256,8 @@ def _seq_to_compact_hashes(
     tl = mh.astype(jnp.uint32)
 
     keep = valid & pair_leq((h_hi, h_lo), (th, tl))
-    n_valid = jnp.sum(keep.astype(jnp.int32))
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    idx = jnp.where(keep, pos, cap)
-    out_hi = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-    out_lo = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-    out_hi = out_hi.at[idx].set(h_hi, mode="drop")
-    out_lo = out_lo.at[idx].set(h_lo, mode="drop")
-    # pack only the (small) compacted output to uint64
-    return le64_pair(out_hi[:cap], out_lo[:cap]), n_valid
+    out, n_valid = _compact_keep(keep, h_hi, h_lo, cap)
+    return out, n_valid
 
 
 @functools.partial(
@@ -280,18 +297,9 @@ def _seq_batch_to_compact_hashes(
     tl = mh.astype(jnp.uint32)
 
     keep = valid & pair_leq((h_hi, h_lo), (th, tl))
-    n_valid = jnp.sum(keep.astype(jnp.int32), axis=1)
-
-    def compact(keep_r, hi_r, lo_r):
-        pos = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
-        idx = jnp.where(keep_r, pos, cap)
-        out_hi = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-        out_lo = jnp.full((cap + 1,), np.uint32(0xFFFFFFFF), dtype=jnp.uint32)
-        out_hi = out_hi.at[idx].set(hi_r, mode="drop")
-        out_lo = out_lo.at[idx].set(lo_r, mode="drop")
-        return le64_pair(out_hi[:cap], out_lo[:cap])
-
-    out = jax.vmap(compact)(keep, h_hi, h_lo)
+    out, n_valid = jax.vmap(lambda k, hh, hl: _compact_keep(k, hh, hl, cap))(
+        keep, h_hi, h_lo
+    )
     return out, n_valid
 
 
