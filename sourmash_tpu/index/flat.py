@@ -121,6 +121,8 @@ class FlatIndex(Index):
 
     def counter_gather(self, query, threshold_bp, **kwargs):
         "Build a device-backed CounterGather over matches to the query."
+        if not hasattr(query, "update"):  # mutable signature
+            query = query.to_frozen()
         with query.update() as prefetch_query:
             prefetch_query.minhash = prefetch_query.minhash.flatten()
         if not self:

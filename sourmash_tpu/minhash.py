@@ -339,6 +339,18 @@ class MinHash:
     def hashes(self):
         return _HashesDict(self._mins, self._abunds)
 
+    def get_mins(self, with_abundance=False):
+        """Return hashes, or (hash -> abund) if with_abundance (deprecated
+        reference API, `minhash.py:504-511`)."""
+        mins = self.hashes
+        if not with_abundance:
+            return mins.keys()
+        return mins
+
+    def get_hashes(self):
+        "Return the list of hashes (deprecated reference API)."
+        return self.hashes.keys()
+
     def mins_array(self):
         "Internal: sorted uint64 numpy array of mins (no copy)."
         return self._mins
