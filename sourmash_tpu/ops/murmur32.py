@@ -226,3 +226,72 @@ def pair_leq(a, threshold_pair):
     "a <= threshold where both are (hi, lo) uint32 pairs."
     th, tl = threshold_pair
     return (a[0] < th) | ((a[0] == th) & (a[1] <= tl))
+
+
+def murmur_words32(words, L: int, seed: int, shape):
+    """MurmurHash3 x64_128 first word from pre-assembled little-endian
+    64-bit words (as (hi, lo) uint32 pairs), one pair per 8 input bytes,
+    zero-padded past L. Same math as `murmur_cols32` without the per-byte
+    assembly — callers that already hold the words skip ~2L ops/lane."""
+    shape = tuple(shape)
+    seed_pair = (
+        jnp.full(shape, np.uint32((seed >> 32) & 0xFFFFFFFF), dtype=jnp.uint32),
+        jnp.full(shape, np.uint32(seed & 0xFFFFFFFF), dtype=jnp.uint32),
+    )
+    h1 = seed_pair
+    h2 = (seed_pair[0], seed_pair[1])
+
+    nblocks = L // 16
+    for blk in range(nblocks):
+        k1 = words[2 * blk]
+        k2 = words[2 * blk + 1]
+
+        k1 = mul64_const(k1, C1)
+        k1 = rotl64(k1, 31)
+        k1 = mul64_const(k1, C2)
+        h1 = xor64(h1, k1)
+        h1 = rotl64(h1, 27)
+        h1 = add64(h1, h2)
+        h1 = add64(mul_small(h1, 5), (jnp.uint32(N1[0]), jnp.uint32(N1[1])))
+
+        k2 = mul64_const(k2, C2)
+        k2 = rotl64(k2, 33)
+        k2 = mul64_const(k2, C1)
+        h2 = xor64(h2, k2)
+        h2 = rotl64(h2, 31)
+        h2 = add64(h2, h1)
+        h2 = add64(mul_small(h2, 5), (jnp.uint32(N2[0]), jnp.uint32(N2[1])))
+
+    t = L & 15
+    if t > 8:
+        k2 = words[2 * nblocks + 1]
+        k2 = mul64_const(k2, C2)
+        k2 = rotl64(k2, 33)
+        k2 = mul64_const(k2, C1)
+        h2 = xor64(h2, k2)
+    if t > 0:
+        k1 = words[2 * nblocks]
+        k1 = mul64_const(k1, C1)
+        k1 = rotl64(k1, 31)
+        k1 = mul64_const(k1, C2)
+        h1 = xor64(h1, k1)
+
+    ln = (jnp.uint32(0), jnp.uint32(L))
+    h1 = xor64(h1, ln)
+    h2 = xor64(h2, ln)
+    h1 = add64(h1, h2)
+    h2 = add64(h2, h1)
+    h1 = fmix64(h1)
+    h2 = fmix64(h2)
+    h1 = add64(h1, h2)
+    return h1
+
+
+def byteswap32(x):
+    "Reverse the 4 bytes of each uint32 lane."
+    return (
+        ((x & np.uint32(0xFF)) << np.uint32(24))
+        | ((x & np.uint32(0xFF00)) << np.uint32(8))
+        | ((x >> np.uint32(8)) & np.uint32(0xFF00))
+        | (x >> np.uint32(24))
+    )

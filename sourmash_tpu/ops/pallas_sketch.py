@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .murmur32 import murmur_cols32
 
 LANES = 128
-DEFAULT_ROWS = 64  # windows per grid step = ROWS * LANES
+DEFAULT_ROWS = 256  # windows per grid step = ROWS * LANES
 
 
 def _shifted(block, j: int, rows: int, lane_idx, interpret: bool):
@@ -86,26 +86,45 @@ def _sketch_block_kernel(
     for c in scols:
         valid = valid & ((c == _A) | (c == _C) | (c == _G) | (c == _T))
 
-    # canonical strand: fwd <= rc over the k bytes, compared in 4-byte
-    # big-endian uint32 groups (zero padding past k matches on both sides)
-    G = -(-ksize // 4)
+    # assemble little-endian murmur words (4 bytes per uint32 limb) for
+    # both strands; big-endian compare groups are byteswaps of the limbs
+    from .murmur32 import byteswap32, murmur_words32
 
-    def be_group(cols, t):
-        acc = jnp.zeros((rows, LANES), dtype=jnp.uint32)
-        for b in range(4):
-            i = t * 4 + b
-            if i < ksize:
-                acc = acc | (cols[i] << np.uint32(8 * (3 - b)))
-        return acc
+    def assemble_limbs(cols):
+        "k byte columns -> list of uint32 limbs (4 bytes each, LE)."
+        limbs = []
+        for base in range(0, ksize, 4):
+            acc = cols[base]
+            for b in range(1, 4):
+                if base + b < ksize:
+                    acc = acc | (cols[base + b] << np.uint32(8 * b))
+            limbs.append(acc)
+        return limbs
 
+    flimbs = assemble_limbs(fcols)
+    rlimbs = assemble_limbs(rcols)
+
+    # canonical strand: fwd <= rc over the k bytes (zero padding past k
+    # matches on both sides); compare LE limbs as byteswapped BE groups
     use_fwd = jnp.ones((rows, LANES), dtype=bool)
-    for t in reversed(range(G)):
-        gf = be_group(fcols, t)
-        gr = be_group(rcols, t)
+    for fl, rl in zip(reversed(flimbs), reversed(rlimbs)):
+        gf = byteswap32(fl)
+        gr = byteswap32(rl)
         use_fwd = (gf < gr) | ((gf == gr) & use_fwd)
 
-    cols = [jnp.where(use_fwd, f, r) for f, r in zip(fcols, rcols)]
-    hi, lo = murmur_cols32(lambda i: cols[i], ksize, seed, (rows, LANES))
+    # canonical limbs -> (hi, lo) word pairs for murmur
+    climbs = [jnp.where(use_fwd, f, r) for f, r in zip(flimbs, rlimbs)]
+    zero = jnp.zeros((rows, LANES), dtype=jnp.uint32)
+    nwords = -(-ksize // 8)
+    words = []
+    for w in range(nwords):
+        lo_limb = climbs[2 * w]
+        hi_limb = climbs[2 * w + 1] if 2 * w + 1 < len(climbs) else zero
+        words.append((hi_limb, lo_limb))
+    if len(words) % 2:
+        words.append((zero, zero))
+
+    hi, lo = murmur_words32(words, ksize, seed, (rows, LANES))
     hi_ref[:] = hi
     lo_ref[:] = lo
     valid_ref[:] = valid.astype(jnp.uint32)
