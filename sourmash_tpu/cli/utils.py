@@ -159,3 +159,47 @@ def check_rank(args):
         raise argparse.ArgumentTypeError(
             f"Invalid '--rank'/'--position' input: '{args.rank}'. Please choose: 'strain', 'species', 'genus', 'family', 'order', 'class', 'phylum', 'superkingdom'"
         )
+
+
+def check_tax_outputs(
+    args,
+    rank_required=["krona"],
+    incompatible_with_lins=None,
+    use_lingroup_format=False,
+):
+    """Validate/normalize tax output-format combinations (reference
+    `cli/utils.py:227-271`): krona needs --rank, lingroup needs --lins,
+    multiple formats need an output base, and the default is csv_summary."""
+    if not args.rank:
+        if any(x in rank_required for x in args.output_format):
+            raise ValueError(
+                f"Rank (--rank) is required for {', '.join(rank_required)} output formats."
+            )
+
+    if args.lins:
+        if incompatible_with_lins:
+            if any(x in args.output_format for x in incompatible_with_lins):
+                raise ValueError(
+                    f"The following outputs are incompatible with '--lins': : {', '.join(incompatible_with_lins)}"
+                )
+        if getattr(args, "lingroup", None):
+            if use_lingroup_format and "lingroup" not in args.output_format:
+                args.output_format.append("lingroup")
+        elif "lingroup" in args.output_format:
+            raise ValueError(
+                "Must provide lingroup csv via '--lingroup' in order to output a lingroup report."
+            )
+    elif getattr(args, "lingroup", None) or "lingroup" in args.output_format:
+        raise ValueError(
+            "Must enable LIN taxonomy via '--lins' in order to use lingroups."
+        )
+
+    if len(args.output_format) > 1:
+        if args.output_base == "-":
+            raise ValueError(
+                f"Writing to stdout is incompatible with multiple output formats {args.output_format}"
+            )
+    elif not args.output_format:
+        args.output_format = ["csv_summary"]
+
+    return args.output_format

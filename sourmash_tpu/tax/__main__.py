@@ -56,7 +56,19 @@ def make_outfile(base, output_type, *, output_dir=""):
 
 def metagenome(args):
     "Summarize taxonomic information for metagenome gather results."
+    from ..cli.utils import check_tax_outputs
+
     set_quiet(args.quiet)
+    try:
+        args.output_format = check_tax_outputs(
+            args,
+            rank_required=["krona", "lineage_summary"],
+            incompatible_with_lins=["bioboxes", "kreport"],
+            use_lingroup_format=True,
+        )
+    except ValueError as exc:
+        error(f"ERROR: {str(exc)}")
+        sys.exit(-1)
 
     try:
         tax_assign = MultiLineageDB.load(
@@ -221,7 +233,18 @@ def metagenome(args):
 
 def genome(args):
     "Taxonomic classification of genomes from gather results."
+    from ..cli.utils import check_tax_outputs
+
     set_quiet(args.quiet)
+    try:
+        args.output_format = check_tax_outputs(
+            args,
+            rank_required=["krona"],
+            incompatible_with_lins=["krona"],
+        )
+    except ValueError as exc:
+        error(f"ERROR: {str(exc)}")
+        sys.exit(-1)
 
     try:
         tax_assign = MultiLineageDB.load(

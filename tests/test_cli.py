@@ -1,0 +1,218 @@
+"""CLI end-to-end tests: run the real entry point in-process and assert on
+stdout/CSV outputs (reference pattern: `tests/sourmash_tst_utils.py:50-105`
+RunnerContext; original code)."""
+
+import csv
+import io
+import json
+import os
+import sys
+from contextlib import redirect_stderr, redirect_stdout
+
+import pytest
+
+from conftest import utils_test_data
+
+
+class Runner:
+    "In-process `sourmash ...` runner capturing stdout/stderr/status."
+
+    def __init__(self, cwd):
+        self.cwd = str(cwd)
+        self.out = ""
+        self.err = ""
+        self.status = 0
+
+    def sourmash(self, *args, fail_ok=False):
+        from sourmash_tpu.__main__ import main
+
+        old = os.getcwd()
+        os.chdir(self.cwd)
+        o, e = io.StringIO(), io.StringIO()
+        status = 0
+        try:
+            with redirect_stdout(o), redirect_stderr(e):
+                ret = main(list(str(a) for a in args))
+            status = int(ret) if ret else 0
+        except SystemExit as exc:
+            status = exc.code if isinstance(exc.code, int) else 1
+        finally:
+            os.chdir(old)
+        self.out, self.err, self.status = o.getvalue(), e.getvalue(), status
+        if status != 0 and not fail_ok:
+            raise AssertionError(
+                f"sourmash {' '.join(map(str, args))} failed "
+                f"({status}):\n{self.err}"
+            )
+        return self
+
+    def output(self, name):
+        return os.path.join(self.cwd, name)
+
+
+@pytest.fixture
+def runtmp(tmp_path):
+    return Runner(tmp_path)
+
+
+def test_cli_sketch_and_describe(runtmp):
+    runtmp.sourmash(
+        "sketch", "dna", "-p", "k=31,scaled=1000",
+        utils_test_data("ecoli.genes.fna"), "-o", "e.sig",
+    )
+    runtmp.sourmash("sig", "describe", runtmp.output("e.sig"))
+    assert "k=31 molecule=DNA" in runtmp.out
+    assert "num=0" in runtmp.out
+
+
+def test_cli_search_known_value(runtmp):
+    runtmp.sourmash(
+        "search", utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+        "--threshold", "0.0",
+    )
+    assert "32.1%" in runtmp.out
+    assert "NC_011663.1" in runtmp.out
+
+
+def test_cli_compare_csv(runtmp):
+    runtmp.sourmash(
+        "compare",
+        utils_test_data("47.fa.sig"),
+        utils_test_data("63.fa.sig"),
+        "--csv", "cmp.csv",
+    )
+    with open(runtmp.output("cmp.csv")) as fp:
+        rows = list(csv.reader(fp))
+    # 2x2 similarity matrix with 1.0 diagonal and the known 0.3207 jaccard
+    vals = [[float(x) for x in row] for row in rows[1:]]
+    assert vals[0][0] == 1.0 and vals[1][1] == 1.0
+    assert round(vals[0][1], 4) == round(0.3206949023586102, 4)
+
+
+def test_cli_gather_known_values(runtmp):
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"),
+        utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+        "-o", "g.csv",
+    )
+    assert "found 2 matches total" in runtmp.out
+    with open(runtmp.output("g.csv")) as fp:
+        rows = list(csv.DictReader(fp))
+    assert [r["intersect_bp"] for r in rows] == ["5238000", "5177000"]
+    assert rows[0]["f_orig_query"].startswith("0.664215")
+
+
+def test_cli_index_and_search_sbt(runtmp):
+    runtmp.sourmash(
+        "index", "mysbt", utils_test_data("47.fa.sig"),
+        utils_test_data("63.fa.sig"), "-k", "31",
+    )
+    assert os.path.exists(runtmp.output("mysbt.sbt.zip"))
+    runtmp.sourmash(
+        "search", utils_test_data("47.fa.sig"), "mysbt.sbt.zip",
+        "--threshold", "0.0",
+    )
+    assert "100.0%" in runtmp.out
+    assert "32.1%" in runtmp.out
+
+
+def test_cli_prefetch(runtmp):
+    runtmp.sourmash(
+        "prefetch", utils_test_data("47+63.fa.sig"),
+        utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+    )
+    assert "of 7886 distinct query hashes, 7886 were found" in runtmp.err
+
+
+def test_cli_compute_legacy(runtmp):
+    runtmp.sourmash(
+        "compute", utils_test_data("short.fa"), "-o", "c.sig", "-k", "21,31"
+    )
+    d = json.load(open(runtmp.output("c.sig")))
+    assert [s["ksize"] for s in d[0]["signatures"]] == [21, 31]
+
+
+def test_cli_categorize(runtmp):
+    runtmp.sourmash(
+        "categorize",
+        utils_test_data("47.fa.sig"),
+        utils_test_data("63.fa.sig"),
+        "--ksize", "31",
+        "--csv", "cat.csv",
+    )
+    with open(runtmp.output("cat.csv")) as fp:
+        text = fp.read()
+    assert "NC_011663.1" in text
+
+
+class _FakeStdin:
+    def __init__(self, data):
+        self.buffer = io.BytesIO(data)
+
+    def read(self, *a):
+        return self.buffer.read(*a).decode("ascii")
+
+
+def test_cli_watch(runtmp):
+    runtmp.sourmash(
+        "index", "db", utils_test_data("genome-s10.fa.gz.sig"), "-k", "21",
+    )
+    import gzip
+
+    data = gzip.open(utils_test_data("genome-s10.fa.gz"), "rb").read()
+    old_stdin = sys.stdin
+    try:
+        sys.stdin = _FakeStdin(data)
+        runtmp.sourmash("watch", "--ksize", "21", "db.sbt.zip")
+    finally:
+        sys.stdin = old_stdin
+    assert "FOUND" in runtmp.err or "found" in runtmp.err
+
+
+def test_cli_lca_index_classify_summarize(runtmp):
+    runtmp.sourmash(
+        "lca", "index", utils_test_data("lca/delmont-1.csv"),
+        "delmont.lca.json",
+        utils_test_data("lca/TARA_ASE_MAG_00031.sig"),
+        utils_test_data("lca/TARA_PSW_MAG_00136.sig"),
+    )
+    assert os.path.exists(runtmp.output("delmont.lca.json"))
+
+    runtmp.sourmash(
+        "lca", "classify", "--db", "delmont.lca.json",
+        "--query", utils_test_data("lca/TARA_ASE_MAG_00031.sig"),
+    )
+    assert "TARA_ASE_MAG_00031,found" in runtmp.out
+    assert "Alteromonas_macleodii" in runtmp.out
+
+    runtmp.sourmash(
+        "lca", "summarize", "--db", "delmont.lca.json",
+        "--query", utils_test_data("lca/TARA_ASE_MAG_00031.sig"),
+    )
+    assert "100.0%" in runtmp.out
+
+
+def test_cli_tax_metagenome(runtmp):
+    runtmp.sourmash(
+        "tax", "metagenome",
+        "-g", utils_test_data("tax/test1.gather.csv"),
+        "-t", utils_test_data("tax/test.taxonomy.csv"),
+    )
+    assert "query_name" in runtmp.out
+    assert "superkingdom" in runtmp.out
+
+
+def test_cli_multigather(runtmp):
+    runtmp.sourmash(
+        "multigather", "--query", utils_test_data("47+63.fa.sig"),
+        "--db", utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+    )
+    assert "found 2 matches total" in runtmp.out
+    # output files named after query md5 land in cwd
+    outs = os.listdir(runtmp.cwd)
+    assert any(f.endswith(".matches.sig") for f in outs)
+
+
+def test_cli_bad_command(runtmp):
+    runtmp.sourmash("frobnicate", fail_ok=True)
+    assert runtmp.status != 0
