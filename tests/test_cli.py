@@ -216,3 +216,45 @@ def test_cli_multigather(runtmp):
 def test_cli_bad_command(runtmp):
     runtmp.sourmash("frobnicate", fail_ok=True)
     assert runtmp.status != 0
+
+
+def test_cli_gather_abund_10_1(runtmp):
+    "Abundance-weighted gather scenario (reference test_sourmash.py:6442-6540)."
+    against = [
+        utils_test_data(f"gather-abund/genome-s1{i}.fa.gz.sig") for i in "012"
+    ]
+    runtmp.sourmash(
+        "gather", utils_test_data("gather-abund/reads-s10x10-s11.sig"),
+        "-o", "xxx.csv", *against,
+    )
+    assert "91.0%  100.0%      14.5" in runtmp.out
+    assert "9.0%   80.0%       1.9" in runtmp.out
+    assert "genome-s12.fa.gz" not in runtmp.out
+    assert (
+        "the recovered matches hit 100.0% of the abundance-weighted query"
+        in runtmp.out
+    )
+
+    with open(runtmp.output("xxx.csv")) as fp:
+        rows = list(csv.DictReader(fp))
+    sofar = 0.0
+    for n, row in enumerate(rows):
+        assert int(row["gather_result_rank"]) == n
+        nw = float(row["n_unique_weighted_found"])
+        sofar += nw
+        assert float(row["sum_weighted_found"]) == sofar
+        assert float(row["total_weighted_hashes"]) == 7986
+        assert abs(float(row["f_unique_weighted"]) - nw / 7986) < 1e-12
+    assert sofar == 7986
+
+
+def test_cli_gather_abund_1_1(runtmp):
+    against = [
+        utils_test_data(f"gather-abund/genome-s1{i}.fa.gz.sig") for i in "012"
+    ]
+    runtmp.sourmash(
+        "gather", utils_test_data("gather-abund/reads-s10-s11.sig"), *against,
+    )
+    assert "49.6%   78.5%       1.8" in runtmp.out
+    assert "50.4%   80.0%       1.9" in runtmp.out
+    assert "genome-s12.fa.gz" not in runtmp.out
