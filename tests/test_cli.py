@@ -258,3 +258,37 @@ def test_cli_gather_abund_1_1(runtmp):
     assert "49.6%   78.5%       1.8" in runtmp.out
     assert "50.4%   80.0%       1.9" in runtmp.out
     assert "genome-s12.fa.gz" not in runtmp.out
+
+
+def test_cli_gather_ani_csv(runtmp):
+    "ANI columns in gather CSV (reference test_sourmash.py:8248-8296)."
+    runtmp.sourmash("index", "-k", "31", "zzz", utils_test_data("47+63.fa.sig"))
+    runtmp.sourmash(
+        "gather", utils_test_data("63.fa.sig"), "zzz",
+        "-o", "foo.csv", "--threshold-bp=1",
+    )
+    with open(runtmp.output("foo.csv")) as fp:
+        row = next(csv.DictReader(fp))
+    assert float(row["intersect_bp"]) == 5238000.0
+    assert float(row["f_match"]) == 0.6642150646715699
+    assert row["md5"] == "491c0a81b2cfb0188c0d3b46837c2f42"
+    assert row["query_md5"] == "38729c63"
+    assert row["query_containment_ani"] == "1.0"
+    assert round(float(row["match_containment_ani"]), 3) == 0.987
+    assert round(float(row["average_containment_ani"]), 3) == 0.993
+    assert round(float(row["max_containment_ani"]), 3) == 1.0
+    assert row["potential_false_negative"] == "False"
+
+
+def test_cli_search_ani_jaccard(runtmp):
+    "ANI column in search CSV (reference test_sourmash.py:7892-7918)."
+    runtmp.sourmash(
+        "search", utils_test_data("47.fa.sig"), utils_test_data("47+63.fa.sig"),
+        "-o", "xxx.csv",
+    )
+    with open(runtmp.output("xxx.csv")) as fp:
+        row = next(csv.DictReader(fp))
+    assert float(row["similarity"]) == 0.6564798376870403
+    assert row["md5"] == "491c0a81b2cfb0188c0d3b46837c2f42"
+    assert row["query_md5"] == "09a08691"
+    assert row["ani"] == "0.992530907924384"
