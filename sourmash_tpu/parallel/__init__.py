@@ -159,3 +159,34 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
         out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
     )
     return jax.jit(f)
+
+
+def make_sharded_sketch(mesh: Mesh, ksize: int, cap: int, seed: int = 42):
+    """Data-parallel sketching: sequence rows shard across 'data'; each
+    device runs the fused sketch pipeline on its rows (no collectives —
+    sketching is embarrassingly parallel; counting/gather add the psum).
+
+    Returns fn(seqs [B, S] uint8, max_hash scalar) ->
+    (survivors [B, cap] uint64, n_valid [B] int32).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.sketch import _seq_to_compact_hashes
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None), P()),
+        out_specs=(P("data", None), P("data")),
+    )
+    def _sketch(seqs, max_hash):
+        def one(seq):
+            return _seq_to_compact_hashes(seq, max_hash[0], ksize, seed, cap)
+
+        return jax.vmap(one)(seqs)
+
+    @jax.jit
+    def fn(seqs, max_hash):
+        return _sketch(seqs, jnp.atleast_1d(max_hash))
+
+    return fn
