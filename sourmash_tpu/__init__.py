@@ -52,6 +52,8 @@ from .signature import (  # noqa: E402
     FrozenSourmashSignature,
     load_signatures_from_json,
     load_one_signature_from_json,
+    load_signatures_from_json,
+    save_signatures_to_json,
     save_signatures_to_json,
 )
 
@@ -100,3 +102,42 @@ def load_file_as_signatures(
         progress=progress,
         pattern=pattern,
     )
+
+
+# -- deprecated aliases (reference __init__.py:31-75; remove in 5.0) ------
+
+
+def load_one_signature(*args, **kwargs):
+    "Deprecated: use load_one_signature_from_json / load_file_as_signatures."
+    import warnings
+
+    warnings.warn(
+        "load_one_signature is deprecated; use load_one_signature_from_json",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return load_one_signature_from_json(*args, **kwargs)
+
+
+def load_signatures(*args, **kwargs):
+    "Deprecated: use load_signatures_from_json."
+    import warnings
+
+    warnings.warn(
+        "load_signatures is deprecated; use load_signatures_from_json",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return load_signatures_from_json(*args, **kwargs)
+
+
+def save_signatures(*args, **kwargs):
+    "Deprecated: use save_signatures_to_json."
+    import warnings
+
+    warnings.warn(
+        "save_signatures is deprecated; use save_signatures_to_json",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return save_signatures_to_json(*args, **kwargs)

@@ -12,19 +12,22 @@ class IndexNotSupported(SourmashError):
     pass
 
 
-class MismatchKSizes(SourmashError):
+# mismatch errors are ValueErrors at the Python surface (the reference
+# maps the corresponding Rust error codes onto ValueError subclasses;
+# e.g. tests assert `pytest.raises(ValueError)` on seed mismatches)
+class MismatchKSizes(SourmashError, ValueError):
     pass
 
 
-class MismatchDNAProt(SourmashError):
+class MismatchDNAProt(SourmashError, ValueError):
     pass
 
 
-class MismatchScaled(SourmashError):
+class MismatchScaled(SourmashError, ValueError):
     pass
 
 
-class MismatchSeed(SourmashError):
+class MismatchSeed(SourmashError, ValueError):
     pass
 
 
@@ -36,7 +39,7 @@ class NonEmptyMinHash(SourmashError):
     pass
 
 
-class MismatchNum(SourmashError):
+class MismatchNum(SourmashError, ValueError):
     pass
 
 

@@ -76,6 +76,11 @@ def hash_murmur(kmer, seed=MINHASH_DEFAULT_SEED):
     return hash_murmur_scalar(to_bytes(kmer), seed)
 
 
+def translate_codon(codon):
+    "Translate a codon into an amino acid (reference `minhash.py:96-103`)."
+    return enc.translate_codon(codon)
+
+
 def flatten_and_downsample_scaled(mh, *scaled_vals):
     "Flatten MinHash object and downsample to max of scaled values."
     assert mh.scaled
@@ -130,6 +135,12 @@ class _HashesDict(Mapping):
             return [(int(h), 1) for h in self._mins]
         return [(int(h), int(a)) for h, a in zip(self._mins, self._abunds)]
 
+    def __setitem__(self, k, v):
+        raise RuntimeError("cannot modify hashes directly; use add_hash")
+
+    def __delitem__(self, k):
+        raise RuntimeError("cannot modify hashes directly; use remove_many")
+
 
 class MinHash:
     """The core sketch object.
@@ -139,8 +150,8 @@ class MinHash:
 
     def __init__(
         self,
-        n=0,
-        ksize=0,
+        n,
+        ksize,
         *,
         is_protein=False,
         dayhoff=False,
@@ -342,6 +353,13 @@ class MinHash:
     def get_mins(self, with_abundance=False):
         """Return hashes, or (hash -> abund) if with_abundance (deprecated
         reference API, `minhash.py:504-511`)."""
+        import warnings
+
+        warnings.warn(
+            "get_mins is deprecated; use .hashes instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         mins = self.hashes
         if not with_abundance:
             return mins.keys()
@@ -349,6 +367,13 @@ class MinHash:
 
     def get_hashes(self):
         "Return the list of hashes (deprecated reference API)."
+        import warnings
+
+        warnings.warn(
+            "get_hashes is deprecated; use .hashes instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         return self.hashes.keys()
 
     def mins_array(self):
@@ -524,15 +549,17 @@ class MinHash:
         self._insert_hashes(h[valid])
 
     def add_kmer(self, kmer):
-        "Add a k-mer into the sketch."
+        """Add a (DNA) k-mer into the sketch; protein-family sketches
+        translate it (reference `minhash.py:462-471`)."""
         if self.is_dna:
-            if len(kmer) != self._ksize:
-                raise ValueError(f"kmer to add is not {self._ksize} in length")
-            self.add_sequence(kmer)
+            if len(kmer) != self.ksize:
+                raise ValueError(f"kmer to add is not {self.ksize} in length")
         else:
-            if len(kmer) != self._ksize:
-                raise ValueError(f"kmer to add is not {self._ksize} in length")
-            self.add_protein(kmer)
+            if len(kmer) != self.ksize * 3:
+                raise ValueError(
+                    f"kmer to add is not {self.ksize * 3} in length"
+                )
+        self.add_sequence(kmer)
 
     def add_protein(self, sequence):
         "Add a protein sequence (already amino acids)."
@@ -631,17 +658,28 @@ class MinHash:
         )
 
     def check_compatible(self, other):
-        "Raise TypeError unless comparable (reference `minhash.rs:886-913`)."
+        """Raise unless comparable: TypeError for non-MinHash, ValueError
+        subclasses for parameter mismatches (reference `minhash.rs:886-913`
+        errors mapped through `exceptions.py`)."""
+        from .exceptions import (
+            MismatchDNAProt,
+            MismatchKSizes,
+            MismatchScaled,
+            MismatchSeed,
+        )
+
         if not isinstance(other, MinHash):
             raise TypeError("Must be a MinHash!")
         if self._ksize != other._ksize:
-            raise TypeError(f"different ksizes cannot be compared")
+            raise MismatchKSizes("different ksizes cannot be compared")
         if self._moltype != other._moltype:
-            raise TypeError("different molecule types cannot be compared")
+            raise MismatchDNAProt(
+                "DNA/prot minhashes cannot be compared"
+            )
         if self._seed != other._seed:
-            raise TypeError("different seeds cannot be compared")
+            raise MismatchSeed("mismatch in seed; comparison fail")
         if self._max_hash != other._max_hash:
-            raise TypeError("different scaled values cannot be compared")
+            raise MismatchScaled("mismatch in scaled; comparison fail")
 
     def _intersection_size(self, other):
         "Raw sorted-array intersection count."

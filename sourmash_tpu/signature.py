@@ -46,12 +46,19 @@ class SourmashSignature:
 
     @property
     def minhash(self):
-        return self._minhash
+        # the property always exposes a frozen VIEW aliasing the underlying
+        # sketch (reference `signature.py:45-46` wraps the same Rust handle
+        # in FrozenMinHash); add_sequence/add_protein mutate the internal
+        # object directly
+        mh = self._minhash
+        if isinstance(mh, FrozenMinHash) or not isinstance(mh, MinHash):
+            return mh
+        view = FrozenMinHash.__new__(FrozenMinHash)
+        view.__dict__ = mh.__dict__
+        return view
 
     @minhash.setter
     def minhash(self, value):
-        if isinstance(value, MinHash) and not isinstance(value, FrozenMinHash):
-            value = value.to_frozen()
         self._minhash = value
 
     def __hash__(self):
@@ -270,19 +277,19 @@ class FrozenSourmashSignature(SourmashSignature):
     "Frozen (immutable) signature class."
 
     def _frozen_error(self, *args, **kwargs):
-        raise TypeError("cannot modify FrozenSourmashSignature")
+        raise ValueError("cannot modify FrozenSourmashSignature")
 
     @SourmashSignature.minhash.setter
     def minhash(self, value):
-        raise TypeError("cannot modify FrozenSourmashSignature")
+        raise ValueError("cannot set .minhash on FrozenSourmashSignature")
 
     @SourmashSignature.name.setter
     def name(self, value):
-        raise TypeError("cannot modify FrozenSourmashSignature")
+        raise ValueError("cannot set .name on FrozenSourmashSignature")
 
     @SourmashSignature.filename.setter
     def filename(self, value):
-        raise TypeError("cannot modify FrozenSourmashSignature")
+        raise ValueError("cannot set .filename on FrozenSourmashSignature")
 
     add_sequence = _frozen_error
     add_protein = _frozen_error
