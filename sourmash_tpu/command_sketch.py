@@ -108,7 +108,7 @@ class ComputeParameters:
         # the CLI passes scaled through a float bounds check; the stored
         # template value is integral (reference keeps it as u64)
         self.scaled = int(self.scaled)
-        self.ksizes = tuple(self.ksizes)
+        self.ksizes = list(self.ksizes)
 
     @property
     def moltype(self):
@@ -118,23 +118,40 @@ class ComputeParameters:
             return "protein"
         if self.dayhoff:
             return "dayhoff"
+        assert self.hp, "exactly one moltype flag must be set"
         return "hp"
 
     def to_param_str(self):
-        "Render as a parameter string."
+        "Render as a parameter string (reference `command_sketch.py:926-963`)."
         pi = []
-        for k in self.ksizes:
-            if self.dna:
-                pi.append(f"k={k}")
-            else:
-                assert k % 3 == 0
-                pi.append(f"k={k // 3}")
-        if self.num_hashes:
+
+        if self.dna:
+            pi.append("dna")
+        elif self.protein:
+            pi.append("protein")
+        elif self.hp:
+            pi.append("hp")
+        elif self.dayhoff:
+            pi.append("dayhoff")
+        else:
+            assert 0
+
+        if self.dna:
+            pi.extend(f"k={k}" for k in self.ksizes)
+        else:
+            pi.extend(f"k={k // 3}" for k in self.ksizes)
+
+        if self.num_hashes != 0:
             pi.append(f"num={self.num_hashes}")
-        elif self.scaled:
+        elif self.scaled != 0:
             pi.append(f"scaled={int(self.scaled)}")
+
         if self.track_abundance:
             pi.append("abund")
+
+        if self.seed != DEFAULT_MMHASH_SEED:
+            pi.append(f"seed={self.seed}")
+
         return ",".join(pi)
 
     @classmethod
@@ -156,7 +173,7 @@ class ComputeParameters:
         ksize = row["ksize"] if is_dna else row["ksize"] * 3
 
         return cls(
-            ksizes=(ksize,),
+            ksizes=[ksize],
             seed=DEFAULT_MMHASH_SEED,
             protein=is_protein,
             dayhoff=is_dayhoff,
@@ -393,6 +410,20 @@ def translate(args):
     _execute_sketch(args, signatures_factory)
 
 
+def _read_stdin_bytes():
+    "Slurp stdin into a seekable buffer (handles text-only stdin stand-ins)."
+    import io as _io
+
+    stdin = sys.stdin
+    if hasattr(stdin, "buffer"):
+        data = stdin.buffer.read()
+    else:
+        data = stdin.read()
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+    return _io.BytesIO(data)
+
+
 def add_seq(sigs, seq, input_is_protein, check_sequence):
     "Add one sequence record into all signatures."
     for sig in sigs:
@@ -534,9 +565,7 @@ def _compute_individual(args, signatures_factory):
         # stdin can only be read once; buffer it so peek + sketch both work
         read_obj = filename
         if filename == "-":
-            import io as _io
-
-            read_obj = _io.BytesIO(sys.stdin.buffer.read())
+            read_obj = _read_stdin_bytes()
         if open_output_each_time:
             sigfile = os.path.basename(filename) + ".sig"
             if args.output_dir:
@@ -632,9 +661,7 @@ def _compute_merged(args, signatures_factory):
     for filename in args.filenames:
         read_obj = filename
         if filename == "-":
-            import io as _io
-
-            read_obj = _io.BytesIO(sys.stdin.buffer.read())
+            read_obj = _read_stdin_bytes()
         notify("... reading sequences from {}", filename)
         try:
             n, _ = _sketch_whole_file(

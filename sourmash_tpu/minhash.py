@@ -564,7 +564,7 @@ class MinHash:
     def add_protein(self, sequence):
         "Add a protein sequence (already amino acids)."
         if self.is_dna:
-            raise ValueError("cannot add protein to DNA MinHash")
+            raise ValueError('Invalid hash function: "DNA"')
         if isinstance(sequence, str):
             sequence = sequence.encode("ascii")
         seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
@@ -585,7 +585,7 @@ class MinHash:
             sequence = sequence.encode("ascii")
         seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
         if is_protein and self.is_dna:
-            raise ValueError("cannot add protein to DNA MinHash")
+            raise ValueError('Invalid hash function: "DNA"')
 
         if self.is_dna:
             h, valid = enc.dna_hashes(seq, self._ksize, self._seed)

@@ -446,3 +446,12 @@ _save_classes = [
     (40, SaveSignatures_SqliteIndex),
     (1000, SaveSignatures_SigFile),
 ]
+
+
+def _get_signatures_from_rust(siglist):
+    """Split multi-sketch signature records into one-minhash signatures by
+    JSON roundtrip (reference `save_load.py:297-304`)."""
+    from . import signature as sigmod
+
+    json_str = sigmod.save_signatures_to_json(siglist)
+    yield from sigmod.load_signatures_from_json(json_str)
