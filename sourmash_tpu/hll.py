@@ -206,7 +206,12 @@ class HLL:
         np.maximum.at(self.registers, index, leftmost)
 
     def add_hash(self, h):
-        self.add_many(np.asarray([h], dtype=np.uint64))
+        h = int(h)
+        idx = h & ((1 << self.p) - 1)
+        value = h >> self.p
+        leftmost = 65 - self.p - value.bit_length()
+        if leftmost > self.registers[idx]:
+            self.registers[idx] = leftmost
 
     def add(self, h):
         if isinstance(h, (str, bytes)):
@@ -231,10 +236,24 @@ class HLL:
             raise ValueError(f"invalid DNA character in input k-mer: {kmer}")
         self.add_many(h[valid])
 
+    _COMP_TABLE = bytes.maketrans(b"ACGTacgt", b"TGCATGCA")
+
     def add_kmer(self, kmer):
         if len(kmer) != self._ksize:
             raise ValueError(f"kmer to add is not {self._ksize} in length")
-        self.add_sequence(kmer)
+        # scalar fast path: per-kmer numpy dispatch would dominate
+        if isinstance(kmer, str):
+            kmer = kmer.encode("ascii")
+        kmer = kmer.upper()
+        rc = kmer.translate(self._COMP_TABLE)[::-1]
+        canon = kmer if kmer <= rc else rc
+        if any(c not in b"ACGT" for c in kmer):
+            raise ValueError(
+                f"invalid DNA character in input k-mer: {kmer.decode()}"
+            )
+        from .ops.murmur import murmur64_scalar
+
+        self.add_hash(murmur64_scalar(canon, 42))
 
     def _check_compatible(self, other):
         if self._ksize != other._ksize:

@@ -184,12 +184,11 @@ class Nodegraph:
 
     @property
     def expected_collisions(self):
-        "False-positive rate estimate: prod(occupancy_i)."
-        fp = 1.0
-        for size, bits in zip(self._sizes, self._bits):
-            occupied = int(np.unpackbits(bits, bitorder="little")[:size].sum())
-            fp *= occupied / size
-        return fp
+        """False-positive rate estimate (reference `nodegraph.rs:145-152`):
+        (occupied_bins / min_table_size) ** n_tables."""
+        min_size = min(self._sizes)
+        n_ht = len(self._sizes)
+        return (self.occupied_bins / min_size) ** n_ht
 
     # -- khmer OXLI binary IO ---------------------------------------------
 

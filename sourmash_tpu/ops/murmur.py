@@ -130,8 +130,81 @@ def murmur3_x64_128_first64(data, length: int, seed: int = 42, xp=np):
 def hash_murmur_scalar(data: bytes, seed: int = 42) -> int:
     """Host scalar helper: murmur64 of a byte string (Python `hash_murmur`
     parity, reference `src/sourmash/minhash.py:88`)."""
+    return murmur64_scalar(data, seed)
+
+
+def _hash_murmur_scalar_numpy(data: bytes, seed: int = 42) -> int:
     arr = np.frombuffer(data, dtype=np.uint8).reshape(1, -1)
     if len(data) == 0:
         arr = np.zeros((1, 0), dtype=np.uint8)
     with np.errstate(over="ignore"):
         return int(murmur3_x64_128_first64(arr, len(data), seed, xp=np)[0])
+
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64_py(k):
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur64_scalar(data: bytes, seed: int = 42) -> int:
+    """Pure-Python MurmurHash3 x64_128 first word — fast path for single
+    k-mer hashing where numpy per-call overhead dominates."""
+    length = len(data)
+    h1 = h2 = seed
+    nblocks = length // 16
+    for b in range(nblocks):
+        k1 = int.from_bytes(data[b * 16 : b * 16 + 8], "little")
+        k2 = int.from_bytes(data[b * 16 + 8 : b * 16 + 16], "little")
+
+        k1 = (k1 * _C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+
+        k2 = (k2 * _C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+
+    tail = data[nblocks * 16 :]
+    t = len(tail)
+    if t > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * _C2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _M64
+        h2 ^= k2
+    if t > 0:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * _C1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _M64
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64_py(h1)
+    h2 = _fmix64_py(h2)
+    h1 = (h1 + h2) & _M64
+    return h1
