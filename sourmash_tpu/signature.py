@@ -454,9 +454,13 @@ def load_signatures_from_json(
     try:
         buf = None
         if hasattr(data, "read") or hasattr(data, "fileno") or hasattr(data, "mode"):
-            if hasattr(data, "mode") and "t" in getattr(data, "mode", ""):
-                data = data.buffer
+            import io as _io
+
+            if isinstance(data, _io.TextIOBase) and hasattr(data, "buffer"):
+                data = data.buffer  # text-mode file handle: use raw bytes
             buf = data.read()
+            if isinstance(buf, str):
+                buf = buf.encode("utf-8")
             data.close()
         elif isinstance(data, (str, bytes)):
             probe = data if isinstance(data, bytes) else data.encode("utf-8", "ignore")
