@@ -9,7 +9,11 @@ class SourmashError(Exception):
 
 
 class IndexNotSupported(SourmashError):
-    pass
+    def __init__(self, msg=None):
+        super().__init__(
+            msg
+            or "This index format is not supported in this version of sourmash"
+        )
 
 
 # mismatch errors are ValueErrors at the Python surface (the reference

@@ -130,48 +130,65 @@ class Index(ABC):
                     yield IndexSearchResult(score, subj, location)
 
     def _find_batched(self, search_fn, query, subjects_and_locations):
-        """Batched scoring of a query against a materialized subject list.
+        """Batched scoring of a query against subjects, in lazy chunks.
 
-        Computes every per-pair (shared, union) in one device call with
-        per-pair scaled cutoffs, reproducing the reference's pairwise
-        flatten/downsample numerics exactly. Falls back to the generic loop
-        for num queries.
+        Computes per-pair (shared, union) counts in one device call per
+        chunk with per-pair scaled cutoffs, reproducing the reference's
+        pairwise flatten/downsample numerics exactly. Falls back to the
+        generic loop for num queries. Subjects are only touched as their
+        chunk is reached, and a subject raising mid-stream flushes the
+        results gathered so far before propagating (the reference's
+        per-item laziness contract).
         """
         from ..ops.intersect import query_vs_many_cutoff_counts
 
         query_mh = query.minhash
-        subs = [s for s, _ in subjects_and_locations]
-        if not subs:
-            search_fn.check_is_compatible(query)
-            return
-        if not query_mh.scaled or any(not s.minhash.scaled for s in subs):
-            # num queries / mixed num subjects: generic loop semantics.
-            yield from self._find_over(search_fn, query, subjects_and_locations)
-            return
         search_fn.check_is_compatible(query)
-
         q_scaled = query_mh.scaled
-        q_mins = query_mh.mins_array()
 
-        sub_mins = [s.minhash.mins_array() for s in subs]
-        cutoffs = np.zeros(len(subs), dtype=np.uint64)
-        for i, s in enumerate(subs):
-            pair_scaled = max(q_scaled, s.minhash.scaled)
-            cutoffs[i] = _get_max_hash_for_scaled(pair_scaled)
+        def process(chunk):
+            if not chunk:
+                return
+            if not q_scaled or any(not s.minhash.scaled for s, _ in chunk):
+                yield from self._find_over(search_fn, query, chunk)
+                return
+            q_mins = query_mh.mins_array()
+            sub_mins = [s.minhash.mins_array() for s, _ in chunk]
+            cutoffs = np.zeros(len(chunk), dtype=np.uint64)
+            for i, (s, _) in enumerate(chunk):
+                pair_scaled = max(q_scaled, s.minhash.scaled)
+                cutoffs[i] = _get_max_hash_for_scaled(pair_scaled)
 
-        shared, q_sizes, s_sizes = query_vs_many_cutoff_counts(
-            q_mins, sub_mins, cutoffs
-        )
+            shared, q_sizes, s_sizes = query_vs_many_cutoff_counts(
+                q_mins, sub_mins, cutoffs
+            )
 
-        for i, (subj, location) in enumerate(subjects_and_locations):
-            shared_size = int(shared[i])
-            query_size = int(q_sizes[i])
-            subj_size = int(s_sizes[i])
-            total_size = query_size + subj_size - shared_size
-            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
-            if search_fn.passes(score):
-                if search_fn.collect(score, subj):
-                    yield IndexSearchResult(score, subj, location)
+            for i, (subj, location) in enumerate(chunk):
+                shared_size = int(shared[i])
+                query_size = int(q_sizes[i])
+                subj_size = int(s_sizes[i])
+                total_size = query_size + subj_size - shared_size
+                score = search_fn.score_fn(
+                    query_size, shared_size, subj_size, total_size
+                )
+                if search_fn.passes(score):
+                    if search_fn.collect(score, subj):
+                        yield IndexSearchResult(score, subj, location)
+
+        CHUNK = 1024
+        pending = []
+        for item in subjects_and_locations:
+            try:
+                subj, _loc = item
+                _ = subj.minhash.scaled  # may raise for lazy/fake subjects
+            except Exception:
+                yield from process(pending)
+                raise
+            pending.append(item)
+            if len(pending) >= CHUNK:
+                yield from process(pending)
+                pending = []
+        yield from process(pending)
 
     # -- search APIs -------------------------------------------------------
 

@@ -52,6 +52,34 @@ class GraphFactory:
         return (self.ksize, self.starting_size, self.n_tables)
 
 
+class _NodesCache:
+    """Bounded cache of loaded internal nodes; evicts largest node ids
+    first (nearest the leaves) and unloads evicted nodes (reference
+    `sbt.py:68-116`)."""
+
+    def __init__(self, maxsize):
+        self.maxsize = max(1, maxsize)
+        self._d = {}
+
+    @property
+    def currsize(self):
+        return len(self._d)
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        while len(self._d) > self.maxsize:
+            evict = max(self._d)
+            node = self._d.pop(evict)
+            if node is not value:
+                node.unload()
+
+
 class SBT(Index):
     "Sequence Bloom Tree with generic internal nodes and leaves."
 
@@ -68,6 +96,9 @@ class SBT(Index):
         self._location = None
         self.picklists = []
         self.manifest = None
+        if cache_size is None:
+            cache_size = sys.maxsize
+        self._nodescache = _NodesCache(maxsize=cache_size)
 
     @property
     def location(self):
@@ -273,7 +304,12 @@ class SBT(Index):
                             queue.extend(c.pos for c in self.children(node_p))
 
                 if unload_data:
-                    node_g.unload()
+                    if isinstance(node_g, Node):
+                        # internal nodes ride the bounded cache; eviction
+                        # unloads (reference `sbt.py:68-116,400-410`)
+                        self._nodescache[node_p] = node_g
+                    else:
+                        node_g.unload()
 
         return matches
 
@@ -537,9 +573,9 @@ class SBT(Index):
             storage.save(save_path, tree_data, overwrite=True)
             storage.flush()
             storage.close()
-        elif kind == "FS":
-            storage.save(os.path.basename(index_filename), tree_data, overwrite=True)
         else:
+            # FS and explicit-storage layouts keep the index JSON at the
+            # top-level path, next to the hidden storage dir
             with open(index_filename, "wb") as tree_fp:
                 tree_fp.write(tree_data)
 
@@ -620,7 +656,7 @@ class SBT(Index):
         try:
             loader = loaders[version]
         except KeyError:
-            raise IndexNotSupported("unsupported SBT version")
+            raise IndexNotSupported()
 
         if version < 3 and storage is None:
             storage = FSStorage(dirname, f".sbt.{sbt_name}")

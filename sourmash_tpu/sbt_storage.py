@@ -131,6 +131,9 @@ class ZipStorage(Storage):
         return newpath
 
     def load(self, path):
+        if self.zipfile is None:
+            # storage was closed (e.g. after a save); reopen for reads
+            self.zipfile = zipfile.ZipFile(self.path, mode="r")
         try:
             return self.zipfile.read(path)
         except KeyError:
