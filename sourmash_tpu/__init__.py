@@ -141,3 +141,42 @@ def save_signatures(*args, **kwargs):
         stacklevel=2,
     )
     return save_signatures_to_json(*args, **kwargs)
+
+
+DEFAULT_SEED = get_minhash_default_seed()
+MAX_HASH = get_minhash_max_hash()
+
+
+def create_sbt_index(*args, **kwargs):
+    "Create an empty SBT index (reference __init__.py:143)."
+    from .sbtmh import create_sbt_index as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def load_sbt_index(*args, **kwargs):
+    "Deprecated: use load_file_as_index (reference __init__.py:106-118)."
+    import warnings
+
+    warnings.warn(
+        "load_sbt_index is deprecated; use load_file_as_index",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    from .sbtmh import load_sbt_index as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def search_sbt_index(*args, **kwargs):
+    "Deprecated: use Index.search (reference __init__.py:121-140)."
+    import warnings
+
+    warnings.warn(
+        "search_sbt_index is deprecated; use index.search(...)",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    from .sbtmh import search_sbt_index as _impl
+
+    return _impl(*args, **kwargs)

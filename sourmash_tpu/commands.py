@@ -1069,10 +1069,25 @@ def info(args):
     notify("")
 
     if args.verbose:
+        # reference cli/info.py:27-33 reports dependency versions; khmer is
+        # not a dependency here (internal Nodegraph) and screed is satisfied
+        # by the bundled compat shim over sequence_io.
+        notify("khmer version: None (internal Nodegraph)")
+        notify("")
+
+        import screed
+
+        notify(f"screed version {screed.__version__}")
+        notify("- loaded from path: {}".format(os.path.dirname(screed.__file__)))
+
         import jax
 
         notify(f"jax version {jax.__version__}")
         notify(f"jax devices: {jax.devices()}")
+
+        from .plugins import list_all_plugins
+
+        list_all_plugins()
 
 
 def import_csv(args):

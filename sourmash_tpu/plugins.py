@@ -103,3 +103,37 @@ def add_cli_scripts(parser):
         obj = script_cls(parser)
         d[obj.command] = obj
     return d
+
+
+def list_all_plugins():
+    "Print a table of installed plugins (reference plugins.py:188-209)."
+    from .logging import notify
+
+    plugins = list(
+        itertools.chain(
+            _get_entry_points("sourmash.load_from"),
+            _get_entry_points("sourmash.save_to"),
+            _get_entry_points("sourmash.cli_script"),
+        )
+    )
+
+    if not plugins:
+        notify("\n(no plugins detected)\n")
+
+    notify("")
+    notify("the following plugins are installed:")
+    notify("")
+    notify(
+        f"{'plugin type':<20s} {'from python module':<30s} {'v':<5s} {'entry point name':<20s}"
+    )
+    notify(f"{'-' * 20} {'-' * 30} {'-' * 5} {'-' * 20}")
+
+    for plugin in plugins:
+        name = plugin.name
+        mod = plugin.module
+        try:
+            version = plugin.dist.version
+        except Exception:
+            version = "?"
+        group = plugin.group
+        notify(f"{group:<20s} {mod:<30s} {version:<5s} {name:<20s}")
