@@ -9,13 +9,16 @@ from __future__ import annotations
 
 
 class Record(dict):
-    "dict with attribute access, like screed.Record."
+    "dict with attribute access, like screed.Record; len() is sequence length."
 
     def __getattr__(self, name):
         try:
             return self[name]
         except KeyError:
             raise AttributeError(name)
+
+    def __len__(self):
+        return len(self["sequence"])
 
 
 def _text(line):

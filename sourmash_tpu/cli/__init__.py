@@ -22,6 +22,7 @@ from .utils import (
     add_scaled_arg,
     add_num_arg,
 )
+from ..sourmash_args import check_scaled_bounds, check_num_bounds
 
 
 class SourmashParser(ArgumentParser):
@@ -123,10 +124,14 @@ def _add_plot(sub):
     p.add_argument("--labels", action="store_true", default=None,
                    help="show sample labels on dendrogram/matrix")
     p.add_argument("--no-labels", action="store_false", dest="labels")
-    p.add_argument("--labeltext", help="filename containing list of labels")
-    p.add_argument("--indices", action="store_false", dest="labels",
-                   help="show sample indices but not labels")
+    p.add_argument("--labeltext",
+                   help="filename containing list of labels; implies --labels")
+    p.add_argument("--indices", action="store_true", default=None,
+                   help="show sample indices but not labels; overridden by --labels")
     p.add_argument("--no-indices", action="store_false", dest="indices")
+    p.add_argument("--labels-from", "--labels-load", dest="labels_from",
+                   help="a CSV file containing label information to use on plot;"
+                        " implies --labels")
     p.add_argument("--vmax", default=1.0, type=float,
                    help="upper limit of heatmap scale (default: 1.0)")
     p.add_argument("--vmin", default=0.0, type=float,
@@ -261,42 +266,24 @@ def _add_multigather(sub):
                    help="output CSV results to this directory")
     p.add_argument("-U", "--output-add-query-md5sum", action="store_true",
                    help="add query md5sum to output file names")
-    p.add_argument("-E", "--extension", default=".sig",
-                   choices=[".sig", ".sig.gz", ".zip"],
-                   help="extension for unassigned-hash outputs")
+    p.add_argument("-E", "--extension", type=str, default=".sig",
+                   help="write signature files with this extension ('.sig' by default)")
     add_ksize_arg(p)
     add_moltype_args(p)
     add_scaled_arg(p, 0)
     p.set_defaults(func="multigather")
 
 
-_scripts_extension_dict = {}
+from . import scripts  # noqa: E402
+
+# alias kept for __main__ dispatch; same dict object as scripts._extension_dict
+_scripts_extension_dict = scripts._extension_dict
 
 
 def _add_scripts(sub):
     """'sourmash scripts' plugin commands (parity: reference
     `cli/scripts/__init__.py`)."""
-    from .. import plugins
-
-    p = sub.add_parser(
-        "scripts",
-        usage=SUPPRESS,
-        formatter_class=RawDescriptionHelpFormatter,
-        aliases=["ext"],
-    )
-    p.set_defaults(cmd="scripts")
-
-    descrs = list(plugins.get_cli_scripts_descriptions())
-    description = "\n".join(descrs) if descrs else "(No script plugins detected!)"
-
-    s = p.add_subparsers(
-        title="available plugin/extension commands",
-        dest="subcmd",
-        metavar="subcmd",
-        help=SUPPRESS,
-        description=description,
-    )
-    _scripts_extension_dict.update(plugins.add_cli_scripts(s))
+    scripts.subparser(sub)
 
 
 def _add_storage(sub):
@@ -473,7 +460,7 @@ def _add_index(sub):
                    help="a text file containing a list of files to load signatures from")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-d", "--debug", action="store_true")
-    p.add_argument("--scaled", metavar="FLOAT", type=float, default=0,
+    p.add_argument("--scaled", metavar="FLOAT", type=check_scaled_bounds, default=0,
                    help="downsample signatures to the specified scaled factor")
     p.add_argument("-f", "--force", action="store_true",
                    help="try loading all files with --traverse-directory")
@@ -528,7 +515,8 @@ def _add_misc(sub):
                    help="minimum threshold for matches; default=0.05")
     p.add_argument("--input-is-protein", action="store_true",
                    help="consume protein sequences")
-    p.add_argument("-n", "--num-hashes", type=int, default=500, metavar="N",
+    p.add_argument("-n", "--num-hashes", type=check_num_bounds, default=500,
+                   metavar="N",
                    help="number of hashes to use in each sketch; default=500")
     p.add_argument("--name", type=str, default="stdin", metavar="NAME",
                    help="name to use for the signature")

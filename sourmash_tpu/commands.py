@@ -272,18 +272,54 @@ def plot(args):
         D = numpy.load(f)
     notify(f"...got {D.shape[0]} x {D.shape[1]} matrix.", *D.shape)
 
-    if args.labeltext:
-        labelfilename = args.labeltext
+    # label display resolution (reference commands.py:325-372, sourmash#2790)
+    if args.labeltext or args.labels or args.labels_from:
+        if args.labeltext and args.labels_from:
+            notify("ERROR: cannot supply both --labeltext and --labels-from")
+            sys.exit(-1)
+        display_labels = True
+        args.labels = True  # override => labels always true
+    elif args.labels is None and not args.indices:
+        # default to labels
+        args.labels = True
+        display_labels = True
+    elif args.indices or (not args.labels and args.indices is None):
+        # turn on indices only, not label names
+        args.indices = True
+        display_labels = True
     else:
-        labelfilename = D_filename + ".labels.txt"
+        display_labels = False
 
-    notify(f"loading labels from {labelfilename}")
-    with open(labelfilename) as f:
-        labeltext = [x.strip() for x in f]
+    if args.labels_from:
+        labelfilename = args.labels_from
+        notify(f"loading labels from CSV file '{labelfilename}'")
 
-    if len(labeltext) != D.shape[0]:
-        error("{} labels != matrix size, exiting", len(labeltext))
-        sys.exit(-1)
+        labeltext = []
+        with sourmash_args.FileInputCSV(labelfilename) as r:
+            for row in r:
+                order, label = row["sort_order"], row["label"]
+                labeltext.append((int(order), label))
+        labeltext.sort()
+        labeltext = [t[1] for t in labeltext]
+    elif args.labels:
+        if args.labeltext:
+            labelfilename = args.labeltext
+        else:
+            labelfilename = D_filename + ".labels.txt"
+
+        notify(f"loading labels from text file '{labelfilename}'")
+        with open(labelfilename) as f:
+            labeltext = [x.strip() for x in f]
+
+        if len(labeltext) != D.shape[0]:
+            error("{} labels != matrix size, exiting", len(labeltext))
+            sys.exit(-1)
+    elif args.indices:
+        # construct integer labels
+        labeltext = [str(i + 1) for i in range(D.shape[0])]
+    else:
+        assert not display_labels
+        labeltext = [""] * D.shape[0]
 
     # build filenames, decide on PDF/PNG output
     dendrogram_out = os.path.basename(D_filename) + ".dendro"
@@ -338,7 +374,9 @@ def plot(args):
 
     ### do clustering
     Y = sch.linkage(D, method="single")
-    sch.dendrogram(Y, orientation="right", labels=labeltext, no_labels=True)
+    sch.dendrogram(
+        Y, orientation="right", labels=labeltext, no_labels=not display_labels
+    )
     fig.savefig(dendrogram_out)
     notify(f"wrote dendrogram to: {dendrogram_out}")
 
@@ -346,7 +384,7 @@ def plot(args):
     (fig, rlabels, rmat) = sourmash_fig.plot_composite_matrix(
         D,
         labeltext,
-        show_labels=args.labels,
+        show_labels=display_labels,
         vmin=args.vmin,
         vmax=args.vmax,
         force=args.force,

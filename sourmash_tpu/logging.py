@@ -17,7 +17,9 @@ def set_quiet(val, print_debug=False):
 
 
 def print_results(s="", *args, **kwargs):
-    "Print results to stdout (never suppressed by -q)."
+    "Print results to stdout, suppressed by -q (reference logging.py:14-19)."
+    if _quiet:
+        return
     print(s.format(*args, **kwargs), file=sys.stdout, end=kwargs.get("end", "\n"))
     sys.stdout.flush()
 

@@ -1,13 +1,19 @@
 """Entry-point plugin support (API parity: reference
 `src/sourmash/plugins.py` — groups 'sourmash.load_from', 'sourmash.save_to',
 'sourmash.cli_script'). Plugin group names are kept identical so existing
-sourmash plugins can register against this framework."""
+sourmash plugins can register against this framework.
+
+Entry points are collected once at import into module-level lists
+(`_plugin_load_from` / `_plugin_save_to` / `_plugin_cli`), which tests and
+embedders may replace (reference plugins.py:28-39).
+"""
 
 from __future__ import annotations
 
+import argparse
 import itertools
 
-from .logging import debug_literal, error
+from .logging import debug_literal, error, notify, set_quiet
 
 try:
     from importlib.metadata import entry_points
@@ -27,95 +33,142 @@ def _get_entry_points(group):
         return list(entry_points().get(group, []))
 
 
+_plugin_load_from = _get_entry_points("sourmash.load_from")
+_plugin_save_to = _get_entry_points("sourmash.save_to")
+_plugin_cli = _get_entry_points("sourmash.cli_script")
+_plugin_cli_once = False
+
+
 def get_load_from_functions():
     "Load the 'load_from' plugins and yield tuples (priority, name, fn)."
-    for ep in _get_entry_points("sourmash.load_from"):
+    debug_literal(f"load_from plugins: {_plugin_load_from}")
+    for plugin in _plugin_load_from:
         try:
-            load_from_fn = ep.load()
+            load_from_fn = plugin.load()
         except (ModuleNotFoundError, AttributeError) as e:
-            debug_literal(f"plugins.load_from_functions: got error loading {ep.name}: {str(e)}")
+            debug_literal(
+                f"plugins.load_from_functions: got error loading {plugin.name}: {str(e)}"
+            )
             continue
         priority = getattr(load_from_fn, "priority", DEFAULT_LOAD_FROM_PRIORITY)
-        yield priority, ep.name, load_from_fn
+        yield priority, plugin.name, load_from_fn
 
 
 def get_save_to_functions():
     "Load the 'save_to' plugins and yield tuples (priority, class)."
-    for ep in _get_entry_points("sourmash.save_to"):
+    debug_literal(f"save_to plugins: {_plugin_save_to}")
+    for plugin in _plugin_save_to:
         try:
-            save_cls = ep.load()
+            save_cls = plugin.load()
         except (ModuleNotFoundError, AttributeError) as e:
-            debug_literal(f"plugins.save_to_functions: got error loading {ep.name}: {str(e)}")
+            debug_literal(
+                f"plugins.save_to_functions: got error loading {plugin.name}: {str(e)}"
+            )
             continue
         priority = getattr(save_cls, "priority", DEFAULT_SAVE_TO_PRIORITY)
         yield priority, save_cls
 
 
 class CommandLinePlugin:
-    "Base class for CLI plugins (subcommands under 'sourmash scripts')."
+    """Base class for CLI plugins (subcommands under 'sourmash scripts').
+
+    Receives the already-created argparse subparser; adds the common
+    -q/-d flags (reference plugins.py:91-112).
+    """
 
     command = None
     description = None
 
     def __init__(self, parser):
-        subparser = parser.add_parser(self.command, usage=self.description)
-        subparser.add_argument(
+        parser.add_argument(
             "-q", "--quiet", action="store_true", help="suppress non-error output"
         )
-        subparser.add_argument(
+        parser.add_argument(
             "-d", "--debug", action="store_true", help="provide debugging output"
         )
 
     def main(self, args):
-        from .logging import set_quiet
-
         set_quiet(args.quiet, args.debug)
 
 
 def get_cli_script_plugins():
-    "Yield CLI script plugin entry points."
-    yield from _get_entry_points("sourmash.cli_script")
+    "Return CLI script plugin entry points that provide a command."
+    global _plugin_cli_once
+
+    x = []
+    for plugin in _plugin_cli:
+        name = plugin.name
+        mod = plugin.module
+        try:
+            script_cls = plugin.load()
+        except (ModuleNotFoundError, AttributeError):
+            if _plugin_cli_once is False:
+                error(
+                    f"ERROR: cannot find or load module for cli_script plugin '{name}'"
+                )
+            continue
+
+        command = getattr(script_cls, "command", None)
+        if command is None:
+            if _plugin_cli_once is False:
+                error(
+                    f"ERROR: no command provided by cli_script plugin '{name}' from {mod}; skipping"
+                )
+        else:
+            x.append(plugin)
+
+    _plugin_cli_once = True
+    return x
 
 
 def get_cli_scripts_descriptions():
-    "Yield descriptions of CLI script plugins."
-    for ep in get_cli_script_plugins():
-        try:
-            script_cls = ep.load()
-        except (ModuleNotFoundError, AttributeError):
-            error(f"ERROR: cannot load plugin '{ep.name}'")
-            continue
-        command = getattr(script_cls, "command", None)
+    "Yield one-line descriptions of CLI script plugins."
+    for plugin in get_cli_script_plugins():
+        name = plugin.name
+        script_cls = plugin.load()
+
+        command = getattr(script_cls, "command")
         description = getattr(script_cls, "description", "")
-        if command:
-            yield f"sourmash scripts {command:16s} - {description}"
+        if description:
+            description = description.splitlines()[0]
+        if not description:
+            description = f"(no description provided by plugin '{name}')"
+
+        yield f"sourmash scripts {command:16s} - {description}"
 
 
 def add_cli_scripts(parser):
-    "Register CLI script plugins on the given subparser."
+    "Create a subparser per CLI script plugin and instantiate the plugin."
     d = {}
-    for ep in get_cli_script_plugins():
-        try:
-            script_cls = ep.load()
-        except (ModuleNotFoundError, AttributeError):
-            error(f"ERROR: cannot load plugin '{ep.name}'")
-            continue
-        obj = script_cls(parser)
-        d[obj.command] = obj
+
+    for plugin in get_cli_script_plugins():
+        name = plugin.name
+        script_cls = plugin.load()
+
+        usage = getattr(script_cls, "usage", None)
+        description = getattr(script_cls, "description", None)
+        epilog = getattr(script_cls, "epilog", None)
+        formatter_class = getattr(script_cls, "formatter_class", argparse.HelpFormatter)
+
+        subparser = parser.add_parser(
+            script_cls.command,
+            usage=usage,
+            description=description,
+            epilog=epilog,
+            formatter_class=formatter_class,
+        )
+        debug_literal(
+            f"cls_script plugin '{name}' adding command '{script_cls.command}'"
+        )
+        obj = script_cls(subparser)
+        d[script_cls.command] = obj
+
     return d
 
 
 def list_all_plugins():
     "Print a table of installed plugins (reference plugins.py:188-209)."
-    from .logging import notify
-
-    plugins = list(
-        itertools.chain(
-            _get_entry_points("sourmash.load_from"),
-            _get_entry_points("sourmash.save_to"),
-            _get_entry_points("sourmash.cli_script"),
-        )
-    )
+    plugins = list(itertools.chain(_plugin_load_from, _plugin_save_to, _plugin_cli))
 
     if not plugins:
         notify("\n(no plugins detected)\n")

@@ -90,11 +90,22 @@ class ZipStorage(Storage):
         self.path = os.path.abspath(path)
         self.subdir = ""
 
-        # buffer new writes; flush into the zip on close/flush.
+        if mode != "r":
+            dirname = os.path.dirname(self.path)
+            if dirname and not os.path.exists(dirname):
+                os.makedirs(dirname)
+
+        # When writing over an EXISTING zip, the original stays open
+        # read-only (lazy SBT nodes may still load from it) and new entries
+        # go to an in-memory buffer merged in at close() — reference
+        # sbt_storage.py:202-226 (_RwZipStorage).
         self._bufferzip = None
 
         if mode == "r" or (mode == "a" and os.path.exists(self.path)):
             self.zipfile = zipfile.ZipFile(self.path, mode="a" if mode != "r" else "r")
+        elif mode == "w" and os.path.exists(self.path):
+            self.zipfile = zipfile.ZipFile(self.path, mode="r")
+            self._bufferzip = zipfile.ZipFile(BytesIO(), mode="w")
         else:
             self.zipfile = zipfile.ZipFile(self.path, mode="w",
                                            compression=zipfile.ZIP_STORED)
@@ -106,6 +117,15 @@ class ZipStorage(Storage):
     def _filenames(self):
         return [zi.filename for zi in self.zipfile.infolist()]
 
+    def _read_any(self, path):
+        "Read an entry from the main zip or the write buffer."
+        try:
+            return self.zipfile.read(path)
+        except KeyError:
+            if self._bufferzip is not None:
+                return self._bufferzip.read(path)
+            raise
+
     def save(self, path, content, *, overwrite=False, compress=False):
         if path is None:
             import hashlib
@@ -113,17 +133,25 @@ class ZipStorage(Storage):
             path = hashlib.md5(content).hexdigest()
         newpath = path
         existing = set(self._filenames())
+        if self._bufferzip is not None:
+            existing.update(zi.filename for zi in self._bufferzip.infolist())
         if path in existing and not overwrite:
-            old = self.zipfile.read(path)
+            old = self._read_any(path)
             if old != content:
                 n = 0
-                while f"{path}_{n}" in existing:
+                while True:
+                    testpath = f"{path}_{n}"
+                    if testpath not in existing:
+                        newpath = testpath
+                        break
+                    if self._read_any(testpath) == content:
+                        return testpath
                     n += 1
-                newpath = f"{path}_{n}"
             else:
                 return path
         comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
-        self.zipfile.writestr(
+        target = self._bufferzip if self._bufferzip is not None else self.zipfile
+        target.writestr(
             zipfile.ZipInfo(newpath, date_time=(1980, 1, 1, 0, 0, 0)),
             content,
             compress_type=comp,
@@ -135,7 +163,7 @@ class ZipStorage(Storage):
             # storage was closed (e.g. after a save); reopen for reads
             self.zipfile = zipfile.ZipFile(self.path, mode="r")
         try:
-            return self.zipfile.read(path)
+            return self._read_any(path)
         except KeyError:
             pass
         # fall back to subdir-qualified and suffix matches (reference
@@ -157,7 +185,43 @@ class ZipStorage(Storage):
     def flush(self):
         pass
 
+    def _merge_buffer(self):
+        """Merge buffered writes into the on-disk zip (reference
+        sbt_storage.py:341-407 flush): append when no names collide,
+        otherwise rewrite the whole archive with buffer entries winning."""
+        buffer_names = [zi.filename for zi in self._bufferzip.infolist()]
+        if not buffer_names:
+            return
+        zf_names = set(self._filenames())
+        duplicated = zf_names.intersection(buffer_names)
+
+        if not duplicated:
+            self.zipfile.close()
+            with zipfile.ZipFile(self.path, mode="a",
+                                 compression=zipfile.ZIP_STORED) as out:
+                for zi in self._bufferzip.infolist():
+                    out.writestr(zi, self._bufferzip.read(zi.filename))
+            self.zipfile = None
+            return
+
+        fd, tmppath = tempfile.mkstemp(dir=os.path.dirname(self.path))
+        os.close(fd)
+        with zipfile.ZipFile(tmppath, mode="w",
+                             compression=zipfile.ZIP_STORED) as out:
+            for zi in self.zipfile.infolist():
+                if zi.filename not in duplicated:
+                    out.writestr(zi, self.zipfile.read(zi.filename))
+            for zi in self._bufferzip.infolist():
+                out.writestr(zi, self._bufferzip.read(zi.filename))
+        self.zipfile.close()
+        self.zipfile = None
+        os.replace(tmppath, self.path)
+
     def close(self):
+        if self._bufferzip is not None:
+            self._merge_buffer()
+            self._bufferzip.close()
+            self._bufferzip = None
         if self.zipfile is not None:
             self.zipfile.close()
             self.zipfile = None

@@ -194,7 +194,12 @@ class SourmashSignature:
         self._minhash.add_protein(sequence)
 
     def __len__(self):
-        return len(self.minhash)
+        # number of sketches in the record, NOT hash count — matches
+        # reference signature.py:232 -> Rust Signature::size()
+        # (signature.rs:474). Notably this makes every signature truthy,
+        # which gather's "found less than ... in common" reporting relies on
+        # (reference commands.py:1056).
+        return 1
 
     def __getstate__(self):
         return (
@@ -346,6 +351,9 @@ class MultiSketchSignature(SourmashSignature):
 
     def _all_minhashes(self):
         return list(self._minhashes)
+
+    def __len__(self):
+        return len(self._minhashes)
 
     def add_sequence(self, sequence, force=False):
         for mh in self._minhashes:
@@ -509,7 +517,10 @@ def load_signatures_from_json(
         for rec in records:
             for sig in _sig_from_dict(rec, ignore_md5sum=ignore_md5sum):
                 mh = sig.minhash
-                if ksize and mh.ksize != ksize:
+                # compare against the SERIALIZED ksize (3x aa-ksize for
+                # protein family sketches) — reference signature.rs:613
+                # filters on the raw KmerMinHash::ksize value
+                if ksize and mh._ksize != ksize:
                     continue
                 if select_moltype is not None:
                     if mh.moltype.lower() != str(select_moltype).lower():
