@@ -30,7 +30,9 @@ def subparser(subparsers):
         "sig", aliases=["signature"], description="signature manipulation utilities"
     )
     p.set_defaults(cmd="sig", func="sig")
-    ssub = p.add_subparsers(dest="subcmd", metavar="subcmd")
+    ssub = p.add_subparsers(
+        title="Manipulate signature files", dest="subcmd", metavar="subcmd"
+    )
 
     # cat
     sp = ssub.add_parser("cat")
@@ -52,9 +54,8 @@ def subparser(subparsers):
     _common(sp)
     sp.add_argument("--output-dir", "--outdir",
                     help="output signatures to this directory")
-    sp.add_argument("-e", "--extension", default=".sig",
-                    choices=[".sig", ".sig.gz", ".zip"],
-                    help="write files with this extension/format")
+    sp.add_argument("-E", "--extension", default=".sig",
+                    help="write files with this extension ('.sig' by default)")
     add_ksize_arg(sp)
     add_moltype_args(sp)
     add_picklist_args(sp)
@@ -102,7 +103,7 @@ def subparser(subparsers):
                     help="output signature to this file (default stdout)")
     sp.add_argument("--flatten", action="store_true",
                     help="remove abundances from all signatures while merging")
-    sp.add_argument("--name", dest="set_name", default=None,
+    sp.add_argument("--set-name", "--name", dest="set_name", default=None,
                     help="rename merged signature")
     add_ksize_arg(sp)
     add_moltype_args(sp)
@@ -117,8 +118,8 @@ def subparser(subparsers):
                     help="output signature to this file (default stdout)")
     sp.add_argument("-A", "--abundances-from", metavar="FILE",
                     help="intersect with & take abundances from this signature")
-    sp.add_argument("--name", dest="set_name", default=None,
-                    help="rename intersected signature")
+    sp.add_argument("--set-name", dest="set_name", default=None,
+                    help="set name for output signature")
     add_ksize_arg(sp)
     add_moltype_args(sp)
     add_picklist_args(sp)
@@ -147,8 +148,8 @@ def subparser(subparsers):
                     help="remove abundances from all signatures while subtracting")
     sp.add_argument("-A", "--abundances-from", metavar="FILE",
                     help="take abundances from this signature")
-    sp.add_argument("--name", dest="set_name", default=None,
-                    help="rename subtracted signature")
+    sp.add_argument("--set-name", dest="set_name", default=None,
+                    help="set name for output signature")
     add_ksize_arg(sp)
     add_moltype_args(sp)
     sp.set_defaults(subfunc="subtract")

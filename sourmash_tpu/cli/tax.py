@@ -8,7 +8,7 @@ from .utils import add_rank_arg, add_tax_threshold_arg
 
 def _common_tax(sp, formats, default_format=None):
     sp.add_argument("-g", "--gather-csv", dest="gather_csv", nargs="*", default=[],
-                    help="CSVs from sourmash gather")
+                    action="extend", help="CSVs from sourmash gather")
     sp.add_argument("--from-file", metavar="FILE", default=None,
                     help="input many gather results as a text file with paths")
     sp.add_argument("-q", "--quiet", action="store_true",
@@ -32,6 +32,8 @@ def _common_tax(sp, formats, default_format=None):
                     help="continue past errors in file and taxonomy loading")
     sp.add_argument("--lins", "--lin-taxonomy", action="store_true", default=False,
                     help="use LIN taxonomy in place of standard taxonomic ranks")
+    sp.add_argument("--ictv", "--ictv-taxonomy", action="store_true", default=False,
+                    help="use ICTV taxonomy in place of standard taxonomic ranks")
     sp.add_argument("--lingroup", "--lingroups", metavar="FILE", default=None,
                     help="CSV containing 'name', 'lin' columns")
 
@@ -63,11 +65,12 @@ def subparser(subparsers):
     # tax annotate
     sp = ssub.add_parser("annotate")
     sp.add_argument("-g", "--gather-csv", dest="gather_csv", nargs="*", default=[],
-                    help="CSVs to annotate")
+                    action="extend", help="CSVs to annotate")
     sp.add_argument("--from-file", metavar="FILE", default=None,
                     help="input many CSVs as a text file with paths")
     sp.add_argument("-q", "--quiet", action="store_true")
-    sp.add_argument("--output-dir", default="", help="directory for output files")
+    sp.add_argument("-o", "--output-dir", default="",
+                    help="directory for output files")
     sp.add_argument("-t", "--taxonomy-csv", "--taxonomy", metavar="FILE",
                     dest="taxonomy_csv", nargs="+", required=True, action="extend",
                     help="database lineages CSV")
@@ -76,6 +79,7 @@ def subparser(subparsers):
     sp.add_argument("--fail-on-missing-taxonomy", action="store_true")
     sp.add_argument("-f", "--force", action="store_true")
     sp.add_argument("--lins", "--lin-taxonomy", action="store_true", default=False)
+    sp.add_argument("--ictv", "--ictv-taxonomy", action="store_true", default=False)
     sp.set_defaults(subfunc="tax_annotate")
 
     # tax prepare
@@ -97,7 +101,9 @@ def subparser(subparsers):
     # tax grep
     sp = ssub.add_parser("grep")
     sp.add_argument("pattern")
-    sp.add_argument("-r", "--rank", help="search only this rank")
+    sp.add_argument("-r", "--rank", help="search only this rank",
+                    choices=["superkingdom", "phylum", "class", "order",
+                             "family", "genus", "species", "strain"])
     sp.add_argument("-v", "--invert-match", action="store_true",
                     help="select non-matching lineages")
     sp.add_argument("-i", "--ignore-case", action="store_true",
@@ -126,4 +132,5 @@ def subparser(subparsers):
     sp.add_argument("--keep-identifier-versions", action="store_true")
     sp.add_argument("-f", "--force", action="store_true")
     sp.add_argument("--lins", "--lin-taxonomy", action="store_true", default=False)
+    sp.add_argument("--ictv", "--ictv-taxonomy", action="store_true", default=False)
     sp.set_defaults(subfunc="tax_summarize")

@@ -395,7 +395,9 @@ class SaveSignatures_ZipFile(Base_SaveSignaturesToLocation):
 
         storage = None
         try:
-            storage = ZipStorage(self.location, mode="w" if do_create else "a")
+            # "w" on an existing path opens read+buffer, so a non-zip file
+            # raises BadZipFile here (reference save_load.py:486-489)
+            storage = ZipStorage(self.location, mode="w")
         except zipfile.BadZipFile:
             pass
 

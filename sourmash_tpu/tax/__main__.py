@@ -22,6 +22,7 @@ from .tax_utils import (
     MultiLineageDB,
     RankLineageInfo,
     LINLineageInfo,
+    ICTVRankLineageInfo,
     AnnotateTaxResult,
 )
 
@@ -58,8 +59,16 @@ def metagenome(args):
     "Summarize taxonomic information for metagenome gather results."
     from ..cli.utils import check_tax_outputs
 
+    from ..cli.utils import check_rank
+
     set_quiet(args.quiet)
     try:
+        if not args.gather_csv and not args.from_file:
+            raise ValueError(
+                "No gather CSVs found! Please input via '-g' or '--from-file'."
+            )
+        if args.rank:
+            args.rank = check_rank(args)
         args.output_format = check_tax_outputs(
             args,
             rank_required=["krona", "lineage_summary"],
@@ -77,6 +86,7 @@ def metagenome(args):
             keep_identifier_versions=args.keep_identifier_versions,
             force=args.force,
             lins=args.lins,
+            ictv=args.ictv,
         )
         available_ranks = tax_assign.available_ranks
     except ValueError as exc:
@@ -107,6 +117,7 @@ def metagenome(args):
             keep_full_identifiers=args.keep_full_identifiers,
             keep_identifier_versions=args.keep_identifier_versions,
             lins=args.lins,
+            ictv=args.ictv,
         )
     except ValueError as exc:
         error(f"ERROR: {str(exc)}")
@@ -235,13 +246,17 @@ def genome(args):
     "Taxonomic classification of genomes from gather results."
     from ..cli.utils import check_tax_outputs
 
+    from ..cli.utils import check_rank
+
     set_quiet(args.quiet)
     try:
-        args.output_format = check_tax_outputs(
-            args,
-            rank_required=["krona"],
-            incompatible_with_lins=["krona"],
-        )
+        if not args.gather_csv and not args.from_file:
+            raise ValueError(
+                "No gather CSVs found! Please input via '-g' or '--from-file'."
+            )
+        if args.rank:
+            args.rank = check_rank(args)
+        args.output_format = check_tax_outputs(args, rank_required=["krona"])
     except ValueError as exc:
         error(f"ERROR: {str(exc)}")
         sys.exit(-1)
@@ -253,6 +268,7 @@ def genome(args):
             keep_identifier_versions=args.keep_identifier_versions,
             force=args.force,
             lins=args.lins,
+            ictv=args.ictv,
         )
         available_ranks = tax_assign.available_ranks
 
@@ -291,6 +307,7 @@ def genome(args):
             keep_full_identifiers=args.keep_full_identifiers,
             keep_identifier_versions=args.keep_identifier_versions,
             lins=args.lins,
+            ictv=args.ictv,
         )
 
     except ValueError as exc:
@@ -394,6 +411,11 @@ def annotate(args):
     "Annotate CSVs with a taxonomic lineage column."
     set_quiet(args.quiet)
 
+    if not args.gather_csv and not args.from_file:
+        raise ValueError(
+            "No gather CSVs found! Please input via '-g' or '--from-file'."
+        )
+
     try:
         tax_assign = MultiLineageDB.load(
             args.taxonomy_csv,
@@ -401,6 +423,7 @@ def annotate(args):
             keep_identifier_versions=args.keep_identifier_versions,
             force=args.force,
             lins=args.lins,
+            ictv=args.ictv,
         )
 
     except ValueError as exc:
@@ -458,6 +481,7 @@ def annotate(args):
                             raw=row,
                             id_col=id_col,
                             lins=args.lins,
+                            ictv=args.ictv,
                             keep_full_identifiers=args.keep_full_identifiers,
                             keep_identifier_versions=args.keep_identifier_versions,
                         )
@@ -583,6 +607,7 @@ def summarize(args):
             keep_full_identifiers=args.keep_full_identifiers,
             keep_identifier_versions=args.keep_identifier_versions,
             lins=args.lins,
+            ictv=args.ictv,
         )
     except ValueError as exc:
         error("ERROR while loading taxonomies!")
@@ -627,6 +652,8 @@ def summarize(args):
                 rank = lineage[-1].rank
                 if args.lins:
                     inf = LINLineageInfo(lineage=lineage)
+                elif args.ictv:
+                    inf = ICTVRankLineageInfo(lineage=lineage)
                 else:
                     inf = RankLineageInfo(lineage=lineage)
                 lin = inf.display_lineage()

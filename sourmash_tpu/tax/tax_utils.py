@@ -13,18 +13,20 @@ import csv
 import sqlite3
 from collections import defaultdict
 from dataclasses import dataclass, field, replace
+from itertools import zip_longest
 from typing import NamedTuple
 
 __all__ = [
     "LineagePair",
     "RankLineageInfo",
+    "ICTVRankLineageInfo",
     "LINLineageInfo",
     "LineageDB",
     "MultiLineageDB",
     "ascending_taxlist",
 ]
 
-RANKS = (
+RANKS = NCBI_RANKS = (
     "superkingdom",
     "phylum",
     "class",
@@ -62,27 +64,29 @@ def ascending_taxlist(include_strain=True):
 class BaseLineageInfo:
     """Handle hierarchical taxonomic lineages over a fixed rank list.
 
-    Storage: `lineage` is a tuple of LineagePair, one per rank (filled
-    entries first; missing ranks hold LineagePair(rank, None))."""
+    Storage: `lineage` is a tuple of LineagePair, one per rank; missing
+    ranks hold LineagePair(rank, None). `filled_ranks` records which ranks
+    carry a (possibly empty-string) name. Behavior parity: reference
+    tax_utils.py:89-345."""
 
-    ranks: tuple = ()
+    ranks: tuple  # required
     lineage: tuple = None
-    lineage_str: str = None
+    lineage_str: str = field(default=None, compare=False)
 
     def __post_init__(self):
+        if isinstance(self.ranks, list):
+            object.__setattr__(self, "ranks", tuple(self.ranks))
         if self.lineage is not None:
             self._init_from_lineage_tuples()
         elif self.lineage_str is not None:
             self._init_from_lineage_str()
         else:
-            object.__setattr__(
-                self, "lineage", tuple(LineagePair(r) for r in self.ranks)
-            )
+            self._init_empty()
 
     def __eq__(self, other):
         if other == ():
             return False
-        return all([self.ranks == other.ranks, self.lineage == other.lineage])
+        return all([self.ranks == other.ranks and self.lineage == other.lineage])
 
     @property
     def taxlist(self):
@@ -99,7 +103,22 @@ class BaseLineageInfo:
         return self.filled_ranks[-1]
 
     def rank_index(self, rank):
+        self.check_rank_availability(rank)
         return self.ranks.index(rank)
+
+    def name_at_rank(self, rank):
+        "Return the lineage name at this rank."
+        self.check_rank_availability(rank)
+        if not self.filled_ranks or rank not in self.filled_ranks:
+            return None
+        return self.filled_lineage[self.rank_index(rank)].name
+
+    def taxid_at_rank(self, rank):
+        "Return the lineage taxid at this rank."
+        self.check_rank_availability(rank)
+        if not self.filled_ranks or rank not in self.filled_ranks:
+            return None
+        return self.filled_lineage[self.rank_index(rank)].taxid
 
     @property
     def filled_lineage(self):
@@ -108,12 +127,6 @@ class BaseLineageInfo:
             return ()
         lowest_filled_rank_idx = self.rank_index(self.filled_ranks[-1])
         return self.lineage[: lowest_filled_rank_idx + 1]
-
-    @property
-    def filled_ranks(self):
-        return tuple(
-            a.rank for a in self.lineage if a.name is not None and a.name != ""
-        )
 
     @property
     def lowest_lineage_name(self):
@@ -127,32 +140,20 @@ class BaseLineageInfo:
             return None
         return self.filled_lineage[-1].taxid
 
-    def name_at_rank(self, rank):
-        self.check_rank_availability(rank)
-        if not self.filled_ranks or rank not in self.filled_ranks:
-            return None
-        return self.lineage[self.rank_index(rank)].name
-
-    def taxid_at_rank(self, rank):
-        self.check_rank_availability(rank)
-        if not self.filled_ranks or rank not in self.filled_ranks:
-            return None
-        return self.lineage[self.rank_index(rank)].taxid
+    def _init_empty(self):
+        "Initialize an empty lineage over the given ranks."
+        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
+        object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", ())
 
     def _init_from_lineage_tuples(self):
-        "Initialize from tuple/list of LineagePairs, allowing empty ranks."
-        new_lineage = []
-        if not self.ranks:
-            raise ValueError("Cannot initialize BaseLineageInfo. Please provide 'ranks'.")
-        for rank in self.ranks:
-            new_lineage.append(LineagePair(rank=rank))
+        """Initialize from a tuple/list of LineagePairs; empty ranks and
+        out-of-order input are allowed and normalized."""
+        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
         for lin_tup in self.lineage:
             if not isinstance(lin_tup, LineagePair):
-                if isinstance(lin_tup, tuple) and len(lin_tup) >= 2:
-                    lin_tup = LineagePair(*lin_tup)
-                else:
-                    raise ValueError(f"{lin_tup} is not LineagePair.")
-            if lin_tup.rank:
+                raise ValueError(f"{lin_tup} is not tax_utils LineagePair.")
+            if lin_tup.rank:  # skip empty-rank pairs
                 try:
                     rank_idx = self.rank_index(lin_tup.rank)
                 except ValueError as e:
@@ -161,30 +162,25 @@ class BaseLineageInfo:
                     ) from e
                 new_lineage[rank_idx] = lin_tup
 
+        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
         object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
 
     def _init_from_lineage_str(self):
-        "Initialize from a ';'/',' separated lineage string."
-        if not self.ranks:
-            raise ValueError("Cannot initialize BaseLineageInfo. Please provide 'ranks'.")
+        "Initialize from a ';'- or ','-separated lineage-name string."
         new_lineage = self.lineage_str.split(";")
         if len(new_lineage) == 1:
             new_lineage = self.lineage_str.split(",")
         new_lineage = [
             LineagePair(rank=rank, name=n)
-            for (rank, n) in zip(self.ranks, new_lineage)
+            for (rank, n) in zip_longest(self.ranks, new_lineage)
         ]
-        # clean empty names
-        cleaned = []
-        for lin_tup in new_lineage:
-            name = lin_tup.name
-            if name is not None and name.strip() in ("", "[Blank]", "na", "null", "NA"):
-                name = None
-            cleaned.append(LineagePair(rank=lin_tup.rank, name=name))
-        object.__setattr__(self, "lineage", tuple(cleaned))
+        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
+        object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
 
     def zip_lineage(self, truncate_empty=False):
-        "Return lineage names as a list, padded to all ranks."
+        "Return lineage names as a list (None replaced with '')."
         if truncate_empty:
             zipped = [a.name for a in self.filled_lineage]
         else:
@@ -192,6 +188,7 @@ class BaseLineageInfo:
         return ["" if x is None else x for x in zipped]
 
     def zip_taxid(self, truncate_empty=False):
+        "Return taxids as a list of strings (None replaced with '')."
         if truncate_empty:
             zipped = [a.taxid for a in self.filled_lineage]
         else:
@@ -199,8 +196,9 @@ class BaseLineageInfo:
         return ["" if x is None else str(x) for x in zipped]
 
     def display_lineage(self, truncate_empty=True, null_as_unclassified=False, sep=";"):
+        "Return lineage names as a separator-joined string."
         lin = sep.join(self.zip_lineage(truncate_empty=truncate_empty))
-        if null_as_unclassified and (lin == "" or lin is None):
+        if null_as_unclassified and lin == "" or lin is None:
             return "unclassified"
         return lin
 
@@ -225,43 +223,60 @@ class BaseLineageInfo:
         return self.ranks == other.ranks
 
     def is_lineage_match(self, other, rank):
-        "Check if lineages match at the given rank (all ranks above equal)."
+        "Check whether two lineages match down to the given rank (1/0)."
         self.check_rank_availability(rank)
-        if not other.rank_is_filled(rank) or not self.rank_is_filled(rank):
-            return False
-        rank_idx = self.rank_index(rank)
-        a_lin = self.lineage[: rank_idx + 1]
-        b_lin = other.lineage[: rank_idx + 1]
-        return bool(a_lin == b_lin)
+        if not self.is_compatible(other):
+            raise ValueError(
+                "Cannot compare lineages from taxonomies with different ranks."
+            )
+        # always false if rank is not filled in either lineage
+        if self.rank_is_filled(rank, other=other):
+            rank_idx = self.rank_index(rank)
+            if self.lineage[: rank_idx + 1] == other.lineage[: rank_idx + 1]:
+                return 1
+        return 0
 
     def pop_to_rank(self, rank):
-        "Return a new LineageInfo truncated to the given rank."
+        "Return a new LineageInfo with ranks only filled down to `rank`."
         self.check_rank_availability(rank)
         if not self.rank_is_filled(rank):
             return replace(self)
-        rank_idx = self.rank_index(rank)
-        new_lineage = self.lineage[: rank_idx + 1]
+        new_lineage = self.lineage_at_rank(rank)
         new = replace(self, lineage=new_lineage)
-        new.__post_init__()
+        # replace() doesn't rerun __post_init__ normalization; redo it.
+        new._init_from_lineage_tuples()
         return new
 
     def lineage_at_rank(self, rank):
-        "Lineage tuple down to the given rank."
+        "Return the tuple of LineagePairs down to the given rank."
         self.check_rank_availability(rank)
-        if not self.filled_ranks:
-            return ()
+        if not self.rank_is_filled(rank):
+            return self.filled_lineage
         rank_idx = self.rank_index(rank)
         return self.filled_lineage[: rank_idx + 1]
+
+    def find_lca(self, other):
+        "Return the lowest-common-ancestor lineage with `other`, or None."
+        for rank in self.ascending_taxlist:
+            if self.is_lineage_match(other, rank):
+                return self.pop_to_rank(rank)
+        return None
 
 
 @dataclass(frozen=True, order=True)
 class RankLineageInfo(BaseLineageInfo):
-    "Taxonomic lineage over the standard 8 ranks (superkingdom..strain)."
+    """Taxonomic lineage over the standard 8 NCBI ranks
+    (superkingdom..strain) — reference tax_utils.py:346-433. Adds
+    dict-based initialization with optional '|'-separated NCBI 'taxpath'
+    taxids; unknown dict keys (extra CSV columns) are ignored and null
+    placeholder names filtered."""
 
-    ranks: tuple = RANKS
-    lineage_dict: dict = None
+    ranks: tuple = NCBI_RANKS
+    lineage_dict: dict = field(default=None, compare=False)
 
     def __post_init__(self):
+        if isinstance(self.ranks, list):
+            object.__setattr__(self, "ranks", tuple(self.ranks))
         if self.lineage is not None:
             self._init_from_lineage_tuples()
         elif self.lineage_str is not None:
@@ -269,42 +284,120 @@ class RankLineageInfo(BaseLineageInfo):
         elif self.lineage_dict is not None:
             self._init_from_lineage_dict()
         elif self.ranks:
-            object.__setattr__(
-                self, "lineage", tuple(LineagePair(r) for r in self.ranks)
-            )
-
-    def __eq__(self, other):
-        if other == ():
-            return False
-        return all([self.ranks == other.ranks, self.lineage == other.lineage])
+            self._init_empty()
 
     def _init_from_lineage_dict(self):
-        "Initialize from a {rank: name} or {rank: {name, taxid}} dict."
+        "Initialize from a lineage dict (e.g. a taxonomy-CSV row)."
+        null_names = set(["[Blank]", "na", "null", "NA", ""])
         if not isinstance(self.lineage_dict, dict):
             raise ValueError(f"{self.lineage_dict} is not dictionary")
         new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
+
+        taxpath = []
+        taxpath_str = self.lineage_dict.get("taxpath", [])
+        if taxpath_str:
+            taxpath = taxpath_str.split("|")
+            if len(taxpath) > len(self.ranks):
+                raise ValueError(
+                    f"Number of NCBI taxids ({len(taxpath)}) exceeds number of ranks ({len(self.ranks)})"
+                )
+
         for key, val in self.lineage_dict.items():
             name, taxid = None, None
-            if isinstance(val, dict):
-                name = val.get("name")
-                taxid = val.get("taxid")
-            elif isinstance(val, str):
-                name = val
             try:
-                rank_idx = self.rank_index(key)
-            except ValueError as e:
-                raise ValueError(
-                    f"Rank '{key}' not present in {', '.join(self.ranks)}"
-                ) from e
-            new_lineage[rank_idx] = LineagePair(rank=key, name=name, taxid=taxid)
+                rank, name = key, val
+                rank_idx = self.rank_index(rank)
+            except ValueError:
+                continue  # ignore columns that don't match a rank
+
+            if taxpath:
+                try:
+                    taxid = taxpath[rank_idx]
+                except IndexError:
+                    taxid = None
+            if name is not None and name.strip() in null_names:
+                name = None
+            new_lineage[rank_idx] = LineagePair(rank=rank, name=name, taxid=taxid)
+
+        filled_ranks = [a.rank for a in new_lineage if a.name]
         object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
+
+
+ICTV_RANKS = (
+    "realm",
+    "subrealm",
+    "kingdom",
+    "subkingdom",
+    "phylum",
+    "subphylum",
+    "class",
+    "subclass",
+    "order",
+    "suborder",
+    "family",
+    "subfamily",
+    "genus",
+    "subgenus",
+    "species",
+    "name",
+)
+
+
+@dataclass(frozen=True, order=True)
+class ICTVRankLineageInfo(RankLineageInfo):
+    """Lineage over the 15-rank ICTV viral taxonomy plus a trailing 'name'
+    column (virus name as sub-species rank) — reference tax_utils.py:434-504.
+    Unlike RankLineageInfo, unknown dict keys are ignored (extra CSV columns
+    allowed) and null placeholder names are filtered."""
+
+    ranks: tuple = ICTV_RANKS
+    lineage_dict: dict = field(default=None, compare=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "ranks", ICTV_RANKS)
+        if self.lineage is not None:
+            self._init_from_lineage_tuples()
+        elif self.lineage_str is not None:
+            self._init_from_lineage_str()
+        elif self.lineage_dict is not None:
+            self._init_from_lineage_dict()
+        else:
+            self._init_empty()
+
+    def _init_from_lineage_dict(self):
+        "Initialize from a lineage dict; skips non-rank columns, null names."
+        null_names = set(["[Blank]", "na", "null", "NA", ""])
+        if not isinstance(self.lineage_dict, dict):
+            raise ValueError(f"{self.lineage_dict} is not dictionary")
+        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
+
+        for key, val in self.lineage_dict.items():
+            name = None
+            try:
+                rank, name = key, val
+                rank_idx = self.rank_index(rank)
+            except ValueError:
+                continue  # ignore columns that don't match a rank
+
+            if name is not None and name.strip() in null_names:
+                name = None
+            new_lineage[rank_idx] = LineagePair(rank=rank, name=name)
+
+        filled_ranks = [a.rank for a in new_lineage if a.name]
+        object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
 
 
 @dataclass(frozen=True, order=True)
 class LINLineageInfo(BaseLineageInfo):
-    "LIN taxonomic lineage: positional integer ranks."
+    """LIN taxonomic lineage: positional integer 'ranks'
+    (reference tax_utils.py:507-640). Equality compares only the filled
+    lineage so LIN prefixes can match full LINs; `is_compatible` just
+    requires a shared position."""
 
-    ranks: tuple = field(default=(), compare=False)
+    ranks: tuple = field(default=None, init=False, compare=False)
+    lineage: tuple = None
     n_lin_positions: int = field(default=None, compare=False)
 
     def __post_init__(self):
@@ -318,62 +411,65 @@ class LINLineageInfo(BaseLineageInfo):
     def __eq__(self, other):
         if other == ():
             return False
-        return all(
-            [
-                self.n_lin_positions == other.n_lin_positions,
-                self.lineage == other.lineage,
-            ]
+        return self.filled_lineage == other.filled_lineage
+
+    def _init_ranks_from_n_lin_positions(self):
+        object.__setattr__(
+            self, "ranks", [str(x) for x in range(0, self.n_lin_positions)]
         )
 
     def _init_empty(self):
-        new_lineage = []
         if self.n_lin_positions is None:
             object.__setattr__(self, "n_lin_positions", 0)
-        ranks = [str(x) for x in range(self.n_lin_positions)]
-        for rank in ranks:
-            new_lineage.append(LineagePair(rank=rank))
+        self._init_ranks_from_n_lin_positions()
+        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
         object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "ranks", tuple(ranks))
+        object.__setattr__(self, "filled_ranks", ())
+        object.__setattr__(self, "n_filled_pos", 0)
 
     def _init_from_lineage_str(self):
+        "Initialize from a ';'- or ','-separated LIN string."
         new_lineage = self.lineage_str.split(";")
         if len(new_lineage) == 1:
             new_lineage = self.lineage_str.split(",")
         if self.n_lin_positions is not None:
             if self.n_lin_positions < len(new_lineage):
                 raise ValueError(
-                    "Provided 'n_lin_positions' has fewer positions than provided lineage."
+                    "Provided 'n_lin_positions' has fewer positions than provided 'lineage_str'."
                 )
-            n_pos = self.n_lin_positions
+            self._init_ranks_from_n_lin_positions()
         else:
-            n_pos = len(new_lineage)
-        ranks = [str(x) for x in range(n_pos)]
-        lineage = [LineagePair(rank=rank) for rank in ranks]
-        for i, n in enumerate(new_lineage):
-            if n is not None and n.strip() in ("", "[Blank]", "na", "null", "NA"):
-                n = None
-            lineage[i] = LineagePair(rank=str(i), name=n)
-        object.__setattr__(self, "lineage", tuple(lineage))
-        object.__setattr__(self, "ranks", tuple(ranks))
-        object.__setattr__(self, "n_lin_positions", n_pos)
+            object.__setattr__(self, "n_lin_positions", len(new_lineage))
+            self._init_ranks_from_n_lin_positions()
+
+        new_lineage = [
+            LineagePair(rank=rank, name=n)
+            for (rank, n) in zip_longest(self.ranks, new_lineage)
+        ]
+        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
+        object.__setattr__(self, "lineage", tuple(new_lineage))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
+        object.__setattr__(self, "n_filled_pos", len(filled_ranks))
 
     def _init_from_lineage_tuples(self):
+        "Initialize from LineagePairs, taking ranks from the pairs."
         new_lineage = []
         ranks = []
-        for i, lin_tup in enumerate(self.lineage):
+        for lin_tup in self.lineage:
             if not isinstance(lin_tup, LineagePair):
-                lin_tup = LineagePair(*lin_tup)
-            new_lineage.append(LineagePair(rank=str(i), name=lin_tup.name))
-            ranks.append(str(i))
+                raise ValueError(f"{lin_tup} is not tax_utils LineagePair.")
+            new_lineage.append(lin_tup)
+            ranks.append(lin_tup.rank)
+        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
         object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "ranks", tuple(ranks))
         object.__setattr__(self, "n_lin_positions", len(new_lineage))
+        object.__setattr__(self, "ranks", tuple(ranks))
+        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
+        object.__setattr__(self, "n_filled_pos", len(filled_ranks))
 
-    @property
-    def lowest_lineage_name(self):
-        if not self.filled_lineage:
-            return ""
-        return self.filled_lineage[-1].name
+    def is_compatible(self, other):
+        "LIN prefixes may match full LINs: require any shared position."
+        return any(x in self.ranks for x in other.ranks)
 
 
 class LineageDB:
@@ -415,19 +511,31 @@ class LineageDB:
 
     @classmethod
     def load(cls, filename, *, delimiter=",", force=False,
-             keep_full_identifiers=False, keep_identifier_versions=False,
-             lins=False):
-        "Load a taxonomy assignment CSV into a LineageDB."
-        include_strain = False
+             keep_full_identifiers=False, keep_identifier_versions=True,
+             lins=False, ictv=False):
+        """Load a taxonomy-assignment CSV into a LineageDB
+        (reference tax_utils.py:1233-1377)."""
+        import os
 
-        with open(filename, newline="") as fp:
-            r = csv.DictReader(fp, delimiter=delimiter)
+        from .. import sourmash_args
+
+        include_strain = False
+        if not keep_identifier_versions and keep_full_identifiers:
+            raise ValueError(
+                "keep_identifer_versions=False doesn't make sense with keep_full_identifiers=True"
+            )
+        if not os.path.exists(filename):
+            raise ValueError(f"'{filename}' does not exist")
+        if os.path.isdir(filename):
+            raise ValueError(f"'{filename}' is a directory")
+
+        with sourmash_args.FileInputCSV(filename, delimiter=",") as r:
             header = r.fieldnames
             if not header:
                 raise ValueError(f"cannot read taxonomy assignments from {filename}")
 
             identifier = "ident"
-            # check for ident/identifiers columns
+            # handle common alternatives to the 'ident' column
             if "ident" not in header:
                 if "identifiers" in header:
                     identifier = "identifiers"
@@ -435,9 +543,11 @@ class LineageDB:
                 elif "accession" in header:
                     identifier = "accession"
                     header = ["ident" if c == "accession" else c for c in header]
-                elif "name" in header and "lineage" in header:
+                elif "lineage" in header and any(
+                    ["name" in header, "match_name" in header]
+                ):
                     return cls.load_from_gather_with_lineages(
-                        filename, force=force, lins=lins
+                        filename, force=force, lins=lins, ictv=ictv
                     )
                 else:
                     header_str = ",".join([repr(x) for x in header])
@@ -445,23 +555,27 @@ class LineageDB:
                         f"No taxonomic identifiers found; headers are {header_str}"
                     )
 
-            if lins and "lin" not in header:
-                raise ValueError(
-                    f"'lin' column not found: cannot read LIN taxonomy assignments from {filename}."
-                )
+            if lins:
+                notify("Trying to read LIN taxonomy assignments.")
+                if "lin" not in header:
+                    raise ValueError(
+                        f"'lin' column not found: cannot read LIN taxonomy assignments from {filename}."
+                    )
 
-            if not lins:
-                # is "strain" an available rank?
+            if ictv:
+                notify("Trying to read ICTV taxonomy assignments.")
+                ranks = list(ICTVRankLineageInfo().taxlist)
+                if not set(ranks).issubset(header):
+                    raise ValueError("Not all taxonomy ranks present")
+
+            if not lins and not ictv:
                 if "strain" in header:
                     include_strain = True
-                # check that all ranks are in header
-                ranks = list(RANKS)
+                ranks = list(RankLineageInfo().taxlist)
                 if not include_strain:
                     ranks.remove("strain")
                 if not set(ranks).issubset(header):
-                    raise ValueError(
-                        f"Not all taxonomy ranks present; cannot read taxonomy assignments from {filename}."
-                    )
+                    raise ValueError("Not all taxonomy ranks present")
 
             assignments = {}
             num_rows = 0
@@ -471,14 +585,6 @@ class LineageDB:
 
             for row in r:
                 num_rows += 1
-                if identifier != "ident":
-                    row["ident"] = row[identifier]
-                ident = row["ident"]
-                if not keep_full_identifiers:
-                    ident = ident.split(" ")[0]
-                    if not keep_identifier_versions:
-                        ident = ident.split(".")[0]
-
                 if lins:
                     lineageInfo = LINLineageInfo(lineage_str=row["lin"])
                     if n_pos is not None:
@@ -488,74 +594,80 @@ class LineageDB:
                             )
                     else:
                         n_pos = lineageInfo.n_lin_positions
+                        ranks = lineageInfo.ranks
+                elif ictv:
+                    lineageInfo = ICTVRankLineageInfo(lineage_dict=row)
                 else:
-                    lineage_d = {}
-                    for rank in RANKS:
-                        if rank in row:
-                            value = row[rank]
-                            if rank == "superkingdom" and value and not value.startswith("d__"):
-                                pass
-                            lineage_d[rank] = value
-                    lineageInfo = RankLineageInfo(lineage_dict=lineage_d)
+                    lineageInfo = RankLineageInfo(lineage_dict=row)
+
+                ident = get_ident(
+                    row[identifier],
+                    keep_full_identifiers=keep_full_identifiers,
+                    keep_identifier_versions=keep_identifier_versions,
+                )
 
                 lineage = lineageInfo.filled_lineage
-
                 if lineage:
-                    if lineage[-1].rank == "species":
-                        n_species += 1
-                    elif lineage[-1].rank == "strain":
-                        n_species += 1
-                        n_strains += 1
+                    if ident in assignments:
+                        if assignments[ident] != lineage and not force:
+                            raise ValueError(
+                                f"multiple lineages for identifier {ident}"
+                            )
+                    else:
+                        assignments[ident] = lineage
 
-                if ident in assignments:
-                    if (
-                        assignments[ident] != tuple(lineage)
-                        and not force
-                    ):
-                        raise ValueError(
-                            f"multiple lineages for identifier {ident}"
-                        )
-                else:
-                    assignments[ident] = tuple(lineage)
+                        if not lins and not ictv:
+                            if lineage[-1].rank == "species":
+                                n_species += 1
+                            elif lineage[-1].rank == "strain":
+                                n_species += 1
+                                n_strains += 1
 
-            if lins:
-                available_ranks = set([str(x) for x in range(n_pos or 0)])
-            else:
-                available_ranks = set(RANKS if include_strain else RANKS[:-1])
-
-        return cls(assignments, available_ranks)
+        return LineageDB(assignments, ranks)
 
     @classmethod
-    def load_from_gather_with_lineages(cls, filename, *, force=False, lins=False):
-        "Load an annotated gather-with-lineages CSV into a LineageDB."
+    def load_from_gather_with_lineages(cls, filename, *, force=False, lins=False,
+                                       ictv=False):
+        """Load a 'tax annotate'-style with-lineages CSV into a LineageDB
+        (reference tax_utils.py:1379-1452)."""
         import os
+
+        from .. import sourmash_args
 
         if not os.path.exists(filename):
             raise ValueError(f"'{filename}' does not exist")
         if os.path.isdir(filename):
             raise ValueError(f"'{filename}' is a directory")
 
-        with open(filename, newline="") as fp:
-            r = csv.DictReader(fp)
+        with sourmash_args.FileInputCSV(filename) as r:
             header = r.fieldnames
             if not header:
                 raise ValueError(f"cannot read taxonomy assignments from {filename}")
 
-            if "name" not in header or "lineage" not in header:
+            ident_col = None
+            if "name" in header:
+                ident_col = "name"
+            elif "match_name" in header:
+                ident_col = "match_name"
+            if "lineage" not in header or ident_col is None:
                 raise ValueError(
-                    f"Expected headers 'name' and 'lineage' not found. Is this a with-lineages file?"
+                    "Expected headers 'name'/'match_name' and 'lineage' not found. Is this a with-lineages file?"
                 )
 
             ranks = None
             assignments = {}
+            num_rows = 0
             n_species = 0
             n_strains = 0
 
             for row in r:
-                name = row["name"]
-                ident = get_ident(name)
+                num_rows += 1
+                ident = get_ident(row[ident_col])
+
                 if lins:
                     lineageInfo = LINLineageInfo(lineage_str=row["lineage"])
+                elif ictv:
+                    lineageInfo = ICTVRankLineageInfo(lineage_str=row["lineage"])
                 else:
                     lineageInfo = RankLineageInfo(lineage_str=row["lineage"])
 
@@ -563,21 +675,20 @@ class LineageDB:
                     ranks = lineageInfo.taxlist
 
                 lineage = lineageInfo.filled_lineage
-
-                if lineage:
-                    if lineage[-1].rank == "species":
-                        n_species += 1
-                    elif lineage[-1].rank == "strain":
-                        n_species += 1
-                        n_strains += 1
-
                 if ident in assignments:
-                    if assignments[ident] != tuple(lineage) and not force:
+                    if assignments[ident] != lineage and not force:
                         raise ValueError(f"multiple lineages for identifier {ident}")
                 else:
-                    assignments[ident] = tuple(lineage)
+                    assignments[ident] = lineage
 
-        return cls(assignments, set(ranks or ()))
+                    if isinstance(lineageInfo, RankLineageInfo):
+                        if lineage[-1].rank == "species":
+                            n_species += 1
+                        elif lineage[-1].rank == "strain":
+                            n_species += 1
+                            n_strains += 1
+
+        return LineageDB(assignments, ranks)
 
 
 class MultiLineageDB:
@@ -595,7 +706,20 @@ class MultiLineageDB:
         return x
 
     def add(self, db):
-        self.lineage_dbs.append(db)
+        "Add a database; later additions take precedence for lookups."
+        self.lineage_dbs.insert(0, db)
+
+    def shadowed_identifiers(self):
+        "Return identifiers seen across databases (reference tax_utils.py:1631)."
+        seen = set()
+        dups = set()
+        for db in self.lineage_dbs:
+            for k, v in db.items():
+                if k in seen:
+                    dups.add(k)
+                else:
+                    seen.add(k)
+        return seen
 
     def __iter__(self):
         seen = set()
@@ -648,6 +772,7 @@ class MultiLineageDB:
         if isinstance(locations, str):
             raise TypeError("'locations' should be a list, not a string")
 
+        force = kwargs.get("force", False)
         tax_assign = cls()
         for location in locations:
             db = None
@@ -657,8 +782,15 @@ class MultiLineageDB:
             except ValueError:
                 db = None
             if db is None:
-                db = LineageDB.load(location, **kwargs)
-            tax_assign.add(db)
+                try:
+                    db = LineageDB.load(location, **kwargs)
+                except (ValueError, csv.Error) as exc:
+                    if not force:
+                        raise ValueError(
+                            f"cannot read taxonomy assignments from '{location}': {str(exc)}"
+                        )
+            if db is not None:
+                tax_assign.add(db)
 
         return tax_assign
 
@@ -671,8 +803,16 @@ class MultiLineageDB:
             self._save_sqlite(filename_or_fp)
             return
         if is_filename:
-            with open(filename_or_fp, "w", newline="") as fp:
+            import gzip as _gzip
+
+            if filename_or_fp.endswith(".gz"):
+                fp = _gzip.open(filename_or_fp, "wt", newline="")
+            else:
+                fp = open(filename_or_fp, "w", newline="")
+            try:
                 self._save_csv(fp)
+            finally:
+                fp.close()
         else:
             self._save_csv(filename_or_fp)
 
@@ -741,12 +881,13 @@ class MultiLineageDB:
 
 
 def get_ident(ident, *, keep_full_identifiers=False, keep_identifier_versions=False):
-    "Hack identifiers from gather names: strip after space and version."
-    i = ident.split(" ")[0]
+    """Hack identifiers: split on whitespace unless keep_full_identifiers;
+    strip trailing .N version unless keep_identifier_versions."""
     if not keep_full_identifiers:
+        ident = ident.split(" ")[0]
         if not keep_identifier_versions:
-            i = i.split(".")[0]
-    return i
+            ident = ident.split(".")[0]
+    return ident
 
 
 class LineageDB_Sqlite:
@@ -939,8 +1080,14 @@ class LineageTree:
                 node = child
 
     def add_lineages(self, lineages):
+        from collections import abc as _abc
+
         if not lineages:
             raise ValueError("empty assignment passed to build_tree")
+        if not isinstance(lineages, _abc.Iterable):
+            raise ValueError(
+                "Must pass in an iterable containing LineagePair or LineageInfo objects."
+            )
         for lineageInf in lineages:
             self.add_lineage(lineageInf)
 
@@ -1074,6 +1221,8 @@ class BaseTaxResult:
             if lin:
                 if self.lins:
                     self.lineageInfo = LINLineageInfo(lineage=lin)
+                elif self.ictv:
+                    self.lineageInfo = ICTVRankLineageInfo(lineage=lin)
                 else:
                     self.lineageInfo = RankLineageInfo(lineage=lin)
             else:
@@ -1097,6 +1246,8 @@ class AnnotateTaxResult(BaseTaxResult):
         self.get_ident(id_col=self.id_col)
         if self.lins:
             self.lineageInfo = LINLineageInfo()
+        elif self.ictv:
+            self.lineageInfo = ICTVRankLineageInfo()
         else:
             self.lineageInfo = RankLineageInfo()
 
@@ -1133,6 +1284,8 @@ class TaxResult(BaseTaxResult):
         self.unique_intersect_bp = int(self.raw.unique_intersect_bp)
         if self.lins:
             self.lineageInfo = LINLineageInfo()
+        elif self.ictv:
+            self.lineageInfo = ICTVRankLineageInfo()
         else:
             self.lineageInfo = RankLineageInfo()
 
@@ -1463,6 +1616,8 @@ class QueryTaxResult:
 
             if self.lins:
                 lineage = LINLineageInfo()
+            elif self.ictv:
+                lineage = ICTVRankLineageInfo()
             else:
                 lineage = RankLineageInfo()
             query_ani = None

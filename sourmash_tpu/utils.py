@@ -19,3 +19,16 @@ def encode_str(s):
     if isinstance(s, str):
         return s.encode("utf-8")
     return s
+
+
+class RustObject:
+    """Compatibility stand-in for the reference's FFI handle base class
+    (reference utils.py:9-63). This framework keeps sketches as plain
+    Python/numpy objects, so the class exists only for API compatibility
+    and cannot be instantiated directly."""
+
+    _objptr = None
+    _shared = False
+
+    def __init__(self):
+        raise TypeError(f"Cannot instantiate {self.__class__.__name__} objects.")
