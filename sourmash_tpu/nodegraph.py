@@ -209,7 +209,7 @@ class Nodegraph:
             out.write(buf)
         data = out.getvalue()
         if compression:
-            data = gzip.compress(data, compresslevel=compression)
+            data = gzip.compress(data, compresslevel=compression, mtime=0)
         return data
 
     def save(self, filename):

@@ -563,7 +563,10 @@ def save_signatures_to_json(siglist, fp=None, compression=0):
     "Save multiple signatures into a JSON string (or file handle 'fp')."
     result = _dumps(siglist)
     if compression:
-        result = gzip.compress(result, compresslevel=int(compression))
+        # mtime=0 keeps the gzip bytes deterministic: savers deduplicate
+        # repeated signatures by comparing compressed content (reference
+        # niffler/flate2 output carries no timestamp either)
+        result = gzip.compress(result, compresslevel=int(compression), mtime=0)
 
     if fp is None:
         return result

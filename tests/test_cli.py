@@ -292,3 +292,45 @@ def test_cli_search_ani_jaccard(runtmp):
     assert row["md5"] == "491c0a81b2cfb0188c0d3b46837c2f42"
     assert row["query_md5"] == "09a08691"
     assert row["ani"] == "0.992530907924384"
+
+
+def test_sig_save_gzip_deterministic(runtmp):
+    """Serialized .sig.gz bytes must be identical across calls: zip-saver
+    dedup compares compressed content (reference flate2 gzip carries no
+    timestamp; reference tests/test_cmd_signature.py
+    test_sig_rename_4_pattern_exclude depends on the dedup)."""
+    import time
+
+    from sourmash_tpu.signature import (
+        load_signatures_from_json,
+        save_signatures_to_json,
+    )
+
+    with open(utils_test_data("47.fa.sig")) as fp:
+        sigs = list(load_signatures_from_json(fp.read()))
+    b1 = save_signatures_to_json(sigs, compression=1)
+    time.sleep(1.1)  # cross a gzip-mtime second boundary
+    b2 = save_signatures_to_json(sigs, compression=1)
+    assert b1 == b2
+
+
+def test_sig_rename_zip_dedup(runtmp):
+    """Renaming the same sketch loaded from several sources into one .zip
+    keeps a single entry per unique content (reference
+    test_cmd_signature.py::test_sig_rename_4_pattern_exclude)."""
+    import sourmash
+
+    d = utils_test_data("prot")
+    files = [
+        f"{d}/protein.sbt.zip", f"{d}/dayhoff.zip", f"{d}/hp.sbt.zip",
+        f"{d}/protein.zip", f"{d}/all.zip", f"{d}/hp.zip",
+        f"{d}/dayhoff.sbt.zip",
+    ]
+    runtmp.sourmash(
+        "sig", "rename", "--exclude", "shewanella", *files, "NOSHEW",
+        "-o", "out.zip",
+    )
+    idx = sourmash.load_file_as_index(runtmp.output("out.zip"))
+    names = [ss.name for ss in idx.signatures()]
+    assert all(n == "NOSHEW" for n in names)
+    assert len(names) == 6
