@@ -97,25 +97,35 @@ def main():
         file=sys.stderr,
     )
 
+    # the fused slot kernel (in-kernel threshold + segment compaction) is
+    # the production scaled-sketch path; fall back to the dense pipeline
+    # when it isn't applicable
+    from sourmash_tpu.ops.sketch import _slot_path_ok
+
+    slot_path = _slot_path_ok(max_hash, use_pallas)
+    print(f"bench: slot path = {slot_path}", file=sys.stderr)
+
+    def run(batch, mh):
+        if slot_path:
+            from sourmash_tpu.ops.pallas_sketch import (
+                sketch_survivor_slots_pallas,
+            )
+
+            sh, sl, cnt = sketch_survivor_slots_pallas(
+                batch, mh, ksize=ksize, seed=42
+            )
+            return cnt
+        h, n = _seq_batch_to_compact_hashes(batch, mh, ksize, 42, cap, use_pallas)
+        return n
+
     # warmup/compile
-    h, n = _seq_batch_to_compact_hashes(
-        batches[0], mh_variants[0], ksize, 42, cap, use_pallas
-    )
-    _ = int(np.asarray(n)[0])
+    _ = int(np.asarray(run(batches[0], mh_variants[0])).sum())
 
     reps = 24
     t0 = time.perf_counter()
     last = None
     for i in range(reps):
-        h, n = _seq_batch_to_compact_hashes(
-            batches[i % n_batches],
-            mh_variants[i % len(mh_variants)],
-            ksize,
-            42,
-            cap,
-            use_pallas,
-        )
-        last = n
+        last = run(batches[i % n_batches], mh_variants[i % len(mh_variants)])
     total_valid = int(np.asarray(last).sum())  # one readback closes the chain
     t_device = time.perf_counter() - t0
     n_windows_timed = reps * B * chunk

@@ -3,23 +3,32 @@
 Replaces the XLA elementwise pipeline in `ops/sketch.py:_window_hash_pairs`
 with a single fused VMEM-resident kernel: every shifted window column, the
 canonical-strand compare, and the 32-bit-limb murmur pipeline execute on
-one block of windows without intermediate HBM round-trips. The XLA path
-materializes ~2k shifted [n] arrays per chunk in HBM; here they are lane
-rolls of a VMEM block.
+one block of windows without intermediate HBM round-trips.
 
 Behavioral reference: `/root/reference/src/core/src/signature.rs:246-306`
 (SeqToHashes canonical window iteration) — implementation is an original
 TPU design.
 
 Layout: windows are laid out flat as rows of 128 lanes; each grid step
-processes R rows (R*128 windows) and reads an (R+1, 128) block so shifted
-columns j in [0, k) resolve inside the block:
+processes R rows (R*128 windows) and reads an (R+8, 128) block so shifted
+streams resolve inside the block. A flat shift by j of an (R, 128) stream
+is one lane roll plus a row-select and consumes one row:
 
-    col_j[r, l] = block[r + (l + j) // 128, (l + j) % 128]
-                = select(l < 128 - j, roll(block, -j, lanes)[r],
-                                      roll(block, -j, lanes)[r + 1])
+    shifted[r, l] = stream[r + (l + j) // 128, (l + j) % 128]
+                  = select(l < 128 - j, roll(stream, -j, lanes)[r],
+                                        roll(stream, -j, lanes)[r + 1])
 
-requiring k <= 129.
+The per-window work is organized around *limb streams* rather than k byte
+columns: the little-endian 4-byte word starting at position q is computed
+ONCE as a stream L0(q), and every murmur input limb of the window at p is
+a lane shift of it (flimb_b(p) = L0(p + 4b)). Likewise the reverse-
+complement limbs are shifts of one byte-reversed complement stream, the
+big-endian compare groups are shifts of the byteswapped streams, and
+window validity is a log-depth AND tree over one per-byte validity stream.
+This cuts the vector op count roughly in half versus materializing all k
+shifted byte columns (complementing and validity-checking each).
+
+Requires ksize <= 129 (max lane shift of a limb stream is k-1 <= 128).
 """
 
 from __future__ import annotations
@@ -33,23 +42,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .murmur32 import murmur_cols32
+from .murmur32 import byteswap32, murmur_words32
 
 LANES = 128
-DEFAULT_ROWS = 256  # windows per grid step = ROWS * LANES
+DEFAULT_ROWS = 256  # windows per grid step = ROWS * LANES (v5e sweep optimum)
+EXTRA_ROWS = 8      # lookahead rows per block (supports shift-chain depth 8)
 
 
-def _shifted(block, j: int, rows: int, lane_idx, interpret: bool):
-    "Flat shift by j of an (rows+1, LANES) block -> (rows, LANES)."
+def _shift_stream(x, j: int, interpret: bool):
+    """Flat left-shift by j lanes of an (R, LANES) stream -> (R-1, LANES).
+
+    j in [0, 128]; consumes one lookahead row."""
+    R = x.shape[0]
     if j == 0:
-        return block[:rows]
+        return x[: R - 1]
+    if j == LANES:
+        return x[1:]
     if interpret:
-        rolled = jnp.roll(block, -j, axis=1)
+        rolled = jnp.roll(x, -j, axis=1)
     else:
-        # pltpu.roll requires non-negative shifts; LANES - j == -j (mod LANES).
+        # pltpu.roll requires non-negative shifts; LANES - j == -j (mod 128).
         # The shift must be an i32 scalar (x64 mode would make a bare int i64).
-        rolled = pltpu.roll(block, shift=jnp.int32(LANES - j), axis=1)
-    return jnp.where(lane_idx < LANES - j, rolled[:rows], rolled[1 : rows + 1])
+        rolled = pltpu.roll(x, shift=jnp.int32(LANES - j), axis=1)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (R - 1, LANES), 1)
+    return jnp.where(lane_idx < LANES - j, rolled[: R - 1], rolled[1:])
 
 
 _A = np.uint32(ord("A"))
@@ -58,58 +74,103 @@ _G = np.uint32(ord("G"))
 _T = np.uint32(ord("T"))
 
 
-def _complement_col(c):
-    "Branchless ACGT complement (table gathers are slow on TPU)."
-    out = jnp.where(c == _A, _T, c)
-    out = jnp.where(c == _T, _A, out)
-    out = jnp.where(c == _C, _G, out)
-    out = jnp.where(c == _G, _C, out)
-    return out
+def _complement_bytes(c):
+    """Branchless ACGT complement via the ASCII 2-bit code:
+    code = (c >> 1) & 3 gives A=0, C=1, T=2, G=3; A<->T differ by XOR 21,
+    C<->G by XOR 4, and code bit 0 distinguishes the two pairs.
+    Non-ACGT bytes map to garbage — their windows are invalid anyway."""
+    pair = (c >> np.uint32(1)) & np.uint32(1)
+    mask = jnp.where(pair != 0, np.uint32(4), np.uint32(21))
+    return c ^ mask
 
 
-def _sketch_block_kernel(
-    squ_ref, hi_ref, lo_ref, valid_ref, *, ksize: int, seed: int, rows: int,
-    interpret: bool
-):
-    squ = squ_ref[:].astype(jnp.uint32)
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+def _valid_window_stream(v1, ksize: int, interpret: bool):
+    """AND over k consecutive per-byte validity lanes, log-depth.
 
-    # one roll per byte offset; rc-window columns are complements of the
-    # SAME shifted columns: rcol_j = complement(scol_{k-1-j})
-    scols = [_shifted(squ, j, rows, lane_idx, interpret) for j in range(ksize)]
-    fcols = scols
-    rcols = [_complement_col(scols[ksize - 1 - j]) for j in range(ksize)]
+    v1: (R, LANES) uint32 0/1 per-byte validity. Builds v_{2^t} streams by
+    doubling (v_{2t}(p) = v_t(p) & v_t(p+t)), then combines
+    v_k(p) = v_m(p) & v_m(p + k - m) with m the largest power of two <= k.
+    Consumes one lookahead row per level (<= 8 for k <= 129)."""
+    span = 1
+    v = v1
+    while span * 2 <= ksize:
+        sh = _shift_stream(v, span, interpret)
+        v = v[: sh.shape[0]] & sh
+        span *= 2
+    if span < ksize:
+        sh = _shift_stream(v, ksize - span, interpret)
+        v = v[: sh.shape[0]] & sh
+    return v
 
-    # window validity: every byte ACGT (computed in-kernel; the XLA path
-    # needs a full-array cumsum for this)
-    valid = jnp.ones((rows, LANES), dtype=bool)
-    for c in scols:
-        valid = valid & ((c == _A) | (c == _C) | (c == _G) | (c == _T))
 
-    # assemble little-endian murmur words (4 bytes per uint32 limb) for
-    # both strands; big-endian compare groups are byteswaps of the limbs
-    from .murmur32 import byteswap32, murmur_words32
+def _hash_streams(squ, *, ksize: int, seed: int, rows: int, interpret: bool):
+    "Shared hash pipeline: (brows, LANES) block -> (hi, lo, valid) (rows, LANES)."
+    nlimbs = -(-ksize // 4)
+    rem = ksize - 4 * (nlimbs - 1)  # bytes in the last limb (1..4)
 
-    def assemble_limbs(cols):
-        "k byte columns -> list of uint32 limbs (4 bytes each, LE)."
-        limbs = []
-        for base in range(0, ksize, 4):
-            acc = cols[base]
-            for b in range(1, 4):
-                if base + b < ksize:
-                    acc = acc | (cols[base + b] << np.uint32(8 * b))
-            limbs.append(acc)
-        return limbs
+    # per-byte streams on the full block (elementwise, one pass)
+    comp = _complement_bytes(squ)
+    valid1 = (
+        ((squ == _A) | (squ == _C) | (squ == _G) | (squ == _T))
+    ).astype(jnp.uint32)
 
-    flimbs = assemble_limbs(fcols)
-    rlimbs = assemble_limbs(rcols)
+    # window validity: log-depth AND tree over the per-byte stream
+    valid = _valid_window_stream(valid1, ksize, interpret)[:rows]
 
-    # canonical strand: fwd <= rc over the k bytes (zero padding past k
-    # matches on both sides); compare LE limbs as byteswapped BE groups
+    # little-endian 4-byte word streams (rows+1 rows so limb shifts resolve)
+    def word_stream(byte_stream):
+        c0 = byte_stream[: rows + 1]
+        c1 = _shift_stream(byte_stream[: rows + 2], 1, interpret)
+        c2 = _shift_stream(byte_stream[: rows + 3], 2, interpret)[: rows + 1]
+        c3 = _shift_stream(byte_stream[: rows + 4], 3, interpret)[: rows + 1]
+        le = (
+            c0
+            | (c1 << np.uint32(8))
+            | (c2 << np.uint32(16))
+            | (c3 << np.uint32(24))
+        )
+        return le, (c0, c1, c2, c3)
+
+    L0, _ = word_stream(squ)          # fwd LE words:   L0(q) = seq[q..q+3] LE
+    C0, ccols = word_stream(comp)     # comp LE words:  C0(q) = comp[q..q+3] LE
+    BEL0 = byteswap32(L0)             # fwd BE words (for the canonical compare)
+    V0 = byteswap32(C0)               # byte-reversed comp words: rc LE limbs
+
+    # forward limbs: flimb_b(p) = L0(p + 4b); last limb masks bytes past k
+    last_mask = (
+        np.uint32(0xFFFFFFFF) if rem == 4 else np.uint32((1 << (8 * rem)) - 1)
+    )
+    flimbs = [_shift_stream(L0, 4 * b, interpret) for b in range(nlimbs)]
+    flimbs[-1] = flimbs[-1] & last_mask
+    fbe = [_shift_stream(BEL0, 4 * b, interpret) for b in range(nlimbs - 1)]
+    fbe.append(byteswap32(flimbs[-1]))
+
+    # reverse-complement limbs: rlimb_b(p) = V0(p + k - 4 - 4b) for full
+    # limbs; the last (rem-byte) limb is assembled from the comp byte
+    # streams directly (its V0 offset would be negative for rem < 4)
+    rlimbs = [
+        _shift_stream(V0, ksize - 4 - 4 * b, interpret)
+        for b in range(nlimbs - 1)
+    ]
+    rbe = [
+        _shift_stream(C0, ksize - 4 - 4 * b, interpret)
+        for b in range(nlimbs - 1)
+    ]
+    if rem == 4:
+        rlimbs.append(V0[:rows])
+        rbe.append(C0[:rows])
+    else:
+        last = ccols[rem - 1][:rows].astype(jnp.uint32)
+        for i in range(rem - 2, -1, -1):
+            last = last | (
+                ccols[i][:rows] << np.uint32(8 * (rem - 1 - i))
+            )
+        rlimbs.append(last)
+        rbe.append(byteswap32(last))
+
+    # canonical strand: fwd <= rc over the k bytes, big-endian group compare
     use_fwd = jnp.ones((rows, LANES), dtype=bool)
-    for fl, rl in zip(reversed(flimbs), reversed(rlimbs)):
-        gf = byteswap32(fl)
-        gr = byteswap32(rl)
+    for gf, gr in zip(reversed(fbe), reversed(rbe)):
         use_fwd = (gf < gr) | ((gf == gr) & use_fwd)
 
     # canonical limbs -> (hi, lo) word pairs for murmur
@@ -125,9 +186,155 @@ def _sketch_block_kernel(
         words.append((zero, zero))
 
     hi, lo = murmur_words32(words, ksize, seed, (rows, LANES))
+    return hi, lo, valid
+
+
+def _sketch_block_kernel(
+    squ_ref, hi_ref, lo_ref, valid_ref, *, ksize: int, seed: int, rows: int,
+    interpret: bool
+):
+    squ = squ_ref[:].astype(jnp.uint32)
+    hi, lo, valid = _hash_streams(
+        squ, ksize=ksize, seed=seed, rows=rows, interpret=interpret
+    )
     hi_ref[:] = hi
     lo_ref[:] = lo
-    valid_ref[:] = valid.astype(jnp.uint32)
+    valid_ref[:] = valid
+
+
+SLOTS = 8  # survivors extracted per 128-window segment (one lane row)
+
+
+def _sketch_slots_kernel(
+    mh_ref, squ_ref, out_ref, *, ksize: int, seed: int, rows: int,
+    interpret: bool
+):
+    """Fused sketch + threshold + segment-local compaction.
+
+    Applies the scaled cutoff in-kernel and extracts up to SLOTS surviving
+    hashes per 128-window lane row by repeated min-position reduction —
+    reductions and selects only, no gathers (TPU gathers serialize at
+    ~25 ns/element; the old XLA searchsorted compaction was 64% of total
+    sketch time). Output block (rows, 128) uint32 packs, per lane row:
+    lanes [0, SLOTS) = survivor his, [SLOTS, 2*SLOTS) = survivor los (in
+    window order), lane 2*SLOTS = the TRUE survivor count (callers detect
+    count > SLOTS overflow and reroute that chunk to the dense path).
+    """
+    squ = squ_ref[:].astype(jnp.uint32)
+    hi, lo, valid = _hash_streams(
+        squ, ksize=ksize, seed=seed, rows=rows, interpret=interpret
+    )
+
+    th = mh_ref[0, 0]
+    tl = mh_ref[0, 1]
+    keep = (valid != 0) & ((hi < th) | ((hi == th) & (lo <= tl)))
+
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    sentinel = jnp.int32(LANES)
+    masked = jnp.where(keep, lane_idx, sentinel)
+
+    # Mosaic has no unsigned reductions: extract values through signed i32
+    # sums — exactly one lane hits per pass, so the sum IS the value
+    # (bit-identical mod 2^32); exhausted rows hit every lane and produce
+    # garbage that the count lane gates out.
+    hi_s = hi.astype(jnp.int32)
+    lo_s = lo.astype(jnp.int32)
+    zero = jnp.int32(0)
+
+    out = jnp.zeros((rows, LANES), dtype=jnp.int32)
+    for j in range(SLOTS):
+        m = jnp.min(masked, axis=1, keepdims=True)
+        hit = masked == m
+        hij = jnp.sum(
+            jnp.where(hit, hi_s, zero), axis=1, keepdims=True,
+            dtype=jnp.int32,
+        )
+        loj = jnp.sum(
+            jnp.where(hit, lo_s, zero), axis=1, keepdims=True,
+            dtype=jnp.int32,
+        )
+        masked = jnp.where(hit, sentinel, masked)
+        out = jnp.where(lane_idx == j, hij, out)
+        out = jnp.where(lane_idx == SLOTS + j, loj, out)
+
+    count = jnp.sum(
+        keep.astype(jnp.int32), axis=1, keepdims=True, dtype=jnp.int32
+    )
+    out = jnp.where(lane_idx == 2 * SLOTS, count, out)
+    out_ref[:] = out.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "rows", "interpret")
+)
+def sketch_survivor_slots_pallas(
+    squ,
+    max_hash,
+    *,
+    ksize: int,
+    seed: int = 42,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Fused sketch kernel with in-kernel compaction (scaled path).
+
+    squ: [B, S] uint8 uppercased sequences; max_hash: uint64 scalar cutoff.
+    Returns (slots_hi [B, R, SLOTS] uint32, slots_lo [B, R, SLOTS] uint32,
+    counts [B, R] int32) where R = n_pad // 128 segments of 128 consecutive
+    windows. Survivors appear in window order (segment-major, slot-minor).
+    counts hold TRUE per-segment survivor counts; count > SLOTS means the
+    segment overflowed and its slots are truncated. Intended for
+    max_hash <= 2^64/512 (expected <= 0.25 survivors per segment).
+    """
+    B, S = squ.shape
+    n = S - ksize + 1
+    block = rows * LANES
+    nblocks = -(-n // block)
+    n_pad = nblocks * block
+
+    need = n_pad + EXTRA_ROWS * LANES
+    pad = need - S
+    squ32 = jnp.pad(squ, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
+
+    brows = rows + EXTRA_ROWS
+    starts = jnp.arange(nblocks, dtype=jnp.int32) * block
+    offs = jnp.arange(brows * LANES, dtype=jnp.int32)
+    idx = starts[:, None] + offs[None, :]
+    squ_blocks = squ32[:, idx].reshape(B * nblocks * brows, LANES)
+
+    mh = max_hash.astype(jnp.uint64)
+    mh_pair = jnp.stack(
+        [(mh >> np.uint64(32)).astype(jnp.uint32), mh.astype(jnp.uint32)]
+    ).reshape(1, 2)
+
+    kernel = functools.partial(
+        _sketch_slots_kernel,
+        ksize=ksize,
+        seed=seed,
+        rows=rows,
+        interpret=interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2), lambda b: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((brows, LANES), lambda b: (b, np.int32(0))),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), lambda b: (b, np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((B * nblocks * rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )(mh_pair, squ_blocks)
+
+    out = out.reshape(B, nblocks * rows, LANES)
+    packed = jax.lax.slice(out, (0, 0, 0), (B, nblocks * rows, 2 * SLOTS + 1))
+    slots_hi = packed[:, :, :SLOTS]
+    slots_lo = packed[:, :, SLOTS : 2 * SLOTS]
+    counts = packed[:, :, 2 * SLOTS].astype(jnp.int32)
+    return slots_hi, slots_lo, counts
 
 
 @functools.partial(
@@ -158,15 +365,13 @@ def window_hash_pairs_pallas(
     nblocks = -(-n // block)
     n_pad = nblocks * block
 
-    # flat byte stream padded so every block's view exists; blocks carry
-    # rows+8 rows (sublane dim must be a multiple of 8) though only rows+1
-    # are read
-    need = n_pad + 8 * LANES
+    # flat byte stream padded so every block's lookahead rows exist
+    need = n_pad + EXTRA_ROWS * LANES
     pad = need - S
     squ32 = jnp.pad(squ, ((0, 0), (0, max(pad, 0)))).astype(jnp.int32)
 
-    # overlapping block views, duplicated once in HBM (~1.6% overhead)
-    brows = rows + 8
+    # overlapping block views, duplicated once in HBM (~3% overhead)
+    brows = rows + EXTRA_ROWS
     starts = jnp.arange(nblocks, dtype=jnp.int32) * block
     offs = jnp.arange(brows * LANES, dtype=jnp.int32)
     idx = starts[:, None] + offs[None, :]

@@ -303,6 +303,30 @@ def _seq_batch_to_compact_hashes(
     return out, n_valid
 
 
+def _slot_path_ok(max_hash, use_pallas: bool) -> bool:
+    """The in-kernel segment compaction path applies when survivors are
+    sparse: expected density 128/scaled per segment must leave headroom
+    under the SLOTS=8 capacity (scaled >= 512 => lambda <= 0.25,
+    P[Poisson > 8] ~ 3e-10 per segment)."""
+    return bool(use_pallas) and int(max_hash) <= (1 << 64) // 512
+
+
+def _slots_to_hashes(slots_hi, slots_lo, counts):
+    """Host finish: packed per-segment slot tensors -> uint64 survivor
+    array in window order (with multiplicity). Returns (hashes, overflow):
+    overflow=True when any segment exceeded SLOTS capacity (truncated)."""
+    from .pallas_sketch import SLOTS
+
+    counts = np.asarray(counts)
+    if counts.max(initial=0) > SLOTS:
+        return None, True
+    hi = np.asarray(slots_hi)
+    lo = np.asarray(slots_lo)
+    mask = np.arange(SLOTS, dtype=np.int32)[None, None, :] < counts[:, :, None]
+    h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    return h64[mask], False
+
+
 @functools.partial(jax.jit, static_argnames=("ksize", "seed"))
 def _seq_to_sorted_hashes(seq, max_hash, ksize: int, seed: int):
     """Legacy full-sort variant: survivors form the sorted prefix.
@@ -374,10 +398,28 @@ def seq_chunks_to_hashes(
     if not pieces:
         return np.zeros(0, dtype=np.uint64)
 
+    use_pallas = _use_pallas_default()
+    slot_path = _slot_path_ok(mh, use_pallas)
+
     out = []
     max_batch = 32
     for b0 in range(0, len(pieces), max_batch):
         batch = np.stack(pieces[b0 : b0 + max_batch])
+        if slot_path:
+            from .pallas_sketch import sketch_survivor_slots_pallas
+
+            interp = jax.default_backend() == "cpu"
+            sh, sl, cnt = sketch_survivor_slots_pallas(
+                jnp.asarray(batch), jnp.asarray(mh), ksize=ksize, seed=seed,
+                interpret=interp,
+            )
+            hashes, overflow = _slots_to_hashes(sh, sl, cnt)
+            if not overflow:
+                if hashes.size:
+                    out.append(hashes)
+                continue
+            # a segment overflowed its slots (expected never at the gated
+            # scaled; fall through to the dense path for this batch)
         vals_dev, n_valid = _seq_batch_to_compact_hashes(
             jnp.asarray(batch), mh, ksize, seed, cap, _use_pallas_default()
         )

@@ -142,3 +142,49 @@ def test_multisketch_signature_keeps_all_minhashes():
         ("protein", 7),
         ("DNA", 21),
     ]
+
+
+class TestSlotPath:
+    """The fused in-kernel compaction path (pallas slot kernel, interpret
+    mode on CPU) must reproduce the host oracle exactly: same survivors,
+    window order, and multiplicity."""
+
+    @pytest.mark.parametrize("ksize,scaled", [(21, 2000), (31, 1000), (51, 1000)])
+    def test_slot_survivors_match_oracle(self, monkeypatch, ksize, scaled):
+        monkeypatch.setenv("SOURMASH_PALLAS", "1")
+        from sourmash_tpu.minhash import _get_max_hash_for_scaled
+        from sourmash_tpu.ops.encodings import dna_hashes, UPPER
+        from sourmash_tpu.ops.sketch import seq_chunks_to_hashes
+
+        rng = np.random.default_rng(11)
+        alph = np.frombuffer(b"ACGTN", dtype=np.uint8)
+        seq = rng.choice(alph, size=250_000, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+        # duplicate a prefix so repeated k-mers exercise multiplicity
+        raw = seq[:2000].tobytes() + seq.tobytes()
+
+        mh = int(_get_max_hash_for_scaled(scaled))
+        got = seq_chunks_to_hashes(raw, ksize, mh, chunk=1 << 17)
+        arr = UPPER[np.frombuffer(raw, dtype=np.uint8)]
+        hh, vv = dna_hashes(arr, ksize, 42)
+        expect = hh[vv & (hh <= np.uint64(mh))]
+        assert np.array_equal(got, expect)
+
+    def test_slot_path_gate(self):
+        from sourmash_tpu.ops.sketch import _slot_path_ok
+
+        assert _slot_path_ok((1 << 64) // 1000, True)
+        assert _slot_path_ok((1 << 64) // 512, True)
+        assert not _slot_path_ok((1 << 64) // 100, True)  # too dense
+        assert not _slot_path_ok((1 << 64) - 1, True)  # num sketch
+        assert not _slot_path_ok((1 << 64) // 1000, False)  # pallas off
+
+    def test_slots_overflow_detected(self):
+        from sourmash_tpu.ops.pallas_sketch import SLOTS
+        from sourmash_tpu.ops.sketch import _slots_to_hashes
+
+        hi = np.zeros((1, 4, SLOTS), dtype=np.uint32)
+        lo = np.zeros((1, 4, SLOTS), dtype=np.uint32)
+        counts = np.zeros((1, 4), dtype=np.int32)
+        counts[0, 1] = SLOTS + 3  # truncated segment
+        hashes, overflow = _slots_to_hashes(hi, lo, counts)
+        assert overflow and hashes is None
