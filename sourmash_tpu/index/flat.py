@@ -1,8 +1,8 @@
 """FlatIndex: device-resident flat inverted index + device CounterGather.
 
 The TPU-native replacement for SBT / LCA / RocksDB-RevIndex search
-structures (SURVEY §7.4): the collection's sketches live on device as a flat
-(hash, dataset) pair tensor; counter queries, gather rounds and counter
+structures (SURVEY §7.4): the collection's sketches live on device as padded
+row banks bucketed by length; counter queries, gather rounds and counter
 decrements are each one fused device pass (`ops/index_ops.py`). Results are
 numerically identical to the host CounterGather
 (reference `src/sourmash/index/__init__.py:777-909`) for uniform-scaled
@@ -14,13 +14,10 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from . import Index, IndexSearchResult, CounterGather, _check_select_parameters, select_signature
 from ..search import calc_threshold_from_bp
 from ..minhash import _get_max_hash_for_scaled
-from ..ops.index_ops import build_pairs, counts_for_query, pad_query
-from ..ops.intersect import MAX_U64
+from ..ops.index_ops import build_banks, counts_for_banks
 
 
 class FlatIndex(Index):
@@ -36,7 +33,7 @@ class FlatIndex(Index):
     def __init__(self, siglist=None, location=None):
         self._signatures = list(siglist) if siglist else []
         self._location = location
-        self._pairs = None  # lazy (H, D) device tensors
+        self._banks = None  # lazy device row banks
         self._ds_mins = None
         self._scaled = None
 
@@ -55,7 +52,7 @@ class FlatIndex(Index):
 
     def insert(self, ss):
         self._signatures.append(ss)
-        self._pairs = None
+        self._banks = None
 
     def save(self, path):
         raise NotImplementedError
@@ -76,8 +73,12 @@ class FlatIndex(Index):
     # -- device state ------------------------------------------------------
 
     def _build(self):
-        "Materialize the (H, D) pair tensors at the common scaled."
-        if self._pairs is not None:
+        "Materialize the device row banks at the common scaled."
+        if self._banks is not None:
+            return
+        if self._ds_mins is not None and self._scaled is not None:
+            # preloaded mins (disk revindex): skip re-extracting from sigs
+            self._banks = build_banks(self._ds_mins)
             return
         scaleds = {ss.minhash.scaled for ss in self._signatures}
         if 0 in scaleds:
@@ -90,27 +91,16 @@ class FlatIndex(Index):
             if ss.minhash.scaled != common:
                 m = m[m <= cutoff]
             mins_list.append(m)
-        H, D = build_pairs(mins_list)
-        # pad to a lane multiple with never-matching rows
-        N = len(H)
-        Np = max(128, -(-N // 128) * 128)
-        Hp = np.full(Np, MAX_U64, dtype=np.uint64)
-        Hp[:N] = H
-        Dp = np.full(Np, len(mins_list), dtype=np.int32)
-        Dp[:N] = D
-        self._pairs = (jnp.asarray(Hp), jnp.asarray(Dp))
+        self._banks = build_banks(mins_list)
         self._ds_mins = mins_list
         self._scaled = common
 
     def counts_for(self, query_mins: np.ndarray) -> np.ndarray:
         "Overlap counts of the (already downsampled) query with each dataset."
         self._build()
-        H, D = self._pairs
-        q, q_len = pad_query(query_mins)
-        out = counts_for_query(
-            H, D, jnp.asarray(q), q_len, n_datasets=len(self._signatures)
+        return counts_for_banks(
+            self._banks, query_mins, n_datasets=len(self._signatures)
         )
-        return np.asarray(out)
 
     # -- search protocol ---------------------------------------------------
 

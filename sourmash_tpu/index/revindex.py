@@ -5,20 +5,20 @@ wrapper API) and `src/core/src/index/revindex/` (mem_revindex.rs:1-461,
 disk_revindex.rs:45-466 — the RocksDB-backed "branchwater" index with
 incremental, resumable builds keyed on processed dataset md5s).
 
-TPU-native design: instead of RocksDB posting lists the index is two flat
-device tensors H [N] uint64 (sorted hashes, with multiplicity per dataset)
-and D [N] int32 (dataset ids) — overlap counting is a batched
-searchsorted-membership + segment-sum on device (`ops/index_ops.py`), and
-gather decrements ride the same tensors (`index/flat.py`). The on-disk
-format replaces RocksDB with a versioned directory:
+TPU-native design: instead of RocksDB posting lists the collection lives on
+device as padded row banks (`ops/index_ops.py`) — overlap counting is one
+fused batched binary-search pass per bank, and gather decrements ride the
+same tensors (`index/flat.py`). The on-disk format replaces RocksDB with a
+versioned directory:
 
     <path>/revindex.json   header: version, sketch params, processed md5s
-    <path>/hashes.npy      H, sorted uint64
-    <path>/datasets.npy    D, int32
+    <path>/hashes.npy      per-dataset sorted uint64 mins, concatenated (v2)
+    <path>/offsets.npy     int64 [n+1] dataset boundaries in hashes.npy (v2)
     <path>/sigs.zip        signature collection (manifest-bearing zip)
 
-numpy mmap-loads the tensors, so opening is O(1) and the first query
-uploads them to HBM once.
+(v1 directories — hashes sorted globally with a parallel datasets.npy id
+array — are still read.) numpy mmap-loads the tensors, so opening is cheap
+and the first query uploads banks to HBM once.
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ from . import Index, LinearIndex, _check_select_parameters, select_signature
 from .flat import FlatIndex
 
 FORMAT_NAME = "sourmash-tpu-revindex"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 class RevIndex(FlatIndex):
@@ -118,13 +118,19 @@ def save_revindex(index, path, *, processed=None):
         for ss in sigs:
             save_sigs.add(ss)
 
-    # flat pair tensors at the common scaled
+    # per-dataset sorted mins at the common scaled, concatenated + offsets
     fi = FlatIndex(sigs)
     fi._build()
-    H, D = (np.asarray(x) for x in fi._pairs)
-    real = D < len(sigs)  # strip the lane padding
-    np.save(os.path.join(path, "hashes.npy"), H[real])
-    np.save(os.path.join(path, "datasets.npy"), D[real])
+    mins_list = fi._ds_mins
+    offsets = np.zeros(len(mins_list) + 1, dtype=np.int64)
+    np.cumsum([len(m) for m in mins_list], out=offsets[1:])
+    H = (
+        np.concatenate(mins_list)
+        if mins_list
+        else np.zeros(0, dtype=np.uint64)
+    )
+    np.save(os.path.join(path, "hashes.npy"), H)
+    np.save(os.path.join(path, "offsets.npy"), offsets)
 
     if processed is None:
         processed = [ss.md5sum() for ss in sigs]
@@ -152,9 +158,6 @@ def is_revindex_dir(path):
 
 def load_revindex(path):
     "Load a disk revindex; tensors are mmapped until first device use."
-    import jax.numpy as jnp
-
-    from ..minhash import _get_max_hash_for_scaled
     from .. import save_load
     from ..save_load import IndexNotLoaded
 
@@ -184,20 +187,22 @@ def load_revindex(path):
     idx = RevIndex(signatures=sigs, location=path)
 
     H = np.load(os.path.join(path, "hashes.npy"), mmap_mode="r")
-    D = np.load(os.path.join(path, "datasets.npy"), mmap_mode="r")
-    N = H.shape[0]
-    Np = max(128, -(-N // 128) * 128)
-    Hp = np.full(Np, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    Hp[:N] = H
-    Dp = np.full(Np, len(sigs), dtype=np.int32)
-    Dp[:N] = D
-    idx._pairs = (jnp.asarray(Hp), jnp.asarray(Dp))
+    offsets_path = os.path.join(path, "offsets.npy")
+    if os.path.exists(offsets_path):  # v2: per-dataset concatenation
+        offsets = np.load(offsets_path)
+        idx._ds_mins = [
+            np.asarray(H[offsets[i] : offsets[i + 1]])
+            for i in range(len(sigs))
+        ]
+    else:  # v1: globally hash-sorted pairs with a parallel dataset-id array
+        D = np.asarray(np.load(os.path.join(path, "datasets.npy"), mmap_mode="r"))
+        order = np.argsort(D, kind="stable")
+        bounds = np.searchsorted(D[order], np.arange(len(sigs) + 1))
+        Hs = np.asarray(H)[order]
+        idx._ds_mins = [
+            Hs[bounds[i] : bounds[i + 1]] for i in range(len(sigs))
+        ]
     idx._scaled = int(header["scaled"])
-    cutoff = np.uint64(_get_max_hash_for_scaled(idx._scaled))
-    idx._ds_mins = [
-        m if int(ss.minhash.scaled) == idx._scaled else m[m <= cutoff]
-        for ss, m in ((ss, ss.minhash.mins_array()) for ss in sigs)
-    ]
     return idx
 
 

@@ -1,70 +1,81 @@
-"""Kernel C: flat inverted-index query ops.
+"""Kernel C: flat device-resident index query ops.
 
 Replaces the reference RocksDB RevIndex query path
 (`/root/reference/src/core/src/index/revindex/disk_revindex.rs:278-341`,
-posting-list `multi_get` → SigCounter) with a device-resident design: the
-whole index is two dense tensors — `H [N] uint64` (sorted (hash, dataset)
-pairs' hashes) and `D [N] int32` (dataset ids) — and a counter query is one
-fused pass: vectorized binary-search membership of every index hash in the
-query, then a segment-sum over dataset ids. O(N log Q) elementwise work,
-HBM-bandwidth bound, trivially shardable by splitting the pair arrays.
+posting-list `multi_get` -> SigCounter) with a TPU-native design: the
+collection's sketches live on device as dense padded row tensors, bucketed
+by sketch length into "banks" `H [m, L] uint64` (rows sorted ascending,
+MAX_U64 padding) with `lens [m] int32` and a host-side dataset-id map. A
+counter query binary-searches the query into every row in one fused
+vmapped pass per bank — O(n · Lq · log L) elementwise work that XLA tiles
+across the VPU with no gather/scatter over a giant posting array.
+
+(An earlier flat (hash, dataset-id) pair design — the literal analog of the
+RocksDB layout — measured ~18,000x slower on a v5e chip at 10k genomes:
+searchsorted + segment_sum over a 50M-row array is gather/scatter-bound,
+while the row-bank form is a dense batched binary search.)
 """
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
-MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+from .intersect import MAX_U64, _next_pow2, _query_vs_many_counts, pack_query
 
 
-def _membership(q, q_len, H):
-    "For each element of H, is it present in sorted query prefix q[:q_len]?"
-    idx = jnp.searchsorted(q, H)
-    idxc = jnp.clip(idx, 0, q.shape[0] - 1)
-    return (idx < q_len) & (q[idxc] == H)
+class Bank:
+    """One padded row bucket: rows [m, L] u64 on device, lens [m] i32,
+    and the dataset ids [m] (host) the rows belong to."""
+
+    __slots__ = ("H", "lens", "ids")
+
+    def __init__(self, H, lens, ids):
+        self.H = H
+        self.lens = lens
+        self.ids = ids
 
 
-@functools.partial(jax.jit, static_argnames=("n_datasets",))
-def counts_for_query(H, D, q, q_len, *, n_datasets: int):
-    """Per-dataset overlap counts between the query and the index.
+def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
+    """Bucket per-dataset sorted hash arrays by padded length and pack each
+    bucket into a device bank.
 
-    H: [N] uint64 pair hashes (any order); D: [N] int32 dataset ids
-    (padding rows use id = n_datasets); q: [Lq] sorted uint64 with MAX_U64
-    padding; q_len: valid prefix length. Returns int32 [n_datasets].
+    Buckets are powers of two >= 128, so HBM waste from padding is < 2x
+    even for heavily skewed collections (vs. padding everything to the
+    global max). Row counts are bucketed to powers of two as well so the
+    counting kernel compiles once per (m, L, Lq) size class.
     """
-    hit = _membership(q, q_len, H)
-    seg = jax.ops.segment_sum(
-        hit.astype(jnp.int32), D, num_segments=n_datasets + 1
-    )
-    return seg[:n_datasets]
+    buckets: dict[int, list[int]] = {}
+    for i, m in enumerate(mins_list):
+        L = _next_pow2(max(128, len(m)))
+        buckets.setdefault(L, []).append(i)
+
+    banks = []
+    for L, idxs in sorted(buckets.items()):
+        n = len(idxs)
+        rows = _next_pow2(max(8, n))
+        H = np.full((rows, L), MAX_U64, dtype=np.uint64)
+        lens = np.zeros(rows, dtype=np.int32)
+        ids = np.full(rows, -1, dtype=np.int32)
+        for r, i in enumerate(idxs):
+            m = mins_list[i]
+            H[r, : len(m)] = m
+            lens[r] = len(m)
+            ids[r] = i
+        banks.append(Bank(jnp.asarray(H), jnp.asarray(lens), ids))
+    return banks
 
 
-def build_pairs(mins_list):
-    """Build (H, D) pair tensors from per-dataset sorted hash arrays.
-
-    Pairs are sorted by hash (ties by dataset id, by construction of the
-    stable sort). Returns (H [N] uint64, D [N] int32).
-    """
-    n = len(mins_list)
-    if n == 0:
-        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int32)
-    H = np.concatenate([np.asarray(m, dtype=np.uint64) for m in mins_list])
-    D = np.concatenate(
-        [np.full(len(m), i, dtype=np.int32) for i, m in enumerate(mins_list)]
-    )
-    order = np.argsort(H, kind="stable")
-    return H[order], D[order]
-
-
-def pad_query(q_mins: np.ndarray, bucket: int = 128):
-    "Pad a sorted query to a bucketed length with MAX_U64; return (q, len)."
-    n = len(q_mins)
-    L = max(bucket, -(-n // bucket) * bucket)
-    q = np.full(L, MAX_U64, dtype=np.uint64)
-    q[:n] = q_mins
-    return q, n
+def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarray:
+    "Per-dataset overlap counts of the sorted query with every bank row."
+    counts = np.zeros(n_datasets, dtype=np.int32)
+    if not len(query_mins):
+        return counts
+    q, q_len = pack_query(np.asarray(query_mins, dtype=np.uint64))
+    qj = jnp.asarray(q)
+    for bank in banks:
+        out = np.asarray(_query_vs_many_counts(qj, q_len, bank.H, bank.lens))
+        real = bank.ids >= 0
+        counts[bank.ids[real]] = out[real]
+    return counts

@@ -21,46 +21,89 @@ import jax.numpy as jnp
 MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def pack_sketches(mins_list) -> tuple[np.ndarray, np.ndarray]:
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def pack_sketches(mins_list, pad_rows=False) -> tuple[np.ndarray, np.ndarray]:
     """Pack a list of sorted uint64 arrays into ([n, L] padded tensor,
-    [n] lengths). L is rounded up to a multiple of 128 (TPU lane width)."""
+    [n] lengths). L is bucketed to the next power of two (>=128, the TPU
+    lane width) so device kernels compile once per size class rather than
+    once per collection. With pad_rows, n is bucketed the same way (>=8);
+    padding rows have length 0 and never match."""
     n = len(mins_list)
     L = max((len(m) for m in mins_list), default=0)
-    L = max(128, -(-L // 128) * 128)
-    H = np.full((n, L), MAX_U64, dtype=np.uint64)
-    lens = np.zeros(n, dtype=np.int32)
+    L = _next_pow2(max(128, L))
+    rows = _next_pow2(max(8, n)) if pad_rows else n
+    H = np.full((rows, L), MAX_U64, dtype=np.uint64)
+    lens = np.zeros(rows, dtype=np.int32)
     for i, m in enumerate(mins_list):
         H[i, : len(m)] = m
         lens[i] = len(m)
     return H, lens
 
 
-@jax.jit
-def _pairwise_counts(H, lens):
-    """[n, L] sorted padded rows -> [n, n] intersection-count matrix."""
-    n, L = H.shape
-    col = jnp.arange(L)
+def pack_query(q_mins: np.ndarray) -> tuple[np.ndarray, int]:
+    "Pad one sorted query row to a power-of-two length (>=128)."
+    n = len(q_mins)
+    L = _next_pow2(max(128, n))
+    q = np.full(L, MAX_U64, dtype=np.uint64)
+    q[:n] = q_mins
+    return q, n
 
-    def one_vs_all(a_row, a_len):
-        valid_a = col < a_len
+
+_ROW_BLOCK = 8  # query rows per device call in the all-pairs matrix
+
+
+@jax.jit
+def _query_block_vs_many_counts(qs, q_lens, H, lens):
+    """[B, Lq] query rows vs [n, L] rows -> [B, n] intersection counts.
+
+    The building block for the all-pairs matrix: the host streams query-row
+    blocks through this so the hit-mask intermediate stays [B, n, L]
+    (bounded) instead of [n, n, L] (OOMs HBM for a few hundred genome-scale
+    sketches), and each device program stays small."""
+    L = H.shape[1]
+    col_q = jnp.arange(qs.shape[1])
+
+    def one(q, q_len):
+        valid_q = col_q < q_len
 
         def vs(b_row, b_len):
-            idx = jnp.searchsorted(b_row, a_row)
+            idx = jnp.searchsorted(b_row, q)
             idxc = jnp.clip(idx, 0, L - 1)
-            hit = (idx < b_len) & (b_row[idxc] == a_row) & valid_a
+            hit = (idx < b_len) & (b_row[idxc] == q) & valid_q
             return jnp.sum(hit.astype(jnp.int32))
 
         return jax.vmap(vs)(H, lens)
 
-    return jax.vmap(one_vs_all)(H, lens)
+    return jax.vmap(one)(qs, q_lens)
+
+
+def _pairwise_counts(H, lens):
+    """[n, L] sorted padded rows -> [n, n] intersection-count matrix,
+    computed in _ROW_BLOCK-row slabs on device, assembled on host."""
+    n = H.shape[0]
+    out = np.empty((n, n), dtype=np.int32)
+    Hj = jnp.asarray(H)
+    lj = jnp.asarray(lens)
+    for i in range(0, n, _ROW_BLOCK):
+        qs = jax.lax.dynamic_slice_in_dim(Hj, i, _ROW_BLOCK, axis=0)
+        qlens = jax.lax.dynamic_slice_in_dim(lj, i, _ROW_BLOCK, axis=0)
+        out[i : i + _ROW_BLOCK] = np.asarray(
+            _query_block_vs_many_counts(qs, qlens, Hj, lj)
+        )
+    return out
 
 
 @jax.jit
 def _query_vs_many_counts(q, q_len, H, lens):
-    """[L] query row vs [n, L] rows -> [n] intersection counts."""
+    """[Lq] query row vs [n, L] rows -> [n] intersection counts.
+
+    Lq is independent of L: the query is binary-searched into each subject
+    row, so padding buckets for queries and subjects need not agree."""
     L = H.shape[1]
-    col = jnp.arange(L)
-    valid_q = col < q_len
+    valid_q = jnp.arange(q.shape[0]) < q_len
 
     def vs(b_row, b_len):
         idx = jnp.searchsorted(b_row, q)
@@ -81,7 +124,7 @@ def _query_vs_many_cutoffs(q, q_len, H, lens, cut_q, cut_s):
     """
     L = H.shape[1]
     col = jnp.arange(L)
-    valid_q = col < q_len
+    valid_q = jnp.arange(q.shape[0]) < q_len
 
     def vs(b_row, b_len, cq, cs):
         both = jnp.minimum(cq, cs)
@@ -108,11 +151,10 @@ def query_vs_many_cutoff_counts(query_mins, mins_list, pair_cutoffs):
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    H, lens = pack_sketches(list(mins_list) + [query_mins])
-    q = H[-1]
-    q_len = lens[-1]
-    H, lens = H[:-1], lens[:-1]
-    cut = np.asarray(pair_cutoffs, dtype=np.uint64)
+    H, lens = pack_sketches(list(mins_list), pad_rows=True)
+    q, q_len = pack_query(query_mins)
+    cut = np.full(len(lens), MAX_U64, dtype=np.uint64)
+    cut[:n] = np.asarray(pair_cutoffs, dtype=np.uint64)
     shared, qs, ss = _query_vs_many_cutoffs(
         jnp.asarray(q),
         jnp.asarray(q_len),
@@ -122,31 +164,30 @@ def query_vs_many_cutoff_counts(query_mins, mins_list, pair_cutoffs):
         jnp.asarray(cut),
     )
     return (
-        np.asarray(shared).astype(np.int64),
-        np.asarray(qs).astype(np.int64),
-        np.asarray(ss).astype(np.int64),
+        np.asarray(shared)[:n].astype(np.int64),
+        np.asarray(qs)[:n].astype(np.int64),
+        np.asarray(ss)[:n].astype(np.int64),
     )
 
 
 def pairwise_intersection_counts(mins_list) -> np.ndarray:
     "Host wrapper: list of sorted uint64 arrays -> [n, n] count matrix."
-    if not mins_list:
+    n = len(mins_list)
+    if not n:
         return np.zeros((0, 0), dtype=np.int64)
-    H, lens = pack_sketches(mins_list)
-    return np.asarray(_pairwise_counts(jnp.asarray(H), jnp.asarray(lens))).astype(
-        np.int64
-    )
+    H, lens = pack_sketches(mins_list, pad_rows=True)
+    out = _pairwise_counts(jnp.asarray(H), jnp.asarray(lens))
+    return np.asarray(out)[:n, :n].astype(np.int64)
 
 
 def query_intersection_counts(query_mins, mins_list) -> np.ndarray:
     "Host wrapper: one query vs many sketches -> [n] counts."
-    if not mins_list:
+    n = len(mins_list)
+    if not n:
         return np.zeros(0, dtype=np.int64)
-    H, lens = pack_sketches(list(mins_list) + [query_mins])
-    q = H[-1]
-    q_len = lens[-1]
-    H, lens = H[:-1], lens[:-1]
+    H, lens = pack_sketches(mins_list, pad_rows=True)
+    q, q_len = pack_query(query_mins)
     out = _query_vs_many_counts(
         jnp.asarray(q), jnp.asarray(q_len), jnp.asarray(H), jnp.asarray(lens)
     )
-    return np.asarray(out).astype(np.int64)
+    return np.asarray(out)[:n].astype(np.int64)

@@ -4,18 +4,20 @@ The reference is a single-node CLI tool (SURVEY §2.3: rayon threads +
 multiprocessing only). The TPU-native scaling design replaces that with a
 `jax.sharding.Mesh` over pod-slice devices:
 
-- the flat index's (hash, dataset) pair tensors are sharded across the
-  'shards' mesh axis (each device holds an equal slice of the postings —
-  any partition is valid because per-dataset counts are summed with psum);
+- the flat index's padded sketch-row tensor `H [m, L]` is sharded across
+  the 'shards' mesh axis on the dataset-row dimension (each device holds a
+  contiguous block of datasets — model-parallel analog);
 - query batches are sharded across the 'data' axis (data parallelism over
   metagenome samples);
-- one gather round = a shard_map-ed fused pass: local membership +
-  segment-sum, then `psum` over 'shards' — collectives ride ICI.
+- a counter query = a shard_map-ed fused pass: local batched binary-search
+  counts, placed at the shard's row offset and combined with `psum` over
+  'shards' (so the result is provably replicated);
+- a gather round additionally needs the winning dataset's hash row, which
+  lives on exactly one shard: a `psum` OR combines the owner's membership
+  mask — collectives ride ICI.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 
@@ -38,50 +40,68 @@ def get_mesh(n_data: int = 1, n_shards: int | None = None, devices=None):
     return Mesh(dev_array, axis_names=("data", "shards"))
 
 
-def shard_pairs(H: np.ndarray, D: np.ndarray, n_shards: int, n_datasets: int):
-    """Pad (H, D) pair arrays so they split evenly across n_shards.
+def pack_rows(mins_list, n_shards: int):
+    """Pack per-dataset sorted hash arrays into one padded row tensor whose
+    row count divides n_shards (shard k owns rows [k*per, (k+1)*per)).
 
-    Padding rows use hash MAX_U64 and dataset id n_datasets (an overflow
-    bin dropped by the counting kernel)."""
-    N = len(H)
-    per = -(-N // n_shards)
-    per = max(128, -(-per // 128) * 128)
-    Np = per * n_shards
-    Hp = np.full(Np, MAX_U64, dtype=np.uint64)
-    Dp = np.full(Np, n_datasets, dtype=np.int32)
-    Hp[:N] = H
-    Dp[:N] = D
-    return Hp, Dp
+    Returns (H [m, L] uint64, lens [m] int32); padding rows have length 0.
+    """
+    n = len(mins_list)
+    L = max((len(m) for m in mins_list), default=0)
+    L = max(128, -(-L // 128) * 128)
+    per = max(8, -(-n // n_shards))
+    m = per * n_shards
+    H = np.full((m, L), MAX_U64, dtype=np.uint64)
+    lens = np.zeros(m, dtype=np.int32)
+    for i, mm in enumerate(mins_list):
+        H[i, : len(mm)] = mm
+        lens[i] = len(mm)
+    return H, lens
+
+
+def _membership(b_row, q, q_len):
+    "Which valid elements of sorted q are present in sorted padded b_row?"
+    L = b_row.shape[0]
+    idx = jnp.searchsorted(b_row, q)
+    idxc = jnp.clip(idx, 0, L - 1)
+    return (b_row[idxc] == q) & (jnp.arange(q.shape[0]) < q_len) & (q < MAX_U64)
 
 
 def make_sharded_counter(mesh: Mesh, n_datasets: int):
     """Compile a sharded counter query:
 
-    (H [N], D [N], q [B, Lq], q_len [B]) -> counts [B, n_datasets]
+    (H [m, L], lens [m], q [B, Lq], q_len [B]) -> counts [B, n_datasets]
 
-    H/D sharded across 'shards'; q/q_len sharded across 'data'; output
-    sharded across 'data' and replicated across 'shards'.
+    H/lens sharded across 'shards' on the row axis; q/q_len sharded across
+    'data'; output sharded across 'data', replicated across 'shards'.
     """
 
-    def _local(H, D, q, q_len):
-        # q: [b, Lq] local batch; H/D: local pair shard
-        def one(qr, ql):
-            idx = jnp.searchsorted(qr, H)
-            idxc = jnp.clip(idx, 0, qr.shape[0] - 1)
-            hit = (idx < ql) & (qr[idxc] == H)
-            seg = jax.ops.segment_sum(
-                hit.astype(jnp.int32), D, num_segments=n_datasets + 1
-            )
-            return seg[:n_datasets]
+    def _local(H, D_lens, q, q_len):
+        per = H.shape[0]
+        my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
 
-        local = jax.vmap(one)(q, q_len)
-        return jax.lax.psum(local, "shards")
+        def one(qr, ql):
+            def vs(b_row, b_len):
+                hit = _membership(b_row, qr, ql)
+                return jnp.sum(hit.astype(jnp.int32), dtype=jnp.int32)
+
+            return jax.vmap(vs)(H, D_lens)
+
+        local = jax.vmap(one)(q, q_len)  # [b, per]
+        # place the local block at its row offset and psum: the result is
+        # replicated across 'shards' (which shard_map can infer), unlike
+        # an all_gather
+        n_shards = jax.lax.psum(1, "shards")
+        full = jnp.zeros((q.shape[0], per * n_shards), jnp.int32)
+        full = jax.lax.dynamic_update_slice(full, local, (jnp.int32(0), my0))
+        full = jax.lax.psum(full, "shards")
+        return full[:, :n_datasets]
 
     f = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P("shards"), P("shards"), P("data"), P("data")),
-        out_specs=P("data"),
+        in_specs=(P("shards", None), P("shards"), P("data", None), P("data")),
+        out_specs=P("data", None),
     )
     return jax.jit(f)
 
@@ -89,52 +109,55 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
 def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
     """Compile one full gather round over the mesh:
 
-    (H, D, q [B, Lq], q_len [B], counts [B, n_datasets], thresh [B])
+    (H, lens, q [B, Lq], q_len [B], counts [B, n_datasets], thresh [B])
       -> (best [B], best_count [B], new_counts [B, n_datasets],
           new_q [B, Lq], new_q_len [B])
 
     Per query row: pick the best dataset (argmax, ties to lowest id), mask
     out its hashes from the query (the consume/subtract step), and
     decrement every dataset's counter by its overlap with the removed
-    hashes. This is the device-side inner loop of `gather` — the greedy
-    outer iteration stays on host.
+    hashes. The winning row lives on one shard; its membership mask is
+    combined with a psum-OR. This is the device-side inner loop of
+    `gather` — the greedy outer iteration stays on host.
     """
 
-    def _local(H, D, q, q_len, counts, thresh):
+    def _local(H, D_lens, q, q_len, counts, thresh):
+        per = H.shape[0]
+        my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
+
         def one(qr, ql, cnt, th):
-            best = jnp.argmax(cnt)
+            best = jnp.argmax(cnt).astype(jnp.int32)
             best_count = cnt[best]
             active = best_count >= jnp.maximum(th, 1)
 
-            # hashes of the best dataset: membership of q in dataset 'best'
-            sel = D == best
-            Hsel = jnp.where(sel, H, MAX_U64)
-            Hsel = jnp.sort(Hsel)
-            idx = jnp.searchsorted(Hsel, qr)
-            idxc = jnp.clip(idx, 0, Hsel.shape[0] - 1)
-            in_best_local = Hsel[idxc] == qr
-            col = jnp.arange(qr.shape[0])
-            in_best_local = in_best_local & (col < ql)
-            # a hash may live on another shard: OR across shards
+            # the winning dataset's row lives on exactly one shard
+            local_ix = jnp.clip(best - my0, 0, per - 1)
+            owner = (best >= my0) & (best < my0 + per)
+            row = H[local_ix]
+            in_best_local = _membership(row, qr, ql) & owner
             in_best = jax.lax.psum(in_best_local.astype(jnp.int32), "shards") > 0
 
-            # decrement counters by overlap of removed hashes w/ each dataset
-            qrm = jnp.where(in_best & active, qr, MAX_U64)
-            qrm = jnp.sort(qrm)
-            n_rm = jnp.sum((in_best & active).astype(jnp.int32))
-            idx2 = jnp.searchsorted(qrm, H)
-            idx2c = jnp.clip(idx2, 0, qrm.shape[0] - 1)
-            hit2 = (idx2 < n_rm) & (qrm[idx2c] == H)
-            dec = jax.ops.segment_sum(
-                hit2.astype(jnp.int32), D, num_segments=n_datasets + 1
-            )[:n_datasets]
-            dec = jax.lax.psum(dec, "shards")
+            # removed hashes, re-sorted into a padded prefix
+            rm = in_best & active
+            qrm = jnp.sort(jnp.where(rm, qr, MAX_U64))
+            n_rm = jnp.sum(rm.astype(jnp.int32), dtype=jnp.int32)
+
+            # decrement counters by each dataset's overlap with the removal
+            def vs(b_row, b_len):
+                hit = _membership(b_row, qrm, n_rm)
+                return jnp.sum(hit.astype(jnp.int32), dtype=jnp.int32)
+
+            dec_local = jax.vmap(vs)(H, D_lens)  # [per]
+            n_shards = jax.lax.psum(1, "shards")
+            dec = jnp.zeros(per * n_shards, jnp.int32)
+            dec = jax.lax.dynamic_update_slice(dec, dec_local, (my0,))
+            dec = jax.lax.psum(dec, "shards")[:n_datasets]
 
             new_cnt = jnp.where(active, jnp.maximum(cnt - dec, 0), cnt)
             # remove found hashes from the query (keep sorted, pad with MAX)
-            keep = (~(in_best & active)) & (col < ql)
+            keep = (~rm) & (jnp.arange(qr.shape[0]) < ql)
             new_q = jnp.sort(jnp.where(keep, qr, MAX_U64))
-            new_len = jnp.sum(keep.astype(jnp.int32))
+            new_len = jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
             return (
                 jnp.where(active, best, -1),
                 jnp.where(active, best_count, 0),
@@ -149,14 +172,20 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
         _local,
         mesh=mesh,
         in_specs=(
+            P("shards", None),
             P("shards"),
-            P("shards"),
+            P("data", None),
             P("data"),
-            P("data"),
-            P("data"),
+            P("data", None),
             P("data"),
         ),
-        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(
+            P("data"),
+            P("data"),
+            P("data", None),
+            P("data", None),
+            P("data"),
+        ),
     )
     return jax.jit(f)
 
@@ -164,17 +193,18 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
 def make_sharded_sketch(mesh: Mesh, ksize: int, cap: int, seed: int = 42):
     """Data-parallel sketching: sequence rows shard across 'data'; each
     device runs the fused sketch pipeline on its rows (no collectives —
-    sketching is embarrassingly parallel; counting/gather add the psum).
+    sketching is embarrassingly parallel; counting/gather add the
+    collectives).
 
     Returns fn(seqs [B, S] uint8, max_hash scalar) ->
     (survivors [B, cap] uint64, n_valid [B] int32).
     """
-    from jax.experimental.shard_map import shard_map
+    import functools
 
     from ..ops.sketch import _seq_to_compact_hashes
 
     @functools.partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(P("data", None), P()),
         out_specs=(P("data", None), P("data")),
