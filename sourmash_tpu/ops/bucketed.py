@@ -1,0 +1,436 @@
+"""Bucketed dense-compare engine for set intersection on TPU.
+
+The sorted-row `searchsorted` kernels in `ops/intersect.py` are the right
+*algorithm* (O(L log L)) but the wrong *hardware mapping*: a u64 binary
+search lowers to a 13-step while-loop of dynamic gathers, and TPU gathers
+run near one element per cycle — measured ~12 s for one 8-query block
+against 512 genome-scale rows on a v5e chip.
+
+This module replaces them with a gather-free layout. MurmurHash values are
+uniform, so bucketing by the low `log2(B)` bits spreads a sketch of
+`l` hashes over `B = next_pow2(l_max * 0.4)` buckets with Poisson(<=2.5)
+occupancy. A sketch becomes two u32 planes `hi/lo [d, B]` (d=8 slots per
+bucket, lane dimension last), and intersection counting becomes a pure
+dense equality compare between planes — exactly the elementwise work the
+VPU tiles at full rate, with zero gathers or scatters.
+
+Exactness is preserved by construction:
+
+- slots beyond a bucket's occupancy hold PAD = 2**64-1 in both planes.
+  PAD==PAD hits are counted by the kernel but subtracted exactly via a
+  pad-count correction: `corr[q, s] = sum_b npad_q[b] * npad_s[b]`, one
+  bf16 matmul on the MXU (values <= d=8 and sums < 2^24, so f32
+  accumulation is exact).
+- a real hash equal to PAD (only possible at scaled=1) is routed to a
+  host-side *spill* list at pack time, as is any element past the d-th
+  slot of an over-full bucket (Poisson tail, ~1 element per few thousand
+  hashes). Spills are joined exactly on host with numpy searchsorted.
+- queries are packed with `dq = next_pow2(max bucket load)`, so the query
+  side never spills.
+
+Replaces the hot loops of the reference's sorted-merge intersection
+(`/root/reference/src/core/src/sketch/minhash.rs:915-953,1721-1807`) and
+RevIndex posting-list counting
+(`/root/reference/src/core/src/index/revindex/disk_revindex.rs:278-341`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_D = 8  # subject slots per bucket
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def choose_buckets(max_len: int) -> int:
+    """Bucket count (power of two) for rows up to max_len hashes: max mean
+    load <= 2.5, putting Poisson spill past d=8 at ~1e-3 per bucket (a few
+    spilled elements per genome-scale row, joined exactly on host)."""
+    return _next_pow2(max(128, -(-max_len * 2 // 5)))
+
+
+def _pad_rows(n: int) -> int:
+    "Row padding: powers of two up to 2048, then multiples of 2048."
+    if n <= 2048:
+        return _next_pow2(max(8, n))
+    return -(-n // 2048) * 2048
+
+
+class BucketedRows:
+    """A packed bank: hi/lo [n, d, B] u32 planes (lane dim last), per-row
+    per-bucket occupancy counts [n, B] u8, and host-side exact spill lists
+    (sorted u64 per row; almost always empty)."""
+
+    __slots__ = ("hi", "lo", "cnt", "spills", "n", "d", "B", "n_spilled")
+
+    def __init__(self, hi, lo, cnt, spills, n, d, B, n_spilled):
+        self.hi = hi
+        self.lo = lo
+        self.cnt = cnt
+        self.spills = spills
+        self.n = n
+        self.d = d
+        self.B = B
+        self.n_spilled = n_spilled
+
+
+def _bucketize(m: np.ndarray, B: int):
+    """Split one sorted distinct u64 array into (bucket ids, within-bucket
+    slots, stable order). Low-bits bucketing; within a bucket, slots are in
+    ascending hash order."""
+    b = (m & np.uint64(B - 1)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    # within-bucket rank
+    if len(bs):
+        change = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate([[0], change])
+        sizes = np.diff(np.concatenate([starts, [len(bs)]]))
+        slot = np.arange(len(bs)) - np.repeat(starts, sizes)
+    else:
+        slot = np.zeros(0, dtype=np.int64)
+    return b, bs, slot, order
+
+
+def pack_rows_bucketed(mins_list, B: int, d: int = _D, device=True) -> BucketedRows:
+    """Pack sorted distinct u64 hash arrays into bucketed u32 planes.
+
+    Vectorized across all rows: one stable argsort of (row, bucket) keys
+    over the concatenated hashes, then three fancy-index stores — ~50M
+    hashes pack in seconds instead of minutes of per-row loops.
+
+    Rows are padded to a power-of-two count (>=8) so kernels compile once
+    per size class; padding rows are all-PAD (occupancy 0)."""
+    n = len(mins_list)
+    rows = _pad_rows(n)
+    hi = np.full((rows, d, B), 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full((rows, d, B), 0xFFFFFFFF, dtype=np.uint32)
+    cnt = np.zeros((rows, B), dtype=np.uint8)
+    spills = {}
+    n_spilled = 0
+    lens = np.fromiter((len(m) for m in mins_list), dtype=np.int64, count=n)
+    N = int(lens.sum())
+    if N:
+        vals = (
+            np.concatenate([np.asarray(m, dtype=np.uint64) for m in mins_list])
+            if n > 1
+            else np.asarray(mins_list[0], dtype=np.uint64)
+        )
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # PAD collision guard: 2**64-1 can be a real hash only at scaled=1
+        ismax = vals == MAX_U64
+        if ismax.any():
+            for i in np.unique(row[ismax]):
+                spills[int(i)] = np.array([MAX_U64], dtype=np.uint64)
+                n_spilled += 1
+            keepmask = ~ismax
+            vals, row = vals[keepmask], row[keepmask]
+        b = (vals & np.uint64(B - 1)).astype(np.int64)
+        key = row * B + b
+        order = np.argsort(key, kind="stable")  # within (row,bucket): asc hash
+        ks = key[order]
+        vs = vals[order]
+        ro = row[order]
+        bo = b[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
+        sizes = np.diff(np.concatenate([starts, [len(ks)]]))
+        slot = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = slot < d
+        hi[ro[keep], slot[keep], bo[keep]] = (vs[keep] >> np.uint64(32)).astype(
+            np.uint32
+        )
+        lo[ro[keep], slot[keep], bo[keep]] = (
+            vs[keep] & np.uint64(0xFFFFFFFF)
+        ).astype(np.uint32)
+        # per-(row, bucket) stored counts: one store per run
+        cnt.reshape(-1)[ks[starts]] = np.minimum(sizes, d).astype(np.uint8)
+        if not keep.all():
+            sp_vals, sp_rows = vs[~keep], ro[~keep]
+            n_spilled += len(sp_vals)
+            for i in np.unique(sp_rows):
+                both = sp_vals[sp_rows == i]
+                prev = spills.get(int(i))
+                if prev is not None:
+                    both = np.concatenate([both, prev])
+                spills[int(i)] = np.sort(both)
+    empty = np.zeros(0, dtype=np.uint64)
+    spill_list = [spills.get(i, empty) for i in range(rows)]
+    if device:
+        hi, lo, cnt = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+    return BucketedRows(hi, lo, cnt, spill_list, n, d, B, n_spilled)
+
+
+def pack_query_bucketed(q: np.ndarray, B: int, device=True):
+    """Pack one sorted distinct u64 query into [dq, B] planes with
+    dq = next_pow2(max bucket load) — no query-side spills. Returns
+    (hi, lo, cnt [B] u8, dq, tail) where tail is the (rare) hash equal to
+    PAD, excluded from the planes."""
+    q = np.asarray(q, dtype=np.uint64)
+    tail = None
+    if len(q) and q[-1] == MAX_U64:
+        tail = MAX_U64
+        q = q[:-1]
+    if len(q):
+        b, bs, slot, order = _bucketize(q, B)
+        dq = _next_pow2(max(8, int(slot.max()) + 1))
+    else:
+        dq = 8
+    hi = np.full((dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.full((dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    cnt = np.zeros(B, dtype=np.uint8)
+    if len(q):
+        qs = q[order]
+        hi[slot, bs] = (qs >> np.uint64(32)).astype(np.uint32)
+        lo[slot, bs] = (qs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        np.add.at(cnt, bs.astype(np.int64), 1)
+    if device:
+        hi, lo, cnt = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+    return hi, lo, cnt, dq, tail
+
+
+# -- kernels ---------------------------------------------------------------
+
+
+@jax.jit
+def _counts_qvm(qhi, qlo, qcnt, Shi, Slo, Scnt):
+    """[dq, B] query planes vs [ns, d, B] subject planes -> [ns] i32 exact
+    stored-element intersection counts (pad-pad hits removed via the
+    bf16 pad-count matmul).
+
+    Loop order matters: the static loop runs over the d=8 *subject* slots
+    with the query planes broadcast inside, so the large subject planes
+    stream from HBM once; a loop over query slots would re-stream them
+    dq times (measured 10x slower for metagenome-sized queries)."""
+    d = Shi.shape[1]
+    acc = jnp.zeros(Shi.shape[0], jnp.int32)
+    qh = qhi[None, :, :]  # [1, dq, B]
+    ql = qlo[None, :, :]
+    for k2 in range(d):
+        eq = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql)
+        acc = acc + jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+    dq = qhi.shape[0]
+    npad_q = (dq - qcnt).astype(jnp.bfloat16)  # [B]
+    npad_s = (d - Scnt).astype(jnp.bfloat16)  # [ns, B]
+    corr = jnp.dot(npad_s, npad_q, preferred_element_type=jnp.float32)
+    return acc - corr.astype(jnp.int32)
+
+
+@jax.jit
+def _counts_qvm_cutoff(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
+    """Query-vs-many with a per-subject u64 cutoff applied to the matched
+    value: hit iff equal and value <= cut[s]. Pad-pad hits pass the cutoff
+    only when cut == 2**64-1; the correction is masked accordingly."""
+    d = Shi.shape[1]
+    dq = qhi.shape[0]
+    chi = cut_hi[:, None, None]  # [ns, 1, 1]
+    clo = cut_lo[:, None, None]
+    qh = qhi[None, :, :]  # [1, dq, B]
+    ql = qlo[None, :, :]
+    le = (qh < chi) | ((qh == chi) & (ql <= clo))  # [ns, dq, B]
+    acc = jnp.zeros(Shi.shape[0], jnp.int32)
+    for k2 in range(d):
+        eq = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql)
+        acc = acc + jnp.sum(eq & le, axis=(1, 2), dtype=jnp.int32)
+    npad_q = (dq - qcnt).astype(jnp.bfloat16)
+    npad_s = (d - Scnt).astype(jnp.bfloat16)
+    corr = jnp.dot(npad_s, npad_q, preferred_element_type=jnp.float32)
+    pad_passes = (cut_hi == 0xFFFFFFFF) & (cut_lo == 0xFFFFFFFF)
+    return acc - jnp.where(pad_passes, corr.astype(jnp.int32), 0)
+
+
+@jax.jit
+def _counts_block(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
+    """[bq, d, B] query rows vs [ns, d, B] subjects -> [bq, ns] i32 counts.
+
+    Static loop over the subjects' d slots; the query block broadcasts
+    inside so the subject planes stream from HBM once per block."""
+    d = Shi.shape[1]
+    bq = Qhi.shape[0]
+    dq = Qhi.shape[1]
+    acc = jnp.zeros((bq, Shi.shape[0]), jnp.int32)
+    qh = Qhi[:, None, :, :]  # [bq, 1, dq, B]
+    ql = Qlo[:, None, :, :]
+    for k2 in range(d):
+        eq = (Shi[None, :, k2, None, :] == qh) & (Slo[None, :, k2, None, :] == ql)
+        acc = acc + jnp.sum(eq, axis=(2, 3), dtype=jnp.int32)  # [bq, ns]
+    npad_q = (dq - Qcnt).astype(jnp.bfloat16)  # [bq, B]
+    npad_s = (d - Scnt).astype(jnp.bfloat16)  # [ns, B]
+    corr = jnp.dot(npad_q, npad_s.T, preferred_element_type=jnp.float32)
+    return acc - corr.astype(jnp.int32)
+
+
+@jax.jit
+def _membership_rows(qhi, qlo, Shi, Slo, Scnt):
+    """Which query slots are present in each subject row?
+
+    [dq, B] query planes vs [nm, d, B] subjects -> [nm, dq, B] bool. Subject
+    pad slots are masked by occupancy (a query PAD slot equals a subject PAD
+    slot, and here we need bits, not counts)."""
+    d = Shi.shape[1]
+    qh = qhi[None, :, :]  # [1, dq, B]
+    ql = qlo[None, :, :]
+    m = jnp.zeros((Shi.shape[0], qhi.shape[0], qhi.shape[1]), jnp.bool_)
+    for k2 in range(d):
+        valid = (Scnt[:, None, :] > k2)  # [nm, 1, B]
+        hit = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql) & valid
+        m = m | hit  # [nm, dq, B]
+    return m
+
+
+# -- host wrappers with exact spill handling --------------------------------
+
+
+def _sorted_isect_size(a: np.ndarray, b: np.ndarray) -> int:
+    "|a ∩ b| for sorted distinct u64 arrays."
+    if not len(a) or not len(b):
+        return 0
+    idx = np.searchsorted(b, a)
+    idx = np.clip(idx, 0, len(b) - 1)
+    return int(np.sum(b[idx] == a))
+
+
+def _spill_counts_qvm(q_full: np.ndarray, bank: BucketedRows, counts, cutoffs=None):
+    """Add the exact contribution of subject-side spilled hashes:
+    counts[i] += |spill_i ∩ q| (optionally filtered by cutoff[i]). The
+    query's own 2**64-1 tail (never in the planes) is covered here too,
+    since it can only match a subject spill."""
+    if not bank.n_spilled:
+        return
+    for i in range(bank.n):
+        sp = bank.spills[i]
+        if not len(sp):
+            continue
+        if cutoffs is not None:
+            sp = sp[sp <= cutoffs[i]]
+        counts[i] += _sorted_isect_size(sp, q_full)
+
+
+def query_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, q_packed=None):
+    """Sorted query u64 array vs a packed bank -> [n] exact counts.
+
+    q_packed: optional reuse of pack_query_bucketed(q_full, bank.B)."""
+    if q_packed is None:
+        q_packed = pack_query_bucketed(q_full, bank.B)
+    qhi, qlo, qcnt, dq, tail = q_packed
+    out = np.asarray(_counts_qvm(qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt))
+    counts = out[: bank.n].astype(np.int64)
+    _spill_counts_qvm(q_full, bank, counts)
+    return counts
+
+
+def query_cutoff_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, cutoffs):
+    """Query vs bank with per-subject u64 value cutoffs (pairwise
+    downsample). Returns [n] exact shared counts of {h : h <= cut[i]}."""
+    cut = np.zeros(len(bank.cnt), dtype=np.uint64)
+    cut[: bank.n] = cutoffs
+    qhi, qlo, qcnt, dq, tail = pack_query_bucketed(q_full, bank.B)
+    out = np.asarray(
+        _counts_qvm_cutoff(
+            qhi,
+            qlo,
+            qcnt,
+            bank.hi,
+            bank.lo,
+            bank.cnt,
+            jnp.asarray((cut >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray((cut & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        )
+    )
+    counts = out[: bank.n].astype(np.int64)
+    _spill_counts_qvm(q_full, bank, counts, cutoffs=cutoffs)
+    return counts
+
+
+def pairwise_counts_bucketed(mins_list, block=8):
+    """All-pairs exact intersection-count matrix [n, n] via bucketed dense
+    compare. One device pass per `block` query rows; results are read back
+    once at the end (a single tunnel round-trip)."""
+    n = len(mins_list)
+    if not n:
+        return np.zeros((0, 0), dtype=np.int64)
+    B = choose_buckets(max((len(m) for m in mins_list), default=0))
+    bank = pack_rows_bucketed(mins_list, B)
+    rows = bank.hi.shape[0]
+    outs = []
+    for i in range(0, rows, block):
+        Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, i, block, 0)
+        Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, i, block, 0)
+        Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, block, 0)
+        outs.append(_counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt))
+    out = np.asarray(jnp.concatenate(outs, axis=0))[:n, :n].astype(np.int64)
+    if bank.n_spilled:
+        # exact spill join. For pair (i, j):
+        #   true = stored∩stored + |sp_i ∩ m_j| + |sp_j ∩ m_i| − |sp_i ∩ sp_j|
+        # (the last term is counted once from each side). Iterating only
+        # rows with spills, each unordered pair's cross-term is subtracted
+        # exactly once (at the lower index).
+        for i in range(n):
+            sp = bank.spills[i]
+            if not len(sp):
+                continue
+            for j in range(n):
+                if j == i:
+                    out[i, i] += len(sp)
+                    continue
+                c = _sorted_isect_size(sp, np.asarray(mins_list[j], dtype=np.uint64))
+                if len(bank.spills[j]) and j > i:
+                    c -= _sorted_isect_size(sp, bank.spills[j])
+                out[i, j] += c
+                out[j, i] += c
+    return out
+
+
+def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=None):
+    """Bitmask membership of the query's bucketed slots in selected bank
+    rows: returns (M [len(row_ids), dq, B] bool device array, q_packed).
+
+    M[r, k, b] == True iff query slot (k, b) holds a hash present in bank
+    row row_ids[r]. Spilled subject hashes are OR-ed in on host via the
+    query slot map. The caller keeps counts/alive vectors in the same
+    (dq, B) layout."""
+    if q_packed is None:
+        q_packed = pack_query_bucketed(q_full, bank.B)
+    qhi, qlo, qcnt, dq, tail = q_packed
+    ids = np.asarray(row_ids, dtype=np.int64)
+    Shi = bank.hi[jnp.asarray(ids)]
+    Slo = bank.lo[jnp.asarray(ids)]
+    Scnt = bank.cnt[jnp.asarray(ids)]
+    M = _membership_rows(qhi, qlo, Shi, Slo, Scnt)
+    spill_bits = {}
+    for r, i in enumerate(ids):
+        sp = bank.spills[i]
+        if len(sp):
+            spill_bits[r] = sp
+    if spill_bits:
+        M = np.asarray(M)
+        # slot map is over the plane-representable query (2**64-1 excluded
+        # at pack time; the caller handles that single hash exactly)
+        q_full = q_full[q_full != MAX_U64]
+        b = (q_full & np.uint64(bank.B - 1)).astype(np.int64)
+        # slot of each query hash: rank within its bucket
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        change = np.flatnonzero(np.diff(bs)) + 1
+        starts = np.concatenate([[0], change])
+        sizes = np.diff(np.concatenate([starts, [len(bs)]]))
+        slot = np.arange(len(bs)) - np.repeat(starts, sizes)
+        pos = {}  # hash -> (slot, bucket)
+        qf = q_full[order]
+        for h, s, bb in zip(qf.tolist(), slot.tolist(), bs.tolist()):
+            pos[h] = (s, bb)
+        for r, sp in spill_bits.items():
+            for h in sp.tolist():
+                if h in pos:
+                    s, bb = pos[h]
+                    M[r, s, bb] = True
+        M = jnp.asarray(M)
+    return M, q_packed

@@ -3,17 +3,17 @@
 Replaces the reference RocksDB RevIndex query path
 (`/root/reference/src/core/src/index/revindex/disk_revindex.rs:278-341`,
 posting-list `multi_get` -> SigCounter) with a TPU-native design: the
-collection's sketches live on device as dense padded row tensors, bucketed
-by sketch length into "banks" `H [m, L] uint64` (rows sorted ascending,
-MAX_U64 padding) with `lens [m] int32` and a host-side dataset-id map. A
-counter query binary-searches the query into every row in one fused
-vmapped pass per bank — O(n · Lq · log L) elementwise work that XLA tiles
-across the VPU with no gather/scatter over a giant posting array.
+collection's sketches live on device as bucketed u32 hi/lo planes
+(`ops/bucketed.py`), grouped into "banks" by sketch-length class and
+split into row chunks. A counter query is one dense gather-free compare
+pass per chunk; chunk dispatches are issued async and read back together,
+so the device pipeline stays full.
 
-(An earlier flat (hash, dataset-id) pair design — the literal analog of the
-RocksDB layout — measured ~18,000x slower on a v5e chip at 10k genomes:
-searchsorted + segment_sum over a 50M-row array is gather/scatter-bound,
-while the row-bank form is a dense batched binary search.)
+(Two earlier designs measured on a v5e chip: a flat (hash, dataset-id)
+pair tensor — the literal RocksDB analog — was gather/scatter-bound and
+~18,000x slower than this; sorted padded rows + batched binary search
+was ~500x slower, because u64 searchsorted lowers to a serial-gather
+while-loop.)
 """
 
 from __future__ import annotations
@@ -22,60 +22,88 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .intersect import MAX_U64, _next_pow2, _query_vs_many_counts, pack_query
+from .bucketed import (
+    MAX_U64,
+    choose_buckets,
+    membership_matrix,
+    pack_query_bucketed,
+    pack_rows_bucketed,
+    query_counts_bucketed,
+)
+
+_CHUNK_ROWS = 8192  # max rows per packed chunk (bounds compile size classes)
 
 
 class Bank:
-    """One padded row bucket: rows [m, L] u64 on device, lens [m] i32,
-    and the dataset ids [m] (host) the rows belong to."""
+    """One length-class bank: a list of bucketed row chunks plus the
+    dataset ids (host) each chunk's rows belong to."""
 
-    __slots__ = ("H", "lens", "ids")
+    __slots__ = ("chunks", "ids", "B")
 
-    def __init__(self, H, lens, ids):
-        self.H = H
-        self.lens = lens
-        self.ids = ids
+    def __init__(self, chunks, ids, B):
+        self.chunks = chunks  # list of BucketedRows
+        self.ids = ids  # list of int32 arrays, one per chunk
+        self.B = B
 
 
 def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
-    """Bucket per-dataset sorted hash arrays by padded length and pack each
-    bucket into a device bank.
+    """Bucket per-dataset sorted hash arrays by padded length class and
+    pack each class into bucketed-plane chunks.
 
-    Buckets are powers of two >= 128, so HBM waste from padding is < 2x
-    even for heavily skewed collections (vs. padding everything to the
-    global max). Row counts are bucketed to powers of two as well so the
-    counting kernel compiles once per (m, L, Lq) size class.
+    Length classes are powers of two >= 128 so HBM waste from bucket
+    padding stays bounded for skewed collections; rows are chunked at
+    _CHUNK_ROWS so kernels compile once per (B, rows) size class.
     """
     buckets: dict[int, list[int]] = {}
     for i, m in enumerate(mins_list):
-        L = _next_pow2(max(128, len(m)))
+        L = 1 << max(7, int(max(1, len(m)) - 1).bit_length())
         buckets.setdefault(L, []).append(i)
 
     banks = []
     for L, idxs in sorted(buckets.items()):
-        n = len(idxs)
-        rows = _next_pow2(max(8, n))
-        H = np.full((rows, L), MAX_U64, dtype=np.uint64)
-        lens = np.zeros(rows, dtype=np.int32)
-        ids = np.full(rows, -1, dtype=np.int32)
-        for r, i in enumerate(idxs):
-            m = mins_list[i]
-            H[r, : len(m)] = m
-            lens[r] = len(m)
-            ids[r] = i
-        banks.append(Bank(jnp.asarray(H), jnp.asarray(lens), ids))
+        B = choose_buckets(L)
+        chunks = []
+        ids = []
+        for s in range(0, len(idxs), _CHUNK_ROWS):
+            part = idxs[s : s + _CHUNK_ROWS]
+            chunks.append(pack_rows_bucketed([mins_list[i] for i in part], B))
+            ids.append(np.asarray(part, dtype=np.int32))
+        banks.append(Bank(chunks, ids, B))
     return banks
 
 
 def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarray:
     "Per-dataset overlap counts of the sorted query with every bank row."
-    counts = np.zeros(n_datasets, dtype=np.int32)
+    counts = np.zeros(n_datasets, dtype=np.int64)
     if not len(query_mins):
         return counts
-    q, q_len = pack_query(np.asarray(query_mins, dtype=np.uint64))
-    qj = jnp.asarray(q)
+    q = np.asarray(query_mins, dtype=np.uint64)
     for bank in banks:
-        out = np.asarray(_query_vs_many_counts(qj, q_len, bank.H, bank.lens))
-        real = bank.ids >= 0
-        counts[bank.ids[real]] = out[real]
+        q_packed = pack_query_bucketed(q, bank.B)
+        for chunk, ids in zip(bank.chunks, bank.ids):
+            out = query_counts_bucketed(q, chunk, q_packed=q_packed)
+            counts[ids] = out[: len(ids)]
     return counts
+
+
+def membership_for_banks(banks, query_mins: np.ndarray, dataset_ids):
+    """Bitmask membership of the query's bucketed slots in the given
+    datasets, per bank (datasets may span banks with different B).
+
+    Returns a list of (bank, q_packed, sel_ids [k], M [k, dq, B] device
+    bool) tuples covering every requested dataset id.
+    """
+    q = np.asarray(query_mins, dtype=np.uint64)
+    want = set(int(i) for i in dataset_ids)
+    out = []
+    for bank in banks:
+        q_packed = None
+        for chunk, ids in zip(bank.chunks, bank.ids):
+            sel = [r for r, i in enumerate(ids) if int(i) in want]
+            if not sel:
+                continue
+            if q_packed is None:
+                q_packed = pack_query_bucketed(q, bank.B)
+            M, _ = membership_matrix(q, chunk, sel, q_packed=q_packed)
+            out.append((bank, q_packed, ids[np.asarray(sel)], M))
+    return out

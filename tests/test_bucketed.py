@@ -1,0 +1,193 @@
+"""Exactness tests for the bucketed dense-compare engine (ops/bucketed.py)
+against a brute-force numpy oracle, including Poisson-tail spills (forced
+with tiny bucket counts), the 2**64-1 PAD collision, per-pair cutoffs,
+empty rows, and membership-matrix bits."""
+
+import numpy as np
+import pytest
+
+from sourmash_tpu.ops.bucketed import (
+    MAX_U64,
+    choose_buckets,
+    membership_matrix,
+    pack_query_bucketed,
+    pack_rows_bucketed,
+    pairwise_counts_bucketed,
+    query_counts_bucketed,
+    query_cutoff_counts_bucketed,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def rand_set(n, lo=0, hi=2**63, rng=RNG):
+    return np.unique(rng.integers(lo, hi, size=n, dtype=np.uint64))
+
+
+def oracle_isect(a, b):
+    return len(np.intersect1d(a, b))
+
+
+def overlapping_rows(n_rows, size, shared_frac=0.3, rng=RNG):
+    "Rows sharing a common pool so intersections are nonzero."
+    pool = rand_set(int(size * n_rows * 0.4), rng=rng)
+    rows = []
+    for _ in range(n_rows):
+        own = rand_set(size, rng=rng)
+        pick = rng.choice(pool, size=int(size * shared_frac), replace=False)
+        rows.append(np.unique(np.concatenate([own, pick])))
+    return rows
+
+
+def test_query_counts_exact():
+    rows = overlapping_rows(23, 400)
+    q = np.unique(np.concatenate([rows[3][:200], rand_set(300)]))
+    B = choose_buckets(512)
+    bank = pack_rows_bucketed(rows, B)
+    counts = query_counts_bucketed(q, bank)
+    expect = [oracle_isect(q, m) for m in rows]
+    assert counts.tolist() == expect
+
+
+def test_query_counts_with_forced_spills():
+    # B=128 with 400-hash rows => Poisson(3.1) load, many buckets over d=8
+    rows = overlapping_rows(17, 400)
+    q = np.unique(np.concatenate([rows[5][:150], rand_set(200)]))
+    bank = pack_rows_bucketed(rows, 128)
+    assert bank.n_spilled > 0, "test should exercise the spill path"
+    counts = query_counts_bucketed(q, bank)
+    expect = [oracle_isect(q, m) for m in rows]
+    assert counts.tolist() == expect
+
+
+def test_max_u64_hash_is_exact():
+    a = np.unique(np.array([1, 5, MAX_U64, 2**63], dtype=np.uint64))
+    b = np.unique(np.array([5, MAX_U64, 7], dtype=np.uint64))
+    bank = pack_rows_bucketed([a, b], 128)
+    q = a
+    counts = query_counts_bucketed(q, bank)
+    assert counts.tolist() == [4, 2]
+
+
+def test_empty_rows_and_query():
+    rows = [rand_set(100), np.zeros(0, dtype=np.uint64), rand_set(50)]
+    bank = pack_rows_bucketed(rows, 128)
+    counts = query_counts_bucketed(rows[0], bank)
+    assert counts[1] == 0
+    assert counts[0] == len(rows[0])
+    counts = query_counts_bucketed(np.zeros(0, dtype=np.uint64), bank)
+    assert counts.tolist() == [0, 0, 0]
+
+
+def test_large_query_small_bank():
+    "dq adapts: a 20k-hash query against 200-hash rows (B=128, load ~156)."
+    rows = [rand_set(200, hi=2**40) for _ in range(5)]
+    q = np.unique(np.concatenate([rand_set(20000, hi=2**40)] + [rows[2][:100]]))
+    bank = pack_rows_bucketed(rows, 128)
+    counts = query_counts_bucketed(q, bank)
+    expect = [oracle_isect(q, m) for m in rows]
+    assert counts.tolist() == expect
+
+
+def test_cutoff_counts_exact():
+    rows = overlapping_rows(11, 300)
+    q = np.unique(np.concatenate([rows[0][:100], rand_set(200)]))
+    bank = pack_rows_bucketed(rows, 128)  # force spills too
+    cuts = np.array(
+        [2**61, 2**62, 2**63, int(MAX_U64), 2**60] * 3 + [2**59], dtype=np.uint64
+    )[: len(rows)]
+    counts = query_cutoff_counts_bucketed(q, bank, cuts)
+    expect = [
+        oracle_isect(q[q <= c], m[m <= c]) for c, m in zip(cuts, rows)
+    ]
+    assert counts.tolist() == expect
+
+
+def test_cutoff_max_with_max_hash():
+    a = np.array([3, MAX_U64], dtype=np.uint64)
+    b = np.array([3, 9, MAX_U64], dtype=np.uint64)
+    bank = pack_rows_bucketed([b], 128)
+    cuts = np.array([int(MAX_U64)], dtype=np.uint64)
+    assert query_cutoff_counts_bucketed(a, bank, cuts).tolist() == [2]
+    cuts = np.array([10], dtype=np.uint64)
+    assert query_cutoff_counts_bucketed(a, bank, cuts).tolist() == [1]
+
+
+@pytest.mark.parametrize("n_rows,size", [(10, 200), (33, 700), (8, 5)])
+def test_pairwise_exact(n_rows, size):
+    rows = overlapping_rows(n_rows, size)
+    out = pairwise_counts_bucketed(rows)
+    for i in range(n_rows):
+        for j in range(n_rows):
+            assert out[i, j] == oracle_isect(rows[i], rows[j]), (i, j)
+
+
+def test_pairwise_with_spills_and_max():
+    rows = overlapping_rows(9, 400)
+    rows[2] = np.unique(np.concatenate([rows[2], [MAX_U64]]))
+    rows[5] = np.unique(np.concatenate([rows[5], [MAX_U64]]))
+    # pack with tiny B via monkeypatched choose: call internals directly
+    from sourmash_tpu.ops import bucketed as bk
+
+    bank = bk.pack_rows_bucketed(rows, 128)
+    assert bank.n_spilled > 0
+    # use the low-level path pairwise_counts_bucketed would take, but with
+    # the small-B bank to force spills on both sides
+    import jax.numpy as jnp
+
+    outs = []
+    block = 8
+    for i in range(0, bank.hi.shape[0], block):
+        import jax
+
+        Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, i, block, 0)
+        Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, i, block, 0)
+        Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, block, 0)
+        outs.append(bk._counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt))
+    out = np.asarray(jnp.concatenate(outs, axis=0))[:9, :9].astype(np.int64)
+    for i in range(9):
+        sp = bank.spills[i]
+        if not len(sp):
+            continue
+        for j in range(9):
+            if j == i:
+                out[i, i] += len(sp)
+                continue
+            c = bk._sorted_isect_size(sp, rows[j])
+            if len(bank.spills[j]) and j > i:
+                c -= bk._sorted_isect_size(sp, bank.spills[j])
+            out[i, j] += c
+            out[j, i] += c
+    for i in range(9):
+        for j in range(9):
+            assert out[i, j] == oracle_isect(rows[i], rows[j]), (i, j)
+
+
+def test_pairwise_public_wrapper_max_u64():
+    rows = [
+        np.array([1, 2, MAX_U64], dtype=np.uint64),
+        np.array([2, MAX_U64], dtype=np.uint64),
+        np.array([7], dtype=np.uint64),
+    ]
+    out = pairwise_counts_bucketed(rows)
+    expect = [[3, 2, 0], [2, 2, 0], [0, 0, 1]]
+    assert out.tolist() == expect
+
+
+def test_membership_matrix_bits():
+    rows = overlapping_rows(13, 300)
+    q = np.unique(np.concatenate([rows[1][:150], rand_set(150)]))
+    bank = pack_rows_bucketed(rows, 128)  # spills likely
+    ids = [1, 4, 7]
+    M, q_packed = membership_matrix(q, bank, ids)
+    M = np.asarray(M)
+    qhi, qlo, qcnt, dq, tail = q_packed
+    # reconstruct hash value at each set bit and check true membership;
+    # and per-row popcount == true intersection size
+    qhi_h = np.asarray(qhi, dtype=np.uint64)
+    qlo_h = np.asarray(qlo, dtype=np.uint64)
+    vals = (qhi_h << np.uint64(32)) | qlo_h
+    for r, i in enumerate(ids):
+        got = np.sort(vals[M[r]])
+        expect = np.intersect1d(q, rows[i])
+        assert got.tolist() == expect.tolist(), i
