@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from . import Index, IndexSearchResult, CounterGather, _check_select_parameters, select_signature
 from ..search import calc_threshold_from_bp
 from ..minhash import _get_max_hash_for_scaled
@@ -120,13 +123,54 @@ class FlatIndex(Index):
         return FlatCounterGather(prefetch_query, self, threshold_bp)
 
 
-class FlatCounterGather:
-    """Device-vector CounterGather equivalent.
+class _MembershipGroup:
+    """Per-bank gather state: M [k, dq, B] device bool membership bits of
+    the query's bucketed slots in k matched datasets, plus host maps from
+    hash values to plane slots (for consume masks) and back (for
+    union_found)."""
 
-    Counters live as an int32 device/host vector indexed by dataset id;
-    peek = argmax; consume = one fused decrement pass. Matches the reference
-    CounterGather's observable behavior (peek/consume/signatures/union_found)
-    for uniform-scaled collections.
+    __slots__ = ("M", "ids", "qh", "qpos", "vals", "dq", "B")
+
+    def __init__(self, M, ids, q_packed):
+        self.M = M
+        self.ids = ids
+        hi, lo, cnt, dq, tail = q_packed
+        vals = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        self.vals = vals.reshape(-1)  # flat plane position -> hash (PAD empty)
+        pos = np.flatnonzero(self.vals != np.uint64(0xFFFFFFFFFFFFFFFF))
+        qh = self.vals[pos]
+        order = np.argsort(qh)
+        self.qh = qh[order]  # sorted plane-resident query hashes
+        self.qpos = pos[order]  # their flat plane positions
+        self.dq = dq
+        self.B = hi.shape[1]
+
+
+@jax.jit
+def _dec_counts(M, R):
+    "[k, dq, B] membership & [dq, B] removed-mask -> [k] decrements."
+    return jnp.sum(M & R[None], axis=(1, 2), dtype=jnp.int32)
+
+
+@jax.jit
+def _union_rows(M, sel):
+    "[k, dq, B] membership, [k] bool row filter -> [dq, B] OR of rows."
+    return jnp.any(M & sel[:, None, None], axis=0)
+
+
+class FlatCounterGather:
+    """Device CounterGather on a query-centric membership matrix.
+
+    At construction, one dense pass over the index produces per-dataset
+    overlap counts; matched datasets' intersections with the query are then
+    extracted ONCE as bitmask rows over the query's bucketed slots
+    (`ops/bucketed.membership_matrix`). Every subsequent gather round is
+    tiny: peek = host argmax, consume = one fused AND+popcount matvec over
+    the bitmask matrix — the index tensors are never re-scanned, unlike the
+    reference's per-round Counter updates over stored intersections
+    (reference `src/sourmash/index/__init__.py:777-909`). Observable
+    behavior (peek/consume/signatures/union_found, Counter.most_common
+    tie-breaking by insertion order == lowest dataset id) is identical.
     """
 
     def __init__(self, query, index: FlatIndex, threshold_bp):
@@ -160,6 +204,24 @@ class FlatCounterGather:
         self.counts = counts.astype(np.int64)
         self.query_started = 0
 
+        # one-time membership extraction for matched datasets
+        from ..ops.index_ops import membership_for_banks
+
+        self._groups = []
+        self._max_ids = []  # datasets sharing the 2**64-1 hash with the query
+        matched = np.nonzero(self.counts)[0]
+        self._q_has_max = bool(len(q)) and q[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)
+        if len(matched):
+            for bank, q_packed, ids, M in membership_for_banks(
+                index._banks, q, matched
+            ):
+                self._groups.append(_MembershipGroup(M, ids, q_packed))
+            if self._q_has_max:
+                for i in matched:
+                    m = index._ds_mins[int(i)]
+                    if len(m) and m[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
+                        self._max_ids.append(int(i))
+
     def signatures(self):
         "Return all signatures with nonzero counters."
         for i, c in enumerate(self.counts):
@@ -170,12 +232,14 @@ class FlatCounterGather:
     def union_found(self):
         "Union of all found hashes, intersected with the original query."
         found_mh = self.orig_query_mh.copy_and_clear()
-        q = self.orig_query_mh.mins_array()
-        for i, c in enumerate(self.counts):
-            if c > 0:
-                m = self.index._ds_mins[i]
-                inter = np.intersect1d(q, m)
-                found_mh.add_many(inter)
+        for g in self._groups:
+            sel = self.counts[g.ids] > 0
+            if not sel.any():
+                continue
+            bits = np.asarray(_union_rows(g.M, jnp.asarray(sel))).reshape(-1)
+            found_mh.add_many(g.vals[bits])
+        if self._q_has_max and any(self.counts[i] > 0 for i in self._max_ids):
+            found_mh.add_many(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
         return found_mh
 
     def downsample(self, scaled):
@@ -228,15 +292,28 @@ class FlatCounterGather:
         )
 
     def consume(self, intersect_mh):
-        "Decrement all dataset counters by their overlap with intersect_mh."
+        """Decrement all dataset counters by their overlap with
+        intersect_mh: one fused AND+popcount pass over the membership
+        matrix per bank group — no index re-scan."""
         self.query_started = 1
         if not intersect_mh:
             return
         active = self.counts > 0
         if not active.any():
             return
-        dec = self.index.counts_for(
-            intersect_mh.downsample(scaled=self.scaled).mins_array()
-        )
+        mins = intersect_mh.downsample(scaled=self.scaled).mins_array()
+        dec = np.zeros_like(self.counts)
+        for g in self._groups:
+            idx = np.searchsorted(g.qh, mins)
+            idx_c = np.minimum(idx, len(g.qh) - 1) if len(g.qh) else idx
+            hit = len(g.qh) and (g.qh[idx_c] == mins)
+            flat = g.qpos[idx_c[hit]] if len(g.qh) else np.zeros(0, np.int64)
+            R = np.zeros(g.dq * g.B, dtype=bool)
+            R[flat] = True
+            d = np.asarray(_dec_counts(g.M, jnp.asarray(R.reshape(g.dq, g.B))))
+            dec[g.ids] += d
+        if self._max_ids and len(mins) and mins[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
+            for i in self._max_ids:
+                dec[i] += 1
         self.counts = np.where(active, self.counts - dec, self.counts)
         np.maximum(self.counts, 0, out=self.counts)

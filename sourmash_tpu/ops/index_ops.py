@@ -90,8 +90,10 @@ def membership_for_banks(banks, query_mins: np.ndarray, dataset_ids):
     """Bitmask membership of the query's bucketed slots in the given
     datasets, per bank (datasets may span banks with different B).
 
-    Returns a list of (bank, q_packed, sel_ids [k], M [k, dq, B] device
-    bool) tuples covering every requested dataset id.
+    Returns a list of (bank, q_packed_host, sel_ids [k], M [k, dq, B]
+    device bool) tuples covering every requested dataset id. q_packed is
+    kept as host numpy so callers can build hash<->slot maps without a
+    device readback.
     """
     q = np.asarray(query_mins, dtype=np.uint64)
     want = set(int(i) for i in dataset_ids)
@@ -103,7 +105,7 @@ def membership_for_banks(banks, query_mins: np.ndarray, dataset_ids):
             if not sel:
                 continue
             if q_packed is None:
-                q_packed = pack_query_bucketed(q, bank.B)
+                q_packed = pack_query_bucketed(q, bank.B, device=False)
             M, _ = membership_matrix(q, chunk, sel, q_packed=q_packed)
             out.append((bank, q_packed, ids[np.asarray(sel)], M))
     return out
