@@ -122,7 +122,7 @@ def bench_gather(db, genomes, n_true=20, noise=20000):
     while True:
         tr = time.perf_counter()
         try:
-            result, weighted_missed = next(gd)
+            result = next(gd)
         except StopIteration:
             break
         rounds.append(time.perf_counter() - tr)

@@ -76,7 +76,13 @@ class FlatIndex(Index):
     # -- device state ------------------------------------------------------
 
     def _build(self):
-        "Materialize the device row banks at the common scaled."
+        """Materialize the device banks from the RAW (undownsampled) mins.
+
+        Queries are downsampled before counting, and a downsampled query
+        can only hit subject hashes below its own cutoff — so plain counts
+        against raw banks equal counts against downsampled banks, while
+        per-pair cutoff queries (find/search) still see every hash they
+        may need when the collection's scaleds are heterogeneous."""
         if self._banks is not None:
             return
         if self._ds_mins is not None and self._scaled is not None:
@@ -86,17 +92,10 @@ class FlatIndex(Index):
         scaleds = {ss.minhash.scaled for ss in self._signatures}
         if 0 in scaleds:
             raise ValueError("FlatIndex requires scaled signatures")
-        common = max(scaleds)
-        cutoff = np.uint64(_get_max_hash_for_scaled(common))
-        mins_list = []
-        for ss in self._signatures:
-            m = ss.minhash.mins_array()
-            if ss.minhash.scaled != common:
-                m = m[m <= cutoff]
-            mins_list.append(m)
+        mins_list = [ss.minhash.mins_array() for ss in self._signatures]
         self._banks = build_banks(mins_list)
         self._ds_mins = mins_list
-        self._scaled = common
+        self._scaled = max(scaleds)
 
     def counts_for(self, query_mins: np.ndarray) -> np.ndarray:
         "Overlap counts of the (already downsampled) query with each dataset."
@@ -108,9 +107,44 @@ class FlatIndex(Index):
     # -- search protocol ---------------------------------------------------
 
     def find(self, search_fn, query, **kwargs):
-        "Batched find via the generic in-memory path."
-        sal = [(ss, self._location) for ss in self._signatures]
-        yield from self._find_batched(search_fn, query, sal)
+        """Batched find against the cached device banks (built once per
+        collection), with per-pair scaled cutoffs — the generic
+        `_find_batched` path would re-pack every signature on every call."""
+        if not self._signatures:
+            return
+        query_mh = query.minhash
+        if not query_mh.scaled or any(
+            not ss.minhash.scaled for ss in self._signatures
+        ):
+            sal = [(ss, self._location) for ss in self._signatures]
+            yield from self._find_batched(search_fn, query, sal)
+            return
+
+        search_fn.check_is_compatible(query)
+        self._build()
+        from ..ops.index_ops import cutoff_counts_for_banks
+
+        q_scaled = query_mh.scaled
+        q_mins = query_mh.mins_array()
+        n = len(self._signatures)
+        cuts = np.zeros(n, dtype=np.uint64)
+        for i, ss in enumerate(self._signatures):
+            cuts[i] = _get_max_hash_for_scaled(max(q_scaled, ss.minhash.scaled))
+        shared = cutoff_counts_for_banks(self._banks, q_mins, cuts, n)
+        q_sizes = np.searchsorted(q_mins, cuts, side="right")
+        for i, ss in enumerate(self._signatures):
+            shared_size = int(shared[i])
+            query_size = int(q_sizes[i])
+            subj_size = int(
+                np.searchsorted(self._ds_mins[i], cuts[i], side="right")
+            )
+            total_size = query_size + subj_size - shared_size
+            score = search_fn.score_fn(
+                query_size, shared_size, subj_size, total_size
+            )
+            if search_fn.passes(score):
+                if search_fn.collect(score, ss):
+                    yield IndexSearchResult(score, ss, self._location)
 
     def counter_gather(self, query, threshold_bp, **kwargs):
         "Build a device-backed CounterGather over matches to the query."
@@ -233,7 +267,8 @@ class FlatCounterGather:
         "Union of all found hashes, intersected with the original query."
         found_mh = self.orig_query_mh.copy_and_clear()
         for g in self._groups:
-            sel = self.counts[g.ids] > 0
+            sel = np.zeros(g.M.shape[0], dtype=bool)  # M rows are padded
+            sel[: len(g.ids)] = self.counts[g.ids] > 0
             if not sel.any():
                 continue
             bits = np.asarray(_union_rows(g.M, jnp.asarray(sel))).reshape(-1)
@@ -311,7 +346,7 @@ class FlatCounterGather:
             R = np.zeros(g.dq * g.B, dtype=bool)
             R[flat] = True
             d = np.asarray(_dec_counts(g.M, jnp.asarray(R.reshape(g.dq, g.B))))
-            dec[g.ids] += d
+            dec[g.ids] += d[: len(g.ids)]  # M rows are padded to a pow2
         if self._max_ids and len(mins) and mins[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
             for i in self._max_ids:
                 dec[i] += 1

@@ -327,12 +327,16 @@ def query_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, q_packed=None)
     return counts
 
 
-def query_cutoff_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, cutoffs):
+def query_cutoff_counts_bucketed(
+    q_full: np.ndarray, bank: BucketedRows, cutoffs, q_packed=None
+):
     """Query vs bank with per-subject u64 value cutoffs (pairwise
     downsample). Returns [n] exact shared counts of {h : h <= cut[i]}."""
     cut = np.zeros(len(bank.cnt), dtype=np.uint64)
     cut[: bank.n] = cutoffs
-    qhi, qlo, qcnt, dq, tail = pack_query_bucketed(q_full, bank.B)
+    if q_packed is None:
+        q_packed = pack_query_bucketed(q_full, bank.B)
+    qhi, qlo, qcnt, dq, tail = q_packed
     out = np.asarray(
         _counts_qvm_cutoff(
             qhi,
@@ -411,7 +415,7 @@ def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=
         if len(sp):
             spill_bits[r] = sp
     if spill_bits:
-        M = np.asarray(M)
+        M = np.array(M)  # np.asarray of a device array is read-only
         # slot map is over the plane-representable query (2**64-1 excluded
         # at pack time; the caller handles that single hash exactly)
         q_full = q_full[q_full != MAX_U64]

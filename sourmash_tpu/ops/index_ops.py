@@ -29,6 +29,7 @@ from .bucketed import (
     pack_query_bucketed,
     pack_rows_bucketed,
     query_counts_bucketed,
+    query_cutoff_counts_bucketed,
 )
 
 _CHUNK_ROWS = 8192  # max rows per packed chunk (bounds compile size classes)
@@ -86,6 +87,25 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
     return counts
 
 
+def cutoff_counts_for_banks(
+    banks, query_mins: np.ndarray, cutoffs: np.ndarray, n_datasets: int
+) -> np.ndarray:
+    """Per-dataset overlap counts with per-dataset u64 value cutoffs
+    (pairwise-downsample semantics: hit iff equal and value <= cut[i])."""
+    counts = np.zeros(n_datasets, dtype=np.int64)
+    if not len(query_mins):
+        return counts
+    q = np.asarray(query_mins, dtype=np.uint64)
+    for bank in banks:
+        q_packed = pack_query_bucketed(q, bank.B)
+        for chunk, ids in zip(bank.chunks, bank.ids):
+            out = query_cutoff_counts_bucketed(
+                q, chunk, cutoffs[ids], q_packed=q_packed
+            )
+            counts[ids] = out[: len(ids)]
+    return counts
+
+
 def membership_for_banks(banks, query_mins: np.ndarray, dataset_ids):
     """Bitmask membership of the query's bucketed slots in the given
     datasets, per bank (datasets may span banks with different B).
@@ -106,6 +126,12 @@ def membership_for_banks(banks, query_mins: np.ndarray, dataset_ids):
                 continue
             if q_packed is None:
                 q_packed = pack_query_bucketed(q, bank.B, device=False)
-            M, _ = membership_matrix(q, chunk, sel, q_packed=q_packed)
+            k = len(sel)
+            # pad the row count to a power of two so the membership and
+            # per-round decrement kernels compile once per size class, not
+            # once per distinct match count
+            kp = 1 << max(0, (k - 1).bit_length())
+            sel_p = sel + [sel[-1]] * (kp - k)
+            M, _ = membership_matrix(q, chunk, sel_p, q_packed=q_packed)
             out.append((bank, q_packed, ids[np.asarray(sel)], M))
     return out

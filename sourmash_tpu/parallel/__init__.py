@@ -1,20 +1,24 @@
-"""Multi-chip distribution: device meshes + sharded index queries.
+"""Multi-chip distribution: device meshes + sharded bucketed-index queries.
 
 The reference is a single-node CLI tool (SURVEY §2.3: rayon threads +
 multiprocessing only). The TPU-native scaling design replaces that with a
 `jax.sharding.Mesh` over pod-slice devices:
 
-- the flat index's padded sketch-row tensor `H [m, L]` is sharded across
-  the 'shards' mesh axis on the dataset-row dimension (each device holds a
-  contiguous block of datasets — model-parallel analog);
-- query batches are sharded across the 'data' axis (data parallelism over
+- the flat index's bucketed hi/lo planes `[m, d, B]` (ops/bucketed.py) are
+  sharded across the 'shards' mesh axis on the dataset-row dimension (each
+  device holds a contiguous block of datasets — model-parallel analog);
+- query batches — bucketed query planes `[bq, dq, B]` plus an `alive`
+  slot mask — are sharded across the 'data' axis (data parallelism over
   metagenome samples);
-- a counter query = a shard_map-ed fused pass: local batched binary-search
-  counts, placed at the shard's row offset and combined with `psum` over
-  'shards' (so the result is provably replicated);
-- a gather round additionally needs the winning dataset's hash row, which
-  lives on exactly one shard: a `psum` OR combines the owner's membership
-  mask — collectives ride ICI.
+- a counter query = a shard_map-ed gather-free dense-compare pass: local
+  per-dataset counts, placed at the shard's row offset and combined with
+  `psum` over 'shards' (so the result is provably replicated);
+- a gather round = argmax -> the winning row's membership bits (owned by
+  one shard, combined with a psum-OR) -> `alive &= ~removed` -> counter
+  decrements, all inside one jitted shard_map — collectives ride ICI.
+
+The query's hash values never move between hosts after upload; rounds only
+exchange [dq, B] bit masks and [m] count vectors.
 """
 
 from __future__ import annotations
@@ -25,7 +29,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.index_ops import MAX_U64
+from ..ops.bucketed import (
+    MAX_U64,
+    choose_buckets,
+    pack_query_bucketed,
+    pack_rows_bucketed,
+)
 
 
 def get_mesh(n_data: int = 1, n_shards: int | None = None, devices=None):
@@ -40,59 +49,77 @@ def get_mesh(n_data: int = 1, n_shards: int | None = None, devices=None):
     return Mesh(dev_array, axis_names=("data", "shards"))
 
 
-def pack_rows(mins_list, n_shards: int):
-    """Pack per-dataset sorted hash arrays into one padded row tensor whose
+def pack_shard_planes(mins_list, n_shards: int, B: int | None = None):
+    """Pack per-dataset sorted hash arrays into bucketed u32 planes whose
     row count divides n_shards (shard k owns rows [k*per, (k+1)*per)).
 
-    Returns (H [m, L] uint64, lens [m] int32); padding rows have length 0.
-    """
-    n = len(mins_list)
-    L = max((len(m) for m in mins_list), default=0)
-    L = max(128, -(-L // 128) * 128)
-    per = max(8, -(-n // n_shards))
-    m = per * n_shards
-    H = np.full((m, L), MAX_U64, dtype=np.uint64)
-    lens = np.zeros(m, dtype=np.int32)
-    for i, mm in enumerate(mins_list):
-        H[i, : len(mm)] = mm
-        lens[i] = len(mm)
-    return H, lens
+    Returns (hi [m, d, B] u32, lo, B) — padding rows are all-PAD and never
+    match. Spilled Poisson-tail hashes are dropped here (the multi-chip
+    counter is the throughput path; the host FlatIndex path joins spills
+    exactly)."""
+    if B is None:
+        B = choose_buckets(max((len(m) for m in mins_list), default=0))
+    bank = pack_rows_bucketed(mins_list, B, device=False)
+    hi, lo = bank.hi, bank.lo
+    m = hi.shape[0]
+    per = -(-m // n_shards)
+    pad = per * n_shards - m
+    if pad:
+        hi = np.concatenate([hi, np.full((pad,) + hi.shape[1:], 0xFFFFFFFF, hi.dtype)])
+        lo = np.concatenate([lo, np.full((pad,) + lo.shape[1:], 0xFFFFFFFF, lo.dtype)])
+    return hi, lo, B
 
 
-def _membership(b_row, q, q_len):
-    "Which valid elements of sorted q are present in sorted padded b_row?"
-    L = b_row.shape[0]
-    idx = jnp.searchsorted(b_row, q)
-    idxc = jnp.clip(idx, 0, L - 1)
-    return (b_row[idxc] == q) & (jnp.arange(q.shape[0]) < q_len) & (q < MAX_U64)
+def pack_query_batch(queries, B: int):
+    """Pack a batch of sorted u64 queries into shared-shape planes.
+
+    Returns (qhi [bq, dq, B] u32, qlo, alive [bq, dq, B] bool) with dq the
+    max bucket load over the batch. `alive` marks real (non-PAD) slots and
+    is the mutable query state during gather rounds."""
+    packed = [pack_query_bucketed(np.asarray(q, np.uint64), B, device=False) for q in queries]
+    dq = max(p[3] for p in packed)
+    bq = len(queries)
+    qhi = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    qlo = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    for i, (hi, lo, cnt, d_i, tail) in enumerate(packed):
+        qhi[i, :d_i] = hi
+        qlo[i, :d_i] = lo
+    alive = ~((qhi == 0xFFFFFFFF) & (qlo == 0xFFFFFFFF))
+    return qhi, qlo, alive
+
+
+def _local_counts(Shi, Slo, qh, ql, al):
+    """[per, d, B] local subject planes vs one query row ([dq, B] planes +
+    alive mask) -> [per] overlap counts. Gather-free dense compares; the
+    alive mask doubles as the PAD guard (query PAD slots are dead, subject
+    PAD never equals a live query value)."""
+    d = Shi.shape[1]
+    acc = jnp.zeros(Shi.shape[0], jnp.int32)
+    for k2 in range(d):
+        eq = (Shi[:, k2, None, :] == qh[None]) & (Slo[:, k2, None, :] == ql[None])
+        acc = acc + jnp.sum(eq & al[None], axis=(1, 2), dtype=jnp.int32)
+    return acc
 
 
 def make_sharded_counter(mesh: Mesh, n_datasets: int):
     """Compile a sharded counter query:
 
-    (H [m, L], lens [m], q [B, Lq], q_len [B]) -> counts [B, n_datasets]
+    (Shi [m,d,B], Slo, qhi [bq,dq,B], qlo, alive) -> counts [bq, n_datasets]
 
-    H/lens sharded across 'shards' on the row axis; q/q_len sharded across
-    'data'; output sharded across 'data', replicated across 'shards'.
-    """
+    Subject planes sharded across 'shards' on the row axis; query planes
+    across 'data'; output sharded across 'data', replicated across
+    'shards' via psum placement."""
 
-    def _local(H, D_lens, q, q_len):
-        per = H.shape[0]
+    def _local(Shi, Slo, qhi, qlo, alive):
+        per = Shi.shape[0]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
 
-        def one(qr, ql):
-            def vs(b_row, b_len):
-                hit = _membership(b_row, qr, ql)
-                return jnp.sum(hit.astype(jnp.int32), dtype=jnp.int32)
+        def one(qh, ql, al):
+            return _local_counts(Shi, Slo, qh, ql, al)
 
-            return jax.vmap(vs)(H, D_lens)
-
-        local = jax.vmap(one)(q, q_len)  # [b, per]
-        # place the local block at its row offset and psum: the result is
-        # replicated across 'shards' (which shard_map can infer), unlike
-        # an all_gather
+        local = jax.vmap(one)(qhi, qlo, alive)  # [bq, per]
         n_shards = jax.lax.psum(1, "shards")
-        full = jnp.zeros((q.shape[0], per * n_shards), jnp.int32)
+        full = jnp.zeros((qhi.shape[0], per * n_shards), jnp.int32)
         full = jax.lax.dynamic_update_slice(full, local, (jnp.int32(0), my0))
         full = jax.lax.psum(full, "shards")
         return full[:, :n_datasets]
@@ -100,7 +127,13 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
     f = jax.shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P("shards", None), P("shards"), P("data", None), P("data")),
+        in_specs=(
+            P("shards", None, None),
+            P("shards", None, None),
+            P("data", None, None),
+            P("data", None, None),
+            P("data", None, None),
+        ),
         out_specs=P("data", None),
     )
     return jax.jit(f)
@@ -109,73 +142,66 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
 def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
     """Compile one full gather round over the mesh:
 
-    (H, lens, q [B, Lq], q_len [B], counts [B, n_datasets], thresh [B])
-      -> (best [B], best_count [B], new_counts [B, n_datasets],
-          new_q [B, Lq], new_q_len [B])
+    (Shi, Slo, qhi, qlo, alive, counts [bq, n_datasets], thresh [bq])
+      -> (best [bq], best_count [bq], new_counts, new_alive)
 
-    Per query row: pick the best dataset (argmax, ties to lowest id), mask
-    out its hashes from the query (the consume/subtract step), and
-    decrement every dataset's counter by its overlap with the removed
-    hashes. The winning row lives on one shard; its membership mask is
-    combined with a psum-OR. This is the device-side inner loop of
-    `gather` — the greedy outer iteration stays on host.
-    """
+    Per query row: pick the best dataset (argmax; ties to lowest id,
+    matching Counter.most_common insertion order), compute its membership
+    bits over the query slots (the owning shard contributes, psum-OR
+    combines), clear those slots from `alive` (the consume/subtract step),
+    and decrement every dataset's counter by its overlap with the removed
+    slots. This is the device-side inner loop of `gather` — the greedy
+    outer iteration stays on host."""
 
-    def _local(H, D_lens, q, q_len, counts, thresh):
-        per = H.shape[0]
+    def _local(Shi, Slo, qhi, qlo, alive, counts, thresh):
+        per = Shi.shape[0]
+        d = Shi.shape[1]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
+        n_shards = jax.lax.psum(1, "shards")
 
-        def one(qr, ql, cnt, th):
+        def one(qh, ql, al, cnt, th):
             best = jnp.argmax(cnt).astype(jnp.int32)
             best_count = cnt[best]
             active = best_count >= jnp.maximum(th, 1)
 
-            # the winning dataset's row lives on exactly one shard
+            # the winning dataset's planes live on exactly one shard
             local_ix = jnp.clip(best - my0, 0, per - 1)
             owner = (best >= my0) & (best < my0 + per)
-            row = H[local_ix]
-            in_best_local = _membership(row, qr, ql) & owner
-            in_best = jax.lax.psum(in_best_local.astype(jnp.int32), "shards") > 0
+            m = jnp.zeros(qh.shape, jnp.bool_)
+            for k2 in range(d):
+                m = m | (
+                    (Shi[local_ix, k2, None, :] == qh)
+                    & (Slo[local_ix, k2, None, :] == ql)
+                )
+            m = m & owner
+            m = jax.lax.psum(m.astype(jnp.int32), "shards") > 0
+            rm = m & al & active
 
-            # removed hashes, re-sorted into a padded prefix
-            rm = in_best & active
-            qrm = jnp.sort(jnp.where(rm, qr, MAX_U64))
-            n_rm = jnp.sum(rm.astype(jnp.int32), dtype=jnp.int32)
-
-            # decrement counters by each dataset's overlap with the removal
-            def vs(b_row, b_len):
-                hit = _membership(b_row, qrm, n_rm)
-                return jnp.sum(hit.astype(jnp.int32), dtype=jnp.int32)
-
-            dec_local = jax.vmap(vs)(H, D_lens)  # [per]
-            n_shards = jax.lax.psum(1, "shards")
+            dec_local = _local_counts(Shi, Slo, qh, ql, rm)  # [per]
             dec = jnp.zeros(per * n_shards, jnp.int32)
             dec = jax.lax.dynamic_update_slice(dec, dec_local, (my0,))
             dec = jax.lax.psum(dec, "shards")[:n_datasets]
 
             new_cnt = jnp.where(active, jnp.maximum(cnt - dec, 0), cnt)
-            # remove found hashes from the query (keep sorted, pad with MAX)
-            keep = (~rm) & (jnp.arange(qr.shape[0]) < ql)
-            new_q = jnp.sort(jnp.where(keep, qr, MAX_U64))
-            new_len = jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
+            new_al = al & ~rm
             return (
                 jnp.where(active, best, -1),
                 jnp.where(active, best_count, 0),
                 new_cnt,
-                new_q,
-                new_len,
+                new_al,
             )
 
-        return jax.vmap(one)(q, q_len, counts, thresh)
+        return jax.vmap(one)(qhi, qlo, alive, counts, thresh)
 
     f = jax.shard_map(
         _local,
         mesh=mesh,
         in_specs=(
-            P("shards", None),
-            P("shards"),
-            P("data", None),
-            P("data"),
+            P("shards", None, None),
+            P("shards", None, None),
+            P("data", None, None),
+            P("data", None, None),
+            P("data", None, None),
             P("data", None),
             P("data"),
         ),
@@ -183,8 +209,7 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
             P("data"),
             P("data"),
             P("data", None),
-            P("data", None),
-            P("data"),
+            P("data", None, None),
         ),
     )
     return jax.jit(f)
