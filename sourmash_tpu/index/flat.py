@@ -37,6 +37,7 @@ class FlatIndex(Index):
         self._signatures = list(siglist) if siglist else []
         self._location = location
         self._banks = None  # lazy device row banks
+        self._banks_dir = None  # optional on-disk packed planes (revindex v3)
         self._ds_mins = None
         self._scaled = None
 
@@ -56,6 +57,9 @@ class FlatIndex(Index):
     def insert(self, ss):
         self._signatures.append(ss)
         self._banks = None
+        self._banks_dir = None  # stale on-disk planes must not be reloaded
+        self._ds_mins = None
+        self._scaled = None
 
     def save(self, path):
         raise NotImplementedError
@@ -84,6 +88,12 @@ class FlatIndex(Index):
         per-pair cutoff queries (find/search) still see every hash they
         may need when the collection's scaleds are heterogeneous."""
         if self._banks is not None:
+            return
+        if self._banks_dir is not None:
+            # disk revindex v3: packed planes persisted at build time
+            from ..ops.index_ops import load_banks
+
+            self._banks = load_banks(self._banks_dir)
             return
         if self._ds_mins is not None and self._scaled is not None:
             # preloaded mins (disk revindex): skip re-extracting from sigs

@@ -14,11 +14,13 @@ versioned directory:
     <path>/revindex.json   header: version, sketch params, processed md5s
     <path>/hashes.npy      per-dataset sorted uint64 mins, concatenated (v2)
     <path>/offsets.npy     int64 [n+1] dataset boundaries in hashes.npy (v2)
+    <path>/planes/         packed bucketed u32 hi/lo/cnt planes + spills (v3)
     <path>/sigs.zip        signature collection (manifest-bearing zip)
 
 (v1 directories — hashes sorted globally with a parallel datasets.npy id
-array — are still read.) numpy mmap-loads the tensors, so opening is cheap
-and the first query uploads banks to HBM once.
+array — and v2 directories without planes/ are still read.) numpy
+mmap-loads the tensors, so opening is cheap; v3 planes skip the host-side
+bucket pack entirely and upload straight to HBM on first query.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ from . import Index, LinearIndex, _check_select_parameters, select_signature
 from .flat import FlatIndex
 
 FORMAT_NAME = "sourmash-tpu-revindex"
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3 adds planes/ with the packed bucketed banks
 
 
 class RevIndex(FlatIndex):
@@ -132,6 +134,11 @@ def save_revindex(index, path, *, processed=None):
     np.save(os.path.join(path, "hashes.npy"), H)
     np.save(os.path.join(path, "offsets.npy"), offsets)
 
+    # v3: persist the packed bucketed planes so loading skips the host pack
+    from ..ops.index_ops import save_banks
+
+    save_banks(fi._banks, os.path.join(path, "planes"))
+
     if processed is None:
         processed = [ss.md5sum() for ss in sigs]
     header = {
@@ -203,6 +210,9 @@ def load_revindex(path):
             Hs[bounds[i] : bounds[i + 1]] for i in range(len(sigs))
         ]
     idx._scaled = int(header["scaled"])
+    planes_dir = os.path.join(path, "planes")
+    if os.path.exists(os.path.join(planes_dir, "banks.json")):
+        idx._banks_dir = planes_dir  # FlatIndex._build loads these lazily
     return idx
 
 

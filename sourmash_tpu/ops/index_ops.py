@@ -73,6 +73,93 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     return banks
 
 
+def save_banks(banks, dirpath) -> None:
+    """Persist packed banks: per-chunk hi/lo/cnt planes as .npy plus a
+    banks.json manifest (B, dataset ids, spills). Loading these skips the
+    host-side re-pack entirely — the pack is done once at index build,
+    the same discipline as the reference's RocksDB revindex construction
+    (reference disk_revindex.rs:240-274)."""
+    import json
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    meta = {"banks": []}
+    for bi, bank in enumerate(banks):
+        bmeta = {"B": bank.B, "chunks": []}
+        for ci, (chunk, ids) in enumerate(zip(bank.chunks, bank.ids)):
+            tag = f"b{bi}c{ci}"
+            np.save(os.path.join(dirpath, f"{tag}_hi.npy"), np.asarray(chunk.hi))
+            np.save(os.path.join(dirpath, f"{tag}_lo.npy"), np.asarray(chunk.lo))
+            np.save(os.path.join(dirpath, f"{tag}_cnt.npy"), np.asarray(chunk.cnt))
+            spill_rows = [i for i, sp in enumerate(chunk.spills) if len(sp)]
+            if spill_rows:
+                np.savez(
+                    os.path.join(dirpath, f"{tag}_spills.npz"),
+                    rows=np.asarray(spill_rows, dtype=np.int64),
+                    lens=np.asarray(
+                        [len(chunk.spills[i]) for i in spill_rows], dtype=np.int64
+                    ),
+                    vals=np.concatenate([chunk.spills[i] for i in spill_rows]),
+                )
+            bmeta["chunks"].append(
+                {
+                    "tag": tag,
+                    "n": chunk.n,
+                    "d": chunk.d,
+                    "ids": [int(i) for i in ids],
+                    "spilled": bool(spill_rows),
+                }
+            )
+        meta["banks"].append(bmeta)
+    with open(os.path.join(dirpath, "banks.json"), "w") as fp:
+        json.dump(meta, fp)
+
+
+def load_banks(dirpath) -> list[Bank]:
+    "Load banks saved by save_banks; planes are uploaded to device once."
+    import json
+    import os
+
+    with open(os.path.join(dirpath, "banks.json")) as fp:
+        meta = json.load(fp)
+    from .bucketed import BucketedRows
+
+    banks = []
+    for bmeta in meta["banks"]:
+        chunks, ids = [], []
+        for cm in bmeta["chunks"]:
+            tag = cm["tag"]
+            hi = np.load(os.path.join(dirpath, f"{tag}_hi.npy"), mmap_mode="r")
+            lo = np.load(os.path.join(dirpath, f"{tag}_lo.npy"), mmap_mode="r")
+            cnt = np.load(os.path.join(dirpath, f"{tag}_cnt.npy"), mmap_mode="r")
+            rows = hi.shape[0]
+            empty = np.zeros(0, dtype=np.uint64)
+            spills = [empty] * rows
+            n_spilled = 0
+            if cm.get("spilled"):
+                z = np.load(os.path.join(dirpath, f"{tag}_spills.npz"))
+                off = 0
+                for r, ln in zip(z["rows"], z["lens"]):
+                    spills[int(r)] = z["vals"][off : off + int(ln)]
+                    off += int(ln)
+                    n_spilled += int(ln)
+            chunks.append(
+                BucketedRows(
+                    jnp.asarray(hi),
+                    jnp.asarray(lo),
+                    jnp.asarray(cnt),
+                    spills,
+                    cm["n"],
+                    cm["d"],
+                    bmeta["B"],
+                    n_spilled,
+                )
+            )
+            ids.append(np.asarray(cm["ids"], dtype=np.int32))
+        banks.append(Bank(chunks, ids, bmeta["B"]))
+    return banks
+
+
 def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarray:
     "Per-dataset overlap counts of the sorted query with every bank row."
     counts = np.zeros(n_datasets, dtype=np.int64)

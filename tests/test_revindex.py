@@ -103,3 +103,25 @@ def test_revindex_select(sigs47_63):
     assert len(ri.select(ksize=31)) == 2
     assert len(ri.select(ksize=21)) == 0
     assert len(ri.select(moltype="protein")) == 0
+
+
+def test_revindex_v3_packed_planes(tmp_path, sigs47_63, query4763):
+    "v3 format: packed planes load from disk, skipping the host re-pack."
+    path = str(tmp_path / "db.revindex")
+    RevIndex(signatures=sigs47_63).save(path)
+    import os
+
+    assert os.path.exists(os.path.join(path, "planes", "banks.json"))
+
+    idx = load_revindex(path)
+    assert idx._banks_dir is not None
+    q = query4763.minhash.mins_array()
+    got = idx.counts_for(q)
+
+    # same counts as a freshly-packed index
+    fresh = RevIndex(signatures=sigs47_63)
+    assert got.tolist() == fresh.counts_for(q).tolist()
+
+    # insert invalidates the on-disk planes
+    idx.insert(sigs47_63[0])
+    assert idx._banks_dir is None
