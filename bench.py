@@ -110,9 +110,10 @@ def main():
             from sourmash_tpu.ops.pallas_sketch import (
                 sketch_survivor_slots_pallas,
             )
+            from sourmash_tpu.ops.sketch import _pick_slots
 
             sh, sl, cnt = sketch_survivor_slots_pallas(
-                batch, mh, ksize=ksize, seed=42
+                batch, mh, ksize=ksize, seed=42, slots=_pick_slots(max_hash)
             )
             return cnt
         h, n = _seq_batch_to_compact_hashes(batch, mh, ksize, 42, cap, use_pallas)

@@ -311,20 +311,32 @@ def _slot_path_ok(max_hash, use_pallas: bool) -> bool:
     return bool(use_pallas) and int(max_hash) <= (1 << 64) // 512
 
 
+def _pick_slots(max_hash) -> int:
+    """Kernel slot capacity per 128-window segment. 4 slots run ~16%
+    faster (fewer reduce passes); at scaled >= 768 (lambda <= 0.167) a
+    segment overflows 4 slots with P ~ 9e-7, so per-2^21-window chunks
+    reroute to the dense path ~0.4%% of the time — a ~1%% average cost.
+    Below that, 8 slots keep overflow negligible down to the scaled=512
+    gate."""
+    return 4 if int(max_hash) <= (1 << 64) // 768 else 8
+
+
 def _slots_to_hashes(slots_hi, slots_lo, counts):
     """Host finish: packed per-segment slot tensors -> uint64 survivor
-    array in window order (with multiplicity). Returns (hashes, overflow):
-    overflow=True when any segment exceeded SLOTS capacity (truncated)."""
-    from .pallas_sketch import SLOTS
-
+    multiset (window order within each chunk row). Returns
+    (hashes, bad_rows): bad_rows lists batch rows where some segment
+    exceeded slot capacity (their hashes are excluded; the caller
+    recomputes just those rows on the dense path)."""
     counts = np.asarray(counts)
-    if counts.max(initial=0) > SLOTS:
-        return None, True
+    slots = slots_hi.shape[-1]
     hi = np.asarray(slots_hi)
     lo = np.asarray(slots_lo)
-    mask = np.arange(SLOTS, dtype=np.int32)[None, None, :] < counts[:, :, None]
+    bad_rows = np.nonzero((counts > slots).any(axis=1))[0].tolist()
+    mask = np.arange(slots, dtype=np.int32)[None, None, :] < counts[:, :, None]
+    if bad_rows:
+        mask[bad_rows] = False
     h64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
-    return h64[mask], False
+    return h64[mask], bad_rows
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "seed"))
@@ -411,15 +423,16 @@ def seq_chunks_to_hashes(
             interp = jax.default_backend() == "cpu"
             sh, sl, cnt = sketch_survivor_slots_pallas(
                 jnp.asarray(batch), jnp.asarray(mh), ksize=ksize, seed=seed,
-                interpret=interp,
+                slots=_pick_slots(mh), interpret=interp,
             )
-            hashes, overflow = _slots_to_hashes(sh, sl, cnt)
-            if not overflow:
-                if hashes.size:
-                    out.append(hashes)
+            hashes, bad_rows = _slots_to_hashes(sh, sl, cnt)
+            if hashes.size:
+                out.append(hashes)
+            if not bad_rows:
                 continue
-            # a segment overflowed its slots (expected never at the gated
-            # scaled; fall through to the dense path for this batch)
+            # segments overflowed their slots in these rows only: recompute
+            # just those chunks on the dense path
+            batch = batch[np.asarray(bad_rows)]
         vals_dev, n_valid = _seq_batch_to_compact_hashes(
             jnp.asarray(batch), mh, ksize, seed, cap, _use_pallas_default()
         )

@@ -182,9 +182,12 @@ class TestSlotPath:
         from sourmash_tpu.ops.pallas_sketch import SLOTS
         from sourmash_tpu.ops.sketch import _slots_to_hashes
 
-        hi = np.zeros((1, 4, SLOTS), dtype=np.uint32)
-        lo = np.zeros((1, 4, SLOTS), dtype=np.uint32)
-        counts = np.zeros((1, 4), dtype=np.int32)
-        counts[0, 1] = SLOTS + 3  # truncated segment
-        hashes, overflow = _slots_to_hashes(hi, lo, counts)
-        assert overflow and hashes is None
+        hi = np.zeros((2, 4, SLOTS), dtype=np.uint32)
+        lo = np.zeros((2, 4, SLOTS), dtype=np.uint32)
+        hi[1, 0, 0] = 7  # row 1 has one good survivor
+        counts = np.zeros((2, 4), dtype=np.int32)
+        counts[0, 1] = SLOTS + 3  # truncated segment in row 0
+        counts[1, 0] = 1
+        hashes, bad_rows = _slots_to_hashes(hi, lo, counts)
+        assert bad_rows == [0]  # only the overflowing row is rerouted
+        assert hashes.tolist() == [7 << 32]  # good rows still extracted
