@@ -524,27 +524,63 @@ class MinHash:
         seq = enc.upper(np.frombuffer(sequence, dtype=np.uint8))
         if seq.shape[0] < self._ksize:
             return
-        if seq.shape[0] >= _DEVICE_MIN_LEN:
-            all_valid = bool(enc.VALID_DNA[seq].all())
-            if not all_valid and not force:
-                # find the first window with an invalid byte, for the error
-                bad = int(np.argmin(enc.VALID_DNA[seq]))
-                start = max(0, bad - self._ksize + 1)
-                kmer = seq[start : start + self._ksize].tobytes().decode(
-                    "ascii", "replace"
-                )
-                raise ValueError(f"invalid DNA character in input k-mer: {kmer}")
-            # device path: validity-masked survivors (mask == force semantics)
-            from .ops.sketch import seq_chunks_to_hashes
+        import os as _os
 
-            hs = seq_chunks_to_hashes(
-                seq.tobytes(),
+        mode = _os.environ.get("SOURMASH_TPU_HOST_SKETCH", "auto")
+        if seq.shape[0] >= _DEVICE_MIN_LEN:
+            # long sequences go to the accelerator; with a CPU-only jax
+            # backend the native threaded loop below is faster than XLA
+            use_device = mode == "numpy"
+            if mode == "auto":
+                import jax
+
+                use_device = jax.default_backend() != "cpu"
+            if use_device:
+                all_valid = bool(enc.VALID_DNA[seq].all())
+                if not all_valid and not force:
+                    # find the first window with an invalid byte, for the error
+                    bad = int(np.argmin(enc.VALID_DNA[seq]))
+                    start = max(0, bad - self._ksize + 1)
+                    kmer = seq[start : start + self._ksize].tobytes().decode(
+                        "ascii", "replace"
+                    )
+                    raise ValueError(
+                        f"invalid DNA character in input k-mer: {kmer}"
+                    )
+                # device path: validity-masked survivors (== force semantics)
+                from .ops.sketch import seq_chunks_to_hashes
+
+                hs = seq_chunks_to_hashes(
+                    seq.tobytes(),
+                    self._ksize,
+                    self._max_hash if self._max_hash else MINHASH_MAX_HASH,
+                    self._seed,
+                )
+                self._insert_hashes(hs)
+                return
+        if mode != "numpy":
+            # native C++ hot loop (threaded rolling canonical murmur;
+            # native/sketch.cpp) — ~100x the numpy path per core
+            from . import native as _native
+
+            res = _native.sketch_hashes(
+                seq,
                 self._ksize,
-                self._max_hash if self._max_hash else MINHASH_MAX_HASH,
                 self._seed,
+                self._max_hash if self._max_hash else MINHASH_MAX_HASH,
             )
-            self._insert_hashes(hs)
-            return
+            if res is not None:
+                hs, first_bad = res
+                if first_bad >= 0 and not force:
+                    start = max(0, first_bad - self._ksize + 1)
+                    kmer = seq[start : start + self._ksize].tobytes().decode(
+                        "ascii", "replace"
+                    )
+                    raise ValueError(
+                        f"invalid DNA character in input k-mer: {kmer}"
+                    )
+                self._insert_hashes(hs)
+                return
         h, valid = self._dna_window_hashes(seq, force=force)
         self._insert_hashes(h[valid])
 

@@ -16,6 +16,7 @@ import subprocess
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "fastx.cpp")
+_SKETCH_SRC = os.path.join(os.path.dirname(__file__), "sketch.cpp")
 _lib = None
 _build_failed = False
 
@@ -30,6 +31,8 @@ def _build_lib():
     try:
         with open(_SRC, "rb") as f:
             src = f.read()
+        with open(_SKETCH_SRC, "rb") as f:
+            src += f.read()
         tag = hashlib.sha256(src).hexdigest()[:16]
         cache_dir = os.environ.get(
             "SOURMASH_NATIVE_CACHE",
@@ -40,7 +43,10 @@ def _build_lib():
         if not os.path.exists(sopath):
             tmp = sopath + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"],
+                [
+                    "g++", "-O3", "-shared", "-fPIC", "-pthread",
+                    _SRC, _SKETCH_SRC, "-o", tmp, "-lz",
+                ],
                 check=True,
                 capture_output=True,
             )
@@ -60,6 +66,18 @@ def _build_lib():
             ctypes.c_int64,
         ]
         lib.fastx_read_batch.restype = ctypes.c_int64
+        lib.sketch_hashes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_uint32,
+            ctypes.c_uint64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.sketch_hashes.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -131,3 +149,40 @@ def iter_records_bytes(path):
     for names, blob, off in iter_batches(path):
         for i, name in enumerate(names):
             yield name, blob[off[i] : off[i + 1]]
+
+
+def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int):
+    """Native canonical-kmer murmur + threshold hot loop.
+
+    seq: uppercased uint8 array. Returns (survivors uint64 array in window
+    order with multiplicity, first_bad byte index or -1), or None if the
+    native library is unavailable. Thread-chunked above 2^18 windows.
+    """
+    lib = _build_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = seq.shape[0]
+    nwin = n - ksize + 1
+    if nwin <= 0:
+        return np.zeros(0, dtype=np.uint64), -1
+    # expected survivors ~ nwin * scaled-fraction; headroom then retry
+    frac = (int(max_hash) + 1) / float(1 << 64)
+    cap = int(nwin * frac * 2) + 1024
+    first_bad = ctypes.c_int64(-1)
+    while True:
+        out = np.empty(cap, dtype=np.uint64)
+        got = lib.sketch_hashes(
+            seq.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n),
+            ctypes.c_int32(ksize),
+            ctypes.c_uint32(seed),
+            ctypes.c_uint64(int(max_hash)),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+            ctypes.byref(first_bad),
+            ctypes.c_int32(0),
+        )
+        if got >= 0:
+            return out[:got], int(first_bad.value)
+        cap = int(-got) + 16
