@@ -137,16 +137,28 @@ def main():
         file=sys.stderr,
     )
 
-    # host single-thread baseline on a slice, extrapolated; best-of-3 so a
-    # transiently loaded host doesn't inflate the ratio
-    slice_windows = min(1 << 19, n_windows_total)
+    # host single-thread baseline: the native C++ hot loop pinned to one
+    # thread — the honest stand-in for the reference's single-core Rust
+    # SeqToHashes+add_hash loop (numpy would inflate the ratio ~30x).
+    # Best-of-3 so a transiently loaded host doesn't skew it.
+    from sourmash_tpu import native
+
+    slice_windows = min(1 << 21, n_windows_total)
     sub = arr[: slice_windows + ksize - 1]
     t_host_slice = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        hh, valid = enc.dna_hashes(sub, ksize, 42)
-        _ = np.sort(hh[valid & (hh <= max_hash)])
-        t_host_slice = min(t_host_slice, time.perf_counter() - t0)
+    if native.available():
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            _ = native.sketch_hashes(sub, ksize, 42, int(max_hash), n_threads=1)
+            t_host_slice = min(t_host_slice, time.perf_counter() - t0)
+    else:
+        slice_windows = min(1 << 19, n_windows_total)
+        sub = arr[: slice_windows + ksize - 1]
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            hh, valid = enc.dna_hashes(sub, ksize, 42)
+            _ = np.sort(hh[valid & (hh <= max_hash)])
+            t_host_slice = min(t_host_slice, time.perf_counter() - t0)
     host_kmers_per_sec = slice_windows / t_host_slice
 
     vs_baseline = kmers_per_sec / host_kmers_per_sec

@@ -151,7 +151,7 @@ def iter_records_bytes(path):
             yield name, blob[off[i] : off[i + 1]]
 
 
-def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int):
+def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int, n_threads: int = 0):
     """Native canonical-kmer murmur + threshold hot loop.
 
     seq: uppercased uint8 array. Returns (survivors uint64 array in window
@@ -181,7 +181,7 @@ def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int):
             out.ctypes.data_as(ctypes.c_void_p),
             ctypes.c_int64(cap),
             ctypes.byref(first_bad),
-            ctypes.c_int32(0),
+            ctypes.c_int32(n_threads),
         )
         if got >= 0:
             return out[:got], int(first_bad.value)

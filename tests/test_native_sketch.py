@@ -1,0 +1,69 @@
+"""Parity tests for the native C++ sketching hot loop (native/sketch.cpp)
+against the numpy oracle, including thread-chunk boundaries, invalid bytes
+at window edges, and num-sketch (unfiltered) mode."""
+
+import numpy as np
+import pytest
+
+from sourmash_tpu import native
+from sourmash_tpu.ops import encodings as enc
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+RNG = np.random.default_rng(11)
+ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def oracle(seq, k, seed, mh):
+    h, valid = enc.dna_hashes(seq, k, seed)
+    return h[valid & (h <= np.uint64(mh))]
+
+
+@pytest.mark.parametrize("k", [21, 31, 51])
+@pytest.mark.parametrize("nthreads", [1, 3, 8])
+def test_native_matches_numpy(k, nthreads):
+    seq = RNG.choice(ACGT, size=30011)
+    mh = (1 << 64) // 50  # dense survivors
+    got, fb = native.sketch_hashes(seq, k, 42, mh, n_threads=nthreads)
+    assert fb == -1
+    assert np.array_equal(got, oracle(seq, k, 42, mh))
+
+
+def test_thread_boundary_windows_exact():
+    "Windows straddling thread chunk edges must not be lost or doubled."
+    k = 31
+    seq = RNG.choice(ACGT, size=1 << 19)  # big enough for auto-threading
+    mh = (1 << 64) // 10
+    expect = oracle(seq, k, 42, mh)
+    for nt in (1, 2, 5, 16):
+        got, _ = native.sketch_hashes(seq, k, 42, mh, n_threads=nt)
+        assert np.array_equal(got, expect), nt
+
+
+def test_invalid_bytes_and_first_bad():
+    k = 21
+    seq = RNG.choice(ACGT, size=5000)
+    for pos in (0, 19, 20, 21, 2500, 4999):
+        s2 = seq.copy()
+        s2[pos] = ord("N")
+        got, fb = native.sketch_hashes(s2, k, 42, (1 << 63), n_threads=2)
+        assert fb == pos
+        assert np.array_equal(got, oracle(s2, k, 42, 1 << 63)), pos
+
+
+def test_unfiltered_multiset_order():
+    "num-sketch mode: every valid window hash, in window order."
+    k = 5
+    seq = np.frombuffer(b"ACGTACGTACGTACGT", dtype=np.uint8)
+    got, fb = native.sketch_hashes(seq, k, 42, (1 << 64) - 1)
+    h, valid = enc.dna_hashes(seq, k, 42)
+    assert np.array_equal(got, h[valid])
+
+
+def test_short_and_empty():
+    got, fb = native.sketch_hashes(np.zeros(0, dtype=np.uint8), 21, 42, 1 << 62)
+    assert len(got) == 0
+    got, fb = native.sketch_hashes(RNG.choice(ACGT, size=20), 21, 42, 1 << 62)
+    assert len(got) == 0
