@@ -78,6 +78,15 @@ def _build_lib():
             ctypes.c_int32,
         ]
         lib.sketch_hashes.restype = ctypes.c_int64
+        lib.hash_windows.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_uint32,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.hash_windows.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -186,3 +195,27 @@ def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int, n_thr
         if got >= 0:
             return out[:got], int(first_bad.value)
         cap = int(-got) + 16
+
+
+def hash_windows(seq: "np.ndarray", ksize: int, seed: int, n_threads: int = 0):
+    """murmur64 of every k-byte window (no canonicalization/validity) —
+    the protein-family hot loop. Returns uint64[n-k+1] in window order, or
+    None if the native library is unavailable."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = seq.shape[0]
+    nwin = n - ksize + 1
+    if nwin <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(nwin, dtype=np.uint64)
+    got = lib.hash_windows(
+        seq.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ctypes.c_int32(ksize),
+        ctypes.c_uint32(seed),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(n_threads),
+    )
+    return out[: int(got)]

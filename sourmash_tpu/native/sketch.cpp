@@ -138,7 +138,44 @@ static void sketch_range(const uint8_t* seq, int64_t w0, int64_t w1,
 
 }  // namespace
 
+namespace {
+
+// Hash every k-byte window (no canonicalization or validity — protein
+// windows are hashed as-is, reference signature.rs:362-393).
+static void hash_range(const uint8_t* seq, int64_t w0, int64_t w1, int32_t k,
+                       uint32_t seed, uint64_t* out) {
+  for (int64_t p = w0; p < w1; p++)
+    out[p] = murmur3_x64_128_lo(seq + p, k, seed);
+}
+
+}  // namespace
+
 extern "C" {
+
+// out[i] = murmur64(seq[i .. i+k)), for all n-k+1 windows. Thread-chunked.
+int64_t hash_windows(const uint8_t* seq, int64_t n, int32_t k, uint32_t seed,
+                     uint64_t* out, int32_t n_threads) {
+  int64_t nwin = n - k + 1;
+  if (nwin <= 0 || k <= 0) return 0;
+  int32_t nt = n_threads;
+  if (nt <= 0) {
+    nt = (int32_t)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 16) nt = 16;
+  }
+  if (nwin < (1 << 18)) nt = 1;
+  if ((int64_t)nt > nwin) nt = (int32_t)nwin;
+  std::vector<std::thread> threads;
+  int64_t per = (nwin + nt - 1) / nt;
+  for (int32_t t = 0; t < nt; t++) {
+    int64_t w0 = (int64_t)t * per;
+    int64_t w1 = w0 + per < nwin ? w0 + per : nwin;
+    if (w0 >= w1) break;
+    threads.emplace_back(hash_range, seq, w0, w1, k, seed, out);
+  }
+  for (auto& th : threads) th.join();
+  return nwin;
+}
 
 // Returns the number of surviving hashes written to out (in window order,
 // with multiplicity), or -(needed) if out_cap was too small. first_bad_out

@@ -10,6 +10,8 @@ instead of a per-window iterator.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .murmur import murmur3_x64_128_first64
@@ -152,6 +154,12 @@ def protein_hashes(aa_seq: np.ndarray, aa_ksize: int, moltype: str, seed: int = 
     n = aa_seq.shape[0] - aa_ksize + 1
     if n <= 0:
         return np.zeros(0, dtype=np.uint64)
+    from .. import native
+
+    if os.environ.get("SOURMASH_TPU_HOST_SKETCH", "auto") != "numpy":
+        h = native.hash_windows(aa_seq, aa_ksize, seed)
+        if h is not None:
+            return h
     w = _windows_np(np.ascontiguousarray(aa_seq), aa_ksize)
     with np.errstate(over="ignore"):
         return murmur3_x64_128_first64(np.ascontiguousarray(w), aa_ksize, seed, xp=np)
