@@ -66,10 +66,10 @@ def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=Fa
     potential_false_negatives = False
 
     mhs = [s.minhash for s in siglist]
-    use_batch = (
-        not return_ani
-        and _can_batch(mhs)
-        and (ignore_abundance or all(not mh.track_abundance for mh in mhs))
+    use_batch = _can_batch(mhs) and (
+        return_ani
+        or ignore_abundance
+        or all(not mh.track_abundance for mh in mhs)
     )
 
     if use_batch:
@@ -78,7 +78,29 @@ def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=Fa
         for i, j in itertools.combinations(range(n), 2):
             common = int(counts[i, j])
             union = int(lens[i] + lens[j] - common)
-            similarities[i][j] = similarities[j][i] = common / max(1, union)
+            jaccard = common / max(1, union)
+            if return_ani:
+                # the expensive set op is batched above; the closed-form
+                # ANI conversion runs per pair with the precomputed jaccard
+                ani_result = siglist[i].jaccard_ani(siglist[j], jaccard=jaccard)
+                if not potential_false_negatives and ani_result.p_exceeds_threshold:
+                    potential_false_negatives = True
+                if not jaccard_ani_untrustworthy and ani_result.je_exceeds_threshold:
+                    jaccard_ani_untrustworthy = True
+                ani = ani_result.ani
+                similarities[i][j] = similarities[j][i] = (
+                    0.0 if ani is None else ani
+                )
+            else:
+                similarities[i][j] = similarities[j][i] = jaccard
+        if jaccard_ani_untrustworthy:
+            notify(
+                "WARNING: Jaccard estimation for at least one of these comparisons is likely inaccurate. Could not estimate ANI for these comparisons."
+            )
+        if potential_false_negatives:
+            notify(
+                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
+            )
         return similarities
 
     for i, j in itertools.combinations(range(n), 2):
@@ -115,16 +137,34 @@ def compare_serial_containment(siglist, *, downsample=False, return_ani=False):
     potential_false_negatives = False
 
     mhs = [s.minhash for s in siglist]
-    if not return_ani and _can_batch(mhs):
+    if _can_batch(mhs):
         counts = _count_matrix(mhs)
         scaled = mhs[0].scaled
         lens = np.array([len(mh) for mh in mhs], dtype=np.int64)
         for i in range(n):
             for j in range(n):
-                if i != j:
-                    containments[i][j] = _containment_from_counts(
-                        int(counts[i, j]), int(lens[j]), scaled
+                if i == j:
+                    continue
+                c = _containment_from_counts(
+                    int(counts[i, j]), int(lens[j]), scaled
+                )
+                if return_ani:
+                    ani_result = siglist[j].containment_ani(
+                        siglist[i], containment=c
                     )
+                    if (
+                        not potential_false_negatives
+                        and ani_result.p_exceeds_threshold
+                    ):
+                        potential_false_negatives = True
+                    ani = ani_result.ani
+                    containments[i][j] = 0.0 if ani is None else ani
+                else:
+                    containments[i][j] = c
+        if potential_false_negatives:
+            notify(
+                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
+            )
         return containments
 
     for i in range(n):
@@ -159,14 +199,29 @@ def compare_serial_max_containment(siglist, *, downsample=False, return_ani=Fals
     potential_false_negatives = False
 
     mhs = [s.minhash for s in siglist]
-    if not return_ani and _can_batch(mhs):
+    if _can_batch(mhs):
         counts = _count_matrix(mhs)
         scaled = mhs[0].scaled
         lens = np.array([len(mh) for mh in mhs], dtype=np.int64)
         for i, j in itertools.combinations(range(n), 2):
             md = int(min(lens[i], lens[j]))
             v = _containment_from_counts(int(counts[i, j]), md, scaled)
+            if return_ani:
+                ani_result = siglist[j].max_containment_ani(
+                    siglist[i], max_containment=v
+                )
+                if (
+                    not potential_false_negatives
+                    and ani_result.p_exceeds_threshold
+                ):
+                    potential_false_negatives = True
+                ani = ani_result.ani
+                v = 0.0 if ani is None else ani
             containments[i][j] = containments[j][i] = v
+        if potential_false_negatives:
+            notify(
+                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
+            )
         return containments
 
     for i, j in itertools.combinations(range(n), 2):
@@ -198,14 +253,31 @@ def compare_serial_avg_containment(siglist, *, downsample=False, return_ani=Fals
     potential_false_negatives = False
 
     mhs = [s.minhash for s in siglist]
-    if not return_ani and _can_batch(mhs):
+    if _can_batch(mhs):
         counts = _count_matrix(mhs)
         scaled = mhs[0].scaled
         lens = np.array([len(mh) for mh in mhs], dtype=np.int64)
         for i, j in itertools.combinations(range(n), 2):
-            c1 = _containment_from_counts(int(counts[i, j]), int(lens[i]), scaled)
-            c2 = _containment_from_counts(int(counts[i, j]), int(lens[j]), scaled)
-            containments[i][j] = containments[j][i] = (c1 + c2) / 2
+            c1 = _containment_from_counts(int(counts[i, j]), int(lens[j]), scaled)
+            c2 = _containment_from_counts(int(counts[i, j]), int(lens[i]), scaled)
+            if return_ani:
+                # FracMinHashComparison(mh_j, mh_i) semantics with the
+                # containments precomputed from the batched counts
+                cmp = FracMinHashComparison(siglist[j].minhash, siglist[i].minhash)
+                cmp.estimate_ani_from_mh1_containment_in_mh2(containment=c1)
+                cmp.estimate_ani_from_mh2_containment_in_mh1(containment=c2)
+                a1 = cmp.ani_from_mh1_containment_in_mh2
+                a2 = cmp.ani_from_mh2_containment_in_mh1
+                if not potential_false_negatives and cmp.potential_false_negative:
+                    potential_false_negatives = True
+                v = 0.0 if (a1 is None or a2 is None) else (a1 + a2) / 2
+            else:
+                v = (c1 + c2) / 2
+            containments[i][j] = containments[j][i] = v
+        if potential_false_negatives:
+            notify(
+                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
+            )
         return containments
 
     for i, j in itertools.combinations(range(n), 2):
