@@ -150,6 +150,53 @@ def bench_gather(db, genomes, n_true=20, noise=20000):
     )
 
 
+def bench_gather_fused(genomes, n_queries=8, n_true=20, noise=20000, rounds=24):
+    """Fully-fused gather: a batch of metagenomes decomposed in ONE device
+    dispatch (lax.scan over rounds inside shard_map on a 1x1 mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sourmash_tpu.parallel import (
+        get_mesh,
+        make_sharded_gather_program,
+        pack_query_batch,
+        pack_shard_planes,
+    )
+
+    n = len(genomes)
+    mesh = get_mesh(1, 1, devices=jax.devices()[:1])
+    Shi, Slo, B = pack_shard_planes(genomes, 1)
+    queries = []
+    for q in range(n_queries):
+        ids = RNG.choice(n, size=n_true, replace=False)
+        queries.append(
+            np.unique(np.concatenate([genomes[i] for i in ids] + [rand_mins(noise)]))
+        )
+    qhi, qlo, alive = pack_query_batch(queries, B)
+    Shi, Slo = jnp.asarray(Shi), jnp.asarray(Slo)
+    qhi, qlo, alive = jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(alive)
+    thresh = jnp.full(n_queries, 50, jnp.int32)
+    prog = make_sharded_gather_program(mesh, n, rounds)
+    bests, bcs = prog(Shi, Slo, qhi, qlo, alive, thresh)  # warm
+    _ = np.asarray(bests)
+    t0 = time.perf_counter()
+    bests, bcs = prog(Shi, Slo, qhi, qlo, alive, thresh)
+    b_np = np.asarray(bests)
+    dt = time.perf_counter() - t0
+    found = int((b_np >= 0).sum(axis=1).mean())
+    print(
+        json.dumps(
+            {
+                "metric": "gather_fused_round_latency",
+                "value": round(dt / rounds / n_queries * 1000, 3),
+                "unit": f"ms/round/query (membership program: count+M build"
+                f" + {rounds} rounds x {n_queries} queries vs {n} sigs in one"
+                f" dispatch, ~{found} matches/query)",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import jax
 
@@ -158,3 +205,4 @@ if __name__ == "__main__":
     genomes, db = build_db()
     bench_search(db, genomes)
     bench_gather(db, genomes)
+    bench_gather_fused(genomes)
