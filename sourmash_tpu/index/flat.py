@@ -168,15 +168,17 @@ class FlatIndex(Index):
 
 
 class _MembershipGroup:
-    """Per-bank gather state: M [k, dq, B] device bool membership bits of
-    the query's bucketed slots in k matched datasets, plus host maps from
-    hash values to plane slots (for consume masks) and back (for
-    union_found)."""
+    """Per-bank gather state: M [k, dq, B/32] device u32 — BITPACKED
+    membership of the query's bucketed slots in k matched datasets — plus
+    host maps from hash values to plane slots (for consume masks) and
+    back (for union_found)."""
 
     __slots__ = ("M", "ids", "qh", "qpos", "vals", "dq", "B")
 
     def __init__(self, M, ids, q_packed):
-        self.M = M
+        from ..ops.bucketed import pack_bits_u32
+
+        self.M = jax.jit(pack_bits_u32)(M)
         self.ids = ids
         hi, lo, cnt, dq, tail = q_packed
         vals = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
@@ -192,14 +194,23 @@ class _MembershipGroup:
 
 @jax.jit
 def _dec_counts(M, R):
-    "[k, dq, B] membership & [dq, B] removed-mask -> [k] decrements."
-    return jnp.sum(M & R[None], axis=(1, 2), dtype=jnp.int32)
+    """[k, dq, B/32] bitpacked membership & [dq, B/32] removed-mask
+    -> [k] decrements (AND + popcount)."""
+    from ..ops.bucketed import popcount_u32
+
+    return jnp.sum(
+        popcount_u32(M & R[None]).astype(jnp.int32),
+        axis=(1, 2),
+        dtype=jnp.int32,
+    )
 
 
 @jax.jit
 def _union_rows(M, sel):
-    "[k, dq, B] membership, [k] bool row filter -> [dq, B] OR of rows."
-    return jnp.any(M & sel[:, None, None], axis=0)
+    "[k, dq, B/32] bitpacked membership, [k] bool filter -> [dq, B/32] OR."
+    return jax.lax.reduce_or(
+        jnp.where(sel[:, None, None], M, jnp.uint32(0)), axes=(0,)
+    )
 
 
 class FlatCounterGather:
@@ -281,7 +292,10 @@ class FlatCounterGather:
             sel[: len(g.ids)] = self.counts[g.ids] > 0
             if not sel.any():
                 continue
-            bits = np.asarray(_union_rows(g.M, jnp.asarray(sel))).reshape(-1)
+            packed = np.asarray(_union_rows(g.M, jnp.asarray(sel)))
+            bits = (
+                (packed[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).astype(bool).reshape(-1)
             found_mh.add_many(g.vals[bits])
         if self._q_has_max and any(self.counts[i] > 0 for i in self._max_ids):
             found_mh.add_many(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
@@ -355,7 +369,11 @@ class FlatCounterGather:
             flat = g.qpos[idx_c[hit]] if len(g.qh) else np.zeros(0, np.int64)
             R = np.zeros(g.dq * g.B, dtype=bool)
             R[flat] = True
-            d = np.asarray(_dec_counts(g.M, jnp.asarray(R.reshape(g.dq, g.B))))
+            Rp = (
+                R.reshape(g.dq, g.B // 32, 32).astype(np.uint32)
+                << np.arange(32, dtype=np.uint32)
+            ).sum(-1, dtype=np.uint32)
+            d = np.asarray(_dec_counts(g.M, jnp.asarray(Rp)))
             dec[g.ids] += d[: len(g.ids)]  # M rows are padded to a pow2
         if self._max_ids and len(mins) and mins[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
             for i in self._max_ids:

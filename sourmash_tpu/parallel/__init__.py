@@ -32,8 +32,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.bucketed import (
     MAX_U64,
     choose_buckets,
+    pack_bits_u32 as _pack_bits_u32,
     pack_query_bucketed,
     pack_rows_bucketed,
+    popcount_u32 as _popcount_u32,
 )
 
 
@@ -278,27 +280,6 @@ def make_sharded_gather_loop(mesh: Mesh, n_datasets: int, max_rounds: int):
         out_specs=(P("data", None), P("data", None)),
     )
     return jax.jit(f)
-
-
-def _popcount_u32(x):
-    "SWAR population count per u32 lane."
-    x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
-    x = (x & jnp.uint32(0x33333333)) + (
-        (x >> jnp.uint32(2)) & jnp.uint32(0x33333333)
-    )
-    x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
-    return (x * jnp.uint32(0x01010101)) >> jnp.uint32(24)
-
-
-def _pack_bits_u32(bits):
-    "[..., B] bool -> [..., B/32] u32 bitmask (bit j = lane 32*w + j)."
-    shape = bits.shape
-    B = shape[-1]
-    w = bits.reshape(shape[:-1] + (B // 32, 32)).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)).reshape(
-        (1,) * len(shape) + (32,)
-    )
-    return jnp.sum(w * weights, axis=-1, dtype=jnp.uint32)
 
 
 def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
