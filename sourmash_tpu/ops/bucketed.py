@@ -256,10 +256,12 @@ def _counts_qvm_cutoff(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
     clo = cut_lo[:, None, None]
     qh = qhi[None, :, :]  # [1, dq, B]
     ql = qlo[None, :, :]
-    le = (qh < chi) | ((qh == chi) & (ql <= clo))  # [ns, dq, B]
     acc = jnp.zeros(Shi.shape[0], jnp.int32)
     for k2 in range(d):
         eq = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql)
+        # recomputed per k2 so the [ns, dq, B] mask fuses into the reduce
+        # instead of materializing (1.3 GB for a metagenome query vs 10k)
+        le = (qh < chi) | ((qh == chi) & (ql <= clo))
         acc = acc + jnp.sum(eq & le, axis=(1, 2), dtype=jnp.int32)
     npad_q = (dq - qcnt).astype(jnp.bfloat16)
     npad_s = (d - Scnt).astype(jnp.bfloat16)
@@ -323,16 +325,22 @@ def _spill_counts_qvm(q_full: np.ndarray, bank: BucketedRows, counts, cutoffs=No
     """Add the exact contribution of subject-side spilled hashes:
     counts[i] += |spill_i ∩ q| (optionally filtered by cutoff[i]). The
     query's own 2**64-1 tail (never in the planes) is covered here too,
-    since it can only match a subject spill."""
-    if not bank.n_spilled:
+    since it can only match a subject spill. One vectorized join over the
+    concatenated spills, not a per-row loop."""
+    if not bank.n_spilled or not len(q_full):
         return
-    for i in range(bank.n):
-        sp = bank.spills[i]
-        if not len(sp):
-            continue
-        if cutoffs is not None:
-            sp = sp[sp <= cutoffs[i]]
-        counts[i] += _sorted_isect_size(sp, q_full)
+    rows = [i for i in range(bank.n) if len(bank.spills[i])]
+    sp_vals = np.concatenate([bank.spills[i] for i in rows])
+    sp_rows = np.repeat(
+        np.asarray(rows, dtype=np.int64),
+        [len(bank.spills[i]) for i in rows],
+    )
+    idx = np.searchsorted(q_full, sp_vals)
+    idx_c = np.minimum(idx, len(q_full) - 1)
+    hit = q_full[idx_c] == sp_vals
+    if cutoffs is not None:
+        hit &= sp_vals <= np.asarray(cutoffs, dtype=np.uint64)[sp_rows]
+    np.add.at(counts, sp_rows[hit], 1)
 
 
 def query_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, q_packed=None):
@@ -392,26 +400,57 @@ def pairwise_counts_bucketed(mins_list, block=8):
         Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, block, 0)
         outs.append(_counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt))
     out = np.asarray(jnp.concatenate(outs, axis=0))[:n, :n].astype(np.int64)
-    if bank.n_spilled:
-        # exact spill join. For pair (i, j):
-        #   true = stored∩stored + |sp_i ∩ m_j| + |sp_j ∩ m_i| − |sp_i ∩ sp_j|
-        # (the last term is counted once from each side). Iterating only
-        # rows with spills, each unordered pair's cross-term is subtracted
-        # exactly once (at the lower index).
-        for i in range(n):
-            sp = bank.spills[i]
-            if not len(sp):
-                continue
-            for j in range(n):
-                if j == i:
-                    out[i, i] += len(sp)
-                    continue
-                c = _sorted_isect_size(sp, np.asarray(mins_list[j], dtype=np.uint64))
-                if len(bank.spills[j]) and j > i:
-                    c -= _sorted_isect_size(sp, bank.spills[j])
-                out[i, j] += c
-                out[j, i] += c
+    _pairwise_spill_correction(out, mins_list, bank)
     return out
+
+
+def _pairwise_spill_correction(out, mins_list, bank: BucketedRows) -> None:
+    """Exact all-pairs spill correction, in place. For pair (i, j):
+
+        true = stored∩stored + |sp_i ∩ m_j| + |sp_j ∩ m_i| − |sp_i ∩ sp_j|
+
+    (the cross-term is counted once from each side). Every spilled value is
+    joined against one value-sorted table of ALL (value, row) pairs, so the
+    cost scales with spill count, not with n^2."""
+    if not bank.n_spilled:
+        return
+    n = len(mins_list)
+    all_vals = np.concatenate(
+        [np.asarray(m, dtype=np.uint64) for m in mins_list]
+    )
+    all_rows = np.repeat(
+        np.arange(n, dtype=np.int64), [len(m) for m in mins_list]
+    )
+    order = np.argsort(all_vals, kind="stable")
+    V, R = all_vals[order], all_rows[order]
+    sp_rows_list = [i for i in range(n) if len(bank.spills[i])]
+    sp_vals = np.concatenate([bank.spills[i] for i in sp_rows_list])
+    sp_rows = np.repeat(
+        np.asarray(sp_rows_list, dtype=np.int64),
+        [len(bank.spills[i]) for i in sp_rows_list],
+    )
+    lo = np.searchsorted(V, sp_vals, side="left")
+    hi_b = np.searchsorted(V, sp_vals, side="right")
+    for k in range(len(sp_vals)):
+        i = sp_rows[k]
+        for j in R[lo[k] : hi_b[k]]:  # rows containing this value
+            out[i, j] += 1
+            if j != i:
+                out[j, i] += 1
+    # a value spilled by BOTH rows of a pair was counted from each side;
+    # remove the double count once per ordered pair
+    sp_order = np.argsort(sp_vals, kind="stable")
+    sv, sr = sp_vals[sp_order], sp_rows[sp_order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(sv)) + 1])
+    ends = np.concatenate([starts[1:], [len(sv)]])
+    for a, b in zip(starts, ends):
+        if b - a < 2:
+            continue
+        grp = sr[a:b]
+        for x in range(len(grp)):
+            for y in range(len(grp)):
+                if x != y:
+                    out[grp[x], grp[y]] -= 1
 
 
 def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=None):

@@ -123,41 +123,36 @@ def test_pairwise_exact(n_rows, size):
 
 
 def test_pairwise_with_spills_and_max():
-    rows = overlapping_rows(9, 400)
+    "Spill correction via the real helper, incl. values spilled by BOTH rows."
+    from sourmash_tpu.ops import bucketed as bk
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    rows = overlapping_rows(9, 400, rng=rng)
     rows[2] = np.unique(np.concatenate([rows[2], [MAX_U64]]))
     rows[5] = np.unique(np.concatenate([rows[5], [MAX_U64]]))
-    # pack with tiny B via monkeypatched choose: call internals directly
-    from sourmash_tpu.ops import bucketed as bk
+    # force a value to spill in BOTH rows 0 and 1: 9 hashes in one bucket
+    # of B=128 (slots d=8 -> the largest spills), sharing the largest value
+    shared = (np.arange(9, dtype=np.uint64) << np.uint64(32)) * np.uint64(128)
+    shared = shared + np.uint64(7)  # same bucket (low bits = 7)
+    rows[0] = np.unique(np.concatenate([rows[0], shared]))
+    rows[1] = np.unique(np.concatenate([rows[1], shared]))
 
     bank = bk.pack_rows_bucketed(rows, 128)
     assert bank.n_spilled > 0
-    # use the low-level path pairwise_counts_bucketed would take, but with
-    # the small-B bank to force spills on both sides
-    import jax.numpy as jnp
+    shared_spill = set(bank.spills[0]) & set(bank.spills[1])
+    assert shared_spill, "test should exercise the double-spill path"
 
     outs = []
     block = 8
     for i in range(0, bank.hi.shape[0], block):
-        import jax
-
         Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, i, block, 0)
         Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, i, block, 0)
         Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, block, 0)
         outs.append(bk._counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt))
     out = np.asarray(jnp.concatenate(outs, axis=0))[:9, :9].astype(np.int64)
-    for i in range(9):
-        sp = bank.spills[i]
-        if not len(sp):
-            continue
-        for j in range(9):
-            if j == i:
-                out[i, i] += len(sp)
-                continue
-            c = bk._sorted_isect_size(sp, rows[j])
-            if len(bank.spills[j]) and j > i:
-                c -= bk._sorted_isect_size(sp, bank.spills[j])
-            out[i, j] += c
-            out[j, i] += c
+    bk._pairwise_spill_correction(out, rows, bank)
     for i in range(9):
         for j in range(9):
             assert out[i, j] == oracle_isect(rows[i], rows[j]), (i, j)
