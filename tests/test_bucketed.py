@@ -186,3 +186,54 @@ def test_membership_matrix_bits():
         got = np.sort(vals[M[r]])
         expect = np.intersect1d(q, rows[i])
         assert got.tolist() == expect.tolist(), i
+
+
+# -- property-based: random sets through the full public wrappers ----------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @st.composite
+    def hash_sets(draw, max_rows=6, max_len=60):
+        n = draw(st.integers(1, max_rows))
+        rows = []
+        for _ in range(n):
+            vals = draw(
+                st.lists(
+                    st.integers(0, 2**64 - 1), min_size=0, max_size=max_len
+                )
+            )
+            rows.append(np.unique(np.array(vals, dtype=np.uint64)))
+        return rows
+
+    @settings(deadline=None, max_examples=30)
+    @given(hash_sets())
+    def test_hypothesis_pairwise_and_query(rows):
+        out = pairwise_counts_bucketed(rows)
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                assert out[i, j] == oracle_isect(rows[i], rows[j])
+        q = rows[0]
+        bank = pack_rows_bucketed(rows, 128)
+        counts = query_counts_bucketed(q, bank)
+        assert counts.tolist() == [oracle_isect(q, m) for m in rows]
+
+    @settings(deadline=None, max_examples=20)
+    @given(hash_sets(max_rows=4), st.integers(0, 2**64 - 1))
+    def test_hypothesis_cutoff(rows, cut):
+        cuts = np.full(len(rows), cut, dtype=np.uint64)
+        bank = pack_rows_bucketed(rows, 128)
+        q = rows[-1]
+        counts = query_cutoff_counts_bucketed(q, bank, cuts)
+        expect = [
+            oracle_isect(q[q <= np.uint64(cut)], m[m <= np.uint64(cut)])
+            for m in rows
+        ]
+        assert counts.tolist() == expect
