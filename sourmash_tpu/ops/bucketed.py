@@ -141,9 +141,15 @@ def pack_rows_bucketed(mins_list, B: int, d: int = _D, device=True) -> BucketedR
         vs = vals[order]
         ro = row[order]
         bo = b[order]
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
-        sizes = np.diff(np.concatenate([starts, [len(ks)]]))
-        slot = np.arange(len(ks), dtype=np.int64) - np.repeat(starts, sizes)
+        N2 = len(ks)
+        pos = np.arange(N2, dtype=np.int64)
+        is_start = np.empty(N2, dtype=bool)
+        is_start[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
+        starts = np.flatnonzero(is_start)
+        # slot = position - start of its run, via a running maximum
+        # (cheaper than np.repeat(starts, sizes) at 50M+ elements)
+        slot = pos - np.maximum.accumulate(np.where(is_start, pos, 0))
         keep = slot < d
         hi[ro[keep], slot[keep], bo[keep]] = (vs[keep] >> np.uint64(32)).astype(
             np.uint32
@@ -152,6 +158,7 @@ def pack_rows_bucketed(mins_list, B: int, d: int = _D, device=True) -> BucketedR
             vs[keep] & np.uint64(0xFFFFFFFF)
         ).astype(np.uint32)
         # per-(row, bucket) stored counts: one store per run
+        sizes = np.diff(np.concatenate([starts, [N2]]))
         cnt.reshape(-1)[ks[starts]] = np.minimum(sizes, d).astype(np.uint8)
         if not keep.all():
             sp_vals, sp_rows = vs[~keep], ro[~keep]
