@@ -7,6 +7,22 @@ import sys
 
 
 def main(arglist=None):
+    import os
+
+    trace_dir = os.environ.get("SOURMASH_TPU_PROFILE")
+    if trace_dir:
+        # observability hook (SURVEY §5): wrap the whole command in a JAX
+        # profiler trace — kernel timelines, HBM stats, XLA fusions —
+        # viewable with xprof/tensorboard. The reference has no runtime
+        # tracing; this is the TPU-native equivalent.
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            return _dispatch(arglist)
+    return _dispatch(arglist)
+
+
+def _dispatch(arglist=None):
     from . import cli
 
     args = cli.parse_args(arglist)

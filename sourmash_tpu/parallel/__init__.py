@@ -308,15 +308,19 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
         n_shards = jax.lax.psum(1, "shards")
 
         def build_one(qh, ql, al):
-            # membership bits of query slots in each local row, bitpacked
-            bits = jnp.zeros((per,) + qh.shape, jnp.bool_)
+            # membership bits of query slots in each local row, accumulated
+            # BITPACKED per slot iteration: the [per, dq, B] bool eq fuses
+            # into the pack-reduce, so peak memory is the packed M
+            # (1 bit per (dataset, query slot)), not the unpacked bools
+            # (which OOM at GTDB scale: 86k rows x 128 slots x 2048 lanes)
+            M = jnp.zeros((per, qh.shape[0], qh.shape[1] // 32), jnp.uint32)
             for k2 in range(d):
-                bits = bits | (
+                eq = (
                     (Shi[:, k2, None, :] == qh[None])
                     & (Slo[:, k2, None, :] == ql[None])
+                    & al[None]
                 )
-            bits = bits & al[None]
-            M = _pack_bits_u32(bits)  # [per, dq, B/32]
+                M = M | _pack_bits_u32(eq)
             counts = jnp.sum(
                 _popcount_u32(M).astype(jnp.int32), axis=(1, 2),
                 dtype=jnp.int32,
