@@ -307,17 +307,21 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
         n_shards = jax.lax.psum(1, "shards")
 
-        def build_one(qh, ql, al):
-            # membership bits of query slots in each local row, accumulated
-            # BITPACKED per slot iteration: the [per, dq, B] bool eq fuses
-            # into the pack-reduce, so peak memory is the packed M
-            # (1 bit per (dataset, query slot)), not the unpacked bools
-            # (which OOM at GTDB scale: 86k rows x 128 slots x 2048 lanes)
-            M = jnp.zeros((per, qh.shape[0], qh.shape[1] // 32), jnp.uint32)
+        # membership bits of query slots in each local row, accumulated
+        # BITPACKED per slot iteration and built in row CHUNKS: peak
+        # intermediate memory is one chunk's unfused compare, not the
+        # full [per, dq, B] bools (which OOM at GTDB scale — 86k rows x
+        # 128 slots x 2048 lanes is 22 GB unpacked)
+        row_chunk = min(per, 4096)
+
+        def build_chunk(Chi, Clo, qh, ql, al):
+            M = jnp.zeros(
+                (Chi.shape[0], qh.shape[0], qh.shape[1] // 32), jnp.uint32
+            )
             for k2 in range(d):
                 eq = (
-                    (Shi[:, k2, None, :] == qh[None])
-                    & (Slo[:, k2, None, :] == ql[None])
+                    (Chi[:, k2, None, :] == qh[None])
+                    & (Clo[:, k2, None, :] == ql[None])
                     & al[None]
                 )
                 M = M | _pack_bits_u32(eq)
@@ -327,7 +331,18 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
             )
             return M, counts
 
-        M, local_counts = jax.vmap(build_one)(qhi, qlo, alive)
+        M_parts, cnt_parts = [], []
+        for c0 in range(0, per, row_chunk):
+            c1 = min(c0 + row_chunk, per)
+            Chi = jax.lax.slice_in_dim(Shi, c0, c1, axis=0)
+            Clo = jax.lax.slice_in_dim(Slo, c0, c1, axis=0)
+            Mc, cc = jax.vmap(
+                lambda qh, ql, al: build_chunk(Chi, Clo, qh, ql, al)
+            )(qhi, qlo, alive)
+            M_parts.append(Mc)
+            cnt_parts.append(cc)
+        M = jnp.concatenate(M_parts, axis=1)  # [bq, per, dq, B/32]
+        local_counts = jnp.concatenate(cnt_parts, axis=1)
         # counts replicated across shards via placement + psum
         counts = jnp.zeros((qhi.shape[0], per * n_shards), jnp.int32)
         counts = jax.lax.dynamic_update_slice(

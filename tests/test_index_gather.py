@@ -206,3 +206,78 @@ def test_multichip_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_fused_program_matches_host_gather():
+    """The one-dispatch sharded gather program reproduces the host
+    FlatCounterGather's decomposition (ids and overlap sizes, in order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sourmash_tpu.parallel import (
+        get_mesh,
+        make_sharded_gather_program,
+        pack_query_batch,
+        pack_shard_planes,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 100
+    genomes = [
+        np.unique(rng.integers(1, 2**62, size=300, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    ids = rng.choice(n, size=8, replace=False)
+    meta = np.unique(
+        np.concatenate(
+            [genomes[i] for i in ids]
+            + [np.unique(rng.integers(1, 2**62, size=500, dtype=np.uint64))]
+        )
+    )
+
+    # host: exact FlatCounterGather peek/consume loop (threshold 1 hash)
+    scaled = 100  # all hashes < 2**62 kept: scaled irrelevant to counts
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+    query = SourmashSignature(qmh, name="meta").to_frozen()
+
+    fi = FlatIndex(sigs)
+    cg = fi.counter_gather(query, threshold_bp=0)
+    host_order = []
+    cur = qmh.flatten().to_mutable()
+    while True:
+        res = cg.peek(cur, threshold_bp=0)
+        if not res:
+            break
+        sr, intersect_mh = res
+        host_order.append(
+            (int(sr.signature.name[1:]), len(intersect_mh))
+        )
+        cg.consume(intersect_mh)
+        cur.remove_many(intersect_mh.hashes)
+
+    # device: fused program on a 1-device mesh
+    mesh = get_mesh(1, 1, devices=jax.devices()[:1])
+    # B=512 => Poisson(0.6) buckets: no spills, so the throughput path
+    # (which drops Poisson-tail spills) is exact here and must agree
+    Shi, Slo, B = pack_shard_planes(genomes, 1, B=512)
+    qhi, qlo, alive = pack_query_batch([meta], B)
+    prog = make_sharded_gather_program(mesh, n, len(host_order) + 3)
+    bests, bcs = prog(
+        jnp.asarray(Shi),
+        jnp.asarray(Slo),
+        jnp.asarray(qhi),
+        jnp.asarray(qlo),
+        jnp.asarray(alive),
+        jnp.full(1, 1, jnp.int32),
+    )
+    b_np, bc_np = np.asarray(bests)[0], np.asarray(bcs)[0]
+    got = [
+        (int(b), int(c)) for b, c in zip(b_np, bc_np) if b >= 0
+    ]
+    assert got == host_order
