@@ -282,42 +282,30 @@ def make_sharded_gather_loop(mesh: Mesh, n_datasets: int, max_rounds: int):
     return jax.jit(f)
 
 
-def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
-    """The end-to-end gather program, one dispatch per query batch:
+def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
+    """Phase 1 of the fused gather: one dense pass over the sharded index
+    extracts each local dataset's intersection with each query as BITPACKED
+    membership rows and the initial counts.
 
-    (Shi, Slo, qhi, qlo, alive, thresh)
-      -> (best [bq, max_rounds], best_count [bq, max_rounds])
+    (Shi, Slo, qhi, qlo, alive) ->
+      (M [bq, per*n_shards, dq, B/32] u32 sharded over 'shards' on axis 1,
+       counts [bq, n_datasets] replicated over 'shards')
 
-    Phase 1 (one dense pass over the sharded index): extract each local
-    dataset's intersection with each query as BITPACKED membership rows
-    `M [bq, per, dq, B/32] u32` — M never leaves its shard — and the
-    initial counts (popcount of M, psum-placed across shards).
+    M is built in 4096-row chunks written into one preallocated buffer, so
+    peak memory is the packed matrix plus one chunk's compare intermediates
+    — the unpacked bools would OOM at GTDB scale (86k x 128 x 2048 = 22 GB).
+    """
 
-    Phase 2 (lax.scan over rounds): argmax -> the owner shard contributes
-    M[best] & alive (psum-OR) -> alive &= ~removed -> every dataset's
-    decrement is one AND+popcount over its M row. Rounds never touch the
-    index planes again, so per-round cost is ~B*dq/32 u32 ops per dataset
-    instead of a full dense re-compare (measured ~50x faster at 10k
-    datasets). This is the TPU answer to the reference's greedy
-    CounterGather loop at pod scale."""
-
-    def _local(Shi, Slo, qhi, qlo, alive, thresh):
+    def _local(Shi, Slo, qhi, qlo, alive):
         per = Shi.shape[0]
         d = Shi.shape[1]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
         n_shards = jax.lax.psum(1, "shards")
-
-        # membership bits of query slots in each local row, accumulated
-        # BITPACKED per slot iteration and built in row CHUNKS: peak
-        # intermediate memory is one chunk's unfused compare, not the
-        # full [per, dq, B] bools (which OOM at GTDB scale — 86k rows x
-        # 128 slots x 2048 lanes is 22 GB unpacked)
+        bq, dq, B = qhi.shape
         row_chunk = min(per, 4096)
 
         def build_chunk(Chi, Clo, qh, ql, al):
-            M = jnp.zeros(
-                (Chi.shape[0], qh.shape[0], qh.shape[1] // 32), jnp.uint32
-            )
+            M = jnp.zeros((Chi.shape[0], dq, B // 32), jnp.uint32)
             for k2 in range(d):
                 eq = (
                     (Chi[:, k2, None, :] == qh[None])
@@ -331,7 +319,8 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
             )
             return M, counts
 
-        M_parts, cnt_parts = [], []
+        M = jnp.zeros((bq, per, dq, B // 32), jnp.uint32)
+        local_counts = jnp.zeros((bq, per), jnp.int32)
         for c0 in range(0, per, row_chunk):
             c1 = min(c0 + row_chunk, per)
             Chi = jax.lax.slice_in_dim(Shi, c0, c1, axis=0)
@@ -339,17 +328,46 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
             Mc, cc = jax.vmap(
                 lambda qh, ql, al: build_chunk(Chi, Clo, qh, ql, al)
             )(qhi, qlo, alive)
-            M_parts.append(Mc)
-            cnt_parts.append(cc)
-        M = jnp.concatenate(M_parts, axis=1)  # [bq, per, dq, B/32]
-        local_counts = jnp.concatenate(cnt_parts, axis=1)
-        # counts replicated across shards via placement + psum
-        counts = jnp.zeros((qhi.shape[0], per * n_shards), jnp.int32)
+            M = jax.lax.dynamic_update_slice_in_dim(M, Mc, c0, axis=1)
+            local_counts = jax.lax.dynamic_update_slice_in_dim(
+                local_counts, cc, c0, axis=1
+            )
+
+        counts = jnp.zeros((bq, per * n_shards), jnp.int32)
         counts = jax.lax.dynamic_update_slice(
             counts, local_counts, (jnp.int32(0), my0)
         )
         counts = jax.lax.psum(counts, "shards")[:, :n_datasets]
+        return M, counts
 
+    f = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P("shards", None, None),
+            P("shards", None, None),
+            P("data", None, None),
+            P("data", None, None),
+            P("data", None, None),
+        ),
+        out_specs=(P("data", "shards", None, None), P("data", None)),
+    )
+    return jax.jit(f)
+
+
+def make_sharded_gather_rounds(mesh: Mesh, n_datasets: int, max_rounds: int):
+    """Phase 2 of the fused gather: lax.scan over greedy rounds on the
+    bitpacked membership matrix — argmax, the owner shard's M[best] & alive
+    (psum-OR), alive &= ~removed, AND+popcount decrements. The index planes
+    are not an input: rounds cost O(n_datasets * query_slots / 32) u32 ops.
+
+    (M, alive [bq, dq, B] bool, counts [bq, n_datasets], thresh [bq])
+      -> (best [bq, max_rounds], best_count [bq, max_rounds])"""
+
+    def _local(M, alive, counts, thresh):
+        per = M.shape[1]
+        my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
+        n_shards = jax.lax.psum(1, "shards")
         alive_p = _pack_bits_u32(alive)  # [bq, dq, B/32]
 
         def round_one(q_M, q_alive_p, cnt, th):
@@ -361,11 +379,11 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
             owner = (best >= my0) & (best < my0 + per)
             rm = jnp.where(owner & active, q_M[local_ix], jnp.uint32(0))
             rm = rm & q_alive_p
-            # the owner's mask, shared with every shard
             rm = jax.lax.psum(rm, "shards").astype(jnp.uint32)
 
             dec_local = jnp.sum(
-                _popcount_u32(q_M & rm[None]).astype(jnp.int32), axis=(1, 2),
+                _popcount_u32(q_M & rm[None]).astype(jnp.int32),
+                axis=(1, 2),
                 dtype=jnp.int32,
             )
             dec = jnp.zeros(per * n_shards, jnp.int32)
@@ -397,16 +415,31 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
         _local,
         mesh=mesh,
         in_specs=(
-            P("shards", None, None),
-            P("shards", None, None),
+            P("data", "shards", None, None),
             P("data", None, None),
-            P("data", None, None),
-            P("data", None, None),
+            P("data", None),
             P("data"),
         ),
         out_specs=(P("data", None), P("data", None)),
     )
     return jax.jit(f)
+
+
+def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
+    """The end-to-end gather: membership build + all greedy rounds, two
+    device dispatches total (split so the index planes and the round
+    intermediates never need peak HBM together).
+
+    (Shi, Slo, qhi, qlo, alive, thresh)
+      -> (best [bq, max_rounds], best_count [bq, max_rounds])"""
+    build = make_sharded_membership_builder(mesh, n_datasets)
+    rounds = make_sharded_gather_rounds(mesh, n_datasets, max_rounds)
+
+    def fn(Shi, Slo, qhi, qlo, alive, thresh):
+        M, counts = build(Shi, Slo, qhi, qlo, alive)
+        return rounds(M, alive, counts, thresh)
+
+    return fn
 
 
 def make_sharded_sketch(mesh: Mesh, ksize: int, cap: int, seed: int = 42):
