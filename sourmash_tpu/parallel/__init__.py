@@ -229,59 +229,6 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
     return jax.jit(f)
 
 
-def make_sharded_gather_loop(mesh: Mesh, n_datasets: int, max_rounds: int):
-    """Compile the ENTIRE greedy gather as one device program:
-
-    (Shi, Slo, qhi, qlo, alive, counts, thresh)
-      -> (best [bq, max_rounds], best_count [bq, max_rounds])
-
-    lax.scan iterates the round body (argmax -> psum-OR membership ->
-    alive &= ~removed -> counter decrement) inside the shard_map, so a
-    whole decomposition is a single dispatch: no host round-trips between
-    rounds. Rounds after convergence emit -1. This is the throughput path
-    for pod-scale streaming (many metagenomes data-parallel over 'data',
-    the reference database sharded over 'shards'); the host-driven
-    FlatCounterGather remains the exact-CLI path."""
-
-    def _local(Shi, Slo, qhi, qlo, alive, counts, thresh):
-        per = Shi.shape[0]
-        my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
-        n_shards = jax.lax.psum(1, "shards")
-
-        def round_one(qh, ql, al, cnt, th):
-            return _gather_round_body(
-                Shi, Slo, my0, n_shards, n_datasets, qh, ql, al, cnt, th
-            )
-
-        def body(carry, _):
-            al, cnt = carry
-            new_al, new_cnt, best, bc = jax.vmap(round_one)(
-                qhi, qlo, al, cnt, thresh
-            )
-            return (new_al, new_cnt), (best, bc)
-
-        (_, _), (bests, bcs) = jax.lax.scan(
-            body, (alive, counts), None, length=max_rounds
-        )
-        return bests.T, bcs.T  # [bq, max_rounds]
-
-    f = jax.shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(
-            P("shards", None, None),
-            P("shards", None, None),
-            P("data", None, None),
-            P("data", None, None),
-            P("data", None, None),
-            P("data", None),
-            P("data"),
-        ),
-        out_specs=(P("data", None), P("data", None)),
-    )
-    return jax.jit(f)
-
-
 def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
     """Phase 1 of the fused gather: one dense pass over the sharded index
     extracts each local dataset's intersection with each query as BITPACKED
