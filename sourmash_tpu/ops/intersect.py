@@ -1,12 +1,16 @@
-"""Batched set-intersection ops over padded sketch tensors (Kernel B).
+"""Batched set-intersection wrappers (Kernel B) with engine dispatch.
 
 Replaces the reference's per-pair sorted-merge iterator
-(`/root/reference/src/core/src/sketch/minhash.rs:915-953,1721-1807`) with one
-device program computing the whole intersection-count matrix: sketches are
-packed into a `[n, L]` uint64 tensor (rows sorted ascending, padded with
-2^64-1), and membership is resolved with vectorized binary search
-(searchsorted) — O(n² · L · log L) elementwise work that XLA tiles across the
-VPU, instead of n²/2 sequential Python/FFI calls.
+(`/root/reference/src/core/src/sketch/minhash.rs:915-953,1721-1807`) with
+batched device programs. Two engines sit behind the public wrappers
+(`_use_bucketed` picks per backend):
+
+- **bucketed** (`ops/bucketed.py`) — the TPU path: gather-free dense
+  equality compares over low-bit-bucketed u32 planes. u64 binary search
+  lowers to a serial-gather while-loop on TPU (~500x slower measured).
+- **sorted** (this module's kernels) — padded sorted `[n, L]` uint64 rows
+  + vectorized searchsorted: O(L log L) work that vectorizes well on CPU
+  hosts, kept as the CPU default.
 """
 
 from __future__ import annotations
