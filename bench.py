@@ -122,13 +122,18 @@ def main():
     # warmup/compile
     _ = int(np.asarray(run(batches[0], mh_variants[0])).sum())
 
+    # best-of-3 measurement windows: the dev tunnel's dispatch latency is
+    # noisy under transient load, and the minimum is the honest device rate
     reps = 24
-    t0 = time.perf_counter()
-    last = None
-    for i in range(reps):
-        last = run(batches[i % n_batches], mh_variants[i % len(mh_variants)])
-    total_valid = int(np.asarray(last).sum())  # one readback closes the chain
-    t_device = time.perf_counter() - t0
+    t_device = float("inf")
+    total_valid = 0
+    for _win in range(3):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(reps):
+            last = run(batches[i % n_batches], mh_variants[i % len(mh_variants)])
+        total_valid = int(np.asarray(last).sum())  # readback closes the chain
+        t_device = min(t_device, time.perf_counter() - t0)
     n_windows_timed = reps * B * chunk
     kmers_per_sec = n_windows_timed / t_device
     print(
