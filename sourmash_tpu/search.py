@@ -1,15 +1,22 @@
-"""Search & gather: scoring protocols, result dataclasses, and the greedy
-min-set-cover driver.
+"""Scoring protocols, result-row assembly, and the greedy gather driver.
 
-API + semantics parity: reference `src/sourmash/search.py`
-(calc_threshold_from_bp:15, JaccardSearch:90, SearchResult:284,
-PrefetchResult:361, GatherResult:473, GatherDatabases:782,
-prefetch_database:957). The CSV column lists are part of the parity surface.
+This module is the host-side brain of query execution.  The actual heavy
+lifting — intersecting a query against thousands of database sketches —
+happens inside the Index implementations on device (see ``index/`` and
+``ops/bucketed.py``); what lives here is everything that is cheap but
+semantically intricate:
 
-TPU-native notes: scoring/threshold logic stays on host (cheap scalars); the
-expensive parts — intersections against whole collections — run through the
-batched device ops inside the Index implementations (`index/`), so the greedy
-gather rounds here orchestrate one fused device pass per round.
+* the ``JaccardSearch`` scoring protocol that Index.find() consults,
+* the CSV row schemas and ANI bookkeeping for search/prefetch/gather output,
+* ``GatherDatabases`` — the greedy minimum-set-cover loop, where each
+  iteration consumes one device round (peek/consume on CounterGather-style
+  counters) and ratchets the working scaled upward.
+
+Behavioral parity targets: reference ``src/sourmash/search.py``
+(threshold math :15, scoring protocol :90, result rows :284/:361/:473,
+greedy driver :782) and the gather-stat block in
+``src/core/src/index/mod.rs:210-353``.  The CSV column lists and user-facing
+error strings are part of the parity surface and intentionally identical.
 """
 
 from __future__ import annotations
@@ -22,19 +29,56 @@ from .minhash import MinHash
 from .signature import SourmashSignature
 from .sketchcomparison import FracMinHashComparison, NumMinHashComparison
 
+__all__ = [
+    "SearchType",
+    "JaccardSearch",
+    "JaccardSearchBestOnly",
+    "make_jaccard_search_query",
+    "make_containment_query",
+    "calc_threshold_from_bp",
+    "format_bp",
+    "SearchResult",
+    "PrefetchResult",
+    "GatherResult",
+    "GatherDatabases",
+    "search_databases_with_flat_query",
+    "search_databases_with_abund_query",
+    "prefetch_database",
+]
+
+
+def format_bp(bp):
+    "Render a basepair count with a human unit (bp/kbp/Mbp/Gbp)."
+    bp = float(bp)
+    for cutoff, div, unit in (
+        (500, None, "bp"),
+        (500e3, 1e3, "kbp"),
+        (500e6, 1e6, "Mbp"),
+        (500e9, 1e9, "Gbp"),
+    ):
+        if bp < cutoff or (unit == "kbp" and bp <= cutoff):
+            if div is None:
+                return f"{bp:.0f} {unit}"
+            return f"{round(bp / div, 1):.1f} {unit}"
+    return "???"
+
 
 def calc_threshold_from_bp(threshold_bp, scaled, query_size):
-    """Convert threshold_bp to (containment fraction, min hash count)."""
-    threshold = 0.0
-    n_threshold_hashes = 0
+    """Translate a --threshold-bp value into (fraction, hash count).
 
-    if threshold_bp:
-        if threshold_bp < 0:
-            raise TypeError("threshold_bp must be non-negative")
-        n_threshold_hashes = float(threshold_bp) / scaled
-        threshold = n_threshold_hashes / query_size
-        if threshold > 1.0:
-            raise ValueError("requested threshold_bp is unattainable with this query")
+    A threshold of B basepairs at a given scaled corresponds to B/scaled
+    sketch hashes; as a containment fraction that is (B/scaled)/|query|.
+    Raises if the request is negative or exceeds the whole query.
+    """
+    if not threshold_bp:
+        return 0.0, 0
+    if threshold_bp < 0:
+        raise TypeError("threshold_bp must be non-negative")
+
+    n_threshold_hashes = float(threshold_bp) / scaled
+    threshold = n_threshold_hashes / query_size
+    if threshold > 1.0:
+        raise ValueError("requested threshold_bp is unattainable with this query")
     return threshold, n_threshold_hashes
 
 
@@ -44,103 +88,147 @@ class SearchType(Enum):
     MAX_CONTAINMENT = 3
 
 
-def make_jaccard_search_query(
-    *, do_containment=False, do_max_containment=False, best_only=False, threshold=None
-):
-    "Make a flat search object for Jaccard search & containment."
-    if do_containment and do_max_containment:
-        raise TypeError("'do_containment' and 'do_max_containment' cannot both be True")
-
-    search_cls = JaccardSearchBestOnly if best_only else JaccardSearch
-
-    if do_containment:
-        return search_cls(SearchType.CONTAINMENT, threshold)
-    if do_max_containment:
-        return search_cls(SearchType.MAX_CONTAINMENT, threshold)
-    return search_cls(SearchType.JACCARD, threshold)
-
-
-def make_containment_query(query_mh, threshold_bp, *, best_only=True):
-    "Make a search object for containment, with threshold_bp."
-    if not query_mh:
-        raise ValueError("query is empty!?")
-
-    scaled = query_mh.scaled
-    if not scaled:
-        raise TypeError("query signature must be calculated with scaled")
-
-    threshold, _ = calc_threshold_from_bp(threshold_bp, scaled, len(query_mh))
-
-    cls = JaccardSearchBestOnly if best_only else JaccardSearch
-    return cls(SearchType.CONTAINMENT, threshold=threshold)
-
-
 class JaccardSearch:
-    "Scoring protocol used by Index classes for searching/gathering."
+    """The scoring protocol consulted by Index.find().
+
+    An instance carries a score function (one of the three ``score_*``
+    methods, selected by SearchType), a threshold, and a ``collect`` hook
+    that subclasses may override to prune as matches accumulate.
+    """
+
+    # SearchType -> (score method name, does this search demand scaled sketches)
+    _DISPATCH = {
+        SearchType.JACCARD: ("score_jaccard", False),
+        SearchType.CONTAINMENT: ("score_containment", True),
+        SearchType.MAX_CONTAINMENT: ("score_max_containment", True),
+    }
 
     def __init__(self, search_type, threshold=None):
-        score_fn = None
-        require_scaled = False
-
-        if search_type == SearchType.JACCARD:
-            score_fn = self.score_jaccard
-        elif search_type == SearchType.CONTAINMENT:
-            score_fn = self.score_containment
-            require_scaled = True
-        elif search_type == SearchType.MAX_CONTAINMENT:
-            score_fn = self.score_max_containment
-            require_scaled = True
-        self.score_fn = score_fn
-        self.require_scaled = require_scaled
-
-        if threshold is None:
-            threshold = 0
-        self.threshold = float(threshold)
+        method_name, needs_scaled = self._DISPATCH.get(search_type, (None, False))
+        self.score_fn = getattr(self, method_name) if method_name else None
+        self.require_scaled = needs_scaled
+        self.threshold = float(threshold) if threshold is not None else 0.0
 
     def check_is_compatible(self, sig):
-        "Raise TypeError if this query is incompatible with this search."
-        if self.require_scaled:
-            if not sig.minhash.scaled:
-                raise TypeError("this search requires a scaled signature")
-        if sig.minhash.track_abundance:
+        "Reject query signatures this search cannot score."
+        mh = sig.minhash
+        if self.require_scaled and not mh.scaled:
+            raise TypeError("this search requires a scaled signature")
+        if mh.track_abundance:
             raise TypeError("this search cannot be done with an abund signature")
 
     def passes(self, score):
-        "True if score meets/exceeds threshold (and is nonzero)."
+        "Does a (nonzero) score clear the current threshold?"
         return bool(score and score >= self.threshold)
 
     def collect(self, score, match_sig):
-        "Return True if this match should be collected."
+        "Hook: called for each passing match; return False to drop it."
         return True
 
-    def score_jaccard(self, query_size, shared_size, subject_size, total_size):
-        if total_size == 0:
-            return 0
-        return shared_size / total_size
+    # score functions take (query_size, shared_size, subject_size, union_size)
+    def score_jaccard(self, q_size, shared, s_size, union_size):
+        return shared / union_size if union_size else 0
 
-    def score_containment(self, query_size, shared_size, subject_size, total_size):
-        if query_size == 0:
-            return 0
-        return shared_size / query_size
+    def score_containment(self, q_size, shared, s_size, union_size):
+        return shared / q_size if q_size else 0
 
-    def score_max_containment(self, query_size, shared_size, subject_size, total_size):
-        min_denom = min(query_size, subject_size)
-        if min_denom == 0:
-            return 0
-        return shared_size / min_denom
+    def score_max_containment(self, q_size, shared, s_size, union_size):
+        denom = min(q_size, s_size)
+        return shared / denom if denom else 0
 
 
 class JaccardSearchBestOnly(JaccardSearch):
-    "Best-only variant: ratchets the threshold up to the best score seen."
+    "Variant whose threshold ratchets up to the best score collected so far."
 
     def collect(self, score, match):
         self.threshold = max(self.threshold, score)
         return True
 
 
+def make_jaccard_search_query(
+    *, do_containment=False, do_max_containment=False, best_only=False, threshold=None
+):
+    "Build a JaccardSearch for the requested flat-search flavor."
+    if do_containment and do_max_containment:
+        raise TypeError("'do_containment' and 'do_max_containment' cannot both be True")
+
+    if do_containment:
+        kind = SearchType.CONTAINMENT
+    elif do_max_containment:
+        kind = SearchType.MAX_CONTAINMENT
+    else:
+        kind = SearchType.JACCARD
+
+    factory = JaccardSearchBestOnly if best_only else JaccardSearch
+    return factory(kind, threshold)
+
+
+def make_containment_query(query_mh, threshold_bp, *, best_only=True):
+    "Build a containment search object, converting threshold_bp to a fraction."
+    if not query_mh:
+        raise ValueError("query is empty!?")
+    if not query_mh.scaled:
+        raise TypeError("query signature must be calculated with scaled")
+
+    threshold, _ = calc_threshold_from_bp(threshold_bp, query_mh.scaled, len(query_mh))
+
+    factory = JaccardSearchBestOnly if best_only else JaccardSearch
+    return factory(SearchType.CONTAINMENT, threshold=threshold)
+
+
+# --------------------------------------------------------------------------
+# result rows
+#
+# Each CLI command writes a fixed CSV schema (the parity surface).  The
+# schemas are declared once here; the result dataclasses attach them as the
+# historical ``*_write_cols`` class attributes that downstream code and the
+# reference test-suite key off.
+# --------------------------------------------------------------------------
+
+_ANI_CI_COLUMNS = [
+    "query_containment_ani_low",
+    "query_containment_ani_high",
+    "match_containment_ani_low",
+    "match_containment_ani_high",
+]
+
+_SEARCH_COLUMNS = [
+    "similarity", "md5", "filename", "name",
+    "query_filename", "query_name", "query_md5", "ani",
+]  # fmt: skip
+
+_PREFETCH_COLUMNS = [
+    "intersect_bp", "jaccard", "max_containment", "f_query_match",
+    "f_match_query", "match_filename", "match_name", "match_md5", "match_bp",
+    "query_filename", "query_name", "query_md5", "query_bp", "ksize",
+    "moltype", "scaled", "query_n_hashes", "query_abundance",
+    "query_containment_ani", "match_containment_ani",
+    "average_containment_ani", "max_containment_ani",
+    "potential_false_negative",
+]  # fmt: skip
+
+_GATHER_COLUMNS = [
+    "intersect_bp", "f_orig_query", "f_match", "f_unique_to_query",
+    "f_unique_weighted", "average_abund", "median_abund", "std_abund",
+    "filename", "name", "md5", "f_match_orig", "unique_intersect_bp",
+    "gather_result_rank", "remaining_bp",
+    "query_filename", "query_name", "query_md5", "query_bp", "ksize",
+    "moltype", "scaled", "query_n_hashes", "query_abundance",
+    "query_containment_ani", "match_containment_ani",
+    "average_containment_ani", "max_containment_ani",
+    "potential_false_negative",
+    "n_unique_weighted_found", "sum_weighted_found", "total_weighted_hashes",
+]  # fmt: skip
+
+
 @dataclass
 class BaseResult:
-    "Shared plumbing for search/prefetch/gather result rows."
+    """Common result-row machinery: comparison setup, identity fields, CSV IO.
+
+    Subclasses declare their column schema via ``write_cols`` and populate
+    row attributes in ``__post_init__``; anything named in the schema and
+    non-None is emitted by ``write()`` / ``resultdict``.
+    """
 
     query: SourmashSignature
     match: SourmashSignature
@@ -153,12 +241,15 @@ class BaseResult:
     write_cols: list = None
     potential_false_negative: bool = False
 
+    # -- comparison plumbing ------------------------------------------------
+
     def init_result(self):
         self.mh1 = self.query.minhash
         self.mh2 = self.match.minhash
 
     def build_fracminhashcomparison(self):
-        self.cmp = FracMinHashComparison(
+        "Attach a scaled (FracMinHash) comparison between query and match."
+        cmp = FracMinHashComparison(
             self.mh1,
             self.mh2,
             cmp_scaled=self.cmp_scaled,
@@ -167,57 +258,69 @@ class BaseResult:
             estimate_ani_ci=self.estimate_ani_ci,
             ani_confidence=self.ani_confidence,
         )
-        self.cmp_scaled = self.cmp.cmp_scaled
+        self.cmp = cmp
+        self.cmp_scaled = cmp.cmp_scaled
         self.query_scaled = self.mh1.scaled
         self.match_scaled = self.mh2.scaled
-        self.size_may_be_inaccurate = self.cmp.size_may_be_inaccurate
+        self.size_may_be_inaccurate = cmp.size_may_be_inaccurate
 
     def build_numminhashcomparison(self, cmp_num=None):
-        self.cmp = NumMinHashComparison(
+        "Attach a num-MinHash comparison between query and match."
+        cmp = NumMinHashComparison(
             self.mh1, self.mh2, cmp_num=cmp_num, ignore_abundance=self.ignore_abundance
         )
-        self.cmp_num = self.cmp.cmp_num
+        self.cmp = cmp
+        self.cmp_num = cmp.cmp_num
         self.query_num = self.mh1.num
         self.match_num = self.mh2.num
-        self.size_may_be_inaccurate = self.cmp.size_may_be_inaccurate
+        self.size_may_be_inaccurate = cmp.size_may_be_inaccurate
 
     def get_cmpinfo(self):
-        self.ksize = self.mh1.ksize
-        self.moltype = self.mh1.moltype
-        self.query_name = self.query.name
-        self.query_filename = self.query.filename
-        self.query_md5 = self.query.md5sum()
-        self.match_name = self.match.name
-        self.match_filename = self.match.filename
+        "Copy identity metadata (names, md5s, sizes) onto the row."
+        q, m = self.query, self.match
+        self.ksize, self.moltype = self.mh1.ksize, self.mh1.moltype
+
+        self.query_name, self.query_filename = q.name, q.filename
+        self.query_md5 = q.md5sum()
+        self.query_abundance, self.query_n_hashes = (
+            self.mh1.track_abundance,
+            len(self.mh1),
+        )
+
+        self.match_name, self.match_filename = m.name, m.filename
+        self.match_md5 = m.md5sum()
+        self.match_abundance, self.match_n_hashes = (
+            self.mh2.track_abundance,
+            len(self.mh2),
+        )
+
+        # aliases used by the search CSV schema
+        self.md5, self.name = self.match_md5, self.match_name
         if self.filename is None and self.match_filename is not None:
             self.filename = self.match_filename
-        self.match_md5 = self.match.md5sum()
-        self.md5 = self.match_md5
-        self.name = self.match_name
-        self.query_abundance = self.mh1.track_abundance
-        self.match_abundance = self.mh2.track_abundance
-        self.query_n_hashes = len(self.mh1)
-        self.match_n_hashes = len(self.mh2)
 
     @property
     def pass_threshold(self):
         return self.cmp.pass_threshold
 
-    def shorten_md5(self, md5):
+    # -- CSV emission ---------------------------------------------------------
+
+    @staticmethod
+    def shorten_md5(md5):
         return md5[:8]
 
+    def prep_result(self):
+        "Final per-row touch-ups before serialization (md5 shortening etc)."
+        self.query_md5 = self.shorten_md5(self.query_md5)
+
     def to_write(self, columns=[]):
-        return {
-            k: v for k, v in self.__dict__.items() if k in columns and v is not None
-        }
+        vals = self.__dict__
+        return {c: vals[c] for c in vals if c in columns and vals[c] is not None}
 
     def init_dictwriter(self, csv_handle):
         w = csv.DictWriter(csv_handle, fieldnames=self.write_cols)
         w.writeheader()
         return w
-
-    def prep_result(self):
-        self.query_md5 = self.shorten_md5(self.query_md5)
 
     def write(self, w):
         self.prep_result()
@@ -231,154 +334,119 @@ class BaseResult:
 
 @dataclass
 class SearchResult(BaseResult):
-    "Result row for `sourmash search` (CSV columns: search_write_cols)."
+    "One `sourmash search` hit: similarity plus (optionally) search-type ANI."
 
     similarity: float = None
     cmp_num: int = None
     searchtype: SearchType = None
 
-    search_write_cols = [
-        "similarity",
-        "md5",
-        "filename",
-        "name",
-        "query_filename",
-        "query_name",
-        "query_md5",
-        "ani",
-    ]
-
+    search_write_cols = _SEARCH_COLUMNS
     ci_cols = ["ani_low", "ani_high"]
-
-    search_write_cols_ci = search_write_cols + ci_cols
-
-    def init_sigcomparison(self):
-        self.init_result()
-        if any([self.mh1.scaled, self.mh2.scaled]):
-            self.build_fracminhashcomparison()
-        elif any([self.mh1.num, self.mh2.num]):
-            self.build_numminhashcomparison(cmp_num=self.cmp_num)
-        self.get_cmpinfo()
+    search_write_cols_ci = _SEARCH_COLUMNS + ci_cols
 
     def __post_init__(self):
         self.init_sigcomparison()
         self.check_similarity()
         if self.cmp_scaled is not None and self.searchtype is not None:
             self.estimate_search_ani()
-        self.write_cols = self.search_write_cols
-        if self.estimate_ani_ci:
-            self.write_cols = self.search_write_cols_ci
+        self.write_cols = (
+            self.search_write_cols_ci if self.estimate_ani_ci else self.search_write_cols
+        )
+
+    def init_sigcomparison(self):
+        self.init_result()
+        if self.mh1.scaled or self.mh2.scaled:
+            self.build_fracminhashcomparison()
+        elif self.mh1.num or self.mh2.num:
+            self.build_numminhashcomparison(cmp_num=self.cmp_num)
+        self.get_cmpinfo()
 
     def check_similarity(self):
         if self.similarity is None:
             raise ValueError("Error: Must provide 'similarity' for SearchResult.")
 
     def estimate_search_ani(self):
+        "Fill the `ani` column according to the search type used."
         if self.cmp_scaled is None:
             raise TypeError("Error: ANI can only be estimated from scaled signatures.")
+        cmp = self.cmp
         if self.searchtype == SearchType.CONTAINMENT:
-            self.cmp.estimate_ani_from_mh1_containment_in_mh2(
-                containment=self.similarity
-            )
-            self.ani = self.cmp.ani_from_mh1_containment_in_mh2
+            cmp.estimate_ani_from_mh1_containment_in_mh2(containment=self.similarity)
+            self.ani = cmp.ani_from_mh1_containment_in_mh2
             if self.estimate_ani_ci:
-                self.ani_low = self.cmp.ani_from_mh1_containment_in_mh2_low
-                self.ani_high = self.cmp.ani_from_mh1_containment_in_mh2_high
+                self.ani_low = cmp.ani_from_mh1_containment_in_mh2_low
+                self.ani_high = cmp.ani_from_mh1_containment_in_mh2_high
         elif self.searchtype == SearchType.MAX_CONTAINMENT:
-            self.cmp.estimate_max_containment_ani()
-            self.ani = self.cmp.max_containment_ani
+            cmp.estimate_max_containment_ani()
+            self.ani = cmp.max_containment_ani
             if self.estimate_ani_ci:
-                self.ani_low = self.cmp.max_containment_ani_low
-                self.ani_high = self.cmp.max_containment_ani_high
+                self.ani_low = cmp.max_containment_ani_low
+                self.ani_high = cmp.max_containment_ani_high
         elif self.searchtype == SearchType.JACCARD:
-            self.cmp.estimate_jaccard_ani(jaccard=self.similarity)
-            self.jaccard_ani_untrustworthy = self.cmp.jaccard_ani_untrustworthy
-            self.ani = self.cmp.jaccard_ani
-        self.potential_false_negative = self.cmp.potential_false_negative
+            cmp.estimate_jaccard_ani(jaccard=self.similarity)
+            self.jaccard_ani_untrustworthy = cmp.jaccard_ani_untrustworthy
+            self.ani = cmp.jaccard_ani
+        self.potential_false_negative = cmp.potential_false_negative
 
 
 @dataclass
 class PrefetchResult(BaseResult):
-    "Result row for `sourmash prefetch` (CSV columns: prefetch_write_cols)."
+    "One `sourmash prefetch` hit: containments both ways + all-ANI block."
 
-    prefetch_write_cols = [
-        "intersect_bp",
-        "jaccard",
-        "max_containment",
-        "f_query_match",
-        "f_match_query",
-        "match_filename",
-        "match_name",
-        "match_md5",
-        "match_bp",
-        "query_filename",
-        "query_name",
-        "query_md5",
-        "query_bp",
-        "ksize",
-        "moltype",
-        "scaled",
-        "query_n_hashes",
-        "query_abundance",
-        "query_containment_ani",
-        "match_containment_ani",
-        "average_containment_ani",
-        "max_containment_ani",
-        "potential_false_negative",
-    ]
-
-    ci_cols = [
-        "query_containment_ani_low",
-        "query_containment_ani_high",
-        "match_containment_ani_low",
-        "match_containment_ani_high",
-    ]
-
-    prefetch_write_cols_ci = prefetch_write_cols + ci_cols
-
-    def init_sigcomparison(self):
-        self.init_result()
-        if all([self.mh1.scaled, self.mh2.scaled]):
-            self.build_fracminhashcomparison()
-        else:
-            raise TypeError(
-                "Error: prefetch and gather results must be between scaled signatures."
-            )
-        self.get_cmpinfo()
-        self.intersect_bp = self.cmp.total_unique_intersect_hashes
-        self.max_containment = self.cmp.max_containment
-        self.query_bp = self.mh1.unique_dataset_hashes
-        self.match_bp = self.mh2.unique_dataset_hashes
-        self.threshold = self.threshold_bp
-        self.estimate_containment_ani()
-
-    def estimate_containment_ani(self):
-        self.cmp.estimate_all_containment_ani()
-        self.query_containment_ani = self.cmp.ani_from_mh1_containment_in_mh2
-        self.match_containment_ani = self.cmp.ani_from_mh2_containment_in_mh1
-        self.average_containment_ani = self.cmp.avg_containment_ani
-        self.max_containment_ani = self.cmp.max_containment_ani
-        self.potential_false_negative = self.cmp.potential_false_negative
-        if self.estimate_ani_ci:
-            self.handle_ani_ci()
-
-    def handle_ani_ci(self):
-        self.query_containment_ani_low = self.cmp.ani_from_mh1_containment_in_mh2_low
-        self.query_containment_ani_high = self.cmp.ani_from_mh1_containment_in_mh2_high
-        self.match_containment_ani_low = self.cmp.ani_from_mh2_containment_in_mh1_low
-        self.match_containment_ani_high = self.cmp.ani_from_mh2_containment_in_mh1_high
-
-    def build_prefetch_result(self):
-        self.jaccard = self.cmp.jaccard
-        self.f_query_match = self.cmp.mh2_containment_in_mh1
-        self.f_match_query = self.cmp.mh1_containment_in_mh2
-        self.write_cols = self.prefetch_write_cols
-        if self.estimate_ani_ci:
-            self.write_cols = self.prefetch_write_cols_ci
+    prefetch_write_cols = _PREFETCH_COLUMNS
+    ci_cols = _ANI_CI_COLUMNS
+    prefetch_write_cols_ci = _PREFETCH_COLUMNS + _ANI_CI_COLUMNS
 
     def __post_init__(self):
         self.init_sigcomparison()
         self.build_prefetch_result()
+
+    def init_sigcomparison(self):
+        self.init_result()
+        if not (self.mh1.scaled and self.mh2.scaled):
+            raise TypeError(
+                "Error: prefetch and gather results must be between scaled signatures."
+            )
+        self.build_fracminhashcomparison()
+        self.get_cmpinfo()
+        cmp = self.cmp
+        self.intersect_bp = cmp.total_unique_intersect_hashes
+        self.max_containment = cmp.max_containment
+        self.query_bp, self.match_bp = (
+            self.mh1.unique_dataset_hashes,
+            self.mh2.unique_dataset_hashes,
+        )
+        self.threshold = self.threshold_bp
+        self.estimate_containment_ani()
+
+    def estimate_containment_ani(self):
+        cmp = self.cmp
+        cmp.estimate_all_containment_ani()
+        self.query_containment_ani = cmp.ani_from_mh1_containment_in_mh2
+        self.match_containment_ani = cmp.ani_from_mh2_containment_in_mh1
+        self.average_containment_ani = cmp.avg_containment_ani
+        self.max_containment_ani = cmp.max_containment_ani
+        self.potential_false_negative = cmp.potential_false_negative
+        if self.estimate_ani_ci:
+            self.handle_ani_ci()
+
+    def handle_ani_ci(self):
+        cmp = self.cmp
+        self.query_containment_ani_low = cmp.ani_from_mh1_containment_in_mh2_low
+        self.query_containment_ani_high = cmp.ani_from_mh1_containment_in_mh2_high
+        self.match_containment_ani_low = cmp.ani_from_mh2_containment_in_mh1_low
+        self.match_containment_ani_high = cmp.ani_from_mh2_containment_in_mh1_high
+
+    def build_prefetch_result(self):
+        cmp = self.cmp
+        self.jaccard = cmp.jaccard
+        self.f_query_match = cmp.mh2_containment_in_mh1
+        self.f_match_query = cmp.mh1_containment_in_mh2
+        self.write_cols = (
+            self.prefetch_write_cols_ci
+            if self.estimate_ani_ci
+            else self.prefetch_write_cols
+        )
 
     def prep_prefetch_result(self):
         self.scaled = self.cmp_scaled
@@ -397,7 +465,14 @@ class PrefetchResult(BaseResult):
 
 @dataclass
 class GatherResult(PrefetchResult):
-    "Result row for `sourmash gather` (CSV columns: gather_write_cols)."
+    """One gather round's result row.
+
+    Inherits the prefetch comparison (orig query vs match) and layers on the
+    round-specific stats: containments relative to the *remaining* query
+    (``gather_querymh``), abundance-weighted uniqueness, and the running
+    rank/remaining-bp bookkeeping.  Semantics follow the reference's
+    calculate_gather_stats (src/core/src/index/mod.rs:210-353).
+    """
 
     gather_querymh: MinHash = None
     gather_result_rank: int = None
@@ -407,127 +482,75 @@ class GatherResult(PrefetchResult):
     total_weighted_hashes: int = None
     noident_len: int = 0
 
-    gather_write_cols = [
-        "intersect_bp",
-        "f_orig_query",
-        "f_match",
-        "f_unique_to_query",
-        "f_unique_weighted",
-        "average_abund",
-        "median_abund",
-        "std_abund",
-        "filename",
-        "name",
-        "md5",
-        "f_match_orig",
-        "unique_intersect_bp",
-        "gather_result_rank",
-        "remaining_bp",
-        "query_filename",
-        "query_name",
-        "query_md5",
-        "query_bp",
-        "ksize",
-        "moltype",
-        "scaled",
-        "query_n_hashes",
-        "query_abundance",
-        "query_containment_ani",
-        "match_containment_ani",
-        "average_containment_ani",
-        "max_containment_ani",
-        "potential_false_negative",
-        "n_unique_weighted_found",
-        "sum_weighted_found",
-        "total_weighted_hashes",
-    ]
+    gather_write_cols = _GATHER_COLUMNS
+    ci_cols = _ANI_CI_COLUMNS
+    gather_write_cols_ci = _GATHER_COLUMNS + _ANI_CI_COLUMNS
 
-    ci_cols = [
-        "query_containment_ani_low",
-        "query_containment_ani_high",
-        "match_containment_ani_low",
-        "match_containment_ani_high",
-    ]
-
-    gather_write_cols_ci = gather_write_cols + ci_cols
-
-    def init_gathersketchcomparison(self):
-        # remaining gather hashes vs match, at cmp_scaled, flat.
-        self.gather_comparison = FracMinHashComparison(
-            self.gather_querymh, self.match.minhash.flatten()
-        )
-
-    def check_gatherresult_input(self):
-        if self.cmp_scaled is None:
-            raise ValueError(
-                "Error: must provide comparison scaled value ('cmp_scaled') for GatherResult"
-            )
-        if self.gather_querymh is None:
-            raise ValueError(
-                "Error: must provide current gather sketch (remaining hashes) for GatherResult"
-            )
-        if self.gather_result_rank is None:
-            raise ValueError("Error: must provide 'gather_result_rank' to GatherResult")
-        if not self.total_weighted_hashes:
-            raise ValueError(
-                "Error: must provide sum of all abundances ('total_weighted_hashes') to GatherResult"
-            )
-        if not self.orig_query_abunds:
-            raise ValueError(
-                "Error: must provide original query abundances ('orig_query_abunds') to GatherResult"
-            )
-
-    def build_gather_result(self):
-        # the 'query' passed into gather is all _matched_ hashes (noident_mh
-        # subtracted); use orig_query_len/abunds for whole-query stats.
-        self.query_bp = self.orig_query_len * self.query.minhash.scaled
-        self.query_n_hashes = self.orig_query_len
-
-        self.unique_intersect_bp = self.gather_comparison.total_unique_intersect_hashes
-        self.f_match_orig = self.cmp.mh2_containment_in_mh1
-        self.f_match = self.gather_comparison.mh2_containment_in_mh1
-        self.f_orig_query = len(self.cmp.intersect_mh) / self.orig_query_len
-        self.f_unique_to_query = (
-            len(self.gather_comparison.intersect_mh) / self.orig_query_len
-        )
-
-        self.remaining_bp = (
-            self.noident_len
-            + self.gather_comparison.mh1_cmp.unique_dataset_hashes
-            - self.gather_comparison.total_unique_intersect_hashes
-        )
-
-        self.average_abund, self.median_abund, self.std_abund = None, None, None
-        if not self.ignore_abundance:
-            self.query_weighted_unique_intersection = (
-                self.gather_comparison.weighted_intersection(
-                    from_abundD=self.orig_query_abunds
-                )
-            )
-            self.average_abund = self.query_weighted_unique_intersection.mean_abundance
-            self.median_abund = self.query_weighted_unique_intersection.median_abundance
-            self.std_abund = self.query_weighted_unique_intersection.std_abundance
-            self.query_abundance = (
-                self.query_weighted_unique_intersection.track_abundance
-            )
-            self.n_unique_weighted_found = (
-                self.query_weighted_unique_intersection.sum_abundances
-            )
-            self.f_unique_weighted = (
-                self.n_unique_weighted_found / self.total_weighted_hashes
-            )
-        else:
-            self.f_unique_weighted = self.f_unique_to_query
-            self.query_abundance = False
+    _REQUIRED = [
+        ("cmp_scaled", "must provide comparison scaled value ('cmp_scaled') for GatherResult"),
+        ("gather_querymh", "must provide current gather sketch (remaining hashes) for GatherResult"),
+        ("gather_result_rank", "must provide 'gather_result_rank' to GatherResult"),
+        ("total_weighted_hashes", "must provide sum of all abundances ('total_weighted_hashes') to GatherResult"),
+        ("orig_query_abunds", "must provide original query abundances ('orig_query_abunds') to GatherResult"),
+    ]  # fmt: skip
 
     def __post_init__(self):
         self.check_gatherresult_input()
         self.init_sigcomparison()
         self.init_gathersketchcomparison()
         self.build_gather_result()
-        self.write_cols = self.gather_write_cols
-        if self.estimate_ani_ci:
-            self.write_cols = self.gather_write_cols_ci
+        self.write_cols = (
+            self.gather_write_cols_ci if self.estimate_ani_ci else self.gather_write_cols
+        )
+
+    def check_gatherresult_input(self):
+        for i, (attr, msg) in enumerate(self._REQUIRED):
+            value = getattr(self, attr)
+            # the first three must merely be present; the last two must be truthy
+            missing = value is None if i < 3 else not value
+            if missing:
+                raise ValueError(f"Error: {msg}")
+
+    def init_gathersketchcomparison(self):
+        "Compare the remaining query hashes against the (flattened) match."
+        self.gather_comparison = FracMinHashComparison(
+            self.gather_querymh, self.match.minhash.flatten()
+        )
+
+    def build_gather_result(self):
+        # `query` as passed to gather holds only identified hashes; whole-query
+        # stats therefore come from orig_query_len / orig_query_abunds.
+        gcmp, n_orig = self.gather_comparison, self.orig_query_len
+        self.query_bp = n_orig * self.query.minhash.scaled
+        self.query_n_hashes = n_orig
+
+        self.unique_intersect_bp = gcmp.total_unique_intersect_hashes
+        self.f_match_orig = self.cmp.mh2_containment_in_mh1
+        self.f_match = gcmp.mh2_containment_in_mh1
+        self.f_orig_query = len(self.cmp.intersect_mh) / n_orig
+        self.f_unique_to_query = len(gcmp.intersect_mh) / n_orig
+
+        self.remaining_bp = (
+            self.noident_len
+            + gcmp.mh1_cmp.unique_dataset_hashes
+            - gcmp.total_unique_intersect_hashes
+        )
+
+        self.average_abund = self.median_abund = self.std_abund = None
+        if self.ignore_abundance:
+            self.f_unique_weighted = self.f_unique_to_query
+            self.query_abundance = False
+        else:
+            weighted = gcmp.weighted_intersection(from_abundD=self.orig_query_abunds)
+            self.query_weighted_unique_intersection = weighted
+            self.average_abund = weighted.mean_abundance
+            self.median_abund = weighted.median_abundance
+            self.std_abund = weighted.std_abundance
+            self.query_abundance = weighted.track_abundance
+            self.n_unique_weighted_found = weighted.sum_abundances
+            self.f_unique_weighted = (
+                self.n_unique_weighted_found / self.total_weighted_hashes
+            )
 
     def prep_gather_result(self):
         self.scaled = self.cmp_scaled
@@ -543,54 +566,58 @@ class GatherResult(PrefetchResult):
 
     @property
     def prefetchresultdict(self):
-        prefetch_cols = self.prefetch_write_cols
-        if self.estimate_ani_ci:
-            prefetch_cols = self.prefetch_write_cols_ci
-        self.jaccard = self.cmp.jaccard
-        self.f_query_match = self.cmp.mh2_containment_in_mh1
-        self.f_match_query = self.cmp.mh1_containment_in_mh2
+        "Render this gather row under the prefetch schema (for multigather)."
+        cols = (
+            self.prefetch_write_cols_ci
+            if self.estimate_ani_ci
+            else self.prefetch_write_cols
+        )
+        cmp = self.cmp
+        self.jaccard = cmp.jaccard
+        self.f_query_match = cmp.mh2_containment_in_mh1
+        self.f_match_query = cmp.mh1_containment_in_mh2
         self.prep_prefetch_result()
-        return self.to_write(columns=prefetch_cols)
+        return self.to_write(columns=cols)
 
 
-def format_bp(bp):
-    "Pretty-print bp information."
-    bp = float(bp)
-    if bp < 500:
-        return f"{bp:.0f} bp"
-    elif bp <= 500e3:
-        return f"{round(bp / 1e3, 1):.1f} kbp"
-    elif bp < 500e6:
-        return f"{round(bp / 1e6, 1):.1f} Mbp"
-    elif bp < 500e9:
-        return f"{round(bp / 1e9, 1):.1f} Gbp"
-    return "???"
+# --------------------------------------------------------------------------
+# database-level search drivers
+# --------------------------------------------------------------------------
+
+
+def _dedup_and_rank(hits):
+    "Drop duplicate matches (by md5), then order by descending score."
+    unique = []
+    seen = set()
+    for score, match, filename in hits:
+        key = match.md5sum()
+        if key in seen:
+            continue
+        seen.add(key)
+        unique.append((score, match, filename))
+    unique.sort(key=lambda tup: -tup[0])
+    return unique
 
 
 def search_databases_with_flat_query(query, databases, **kwargs):
-    "Search databases with a flat query; return sorted SearchResult list."
-    results = []
-    found_md5 = set()
+    "Run a flat (non-abundance) search over databases; return SearchResults."
 
-    for db in databases:
-        for score, match, filename in db.search(query, **kwargs):
-            md5 = match.md5sum()
-            if md5 not in found_md5:
-                results.append((score, match, filename))
-                found_md5.add(md5)
+    def all_hits():
+        for db in databases:
+            yield from db.search(query, **kwargs)
 
-    results.sort(key=lambda x: -x[0])
+    ranked = _dedup_and_rank(all_hits())
 
-    estimate_ani_ci = False
-    search_type = SearchType.JACCARD
+    # ANI is only defined for the scaled search types; CI only when asked.
     if kwargs.get("do_containment"):
-        search_type = SearchType.CONTAINMENT
-        if kwargs.get("estimate_ani_ci"):
-            estimate_ani_ci = True
+        searchtype = SearchType.CONTAINMENT
     elif kwargs.get("do_max_containment"):
-        search_type = SearchType.MAX_CONTAINMENT
-        if kwargs.get("estimate_ani_ci"):
-            estimate_ani_ci = True
+        searchtype = SearchType.MAX_CONTAINMENT
+    else:
+        searchtype = SearchType.JACCARD
+    want_ci = bool(
+        searchtype is not SearchType.JACCARD and kwargs.get("estimate_ani_ci")
+    )
 
     return [
         SearchResult(
@@ -598,63 +625,60 @@ def search_databases_with_flat_query(query, databases, **kwargs):
             match,
             similarity=score,
             filename=filename,
-            searchtype=search_type,
-            estimate_ani_ci=estimate_ani_ci,
+            searchtype=searchtype,
+            estimate_ani_ci=want_ci,
         )
-        for score, match, filename in results
+        for score, match, filename in ranked
     ]
 
 
 def search_databases_with_abund_query(query, databases, **kwargs):
-    "Search databases with an abundance query (angular similarity)."
-    results = []
-    found_md5 = set()
-
+    "Run an angular-similarity search (abund query) over databases."
     if kwargs.get("do_containment") or kwargs.get("do_max_containment"):
         raise TypeError("containment searches cannot be done with abund sketches")
 
-    for db in databases:
-        for score, match, filename in db.search_abund(query, **kwargs):
-            md5 = match.md5sum()
-            if md5 not in found_md5:
-                results.append((score, match, filename))
-                found_md5.add(md5)
-
-    results.sort(key=lambda x: -x[0])
+    def all_hits():
+        for db in databases:
+            yield from db.search_abund(query, **kwargs)
 
     return [
         SearchResult(query, match, similarity=score, filename=filename)
-        for score, match, filename in results
+        for score, match, filename in _dedup_and_rank(all_hits())
     ]
 
 
-###
-### gather
-###
+def prefetch_database(query, database, threshold_bp, *, estimate_ani_ci=False):
+    "Yield a PrefetchResult for every db match above threshold_bp."
+    assert query.minhash.scaled
+    for hit in database.prefetch(query, threshold_bp):
+        row = PrefetchResult(
+            query,
+            hit.signature,
+            threshold_bp=threshold_bp,
+            estimate_ani_ci=estimate_ani_ci,
+        )
+        assert row.pass_threshold
+        yield row
 
 
-def _find_best(counters, query, threshold_bp):
-    "Find the single best containment match across counters."
-    best_result = None
-    best_intersect_mh = None
-
-    for counter in counters:
-        result = counter.peek(query.minhash, threshold_bp=threshold_bp)
-        if result:
-            (sr, intersect_mh) = result
-            if best_result is None or sr.score > best_result.score:
-                best_result = sr
-                best_intersect_mh = intersect_mh
-
-    if best_result:
-        for counter in counters:
-            counter.consume(best_intersect_mh)
-        return best_result, best_intersect_mh
-    return None, None
+# --------------------------------------------------------------------------
+# gather: the greedy min-set-cover loop
+# --------------------------------------------------------------------------
 
 
 class GatherDatabases:
-    "Iterator object for doing gather/min-set-cov."
+    """Iterator yielding GatherResult rows for a greedy gather decomposition.
+
+    Each ``next()`` performs one round: ask every counter for its best
+    remaining containment match (``peek``), commit the winner
+    (``consume`` on all counters), subtract the found hashes from the
+    working query, and assemble the stat row.  The comparison scaled
+    ratchets up whenever a match was sketched coarser than the query.
+
+    Hashes with no database match at all can be pre-partitioned out by the
+    caller (``noident_mh``/``ident_mh``) so per-round stats still account
+    for them in remaining-bp and the weighted totals.
+    """
 
     def __init__(
         self,
@@ -667,154 +691,139 @@ class GatherDatabases:
         ident_mh=None,
         estimate_ani_ci=False,
     ):
-        track_abundance = query.minhash.track_abundance and not ignore_abundance
         self.orig_query = query
         self.orig_query_bp = query.minhash.unique_dataset_hashes
         self.orig_query_filename = query.filename
         self.orig_query_name = query.name
         self.orig_query_md5 = query.md5sum()[:8]
 
-        query_mh = query.minhash
-        query_hashes = query_mh.hashes
-        if track_abundance:
-            orig_query_abunds = query_hashes
-        else:
-            orig_query_abunds = {k: 1 for k in query_hashes}
+        use_abund = query.minhash.track_abundance and not ignore_abundance
+        self.track_abundance = use_abund
 
+        # abundance lookup for every original hash (1s when flat)
+        hashes = query.minhash.hashes
+        self.orig_query_abunds = (
+            hashes if use_abund else {h: 1 for h in hashes}
+        )
+
+        # split the query into identified / unidentified parts
         if noident_mh is None:
-            noident_mh = query_mh.copy_and_clear()
+            noident_mh = query.minhash.copy_and_clear()
         self.noident_mh = noident_mh.to_frozen()
 
-        if ident_mh is None:
-            query_mh = query_mh.to_mutable()
-            query_mh.remove_many(noident_mh)
+        if ident_mh is not None:
+            working_mh = ident_mh.to_mutable()
         else:
-            query_mh = ident_mh.to_mutable()
+            working_mh = query.minhash.to_mutable()
+            working_mh.remove_many(noident_mh)
 
-        orig_query_mh = query_mh.flatten()
+        self.orig_query_mh = working_mh.flatten()
 
-        query = query.to_mutable()
-        query.minhash = orig_query_mh
+        working_query = query.to_mutable()
+        working_query.minhash = self.orig_query_mh
+        self.query = working_query
 
-        cmp_scaled = query.minhash.scaled
-
-        self.result_n = 0
-        self.query = query
         self.counters = counters
         self.threshold_bp = threshold_bp
-
-        self.track_abundance = track_abundance
-        self.orig_query_mh = orig_query_mh
-        self.orig_query_abunds = orig_query_abunds
+        self.estimate_ani_ci = estimate_ani_ci
+        self.result_n = 0
 
         self.cmp_scaled = 0
-        self._update_scaled(cmp_scaled)
+        self._update_scaled(working_query.minhash.scaled)
 
-        self.estimate_ani_ci = estimate_ani_ci
+    # -- scaled ratcheting ---------------------------------------------------
 
     def _update_scaled(self, scaled):
-        "Ratchet the comparison scaled up to the max seen so far."
-        max_scaled = max(self.cmp_scaled, scaled)
-        if self.cmp_scaled != max_scaled:
-            self.cmp_scaled = max_scaled
+        "Raise cmp_scaled to `scaled` if larger; re-derive weighted totals."
+        new_scaled = max(self.cmp_scaled, scaled)
+        if new_scaled != self.cmp_scaled:
+            self.cmp_scaled = new_scaled
 
             self.orig_query_mh = self.orig_query_mh.downsample(scaled=scaled)
             self.noident_mh = self.noident_mh.downsample(scaled=scaled)
 
-            orig_query_abunds = self.orig_query_abunds
+            abunds = self.orig_query_abunds
             self.noident_query_sum_abunds = sum(
-                orig_query_abunds[k] for k in self.noident_mh.hashes
+                abunds[h] for h in self.noident_mh.hashes
             )
-            self.total_weighted_hashes = sum(
-                orig_query_abunds[k] for k in self.orig_query_mh.hashes
+            self.total_weighted_hashes = (
+                sum(abunds[h] for h in self.orig_query_mh.hashes)
+                + self.noident_query_sum_abunds
             )
-            self.total_weighted_hashes += self.noident_query_sum_abunds
-
-        return max_scaled
+        return new_scaled
 
     @property
     def scaled(self):
         return self.cmp_scaled
+
+    # -- per-round selection ---------------------------------------------------
+
+    def _select_best(self):
+        "One device round: peek all counters, consume the global winner."
+        winner = None
+        winner_isect = None
+        for counter in self.counters:
+            peeked = counter.peek(self.query.minhash, threshold_bp=self.threshold_bp)
+            if peeked:
+                sr, isect_mh = peeked
+                if winner is None or sr.score > winner.score:
+                    winner, winner_isect = sr, isect_mh
+
+        if winner is None:
+            return None, None
+        for counter in self.counters:
+            counter.consume(winner_isect)
+        return winner, winner_isect
 
     def __iter__(self):
         return self
 
     def __next__(self):
         query = self.query
-        if not self.query.minhash:
+        if not query.minhash:
             raise StopIteration
 
-        counters = self.counters
-        threshold_bp = self.threshold_bp
-        orig_query_abunds = self.orig_query_abunds
-
-        best_result, intersect_mh = _find_best(counters, query, threshold_bp)
-        if not best_result:
+        best, _ = self._select_best()
+        if best is None:
             raise StopIteration
 
-        best_match = best_result.signature
-        filename = best_result.location
-
+        best_match = best.signature
         match_scaled = best_match.minhash.scaled
         assert match_scaled
-
         scaled = self._update_scaled(match_scaled)
 
-        orig_query_mh = self.orig_query_mh
-        total_weighted_hashes = self.total_weighted_hashes
-        noident_mh = self.noident_mh
-        orig_query_len = len(orig_query_mh) + len(noident_mh)
+        orig_query_len = len(self.orig_query_mh) + len(self.noident_mh)
 
-        query_mh = query.minhash.downsample(scaled=scaled)
+        # subtract the found hashes to form next round's query
+        cur_mh = query.minhash.downsample(scaled=scaled)
         found_mh = best_match.minhash.downsample(scaled=scaled).flatten()
+        next_mh = cur_mh.to_mutable()
+        next_mh.remove_many(found_mh)
 
-        new_query_mh = query_mh.to_mutable()
-        new_query_mh.remove_many(found_mh)
-        new_query = SourmashSignature(new_query_mh)
+        # weighted-found bookkeeping: total minus what remains (incl. noident)
+        abunds = self.orig_query_abunds
+        n_weighted_missed = self.noident_query_sum_abunds + sum(
+            abunds[h] for h in set(next_mh.hashes)
+        )
+        sum_weighted_found = self.total_weighted_hashes - n_weighted_missed
 
-        query_hashes = set(new_query_mh.hashes)
-        n_weighted_missed = sum(orig_query_abunds[k] for k in query_hashes)
-        n_weighted_missed += self.noident_query_sum_abunds
-        sum_weighted_found = total_weighted_hashes - n_weighted_missed
-
-        result = GatherResult(
+        row = GatherResult(
             self.orig_query,
             best_match,
             cmp_scaled=scaled,
-            filename=filename,
+            filename=best.location,
             gather_result_rank=self.result_n,
             gather_querymh=query.minhash,
             ignore_abundance=not self.track_abundance,
-            threshold_bp=threshold_bp,
+            threshold_bp=self.threshold_bp,
             orig_query_len=orig_query_len,
-            orig_query_abunds=self.orig_query_abunds,
+            orig_query_abunds=abunds,
             estimate_ani_ci=self.estimate_ani_ci,
             sum_weighted_found=sum_weighted_found,
-            total_weighted_hashes=total_weighted_hashes,
+            total_weighted_hashes=self.total_weighted_hashes,
             noident_len=len(self.noident_mh) * self.noident_mh.scaled,
         )
 
         self.result_n += 1
-        self.query = new_query
-
-        return result
-
-
-###
-### prefetch
-###
-
-
-def prefetch_database(query, database, threshold_bp, *, estimate_ani_ci=False):
-    "Find all matches to query >= threshold_bp in database; yield results."
-    scaled = query.minhash.scaled
-    assert scaled
-    for result in database.prefetch(query, threshold_bp):
-        result = PrefetchResult(
-            query,
-            result.signature,
-            threshold_bp=threshold_bp,
-            estimate_ani_ci=estimate_ani_ci,
-        )
-        assert result.pass_threshold
-        yield result
+        self.query = SourmashSignature(next_mh)
+        return row
