@@ -1,9 +1,15 @@
-"""Jaccard/containment → evolutionary distance (ANI) estimation.
+"""k-mer statistics → evolutionary distance (ANI) estimation.
 
-Implements the mutation-rate interval model of Blanca et al. / the
-KoslickiLab mutation-rate-ci-calculator (doi:10.1101/2022.01.11.475870), with
-API parity to reference `src/sourmash/distance_utils.py` (ANIResult:44,
-containment_to_distance:258, jaccard_to_distance:349).
+Point estimates invert the expected containment/jaccard of two sequences at
+per-base mutation rate r: E[containment] = (1-r)^k.  Confidence intervals
+come from the variance model of Blanca et al. (the KoslickiLab
+mutation-rate-ci-calculator, doi:10.1101/2022.01.11.475870), solved with
+Brent's method.  Also here: the probability-of-sharing-nothing check used to
+flag potential false negatives, and sketch-size accuracy bounds.
+
+API parity target: reference ``src/sourmash/distance_utils.py``
+(ANIResult:44, containment_to_distance:258, jaccard_to_distance:349) and the
+Rust twin ``src/core/src/ani_utils.rs``.
 """
 
 from __future__ import annotations
@@ -17,6 +23,112 @@ from scipy.stats import norm as _norm
 
 from .logging import notify
 
+# ---------------------------------------------------------------------------
+# mutation-model primitives
+# ---------------------------------------------------------------------------
+
+
+def r1_to_q(k, r1):
+    "Probability q that a k-mer contains >=1 mutation at per-base rate r1."
+    return float(1 - (1 - float(r1)) ** k)
+
+
+def exp_n_mutated(L, k, r1):
+    "Expected count of mutated k-mers among L."
+    return L * r1_to_q(k, r1)
+
+
+def var_n_mutated(L, k, r1, *, q=None):
+    "Variance of the mutated-k-mer count (Blanca et al.)."
+    if r1 == 0:
+        return 0.0
+    r1 = float(r1)
+    if q is None:
+        q = r1_to_q(k, r1)
+
+    term_linear = L * (1 - q) * (q * (2 * k + (2 / r1) - 1) - 2 * k)
+    term_pairs = k * (k - 1) * (1 - q) ** 2
+    term_tail = (2 * (1 - q) / (r1**2)) * ((1 + (k - 1) * (1 - q)) * r1 - q)
+
+    variance = term_linear + term_pairs + term_tail
+    if variance < 0.0:
+        raise ValueError("Error: varN <0.0!")
+    return float(variance)
+
+
+def exp_n_mutated_squared(L, k, p):
+    "E[N_mut^2] = Var + E^2."
+    return var_n_mutated(L, k, p) + exp_n_mutated(L, k, p) ** 2
+
+
+def probit(p):
+    return _norm.ppf(p)
+
+
+def handle_seqlen_nkmers(ksize, *, sequence_len_bp=None, n_unique_kmers=None):
+    "Resolve the k-mer count: given directly, or derived from sequence length."
+    if n_unique_kmers is not None:
+        return n_unique_kmers
+    if sequence_len_bp is None:
+        raise ValueError(
+            "Error: distance estimation requires input of either 'sequence_len_bp' or 'n_unique_kmers'"
+        )
+    return sequence_len_bp - (ksize - 1)
+
+
+# ---------------------------------------------------------------------------
+# sketch-size accuracy + false-negative probability
+# ---------------------------------------------------------------------------
+
+
+def set_size_chernoff(set_size, scaled, *, relative_error=0.05):
+    "Chernoff lower bound on P(|estimate - truth| <= rel_err) (deprecated)."
+    return 1 - 2 * exp(-(relative_error**2) * set_size / (scaled * 3))
+
+
+def set_size_exact_prob(set_size, scaled, *, relative_error=0.05):
+    """Exact binomial probability that len(sketch)*scaled lands within
+    relative_error of the true set size."""
+    p = 1 / scaled
+    upper = set_size / scaled * (relative_error + 1)
+    lower = -set_size / scaled * (relative_error - 1)
+    prob = binom.cdf(upper, set_size, p) - binom.cdf(lower, set_size, p)
+    # cdf subtraction excludes the lower endpoint; add it back when integral
+    if lower == int(lower):
+        prob += binom.pmf(lower, set_size, p)
+    return prob
+
+
+def get_expected_log_probability(n_unique_kmers, ksize, mutation_rate, scaled_fraction):
+    "(L - E[N_mut]) * ln(1 - 1/scaled); -inf when the sketch keeps everything."
+    surviving = n_unique_kmers - exp_n_mutated(n_unique_kmers, ksize, mutation_rate)
+    try:
+        return surviving * log(1.0 - scaled_fraction)
+    except ValueError:
+        return float("-inf")
+
+
+def get_exp_probability_nothing_common(
+    mutation_rate, ksize, scaled, *, n_unique_kmers=None, sequence_len_bp=None
+):
+    "Probability that two related sketches share zero hashes by chance."
+    n_unique_kmers = handle_seqlen_nkmers(
+        ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers
+    )
+    if mutation_rate == 1.0:
+        return 1.0
+    if mutation_rate == 0.0:
+        return 0.0
+    log_prob = get_expected_log_probability(
+        n_unique_kmers, ksize, mutation_rate, 1.0 / float(scaled)
+    )
+    return exp(log_prob)
+
+
+# ---------------------------------------------------------------------------
+# result containers
+# ---------------------------------------------------------------------------
+
 
 def check_distance(dist):
     if not 0 <= dist <= 1:
@@ -25,7 +137,7 @@ def check_distance(dist):
 
 
 def check_prob_threshold(val, threshold=1e-3):
-    "Likelihood of sharing no hashes by chance alone; flag if > threshold."
+    "Pass through val; second return flags val > threshold."
     return val, bool(threshold is not None and val > threshold)
 
 
@@ -35,7 +147,7 @@ def check_jaccard_error(val, threshold=1e-4):
 
 @dataclass
 class ANIResult:
-    "distance/ANI point estimate from k-mer containment."
+    "Distance/ANI point estimate plus the nothing-in-common sanity flag."
 
     dist: float
     p_nothing_in_common: float
@@ -54,14 +166,12 @@ class ANIResult:
 
     @property
     def ani(self):
-        if self.size_is_inaccurate:
-            return None
-        return 1 - self.dist
+        return None if self.size_is_inaccurate else 1 - self.dist
 
 
 @dataclass
 class jaccardANIResult(ANIResult):
-    "distance/ANI from jaccard; carries the jaccard approximation error."
+    "ANI from jaccard; untrusted when the jaccard approximation error is big."
 
     jaccard_error: float = None
     je_threshold: float = 1e-4
@@ -83,7 +193,7 @@ class jaccardANIResult(ANIResult):
 
 @dataclass
 class ciANIResult(ANIResult):
-    "distance/ANI from containment, with confidence intervals."
+    "ANI from containment with a confidence interval (note: low/high swap)."
 
     dist_low: float = None
     dist_high: float = None
@@ -107,92 +217,46 @@ class ciANIResult(ANIResult):
         return 1 - self.dist_low
 
 
-def r1_to_q(k, r1):
-    "Per-k-mer mutation probability q from per-base rate r1."
-    return float(1 - (1 - float(r1)) ** k)
+# ---------------------------------------------------------------------------
+# the two public converters
+# ---------------------------------------------------------------------------
 
 
-def exp_n_mutated(L, k, r1):
-    return L * r1_to_q(k, r1)
+def _containment_ci(containment, ksize, scaled, n_kmers, confidence):
+    """Solve for the distance CI around an observed containment.
 
+    Finds mutation rates where the expected containment, shifted by
+    z * sqrt(Var[containment estimate]), equals the observation.  Returns
+    (dist_high_solution, dist_low_solution) or (None, None) on failure.
+    """
+    z = probit(1 - (1 - confidence) / 2)
+    f_scaled = 1.0 / scaled
+    bias_factor = 1 - (1 - f_scaled) ** n_kmers
+    lead = (1.0 - f_scaled) / (f_scaled * n_kmers**3 * bias_factor**2)
 
-def var_n_mutated(L, k, r1, *, q=None):
-    "Variance of the number of mutated k-mers (Blanca et al. eq. set)."
-    if r1 == 0:
-        return 0.0
-    r1 = float(r1)
-    if q is None:
-        q = r1_to_q(k, r1)
-    varN = (
-        L * (1 - q) * (q * (2 * k + (2 / r1) - 1) - 2 * k)
-        + k * (k - 1) * (1 - q) ** 2
-        + (2 * (1 - q) / (r1**2)) * ((1 + (k - 1) * (1 - q)) * r1 - q)
-    )
-    if varN < 0.0:
-        raise ValueError("Error: varN <0.0!")
-    return float(varN)
-
-
-def exp_n_mutated_squared(L, k, p):
-    return var_n_mutated(L, k, p) + exp_n_mutated(L, k, p) ** 2
-
-
-def probit(p):
-    return _norm.ppf(p)
-
-
-def handle_seqlen_nkmers(ksize, *, sequence_len_bp=None, n_unique_kmers=None):
-    if n_unique_kmers is not None:
-        return n_unique_kmers
-    if sequence_len_bp is None:
-        raise ValueError(
-            "Error: distance estimation requires input of either 'sequence_len_bp' or 'n_unique_kmers'"
+    def est_var(rate):
+        cross = n_kmers * exp_n_mutated(n_kmers, ksize, rate) - exp_n_mutated_squared(
+            n_kmers, ksize, rate
         )
-    return sequence_len_bp - (ksize - 1)
+        direct = var_n_mutated(n_kmers, ksize, rate) / n_kmers**2
+        return lead * cross + direct
 
+    def above(rate):
+        return (1 - rate) ** ksize + z * sqrt(est_var(rate)) - containment
 
-def set_size_chernoff(set_size, scaled, *, relative_error=0.05):
-    "Chernoff bound on sketch-size estimation accuracy (deprecated)."
-    return 1 - 2 * exp(-(relative_error**2) * set_size / (scaled * 3))
+    def below(rate):
+        return (1 - rate) ** ksize - z * sqrt(est_var(rate)) - containment
 
-
-def set_size_exact_prob(set_size, scaled, *, relative_error=0.05):
-    """Exact binomial probability that sketch_size*scaled estimates set_size
-    within relative_error (reference `distance_utils.py:196-218`)."""
-    hi = set_size / scaled * (relative_error + 1)
-    lo = -set_size / scaled * (relative_error - 1)
-    p = 1 / scaled
-    prob = binom.cdf(hi, set_size, p) - binom.cdf(lo, set_size, p)
-    if lo == int(lo):
-        prob += binom.pmf(lo, set_size, p)
-    return prob
-
-
-def get_expected_log_probability(n_unique_kmers, ksize, mutation_rate, scaled_fraction):
-    "(L - E[N_mut]) * log(1 - 1/scaled); -inf when scaled_fraction == 1."
-    exp_nmut = exp_n_mutated(n_unique_kmers, ksize, mutation_rate)
     try:
-        return (n_unique_kmers - exp_nmut) * log(1.0 - scaled_fraction)
-    except ValueError:
-        return float("-inf")
-
-
-def get_exp_probability_nothing_common(
-    mutation_rate, ksize, scaled, *, n_unique_kmers=None, sequence_len_bp=None
-):
-    "Expected probability two sketches share nothing (false-negative check)."
-    n_unique_kmers = handle_seqlen_nkmers(
-        ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers
-    )
-    if mutation_rate == 1.0:
-        return 1.0
-    if mutation_rate == 0.0:
-        return 0.0
-    return exp(
-        get_expected_log_probability(
-            n_unique_kmers, ksize, mutation_rate, 1.0 / float(scaled)
+        hi_sol = brentq(above, 0.0000001, 0.9999999)
+        lo_sol = brentq(below, 0.0000001, 0.9999999)
+    except ValueError as exc:
+        notify(
+            "WARNING: Cannot estimate ANI confidence intervals from containment. Do your sketches contain enough hashes?"
         )
-    )
+        notify(str(exc))
+        return None, None
+    return hi_sol, lo_sol
 
 
 def containment_to_distance(
@@ -206,65 +270,28 @@ def containment_to_distance(
     estimate_ci=False,
     prob_threshold=1e-3,
 ):
-    "Containment → distance point estimate, optionally with CI via brentq."
-    sol1 = sol2 = None
+    "Observed containment → ciANIResult (point estimate, optional CI)."
     n_unique_kmers = handle_seqlen_nkmers(
         ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers
     )
+
+    hi_sol = lo_sol = None
     if containment == 0:
-        point_estimate = sol1 = sol2 = 1.0
+        dist = hi_sol = lo_sol = 1.0
     elif containment == 1:
-        point_estimate = sol1 = sol2 = 0.0
+        dist = hi_sol = lo_sol = 0.0
     else:
-        point_estimate = 1.0 - containment ** (1.0 / ksize)
+        dist = 1.0 - containment ** (1.0 / ksize)
         if estimate_ci:
-            try:
-                z_alpha = probit(1 - (1 - confidence) / 2)
-                f_scaled = 1.0 / scaled
-                bias_factor = 1 - (1 - f_scaled) ** n_unique_kmers
-                term_1 = (1.0 - f_scaled) / (
-                    f_scaled * n_unique_kmers**3 * bias_factor**2
-                )
+            hi_sol, lo_sol = _containment_ci(
+                containment, ksize, scaled, n_unique_kmers, confidence
+            )
 
-                def var_direct(pest):
-                    t2 = n_unique_kmers * exp_n_mutated(
-                        n_unique_kmers, ksize, pest
-                    ) - exp_n_mutated_squared(n_unique_kmers, ksize, pest)
-                    t3 = var_n_mutated(n_unique_kmers, ksize, pest) / n_unique_kmers**2
-                    return term_1 * t2 + t3
-
-                def f1(pest):
-                    return (
-                        (1 - pest) ** ksize
-                        + z_alpha * sqrt(var_direct(pest))
-                        - containment
-                    )
-
-                def f2(pest):
-                    return (
-                        (1 - pest) ** ksize
-                        - z_alpha * sqrt(var_direct(pest))
-                        - containment
-                    )
-
-                sol1 = brentq(f1, 0.0000001, 0.9999999)
-                sol2 = brentq(f2, 0.0000001, 0.9999999)
-            except ValueError as exc:
-                notify(
-                    "WARNING: Cannot estimate ANI confidence intervals from containment. Do your sketches contain enough hashes?"
-                )
-                notify(str(exc))
-                sol1 = sol2 = None
-
-    prob_nothing_in_common = get_exp_probability_nothing_common(
-        point_estimate, ksize, scaled, n_unique_kmers=n_unique_kmers
+    p_none = get_exp_probability_nothing_common(
+        dist, ksize, scaled, n_unique_kmers=n_unique_kmers
     )
     return ciANIResult(
-        point_estimate,
-        prob_nothing_in_common,
-        dist_low=sol2,
-        dist_high=sol1,
-        p_threshold=prob_threshold,
+        dist, p_none, dist_low=lo_sol, dist_high=hi_sol, p_threshold=prob_threshold
     )
 
 
@@ -278,32 +305,30 @@ def jaccard_to_distance(
     prob_threshold=1e-3,
     err_threshold=1e-4,
 ):
-    "Jaccard → distance point estimate with approximation-error lower bound."
+    "Observed jaccard → jaccardANIResult, with approximation-error bound."
     n_unique_kmers = handle_seqlen_nkmers(
         ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers
     )
+
     if jaccard == 0:
-        point_estimate = 1.0
-        error_lower_bound = 0.0
+        dist, err_bound = 1.0, 0.0
     elif jaccard == 1:
-        point_estimate = 0.0
-        error_lower_bound = 0.0
+        dist, err_bound = 0.0, 0.0
     else:
-        point_estimate = 1.0 - (2.0 * jaccard / float(1 + jaccard)) ** (
-            1.0 / float(ksize)
-        )
-        exp_n_mut = exp_n_mutated(n_unique_kmers, ksize, point_estimate)
-        var_n_mut = var_n_mutated(n_unique_kmers, ksize, point_estimate)
-        error_lower_bound = (
-            1.0 * n_unique_kmers * var_n_mut / (n_unique_kmers + exp_n_mut) ** 3
-        )
-    prob_nothing_in_common = get_exp_probability_nothing_common(
-        point_estimate, ksize, scaled, n_unique_kmers=n_unique_kmers
+        # invert E[jaccard] = (2j/(1+j))^(1/k), then bound the bias of the
+        # jaccard plug-in estimator by N*Var / (N + E[N_mut])^3
+        dist = 1.0 - (2.0 * jaccard / float(1 + jaccard)) ** (1.0 / float(ksize))
+        e_mut = exp_n_mutated(n_unique_kmers, ksize, dist)
+        v_mut = var_n_mutated(n_unique_kmers, ksize, dist)
+        err_bound = 1.0 * n_unique_kmers * v_mut / (n_unique_kmers + e_mut) ** 3
+
+    p_none = get_exp_probability_nothing_common(
+        dist, ksize, scaled, n_unique_kmers=n_unique_kmers
     )
     return jaccardANIResult(
-        point_estimate,
-        prob_nothing_in_common,
-        jaccard_error=error_lower_bound,
+        dist,
+        p_none,
+        jaccard_error=err_bound,
         p_threshold=prob_threshold,
         je_threshold=err_threshold,
     )

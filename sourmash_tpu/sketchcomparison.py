@@ -1,7 +1,16 @@
-"""Sketch comparison helper classes (API parity: reference
-`src/sourmash/sketchcomparison.py` — FracMinHashComparison:99,
-NumMinHashComparison:82). Thin orchestration over MinHash operations; all the
-heavy set math happens in the batched device ops underneath."""
+"""Pairwise sketch-comparison bundles.
+
+A *comparison* object captures two MinHashes brought to a common resolution
+(shared num, or shared scaled) and lazily exposes every derived statistic the
+result rows in ``search.py`` need: jaccard, containments both directions,
+ANI point estimates with optional confidence intervals, and the
+abundance-weighted intersection used by gather.
+
+API parity target: reference ``src/sourmash/sketchcomparison.py``
+(BaseMinHashComparison:12, NumMinHashComparison:82, FracMinHashComparison:99).
+Every set operation delegates to MinHash, whose bulk paths run through the
+batched device ops — nothing here touches hashes directly.
+"""
 
 from __future__ import annotations
 
@@ -12,7 +21,7 @@ from .minhash import MinHash
 
 @dataclass
 class BaseMinHashComparison:
-    "Comparison state for a pair of MinHashes at a common num/scaled."
+    "Two MinHashes plus the downsampled 'cmp' views they are scored on."
 
     mh1: MinHash
     mh2: MinHash
@@ -20,26 +29,26 @@ class BaseMinHashComparison:
     jaccard_ani_untrustworthy: bool = False
 
     def downsample_and_handle_ignore_abundance(self, cmp_num=None, cmp_scaled=None):
+        "Populate mh1_cmp/mh2_cmp: flattened if requested, then downsampled."
+        pair = (self.mh1, self.mh2)
         if self.ignore_abundance:
-            self.mh1_cmp = self.mh1.flatten()
-            self.mh2_cmp = self.mh2.flatten()
-        else:
-            self.mh1_cmp = self.mh1
-            self.mh2_cmp = self.mh2
+            pair = tuple(mh.flatten() for mh in pair)
+
         if cmp_scaled is not None:
-            self.mh1_cmp = self.mh1_cmp.downsample(scaled=cmp_scaled)
-            self.mh2_cmp = self.mh2_cmp.downsample(scaled=cmp_scaled)
+            pair = tuple(mh.downsample(scaled=cmp_scaled) for mh in pair)
         elif cmp_num is not None:
-            self.mh1_cmp = self.mh1_cmp.downsample(num=cmp_num)
-            self.mh2_cmp = self.mh2_cmp.downsample(num=cmp_num)
+            pair = tuple(mh.downsample(num=cmp_num) for mh in pair)
         else:
             raise ValueError("Error: must pass in a comparison scaled or num value.")
 
+        self.mh1_cmp, self.mh2_cmp = pair
+
     def check_compatibility_and_downsample(self, cmp_num=None, cmp_scaled=None):
-        if not any(
-            [(self.mh1.num and self.mh2.num), (self.mh1.scaled and self.mh2.scaled)]
-        ):
+        both_num = self.mh1.num and self.mh2.num
+        both_scaled = self.mh1.scaled and self.mh2.scaled
+        if not (both_num or both_scaled):
             raise TypeError("Error: Both sketches must be 'num' or 'scaled'.")
+
         self.downsample_and_handle_ignore_abundance(
             cmp_num=cmp_num, cmp_scaled=cmp_scaled
         )
@@ -48,20 +57,16 @@ class BaseMinHashComparison:
         self.ksize = self.mh1.ksize
         self.moltype = self.mh1.moltype
 
+    # -- lazily-derived statistics -----------------------------------------
+
     @property
     def intersect_mh(self):
+        "Flat MinHash holding the hashes common to both cmp sketches."
         return self.mh1_cmp.flatten().intersection(self.mh2_cmp.flatten())
 
     @property
     def jaccard(self):
         return self.mh1_cmp.jaccard(self.mh2_cmp)
-
-    def estimate_jaccard_ani(self, jaccard=None):
-        jinfo = self.mh1_cmp.jaccard_ani(self.mh2_cmp, jaccard=jaccard)
-        self.jaccard_ani = jinfo.ani
-        if jinfo.p_exceeds_threshold:
-            self.potential_false_negative = True
-        self.jaccard_ani_untrustworthy = jinfo.je_exceeds_threshold
 
     @property
     def angular_similarity(self):
@@ -71,26 +76,17 @@ class BaseMinHashComparison:
     def cosine_similarity(self):
         return self.angular_similarity
 
-
-@dataclass
-class NumMinHashComparison(BaseMinHashComparison):
-    "Comparison between two num minhashes."
-
-    cmp_num: int = None
-
-    def __post_init__(self):
-        if self.cmp_num is None:
-            self.cmp_num = min(self.mh1.num, self.mh2.num)
-        self.check_compatibility_and_downsample(cmp_num=self.cmp_num)
-
-    @property
-    def size_may_be_inaccurate(self):
-        return False
+    def estimate_jaccard_ani(self, jaccard=None):
+        info = self.mh1_cmp.jaccard_ani(self.mh2_cmp, jaccard=jaccard)
+        self.jaccard_ani = info.ani
+        if info.p_exceeds_threshold:
+            self.potential_false_negative = True
+        self.jaccard_ani_untrustworthy = info.je_exceeds_threshold
 
 
 @dataclass
 class FracMinHashComparison(BaseMinHashComparison):
-    "Comparison between two scaled (FracMinHash) sketches."
+    "Pair of scaled sketches compared at max(scaled1, scaled2) by default."
 
     cmp_scaled: int = None
     threshold_bp: int = 0
@@ -109,104 +105,121 @@ class FracMinHashComparison(BaseMinHashComparison):
 
     @property
     def size_may_be_inaccurate(self):
-        return bool(
-            not self.mh1_cmp.size_is_accurate() or not self.mh2_cmp.size_is_accurate()
-        )
+        "True when either sketch fails the Chernoff size-accuracy bound."
+        ok = self.mh1_cmp.size_is_accurate() and self.mh2_cmp.size_is_accurate()
+        return not ok
 
     @property
     def total_unique_intersect_hashes(self):
-        "~ intersect_bp (hash count × scaled; no (k-1) bp correction)."
+        "Intersection size scaled back up to ~bp (no (k-1) end correction)."
         return len(self.intersect_mh) * self.cmp_scaled
+
+    # -- containment + ANI, both directions ---------------------------------
+    #
+    # The three ANI estimators share one recording pattern: stash the point
+    # estimate under `<attr>`, flag potential false negatives, and (when CI
+    # was requested) stash `<attr>_low` / `<attr>_high` too.
+
+    def _record_ani(self, attr, info):
+        setattr(self, attr, info.ani)
+        if info.p_exceeds_threshold:
+            self.potential_false_negative = True
+        if self.estimate_ani_ci:
+            setattr(self, attr + "_low", info.ani_low)
+            setattr(self, attr + "_high", info.ani_high)
+
+    def _ani_opts(self):
+        return dict(confidence=self.ani_confidence, estimate_ci=self.estimate_ani_ci)
 
     @property
     def mh1_containment_in_mh2(self):
         return self.mh1_cmp.contained_by(self.mh2_cmp)
 
-    def estimate_ani_from_mh1_containment_in_mh2(self, containment=None):
-        m1_cani = self.mh1_cmp.containment_ani(
-            self.mh2_cmp,
-            containment=containment,
-            confidence=self.ani_confidence,
-            estimate_ci=self.estimate_ani_ci,
-        )
-        self.ani_from_mh1_containment_in_mh2 = m1_cani.ani
-        if m1_cani.p_exceeds_threshold:
-            self.potential_false_negative = True
-        if self.estimate_ani_ci:
-            self.ani_from_mh1_containment_in_mh2_low = m1_cani.ani_low
-            self.ani_from_mh1_containment_in_mh2_high = m1_cani.ani_high
-
     @property
     def mh2_containment_in_mh1(self):
         return self.mh2_cmp.contained_by(self.mh1_cmp)
-
-    def estimate_ani_from_mh2_containment_in_mh1(self, containment=None):
-        m2_cani = self.mh2_cmp.containment_ani(
-            self.mh1_cmp,
-            containment=containment,
-            confidence=self.ani_confidence,
-            estimate_ci=self.estimate_ani_ci,
-        )
-        self.ani_from_mh2_containment_in_mh1 = m2_cani.ani
-        if m2_cani.p_exceeds_threshold:
-            self.potential_false_negative = True
-        if self.estimate_ani_ci:
-            self.ani_from_mh2_containment_in_mh1_low = m2_cani.ani_low
-            self.ani_from_mh2_containment_in_mh1_high = m2_cani.ani_high
 
     @property
     def max_containment(self):
         return self.mh1_cmp.max_containment(self.mh2_cmp)
 
-    def estimate_max_containment_ani(self, max_containment=None):
-        mc_ani_info = self.mh1_cmp.max_containment_ani(
-            self.mh2_cmp,
-            max_containment=max_containment,
-            confidence=self.ani_confidence,
-            estimate_ci=self.estimate_ani_ci,
-        )
-        self.max_containment_ani = mc_ani_info.ani
-        if mc_ani_info.p_exceeds_threshold:
-            self.potential_false_negative = True
-        if self.estimate_ani_ci:
-            self.max_containment_ani_low = mc_ani_info.ani_low
-            self.max_containment_ani_high = mc_ani_info.ani_high
-
     @property
     def avg_containment(self):
         return self.mh1_cmp.avg_containment(self.mh2_cmp)
 
-    @property
-    def avg_containment_ani(self):
-        "Average containment ANI; sets potential_false_negative internally."
+    def estimate_ani_from_mh1_containment_in_mh2(self, containment=None):
+        info = self.mh1_cmp.containment_ani(
+            self.mh2_cmp, containment=containment, **self._ani_opts()
+        )
+        self._record_ani("ani_from_mh1_containment_in_mh2", info)
+
+    def estimate_ani_from_mh2_containment_in_mh1(self, containment=None):
+        info = self.mh2_cmp.containment_ani(
+            self.mh1_cmp, containment=containment, **self._ani_opts()
+        )
+        self._record_ani("ani_from_mh2_containment_in_mh1", info)
+
+    def estimate_max_containment_ani(self, max_containment=None):
+        info = self.mh1_cmp.max_containment_ani(
+            self.mh2_cmp, max_containment=max_containment, **self._ani_opts()
+        )
+        self._record_ani("max_containment_ani", info)
+
+    def _both_directional_anis(self):
         self.estimate_ani_from_mh1_containment_in_mh2()
         self.estimate_ani_from_mh2_containment_in_mh1()
-        a1 = self.ani_from_mh1_containment_in_mh2
-        a2 = self.ani_from_mh2_containment_in_mh1
+        return (
+            self.ani_from_mh1_containment_in_mh2,
+            self.ani_from_mh2_containment_in_mh1,
+        )
+
+    @property
+    def avg_containment_ani(self):
+        "Mean of the two directional ANIs (None if either is undefined)."
+        a1, a2 = self._both_directional_anis()
         if a1 is None or a2 is None:
             return None
         return (a1 + a2) / 2
 
     def estimate_all_containment_ani(self):
-        "Estimate all containment ANI values."
-        self.estimate_ani_from_mh1_containment_in_mh2()
-        self.estimate_ani_from_mh2_containment_in_mh1()
-        a1 = self.ani_from_mh1_containment_in_mh2
-        a2 = self.ani_from_mh2_containment_in_mh1
-        if a1 is None or a2 is None:
-            self.max_containment_ani = None
-        else:
-            self.max_containment_ani = max([a1, a2])
+        "Directional ANIs plus max-containment ANI (max of the two)."
+        a1, a2 = self._both_directional_anis()
+        self.max_containment_ani = (
+            None if (a1 is None or a2 is None) else max([a1, a2])
+        )
+
+    # -- gather support -----------------------------------------------------
 
     def weighted_intersection(self, from_mh=None, from_abundD={}):
-        "Intersection hashes carrying abundances from from_mh/from_abundD."
-        abund_mh = self.intersect_mh.copy_and_clear()
-        abund_mh.track_abundance = True
+        """Intersection with abundances re-attached from a source sketch/dict.
+
+        Hashes missing from the abundance source count as abundance 1; with
+        no usable source, the flat intersection is returned unchanged.
+        """
         if from_mh is not None and from_mh.track_abundance:
             from_abundD = from_mh.hashes
-        if from_abundD:
-            # hashes absent from the abundance source get abundance 1
-            abunds = {k: from_abundD.get(k, 1) for k in self.intersect_mh.hashes}
-            abund_mh.set_abundances(abunds)
-            return abund_mh
-        return self.intersect_mh
+        if not from_abundD:
+            return self.intersect_mh
+
+        weighted = self.intersect_mh.copy_and_clear()
+        weighted.track_abundance = True
+        weighted.set_abundances(
+            {h: from_abundD.get(h, 1) for h in self.intersect_mh.hashes}
+        )
+        return weighted
+
+
+@dataclass
+class NumMinHashComparison(BaseMinHashComparison):
+    "Pair of num-MinHashes compared at min(num1, num2) unless told otherwise."
+
+    cmp_num: int = None
+
+    def __post_init__(self):
+        if self.cmp_num is None:
+            self.cmp_num = min(self.mh1.num, self.mh2.num)
+        self.check_compatibility_and_downsample(cmp_num=self.cmp_num)
+
+    @property
+    def size_may_be_inaccurate(self):
+        return False
