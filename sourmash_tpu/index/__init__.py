@@ -1,15 +1,26 @@
-"""Index classes: collections of signatures supporting select/find/search/
-gather.
+"""Index: the search protocol over collections of signatures.
 
-API + semantics parity: reference `src/sourmash/index/__init__.py`
-(Index ABC :61, LinearIndex:397, LazyLinearIndex:456, ZipFileLinearIndex:529,
-CounterGather:777, MultiIndex:912, StandaloneManifestIndex:1116).
+An Index is anything that can enumerate signatures and answer
+search/prefetch/gather queries against them.  This module provides the
+abstract protocol plus the in-memory family:
 
-TPU-native design: the generic `Index.find` loop scores one subject at a
-time; in-memory indexes here instead pack all subject sketches into a padded
-device tensor and compute every intersection in a single batched device
-program (`ops/intersect`), applying per-pair scaled cutoffs so the scores are
-numerically identical to the reference's pairwise downsampling semantics.
+* ``LinearIndex`` — a plain list of signatures,
+* ``LazyLinearIndex`` — deferred selection over another index,
+* ``ZipFileLinearIndex`` — read-only manifest-driven zip collections,
+* ``MultiIndex`` / ``StandaloneManifestIndex`` — manifest aggregations,
+* ``CounterGather`` — the per-database counter engine behind gather.
+
+API parity: reference ``src/sourmash/index/__init__.py`` (Index ABC :61,
+LinearIndex:397, ZipFileLinearIndex:529, CounterGather:735,
+MultiIndex:912, StandaloneManifestIndex:1116).
+
+TPU-native design: the reference scores one subject sketch at a time
+through FFI calls.  Here, every in-memory index funnels its subjects into
+``Index._find_batched``, which packs mins into padded arrays and computes
+all (intersection, union) counts in one device dispatch per chunk
+(``ops/intersect.query_vs_many_cutoff_counts``), with per-pair scaled
+cutoffs replicating the reference's pairwise-downsampling numerics bit for
+bit.  Disk-scale gather lives in ``index/flat.py`` / ``index/revindex.py``.
 """
 
 from __future__ import annotations
@@ -36,6 +47,68 @@ from ..minhash import (
 )
 
 IndexSearchResult = namedtuple("Result", "score, signature, location")
+
+# the full set of selection criteria understood by Index.select()
+_SELECT_KEYS = frozenset(
+    ["ksize", "num", "moltype", "scaled", "abund", "picklist", "containment"]
+)
+
+
+def _check_select_parameters(**kw):
+    "Validate types of Index.select() keyword arguments."
+    unknown = set(kw) - _SELECT_KEYS
+    if unknown:
+        raise ValueError(f"unknown 'select' parameters: {unknown}")
+
+    for name, want, kindname in (
+        ("ksize", int, "an integer"),
+        ("scaled", int, "an integer"),
+        ("num", int, "an integer"),
+        ("containment", bool, "a bool"),
+        ("abund", bool, "a bool"),
+    ):
+        value = kw.get(name)
+        if value is not None and not isinstance(value, want):
+            raise ValueError(
+                f"{name} value '{value}' must be {kindname}, is: {type(value)}"
+            )
+
+    moltype = kw.get("moltype")
+    if moltype is not None and moltype not in ["DNA", "protein", "dayhoff", "hp"]:
+        raise ValueError(f"unknown moltype: {moltype}")
+
+
+def select_signature(
+    ss,
+    *,
+    ksize=None,
+    moltype=None,
+    scaled=0,
+    num=0,
+    containment=False,
+    abund=None,
+    picklist=None,
+):
+    "Does this signature satisfy all of the given selection criteria?"
+    mh = ss.minhash
+    if ksize and ksize != mh.ksize:
+        return False
+    if moltype and moltype != mh.moltype:
+        return False
+    if containment:
+        if not scaled:
+            raise ValueError("'containment' requires 'scaled' in Index.select'")
+        if not mh.scaled:
+            return False
+    if scaled and mh.num:
+        return False
+    if num and (mh.scaled or num != mh.num):
+        return False
+    if abund and not mh.track_abundance:
+        return False
+    if picklist is not None and ss not in picklist:
+        return False
+    return True
 
 
 class Index(ABC):
@@ -77,57 +150,60 @@ class Index(ABC):
     def load(cls, location, leaf_loader=None, storage=None, print_version_warning=True):
         """ """
 
-    # -- find: the core search loop ---------------------------------------
+    @abstractmethod
+    def select(
+        self,
+        ksize=None,
+        moltype=None,
+        scaled=None,
+        num=None,
+        abund=None,
+        containment=None,
+    ):
+        "Return Index containing only signatures that match requirements."
+
+    # -- find: the core scoring loop ----------------------------------------
 
     def find(self, search_fn, query, **kwargs):
-        """Use search_fn to find matching signatures; yields
-        IndexSearchResult. Generic per-signature loop; in-memory subclasses
-        batch this on device via _find_batched."""
-        yield from self._find_over(
-            search_fn, query, self.signatures_with_location()
-        )
+        """Yield IndexSearchResult for each signature search_fn accepts.
+
+        Default implementation: generic one-at-a-time loop.  In-memory
+        subclasses override this to route through ``_find_batched``.
+        """
+        yield from self._find_over(search_fn, query, self.signatures_with_location())
 
     def _find_over(self, search_fn, query, subjects_and_locations):
-        "Generic scoring loop over an iterable of (signature, location)."
+        "Score (signature, location) pairs one at a time on the host."
         search_fn.check_is_compatible(query)
 
         query_mh = query.minhash
         assert not query_mh.track_abundance
+
+        # the reference semantics: each pair is compared after flattening
+        # and downsampling both sides to the coarser resolution.
         if query_mh.scaled:
-            query_scaled = query_mh.scaled
-
-            def prepare_subject(subj_mh):
-                return flatten_and_downsample_scaled(subj_mh, query_scaled)
-
-            def prepare_query(query_mh, subj_mh):
-                return flatten_and_downsample_scaled(query_mh, subj_mh.scaled)
-
+            fit_subject = lambda s_mh: flatten_and_downsample_scaled(
+                s_mh, query_mh.scaled
+            )
+            fit_query = lambda q_mh, s_mh: flatten_and_downsample_scaled(
+                q_mh, s_mh.scaled
+            )
         else:
-            query_num = query_mh.num
-
-            def prepare_subject(subj_mh):
-                return flatten_and_downsample_num(subj_mh, query_num)
-
-            def prepare_query(query_mh, subj_mh):
-                return flatten_and_downsample_num(query_mh, subj_mh.num)
+            fit_subject = lambda s_mh: flatten_and_downsample_num(s_mh, query_mh.num)
+            fit_query = lambda q_mh, s_mh: flatten_and_downsample_num(q_mh, s_mh.num)
 
         for subj, location in subjects_and_locations:
-            subj_mh = prepare_subject(subj.minhash)
-            q_mh = prepare_query(query.minhash, subj_mh)
+            subj_mh = fit_subject(subj.minhash)
+            q_mh = fit_query(query.minhash, subj_mh)
 
             assert not q_mh.track_abundance
             assert not subj_mh.track_abundance
 
-            shared_size, total_size = q_mh.intersection_and_union_size(subj_mh)
+            shared, union = q_mh.intersection_and_union_size(subj_mh)
+            score = search_fn.score_fn(len(q_mh), shared, len(subj_mh), union)
 
-            query_size = len(q_mh)
-            subj_size = len(subj_mh)
-
-            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
-
-            if search_fn.passes(score):
-                if search_fn.collect(score, subj):
-                    yield IndexSearchResult(score, subj, location)
+            if search_fn.passes(score) and search_fn.collect(score, subj):
+                yield IndexSearchResult(score, subj, location)
 
     def _find_batched(self, search_fn, query, subjects_and_locations):
         """Batched scoring of a query against subjects, in lazy chunks.
@@ -190,30 +266,7 @@ class Index(ABC):
                 pending = []
         yield from process(pending)
 
-    # -- search APIs -------------------------------------------------------
-
-    def search_abund(self, query, *, threshold=None, **kwargs):
-        "Angular-similarity search; returns sorted IndexSearchResult list."
-        if not query.minhash.track_abundance:
-            raise TypeError(
-                "'search_abund' requires query signature with abundance information"
-            )
-        if threshold is None:
-            raise TypeError("'search_abund' requires 'threshold'")
-        threshold = float(threshold)
-
-        matches = []
-        for subj, loc in self.signatures_with_location():
-            if not subj.minhash.track_abundance:
-                raise TypeError(
-                    "'search_abund' requires subject signatures with abundance information"
-                )
-            score = query.similarity(subj, downsample=True)
-            if score >= threshold:
-                matches.append(IndexSearchResult(score, subj, loc))
-
-        matches.sort(key=lambda x: -x.score)
-        return matches
+    # -- public search entry points ------------------------------------------
 
     def search(
         self,
@@ -225,125 +278,99 @@ class Index(ABC):
         best_only=False,
         **kwargs,
     ):
-        "Jaccard/containment search; returns sorted IndexSearchResult list."
+        "Flat search; returns list of IndexSearchResult sorted by score."
         if threshold is None:
             raise TypeError("'search' requires 'threshold'")
-        threshold = float(threshold)
 
         search_obj = make_jaccard_search_query(
             do_containment=do_containment,
             do_max_containment=do_max_containment,
             best_only=best_only,
-            threshold=threshold,
+            threshold=float(threshold),
         )
 
-        matches = list(self.find(search_obj, query, **kwargs))
-        matches.sort(key=lambda x: -x.score)
-        return matches
+        hits = list(self.find(search_obj, query, **kwargs))
+        hits.sort(key=lambda r: -r.score)
+        return hits
+
+    def search_abund(self, query, *, threshold=None, **kwargs):
+        "Angular-similarity search over abundance sketches."
+        if not query.minhash.track_abundance:
+            raise TypeError(
+                "'search_abund' requires query signature with abundance information"
+            )
+        if threshold is None:
+            raise TypeError("'search_abund' requires 'threshold'")
+        threshold = float(threshold)
+
+        hits = []
+        for subj, loc in self.signatures_with_location():
+            if not subj.minhash.track_abundance:
+                raise TypeError(
+                    "'search_abund' requires subject signatures with abundance information"
+                )
+            score = query.similarity(subj, downsample=True)
+            if score >= threshold:
+                hits.append(IndexSearchResult(score, subj, loc))
+
+        hits.sort(key=lambda r: -r.score)
+        return hits
 
     def prefetch(self, query, threshold_bp, **kwargs):
-        "Yield all matches with minimum overlap threshold_bp."
+        "Yield every match overlapping the query by >= threshold_bp."
         if not self:
             raise ValueError("no signatures to search")
 
-        best_only = kwargs.get("best_only", False)
         search_fn = make_containment_query(
-            query.minhash, threshold_bp, best_only=best_only
+            query.minhash, threshold_bp, best_only=kwargs.get("best_only", False)
         )
         yield from self.find(search_fn, query, **kwargs)
 
     def best_containment(self, query, threshold_bp=None, **kwargs):
-        "Return the best containment match, or None."
-        results = self.prefetch(query, threshold_bp, best_only=True, **kwargs)
-        results = sorted(results, key=lambda x: (-x.score, x.signature.md5sum()))
-        try:
-            return next(iter(results))
-        except StopIteration:
-            return None
+        "Return the single best containment match, or None."
+        hits = self.prefetch(query, threshold_bp, best_only=True, **kwargs)
+        hits = sorted(hits, key=lambda r: (-r.score, r.signature.md5sum()))
+        for hit in hits:
+            return hit
+        return None
+
+    # -- gather protocol (CounterGather-compatible surface) --------------------
 
     def peek(self, query_mh, *, threshold_bp=0):
-        "CounterGather.peek-alike on top of Index."
+        "Mimic CounterGather.peek() on top of this Index."
         from ..signature import SourmashSignature
 
-        query_ss = SourmashSignature(query_mh)
         try:
-            result = self.best_containment(query_ss, threshold_bp=threshold_bp)
+            best = self.best_containment(
+                SourmashSignature(query_mh), threshold_bp=threshold_bp
+            )
         except ValueError:
-            result = None
-        if not result:
+            best = None
+        if not best:
             return []
-        intersect_mh = flatten_and_intersect_scaled(result.signature.minhash, query_mh)
-        return [result, intersect_mh]
+        intersect_mh = flatten_and_intersect_scaled(best.signature.minhash, query_mh)
+        return [best, intersect_mh]
 
     def consume(self, intersect_mh):
-        "CounterGather.consume-alike: no-op for plain indexes."
+        "Mimic CounterGather.consume(): plain indexes have no state to update."
         pass
 
     def counter_gather(self, query, threshold_bp, **kwargs):
-        "Return a CounterGather over matches to the query."
+        "Prefetch all overlapping signatures into a CounterGather."
         with query.update() as prefetch_query:
             prefetch_query.minhash = prefetch_query.minhash.flatten()
 
         counter = CounterGather(prefetch_query)
-        for result in self.prefetch(prefetch_query, threshold_bp, **kwargs):
-            counter.add(result.signature, location=result.location)
+        for hit in self.prefetch(prefetch_query, threshold_bp, **kwargs):
+            counter.add(hit.signature, location=hit.location)
         return counter
-
-    @abstractmethod
-    def select(
-        self,
-        ksize=None,
-        moltype=None,
-        scaled=None,
-        num=None,
-        abund=None,
-        containment=None,
-    ):
-        "Return Index containing only signatures that match requirements."
-
-
-def select_signature(
-    ss,
-    *,
-    ksize=None,
-    moltype=None,
-    scaled=0,
-    num=0,
-    containment=False,
-    abund=None,
-    picklist=None,
-):
-    "Check that the given signature matches the specified requirements."
-    if ksize and ksize != ss.minhash.ksize:
-        return False
-    if moltype and moltype != ss.minhash.moltype:
-        return False
-    if containment:
-        if not scaled:
-            raise ValueError("'containment' requires 'scaled' in Index.select'")
-        if not ss.minhash.scaled:
-            return False
-    if scaled:
-        if ss.minhash.num:
-            return False
-    if num:
-        if ss.minhash.scaled or num != ss.minhash.num:
-            return False
-    if abund:
-        if not ss.minhash.track_abundance:
-            return False
-    if picklist is not None and ss not in picklist:
-        return False
-    return True
 
 
 class LinearIndex(Index):
-    "In-memory list of signatures, with batched device find."
+    "In-memory list of signatures, scored via the batched device path."
 
     def __init__(self, _signatures=None, filename=None):
-        self._signatures = []
-        if _signatures:
-            self._signatures = list(_signatures)
+        self._signatures = list(_signatures) if _signatures else []
         self.filename = filename
 
     @property
@@ -369,49 +396,48 @@ class LinearIndex(Index):
     @classmethod
     def load(cls, location, filename=None):
         "Load signatures from a JSON signature file."
-        si = load_signatures_from_json(location, do_raise=True)
-        if filename is None:
-            filename = location
-        return LinearIndex(si, filename=filename)
+        sigs = load_signatures_from_json(location, do_raise=True)
+        return LinearIndex(sigs, filename=filename or location)
 
     def find(self, search_fn, query, **kwargs):
-        "Batched device find over the in-memory signature list."
-        sal = [(ss, self.location) for ss in self._signatures]
-        yield from self._find_batched(search_fn, query, sal)
+        pairs = [(ss, self.location) for ss in self._signatures]
+        yield from self._find_batched(search_fn, query, pairs)
 
     def select(self, **kwargs):
-        "New LinearIndex with signatures matching the requirements."
+        "New LinearIndex with only the signatures matching the criteria."
         _check_select_parameters(**kwargs)
-        siglist = [ss for ss in self._signatures if select_signature(ss, **kwargs)]
-        return LinearIndex(siglist, self.location)
+        keep = [ss for ss in self._signatures if select_signature(ss, **kwargs)]
+        return LinearIndex(keep, self.location)
 
 
 class LazyLinearIndex(Index):
-    """Lazy wrapper forcing linear find on another index; selection applied
-    only when signatures are requested."""
+    """Deferred-selection wrapper around another index.
+
+    Selection criteria accumulate in a dict and are applied to the wrapped
+    index only when signatures are actually requested; find() stays the
+    generic linear loop.
+    """
 
     def __init__(self, db, selection_dict={}):
         self.db = db
         self.selection_dict = dict(selection_dict)
 
+    def _resolve(self):
+        return self.db.select(**self.selection_dict)
+
     def signatures(self):
-        db = self.db.select(**self.selection_dict)
-        yield from db.signatures()
+        yield from self._resolve().signatures()
 
     def signatures_with_location(self):
-        db = self.db.select(**self.selection_dict)
-        yield from db.signatures_with_location()
+        yield from self._resolve().signatures_with_location()
 
     def __bool__(self):
-        try:
-            next(iter(self.signatures()))
+        for _ in self.signatures():
             return True
-        except StopIteration:
-            return False
+        return False
 
     def __len__(self):
-        db = self.db.select(**self.selection_dict)
-        return len(db)
+        return len(self._resolve())
 
     def insert(self, node):
         raise NotImplementedError
@@ -424,19 +450,23 @@ class LazyLinearIndex(Index):
         raise NotImplementedError
 
     def select(self, **kwargs):
-        "Stack another selection on top (lazy)."
+        "Stack further selection criteria (without touching the wrapped db)."
         _check_select_parameters(**kwargs)
-        selection_dict = dict(self.selection_dict)
-        for k, v in kwargs.items():
-            if k in selection_dict:
-                if selection_dict[k] != v:
-                    raise ValueError(f"cannot select on two different values for {k}")
-            selection_dict[k] = v
-        return LazyLinearIndex(self.db, selection_dict)
+        merged = dict(self.selection_dict)
+        for key, value in kwargs.items():
+            if key in merged and merged[key] != value:
+                raise ValueError(f"cannot select on two different values for {key}")
+            merged[key] = value
+        return LazyLinearIndex(self.db, merged)
 
 
 class ZipFileLinearIndex(Index):
-    "Read-only collection of signatures in a zip file; manifest-driven."
+    """Read-only signature collection inside a zip file.
+
+    With a manifest (the normal case) selection happens purely on manifest
+    rows and only the needed members are decompressed; without one, members
+    are scanned and filtered on load.
+    """
 
     is_database = True
 
@@ -454,24 +484,38 @@ class ZipFileLinearIndex(Index):
         self.traverse_yield_all = traverse_yield_all
         self.use_manifest = use_manifest
 
-        if use_manifest:
-            if manifest is not None:
-                debug_literal("ZipFileLinearIndex using passed-in manifest")
-                self.manifest = manifest
-            else:
-                self._load_manifest()
-        else:
+        if not use_manifest:
             self.manifest = None
+        elif manifest is not None:
+            debug_literal("ZipFileLinearIndex using passed-in manifest")
+            self.manifest = manifest
+        else:
+            self._load_manifest()
 
+        # exactly one of (manifest, selection_dict) may be active
         if self.manifest is not None:
             assert not self.selection_dict, self.selection_dict
         if self.selection_dict:
             assert self.manifest is None
 
+    @classmethod
+    def load(cls, location, traverse_yield_all=False, use_manifest=True):
+        "Open a zipfile collection from disk."
+        from ..sbt_storage import ZipStorage
+
+        if not os.path.exists(location):
+            raise FileNotFoundError(location)
+
+        return cls(
+            ZipStorage(location),
+            traverse_yield_all=traverse_yield_all,
+            use_manifest=use_manifest,
+        )
+
     def _load_manifest(self):
-        "Load a manifest if one exists."
+        "Pull SOURMASH-MANIFEST.csv out of the zip, if present."
         try:
-            manifest_data = self.storage.load("SOURMASH-MANIFEST.csv")
+            raw = self.storage.load("SOURMASH-MANIFEST.csv")
         except (KeyError, FileNotFoundError):
             self.manifest = None
         else:
@@ -479,24 +523,22 @@ class ZipFileLinearIndex(Index):
 
             debug_literal(f"found manifest on load for {self.storage.path}")
             self.manifest = CollectionManifest.load_from_csv(
-                StringIO(manifest_data.decode("utf-8"))
+                StringIO(raw.decode("utf-8"))
             )
 
+    @property
+    def location(self):
+        return self.storage.path
+
     def __bool__(self):
-        try:
-            next(iter(self.signatures()))
-        except StopIteration:
-            return False
-        return True
+        for _ in self.signatures():
+            return True
+        return False
 
     def __len__(self):
         if self.manifest is not None:
             return len(self.manifest)
         return sum(1 for _ in self.signatures())
-
-    @property
-    def location(self):
-        return self.storage.path
 
     def insert(self, signature):
         raise NotImplementedError
@@ -504,102 +546,83 @@ class ZipFileLinearIndex(Index):
     def save(self, path):
         raise NotImplementedError
 
-    @classmethod
-    def load(cls, location, traverse_yield_all=False, use_manifest=True):
-        "Load a zipfile collection."
-        from ..sbt_storage import ZipStorage
-
-        if not os.path.exists(location):
-            raise FileNotFoundError(location)
-
-        storage = ZipStorage(location)
-        return cls(
-            storage, traverse_yield_all=traverse_yield_all, use_manifest=use_manifest
-        )
-
-    def _signatures_with_internal(self):
-        "All signatures + internal locations (no selection)."
-        for filename in self.storage._filenames():
+    def _iter_member_sigs(self):
+        "Scan zip members that look like signature files; yield (ss, name)."
+        for name in self.storage._filenames():
             if (
-                filename.endswith(".sig")
-                or filename.endswith(".sig.gz")
+                name.endswith(".sig")
+                or name.endswith(".sig.gz")
                 or self.traverse_yield_all
             ):
-                sig_data = self.storage.load(filename)
-                for ss in load_signatures_from_json(sig_data):
-                    yield ss, filename
+                data = self.storage.load(name)
+                for ss in load_signatures_from_json(data):
+                    yield ss, name
+
+    def _signatures_with_internal(self):
+        "All signatures + internal locations (ignores any selection)."
+        yield from self._iter_member_sigs()
 
     def signatures(self):
-        "Load all (selected) signatures in the zip file."
-        selection_dict = self.selection_dict
+        "Yield the signatures this (possibly selected) view contains."
         if self.manifest is not None:
-            manifest = self.manifest
-            assert not selection_dict
-            for filename in manifest.locations():
-                data = self.storage.load(filename)
+            assert not self.selection_dict
+            # decompress only the members the manifest names; the manifest
+            # also filters multi-sig members down to the selected rows.
+            for name in self.manifest.locations():
+                data = self.storage.load(name)
                 for ss in load_signatures_from_json(data):
-                    if ss in manifest:
+                    if ss in self.manifest:
                         yield ss
         else:
-            for filename in self.storage._filenames():
-                if (
-                    filename.endswith(".sig")
-                    or filename.endswith(".sig.gz")
-                    or self.traverse_yield_all
-                ):
-                    data = self.storage.load(filename)
-                    for ss in load_signatures_from_json(data):
-                        if not selection_dict or select_signature(
-                            ss, **selection_dict
-                        ):
-                            yield ss
+            criteria = self.selection_dict
+            for ss, _name in self._iter_member_sigs():
+                if not criteria or select_signature(ss, **criteria):
+                    yield ss
 
     def find(self, search_fn, query, **kwargs):
-        "Materialize (lazily loaded) signatures, then batch on device."
-        sal = [(ss, self.location) for ss in self.signatures()]
-        yield from self._find_batched(search_fn, query, sal)
+        pairs = [(ss, self.location) for ss in self.signatures()]
+        yield from self._find_batched(search_fn, query, pairs)
 
     def select(self, **kwargs):
-        "Select signatures in zip file based on ksize/moltype/etc."
+        "Select signatures by ksize/moltype/etc."
         _check_select_parameters(**kwargs)
 
-        manifest = self.manifest
-        traverse_yield_all = self.traverse_yield_all
-
-        if manifest is not None:
-            manifest = manifest.select_to_manifest(**kwargs)
+        if self.manifest is not None:
             return ZipFileLinearIndex(
                 self.storage,
                 selection_dict=None,
-                traverse_yield_all=traverse_yield_all,
-                manifest=manifest,
+                traverse_yield_all=self.traverse_yield_all,
+                manifest=self.manifest.select_to_manifest(**kwargs),
                 use_manifest=True,
             )
-        else:
-            if self.selection_dict:
-                d = dict(self.selection_dict)
-                for k, v in kwargs.items():
-                    if k in d:
-                        if d[k] is not None and d[k] != v:
-                            raise ValueError(f"incompatible select on '{k}'")
-                    d[k] = v
-                kwargs = d
-            return ZipFileLinearIndex(
-                self.storage,
-                selection_dict=kwargs,
-                traverse_yield_all=traverse_yield_all,
-                manifest=None,
-                use_manifest=False,
-            )
+
+        if self.selection_dict:
+            merged = dict(self.selection_dict)
+            for key, value in kwargs.items():
+                if key in merged and merged[key] is not None and merged[key] != value:
+                    raise ValueError(f"incompatible select on '{key}'")
+                merged[key] = value
+            kwargs = merged
+        return ZipFileLinearIndex(
+            self.storage,
+            selection_dict=kwargs,
+            traverse_yield_all=self.traverse_yield_all,
+            manifest=None,
+            use_manifest=False,
+        )
 
 
 class CounterGather:
-    """Ancillary class for fast gather post-prefetch: tracks overlap counters
-    per matching signature, supports peek (best match) / consume (subtract).
+    """Overlap counters for gather, built by prefetch.
 
-    Keyed by md5 (duplicate matches collapse). Tie-breaking on peek follows
-    Counter.most_common() semantics: ties break by insertion order —
-    replicated here exactly for gather-output parity."""
+    Maps each candidate signature (keyed by md5; duplicates collapse) to its
+    overlap with the original query.  ``peek`` reports the current best
+    candidate without mutating anything; ``consume`` subtracts a committed
+    intersection from every counter and drops the ones that hit zero.
+
+    Tie-breaking on peek inherits Counter.most_common() semantics — ties
+    resolve by insertion order — which is part of gather-output parity.
+    """
 
     def __init__(self, query):
         query_mh = query.minhash
@@ -609,13 +632,16 @@ class CounterGather:
         self.orig_query_mh = query_mh.copy().flatten()
         self.scaled = query_mh.scaled
 
+        # md5 -> signature / location / overlap count
         self.siglist = {}
         self.locations = {}
         self.counter = Counter()
+
+        # once peek/consume has happened, the candidate set is frozen
         self.query_started = 0
 
     def add(self, ss, *, location=None, require_overlap=True):
-        "Add a potential match."
+        "Register a candidate match."
         if self.query_started:
             raise ValueError("cannot add more signatures to counter after peek/consume")
 
@@ -630,39 +656,34 @@ class CounterGather:
             raise ValueError("no overlap between query and signature!?")
 
     def downsample(self, scaled):
-        "Track highest scaled across all possible matches."
-        if scaled > self.scaled:
-            self.scaled = scaled
+        "Ratchet the working scaled up to the coarsest candidate seen."
+        self.scaled = max(self.scaled, scaled)
         return self.scaled
 
     def signatures(self):
-        "Return all signatures."
+        "All candidate signatures."
         yield from self.siglist.values()
 
     @property
     def union_found(self):
-        "Union of all found hashes, intersected with the original query."
-        orig_query_mh = self.orig_query_mh
-        found_mh = orig_query_mh.copy_and_clear()
+        "Hashes of the original query covered by any candidate."
+        found_mh = self.orig_query_mh.copy_and_clear()
         for ss in self.siglist.values():
-            intersect_mh = flatten_and_intersect_scaled(ss.minhash, orig_query_mh)
-            found_mh.add_many(intersect_mh)
+            found_mh.add_many(
+                flatten_and_intersect_scaled(ss.minhash, self.orig_query_mh)
+            )
         return found_mh
 
     def peek(self, cur_query_mh, *, threshold_bp=0):
-        "Get next gather result without changing counters."
+        "Report the best remaining candidate; [] if none clears the bar."
         self.query_started = 1
 
-        counter = self.counter
-        if not counter:
+        if not self.counter:
             return []
-
-        siglist = self.siglist
-        assert siglist
+        assert self.siglist
 
         scaled = self.downsample(cur_query_mh.scaled)
         cur_query_mh = cur_query_mh.downsample(scaled=scaled)
-
         if not cur_query_mh:
             return []
 
@@ -674,56 +695,54 @@ class CounterGather:
                 threshold_bp, scaled, len(cur_query_mh)
             )
         except ValueError:
+            # threshold unattainable with the remaining query
             return []
 
-        most_common = counter.most_common()
-        dataset_id, match_size = most_common[0]
-
-        if match_size < n_threshold_hashes:
+        best_md5, best_count = self.counter.most_common()[0]
+        if best_count < n_threshold_hashes:
             return []
 
-        match = siglist[dataset_id]
-
+        match = self.siglist[best_md5]
         cont = cur_query_mh.contained_by(match.minhash, downsample=True)
-        assert cont
-        assert cont >= threshold
+        assert cont and cont >= threshold
 
         match_mh = match.minhash.downsample(scaled=scaled).flatten()
         intersect_mh = cur_query_mh & match_mh
-        location = self.locations[dataset_id]
 
-        return (IndexSearchResult(cont, match, location), intersect_mh)
+        return (
+            IndexSearchResult(cont, match, self.locations[best_md5]),
+            intersect_mh,
+        )
 
     def consume(self, intersect_mh):
-        "Remove the given hashes from all counters; drop emptied datasets."
+        "Commit an intersection: decrement every counter it overlaps."
         self.query_started = 1
-
         if not intersect_mh:
             return
 
-        siglist = self.siglist
-        counter = self.counter
-
-        for dataset_id, _ in counter.most_common():
-            remaining_mh = siglist[dataset_id].minhash
-            intersect_count = intersect_mh.count_common(remaining_mh, downsample=True)
-            if intersect_count:
-                counter[dataset_id] -= intersect_count
-                if counter[dataset_id] == 0:
-                    del counter[dataset_id]
+        for md5, _count in self.counter.most_common():
+            overlap = intersect_mh.count_common(
+                self.siglist[md5].minhash, downsample=True
+            )
+            if overlap:
+                self.counter[md5] -= overlap
+                if self.counter[md5] == 0:
+                    del self.counter[md5]
 
 
 class MultiIndex(Index):
-    """In-memory collection of signatures from multiple sources, with a
-    manifest recording original locations."""
+    """Aggregation of signatures from several sources, held in memory.
+
+    A manifest records every signature's original location; search runs
+    batched over the full set.
+    """
 
     def __init__(self, manifest, parent, *, prepend_location=False):
+        if prepend_location and parent is None:
+            raise ValueError("must set 'parent' if 'prepend_location' is set")
         self.manifest = manifest
         self.parent = parent
         self.prepend_location = prepend_location
-
-        if prepend_location and self.parent is None:
-            raise ValueError("must set 'parent' if 'prepend_location' is set")
 
     @property
     def location(self):
@@ -745,63 +764,60 @@ class MultiIndex(Index):
             yield row["signature"], row["internal_location"]
 
     def __len__(self):
-        if self.manifest is None:
-            return 0
-        return len(self.manifest)
+        return len(self.manifest) if self.manifest is not None else 0
 
     def insert(self, *args):
         raise NotImplementedError
 
+    def save(self, *args):
+        raise NotImplementedError
+
     def find(self, search_fn, query, **kwargs):
-        "Batched device find over the in-memory manifest."
-        sal = list(self.signatures_with_location())
-        yield from self._find_batched(search_fn, query, sal)
+        pairs = list(self.signatures_with_location())
+        yield from self._find_batched(search_fn, query, pairs)
 
     @classmethod
     def load(cls, index_list, source_list, parent, *, prepend_location=False):
-        "Create a MultiIndex from already-loaded indices."
+        "Build a MultiIndex from already-loaded indices + their sources."
         assert len(index_list) == len(source_list)
 
-        def sigloc_iter():
-            for idx, iloc in zip(index_list, source_list):
-                if iloc is None:
-                    iloc = idx.location
+        def walk():
+            for idx, src in zip(index_list, source_list):
+                src = idx.location if src is None else src
                 for ss in idx.signatures():
-                    yield ss, iloc
+                    yield ss, src
 
-        manifest = CollectionManifest.create_manifest(sigloc_iter())
+        manifest = CollectionManifest.create_manifest(walk())
         return cls(manifest, parent, prepend_location=prepend_location)
 
     @classmethod
     def load_from_directory(cls, pathname, *, force=False):
-        "Create a MultiIndex from all .sig/.sig.gz files under a directory."
+        "Gather all .sig/.sig.gz files under a directory into a MultiIndex."
         from ..sourmash_args import traverse_find_sigs
         from ..exceptions import SourmashError
 
         if not os.path.isdir(pathname):
             raise ValueError(f"'{pathname}' must be a directory.")
 
-        index_list = []
-        source_list = []
-
-        for thisfile in traverse_find_sigs([pathname], yield_all_files=force):
+        loaded, sources = [], []
+        for filename in traverse_find_sigs([pathname], yield_all_files=force):
             try:
-                idx = LinearIndex.load(thisfile)
-                index_list.append(idx)
-                source_list.append(os.path.relpath(thisfile, pathname))
+                loaded.append(LinearIndex.load(filename))
+                sources.append(os.path.relpath(filename, pathname))
             except (OSError, SourmashError, ValueError) as exc:
-                if force:
-                    continue
-                raise ValueError(exc)
+                # drop the partial append if load itself raised
+                del loaded[len(sources):]
+                if not force:
+                    raise ValueError(exc)
 
-        if not index_list:
+        if not loaded:
             raise ValueError(f"no signatures to load under directory '{pathname}'")
 
-        return cls.load(index_list, source_list, pathname, prepend_location=True)
+        return cls.load(loaded, sources, pathname, prepend_location=True)
 
     @classmethod
     def load_from_path(cls, pathname, force=False):
-        "Create a MultiIndex from a path (filename or directory)."
+        "Build a MultiIndex from a filename or directory path."
         from ..exceptions import SourmashError
 
         if not os.path.exists(pathname):
@@ -821,33 +837,30 @@ class MultiIndex(Index):
 
     @classmethod
     def load_from_pathlist(cls, filename):
-        "Create a MultiIndex from all files listed in a text file."
+        "Build a MultiIndex from every path listed in a text file."
         from ..sourmash_args import load_pathlist_from_file, load_file_as_index
 
-        idx_list = []
-        src_list = []
-
-        for fname in load_pathlist_from_file(filename):
-            idx_list.append(load_file_as_index(fname))
-            src_list.append(fname)
-
-        return cls.load(idx_list, src_list, filename)
-
-    def save(self, *args):
-        raise NotImplementedError
+        paths = list(load_pathlist_from_file(filename))
+        indices = [load_file_as_index(p) for p in paths]
+        return cls.load(indices, paths, filename)
 
     def select(self, **kwargs):
-        "Run 'select' on the manifest."
+        "Selection applies directly to the manifest."
         _check_select_parameters(**kwargs)
-        new_manifest = self.manifest.select_to_manifest(**kwargs)
         return MultiIndex(
-            new_manifest, self.parent, prepend_location=self.prepend_location
+            self.manifest.select_to_manifest(**kwargs),
+            self.parent,
+            prepend_location=self.prepend_location,
         )
 
 
 class StandaloneManifestIndex(Index):
-    """Standalone-manifest index: selection works on the manifest alone;
-    signatures are lazily loaded from their recorded locations on demand."""
+    """Index over a free-standing manifest file.
+
+    Selection and enumeration work purely on manifest rows; the actual
+    signatures are loaded lazily from their recorded locations (made
+    absolute against ``prefix`` when relative) only when iterated.
+    """
 
     is_database = True
 
@@ -859,44 +872,44 @@ class StandaloneManifestIndex(Index):
 
     @classmethod
     def load(cls, location, *, prefix=None):
-        "Load a manifest file as an index."
+        "Load a manifest CSV/sqlite file as an index."
         if not os.path.isfile(location):
             raise ValueError(f"provided manifest location '{location}' is not a file")
 
-        m = CollectionManifest.load_from_filename(location)
+        manifest = CollectionManifest.load_from_filename(location)
         if prefix is None:
             prefix = os.path.dirname(location)
-        return cls(m, location, prefix=prefix)
+        return cls(manifest, location, prefix=prefix)
 
     @property
     def location(self):
         return self._location
-
-    def signatures_with_location(self):
-        yield from self._signatures_with_internal()
-
-    def signatures(self):
-        for ss, loc in self._signatures_with_internal():
-            yield ss
-
-    def _signatures_with_internal(self):
-        "Iterate (sig, location) over the current (post-select) manifest."
-        import sourmash_tpu
-
-        picklist = self.manifest.to_picklist()
-        for iloc in self.manifest.locations():
-            if not iloc.startswith("/") and self.prefix:
-                iloc = os.path.join(self.prefix, iloc)
-            idx = sourmash_tpu.load_file_as_index(iloc)
-            idx = idx.select(picklist=picklist)
-            for ss in idx.signatures():
-                yield ss, iloc
 
     def __len__(self):
         return len(self.manifest)
 
     def __bool__(self):
         return bool(self.manifest)
+
+    def signatures(self):
+        for ss, _loc in self._signatures_with_internal():
+            yield ss
+
+    def signatures_with_location(self):
+        yield from self._signatures_with_internal()
+
+    def _signatures_with_internal(self):
+        "Lazily load each manifest location, filtered back through a picklist."
+        import sourmash_tpu
+
+        picklist = self.manifest.to_picklist()
+        for loc in self.manifest.locations():
+            if not loc.startswith("/") and self.prefix:
+                loc = os.path.join(self.prefix, loc)
+            idx = sourmash_tpu.load_file_as_index(loc)
+            idx = idx.select(picklist=picklist)
+            for ss in idx.signatures():
+                yield ss, loc
 
     def save(self, *args):
         raise NotImplementedError
@@ -905,43 +918,10 @@ class StandaloneManifestIndex(Index):
         raise NotImplementedError
 
     def select(self, **kwargs):
-        "Run 'select' on the manifest."
+        "Selection applies directly to the manifest."
         _check_select_parameters(**kwargs)
-        new_manifest = self.manifest.select_to_manifest(**kwargs)
-        return StandaloneManifestIndex(new_manifest, self._location, prefix=self.prefix)
-
-
-def _check_select_parameters(**kw):
-    "Check 'select' parameters for types/conversion."
-    params = set(kw)
-    params -= {"ksize", "num", "moltype", "scaled", "abund", "picklist", "containment"}
-    if params:
-        raise ValueError(f"unknown 'select' parameters: {params}")
-
-    ksize = kw.get("ksize")
-    if ksize is not None and not isinstance(ksize, int):
-        raise ValueError(f"ksize value '{ksize}' must be an integer, is: {type(ksize)}")
-
-    moltype = kw.get("moltype")
-    if moltype is not None and moltype not in ["DNA", "protein", "dayhoff", "hp"]:
-        raise ValueError(f"unknown moltype: {moltype}")
-
-    scaled = kw.get("scaled")
-    if scaled is not None and not isinstance(scaled, int):
-        raise ValueError(
-            f"scaled value '{scaled}' must be an integer, is: {type(scaled)}"
+        return StandaloneManifestIndex(
+            self.manifest.select_to_manifest(**kwargs),
+            self._location,
+            prefix=self.prefix,
         )
-
-    containment = kw.get("containment")
-    if containment is not None and not isinstance(containment, bool):
-        raise ValueError(
-            f"containment value '{containment}' must be a bool, is: {type(containment)}"
-        )
-
-    abund = kw.get("abund")
-    if abund is not None and not isinstance(abund, bool):
-        raise ValueError(f"abund value '{abund}' must be a bool, is: {type(abund)}")
-
-    num = kw.get("num")
-    if num is not None and not isinstance(num, int):
-        raise ValueError(f"num value '{num}' must be an integer, is: {type(num)}")
