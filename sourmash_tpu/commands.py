@@ -1,9 +1,15 @@
-"""Command drivers for the CLI (compare/search/gather/prefetch/plot/index).
+"""Top-level command drivers.
 
-Behavior parity: reference `src/sourmash/commands.py` (compare:38,
-search:606, gather:836, prefetch:1494, plot:306, categorize:758). Console
-output strings and CSV schemas match the reference so downstream tooling
-works unchanged; the compute underneath is the batched device path.
+Each public function here implements one `sourmash <cmd>` subcommand:
+loading inputs through ``sourmash_args``, running the batched device engines
+(compare matrices, index search, the gather counter rounds), and emitting the
+reference-compatible console/CSV outputs.
+
+Console strings and CSV schemas are parity surface and match the reference
+(`src/sourmash/commands.py` — compare:38, plot:306, search:606,
+categorize:758, gather:836, multigather:1124, prefetch:1494, index:501,
+watch:1389) exactly; the execution underneath is organized around this
+framework's device-batched comparison paths.
 """
 
 from __future__ import annotations
@@ -31,11 +37,101 @@ from .index import LazyLinearIndex
 from .search import PrefetchResult, prefetch_database
 
 DEFAULT_N = 3
+WATERMARK_SIZE = 10000
+
+_SIZE_WARN = (
+    "WARNING: size estimation for at least one of these sketches may be"
+    " inaccurate. ANI values will not be reported for these comparisons."
+)
 
 
 def _get_screen_width():
     col, _ = shutil.get_terminal_size()
     return col
+
+
+# ---------------------------------------------------------------------------
+# shared query-loading steps
+# ---------------------------------------------------------------------------
+
+
+def _announce_query(query, *, first=False):
+    "Standard 'loaded query' console line."
+    which = "first query" if first else "query"
+    notify(
+        f"loaded {which}: {str(query)[:30]}... "
+        f"(k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
+    )
+
+
+def _downsample_query_inplace(query, target_scaled):
+    "Downsample a scaled query signature, with the standard notification."
+    if target_scaled and target_scaled != query.minhash.scaled:
+        notify(
+            f"downsampling query from scaled={query.minhash.scaled} to {int(target_scaled)}"
+        )
+        with query.update() as query:
+            query.minhash = query.minhash.downsample(scaled=target_scaled)
+    return query
+
+
+# ---------------------------------------------------------------------------
+# shared gather console output
+# ---------------------------------------------------------------------------
+
+
+def _gather_table_header(is_abundance):
+    print_results("")
+    if is_abundance:
+        print_results("overlap     p_query p_match avg_abund")
+        print_results("---------   ------- ------- ---------")
+    else:
+        print_results("overlap     p_query p_match")
+        print_results("---------   ------- -------")
+
+
+def _gather_table_row(result, is_abundance, screen_width):
+    from .search import format_bp
+
+    pct_query = f"{result.f_unique_weighted * 100:.1f}%"
+    pct_genome = f"{result.f_match * 100:.1f}%"
+
+    if is_abundance:
+        name = result.match._display_name(screen_width - 41)
+        print_results(
+            "{:9}   {:>7} {:>7} {:>9}    {}",
+            format_bp(result.intersect_bp),
+            pct_query,
+            pct_genome,
+            f"{result.average_abund:.1f}",
+            name,
+        )
+    else:
+        name = result.match._display_name(screen_width - 31)
+        print_results(
+            "{:9}   {:>7} {:>7}    {}",
+            format_bp(result.intersect_bp),
+            pct_query,
+            pct_genome,
+            name,
+        )
+
+
+def _gather_coverage_summary(result, is_abundance, sum_f_uniq_found):
+    "The 'recovered matches hit X%' lines after a gather run."
+    if is_abundance and result:
+        p_covered = 100 * result.sum_weighted_found / result.total_weighted_hashes
+        print_results(
+            f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
+        )
+    print_results(
+        f"the recovered matches hit {sum_f_uniq_found*100:.1f}% of the query k-mers (unweighted)."
+    )
+
+
+# ===========================================================================
+# compare & plot
+# ===========================================================================
 
 
 def compare(args):
@@ -51,32 +147,35 @@ def compare(args):
 
     progress = sourmash_args.SignatureLoadingProgress()
 
+    # load everything, tracking provenance + sketch-parameter consistency
     siglist = []
     ksizes = set()
     moltypes = set()
     size_may_be_inaccurate = False
     for filename in inp_files:
         notify(f"loading '{filename}'", end="\r")
-        loaded = sourmash_args.load_file_as_signatures(
-            filename,
-            ksize=args.ksize,
-            select_moltype=moltype,
-            picklist=picklist,
-            yield_all_files=args.force,
-            progress=progress,
-            pattern=pattern_search,
+        loaded = list(
+            sourmash_args.load_file_as_signatures(
+                filename,
+                ksize=args.ksize,
+                select_moltype=moltype,
+                picklist=picklist,
+                yield_all_files=args.force,
+                progress=progress,
+                pattern=pattern_search,
+            )
         )
-        loaded = list(loaded)
         if not loaded:
             notify(
                 f"\nwarning: no signatures loaded at given ksize/molecule type/picklist from {filename}"
             )
 
-        for s in loaded:
-            siglist.append((s, filename))
-            ksizes.add(s.minhash.ksize)
-            moltypes.add(sourmash_args.get_moltype(s))
+        for ss in loaded:
+            siglist.append((ss, filename))
+            ksizes.add(ss.minhash.ksize)
+            moltypes.add(sourmash_args.get_moltype(ss))
 
+        # no point loading more once inconsistency is guaranteed
         if len(ksizes) > 1 or len(moltypes) > 1:
             break
 
@@ -86,8 +185,7 @@ def compare(args):
 
     if len(ksizes) > 1:
         error("multiple k-mer sizes loaded; please specify one with -k.")
-        ksizes = sorted(ksizes)
-        error("(saw k-mer sizes {})".format(", ".join(map(str, ksizes))))
+        error("(saw k-mer sizes {})".format(", ".join(map(str, sorted(ksizes)))))
         sys.exit(-1)
 
     if len(moltypes) > 1:
@@ -95,30 +193,24 @@ def compare(args):
         sys.exit(-1)
 
     notify(" " * 79, end="\r")
-    notify(f"loaded {format(len(siglist))} signatures total.")
+    notify(f"loaded {len(siglist)} signatures total.")
 
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
-    scaled_sigs = [s.minhash.scaled for (s, _) in siglist]
-    is_scaled = all(scaled_sigs)
-    is_scaled_2 = any(scaled_sigs)
-
-    if is_scaled != is_scaled_2:
+    # all-scaled or all-num; no mixing
+    scaled_flags = [s.minhash.scaled for (s, _) in siglist]
+    is_scaled = all(scaled_flags)
+    if is_scaled != any(scaled_flags):
         error("ERROR: cannot mix scaled signatures with num signatures")
         sys.exit(-1)
 
-    is_containment = False
-    if args.containment or args.max_containment or args.avg_containment:
-        is_containment = True
-        containment_args = [
-            args.containment,
-            args.max_containment,
-            args.avg_containment,
-        ]
-        if sum(containment_args) > 1:
-            notify("ERROR: cannot specify more than one containment argument!")
-            sys.exit(-1)
+    # which comparison mode?
+    containment_flags = [args.containment, args.max_containment, args.avg_containment]
+    is_containment = any(containment_flags)
+    if is_containment and sum(containment_flags) > 1:
+        notify("ERROR: cannot specify more than one containment argument!")
+        sys.exit(-1)
 
     if is_containment and not is_scaled:
         error(
@@ -127,19 +219,17 @@ def compare(args):
         sys.exit(-1)
 
     return_ani = bool(args.estimate_ani)
-
     if return_ani and not is_scaled:
         error("must use scaled signatures with --estimate-ani")
         sys.exit(-1)
 
     if is_containment or return_ani:
-        track_abundances = any(s.minhash.track_abundance for s, _ in siglist)
-        if track_abundances:
+        if any(s.minhash.track_abundance for s, _ in siglist):
             notify(
                 "NOTE: --containment, --max-containment, --avg-containment, and --estimate-ani ignore signature abundances."
             )
 
-    printed_scaled_msg = False
+    # bring all scaled sigs to one common (max) scaled
     if is_scaled:
         max_scaled = max(s.minhash.scaled for s, _ in siglist)
         if args.scaled:
@@ -151,22 +241,19 @@ def compare(args):
                 )
                 notify(f"WARNING: continuing with scaled value of {max_scaled}.")
 
-        new_siglist = []
-        for s, filename in siglist:
-            if not size_may_be_inaccurate and not s.minhash.size_is_accurate():
+        printed_scaled_msg = False
+        resampled = []
+        for ss, filename in siglist:
+            if not size_may_be_inaccurate and not ss.minhash.size_is_accurate():
                 size_may_be_inaccurate = True
-            if s.minhash.scaled != max_scaled:
+            if ss.minhash.scaled != max_scaled:
                 if not printed_scaled_msg:
-                    notify(
-                        f"NOTE: downsampling to scaled value of {format(max_scaled)}"
-                    )
+                    notify(f"NOTE: downsampling to scaled value of {max_scaled}")
                     printed_scaled_msg = True
-                with s.update() as s:
-                    s.minhash = s.minhash.downsample(scaled=max_scaled)
-                new_siglist.append((s, filename))
-            else:
-                new_siglist.append((s, filename))
-        siglist = new_siglist
+                with ss.update() as ss:
+                    ss.minhash = ss.minhash.downsample(scaled=max_scaled)
+            resampled.append((ss, filename))
+        siglist = resampled
     elif args.scaled is not None:
         error("ERROR: cannot specify --scaled with non-scaled signatures.")
         sys.exit(-1)
@@ -176,11 +263,12 @@ def compare(args):
         sys.exit(-1)
 
     notify("")
-
     numpy.set_printoptions(precision=3, suppress=True)
 
     labeltext = [str(ss) for ss, _ in siglist]
     sigsonly = [ss for ss, _ in siglist]
+
+    # run the (device-batched) all-pairs comparison
     if args.containment:
         similarity = compare_serial_containment(sigsonly, return_ani=return_ani)
     elif args.max_containment:
@@ -195,10 +283,7 @@ def compare(args):
             return_ani=return_ani,
         )
 
-    if args.distance_matrix:
-        matrix = 1 - similarity
-    else:
-        matrix = similarity
+    matrix = 1 - similarity if args.distance_matrix else similarity
 
     if len(siglist) < 30:
         for i, (ss, filename) in enumerate(siglist):
@@ -223,9 +308,8 @@ def compare(args):
             numpy.save(fp, matrix)
 
     if args.labels_to:
-        labeloutname = args.labels_to
-        notify(f"saving labels to: {labeloutname}")
-        with sourmash_args.FileOutputCSV(labeloutname) as fp:
+        notify(f"saving labels to: {args.labels_to}")
+        with sourmash_args.FileOutputCSV(args.labels_to) as fp:
             w = csv.writer(fp)
             w.writerow(
                 ["sort_order", "md5", "label", "name", "filename", "signature_file"]
@@ -243,14 +327,10 @@ def compare(args):
                 w.writerow([str(matrix[i][j]) for j in range(len(labeltext))])
 
     if size_may_be_inaccurate:
-        if args.distance_matrix:
-            notify(
-                "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI distances will be set to 1 for these comparisons."
-            )
-        else:
-            notify(
-                "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will be set to 1 for these comparisons."
-            )
+        kind = "ANI distances" if args.distance_matrix else "ANI values"
+        notify(
+            f"WARNING: size estimation for at least one of these sketches may be inaccurate. {kind} will be set to 1 for these comparisons."
+        )
 
 
 def plot(args):
@@ -264,7 +344,6 @@ def plot(args):
 
     from . import fig as sourmash_fig
 
-    # load files
     D_filename = args.distances
 
     notify(f"loading comparison matrix from {D_filename}...")
@@ -272,7 +351,9 @@ def plot(args):
         D = numpy.load(f)
     notify(f"...got {D.shape[0]} x {D.shape[1]} matrix.", *D.shape)
 
-    # label display resolution (reference commands.py:325-372, sourmash#2790)
+    # figure out what kind of labeling was requested (reference
+    # commands.py:325-372, sourmash#2790): full labels by default, bare
+    # indices with --indices, nothing with --no-labels.
     if args.labeltext or args.labels or args.labels_from:
         if args.labeltext and args.labels_from:
             notify("ERROR: cannot supply both --labeltext and --labels-from")
@@ -280,33 +361,24 @@ def plot(args):
         display_labels = True
         args.labels = True  # override => labels always true
     elif args.labels is None and not args.indices:
-        # default to labels
         args.labels = True
         display_labels = True
     elif args.indices or (not args.labels and args.indices is None):
-        # turn on indices only, not label names
         args.indices = True
         display_labels = True
     else:
         display_labels = False
 
     if args.labels_from:
-        labelfilename = args.labels_from
-        notify(f"loading labels from CSV file '{labelfilename}'")
-
-        labeltext = []
-        with sourmash_args.FileInputCSV(labelfilename) as r:
+        notify(f"loading labels from CSV file '{args.labels_from}'")
+        ordered = []
+        with sourmash_args.FileInputCSV(args.labels_from) as r:
             for row in r:
-                order, label = row["sort_order"], row["label"]
-                labeltext.append((int(order), label))
-        labeltext.sort()
-        labeltext = [t[1] for t in labeltext]
+                ordered.append((int(row["sort_order"]), row["label"]))
+        ordered.sort()
+        labeltext = [label for _, label in ordered]
     elif args.labels:
-        if args.labeltext:
-            labelfilename = args.labeltext
-        else:
-            labelfilename = D_filename + ".labels.txt"
-
+        labelfilename = args.labeltext or (D_filename + ".labels.txt")
         notify(f"loading labels from text file '{labelfilename}'")
         with open(labelfilename) as f:
             labeltext = [x.strip() for x in f]
@@ -315,32 +387,18 @@ def plot(args):
             error("{} labels != matrix size, exiting", len(labeltext))
             sys.exit(-1)
     elif args.indices:
-        # construct integer labels
         labeltext = [str(i + 1) for i in range(D.shape[0])]
     else:
         assert not display_labels
         labeltext = [""] * D.shape[0]
 
-    # build filenames, decide on PDF/PNG output
-    dendrogram_out = os.path.basename(D_filename) + ".dendro"
-    if args.pdf:
-        dendrogram_out += ".pdf"
-    else:
-        dendrogram_out += ".png"
+    # derive output filenames
+    ext = ".pdf" if args.pdf else ".png"
+    basename = os.path.basename(D_filename)
+    dendrogram_out = basename + ".dendro" + ext
+    matrix_out = basename + ".matrix" + ext
+    hist_out = basename + ".hist" + ext
 
-    matrix_out = os.path.basename(D_filename) + ".matrix"
-    if args.pdf:
-        matrix_out += ".pdf"
-    else:
-        matrix_out += ".png"
-
-    hist_out = os.path.basename(D_filename) + ".hist"
-    if args.pdf:
-        hist_out += ".pdf"
-    else:
-        hist_out += ".png"
-
-    # output to a different directory?
     if args.output_dir:
         if not os.path.isdir(args.output_dir):
             os.mkdir(args.output_dir)
@@ -348,19 +406,18 @@ def plot(args):
         matrix_out = os.path.join(args.output_dir, matrix_out)
         hist_out = os.path.join(args.output_dir, hist_out)
 
-    # make the histogram
+    # histogram of matrix values
     notify(f"saving histogram of matrix values => {hist_out}")
     fig = pylab.figure(figsize=(8, 5))
     pylab.hist(numpy.array(D.flat), bins=100)
     fig.savefig(hist_out)
 
-    ### make the dendrogram:
+    # dendrogram
     fig = pylab.figure(figsize=(8, 5))
     ax1 = fig.add_axes([0.1, 0.1, 0.7, 0.8])
     ax1.set_xticks([])
     ax1.set_yticks([])
 
-    # subsample?
     if args.subsample:
         numpy.random.seed(args.subsample_seed)
 
@@ -372,7 +429,6 @@ def plot(args):
         D = D[numpy.ix_(np_idx, np_idx)]
         labeltext = [labeltext[idx] for idx in sample_idx]
 
-    ### do clustering
     Y = sch.linkage(D, method="single")
     sch.dendrogram(
         Y, orientation="right", labels=labeltext, no_labels=not display_labels
@@ -380,7 +436,7 @@ def plot(args):
     fig.savefig(dendrogram_out)
     notify(f"wrote dendrogram to: {dendrogram_out}")
 
-    ### make the dendrogram+matrix:
+    # dendrogram + matrix composite
     (fig, rlabels, rmat) = sourmash_fig.plot_composite_matrix(
         D,
         labeltext,
@@ -397,18 +453,18 @@ def plot(args):
         for i, name in enumerate(labeltext):
             print_results("{}\t{}", i, name)
 
-    # write out re-ordered matrix and labels
     if args.csv:
         with FileOutputCSV(args.csv) as csv_fp:
             w = csv.writer(csv_fp)
             w.writerow(rlabels)
-
             for i in range(len(rlabels)):
-                y = []
-                for j in range(len(rlabels)):
-                    y.append(f"{rmat[i][j]}")
-                w.writerow(y)
+                w.writerow([f"{rmat[i][j]}" for j in range(len(rlabels))])
         notify(f"Wrote clustered matrix and labels out to {args.csv}")
+
+
+# ===========================================================================
+# search & categorize
+# ===========================================================================
 
 
 def search(args):
@@ -426,26 +482,18 @@ def search(args):
     query = sourmash_args.load_query_signature(
         args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
     )
-    notify(
-        f"loaded query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
-    )
+    _announce_query(query)
 
     if args.scaled:
         if not query.minhash.scaled:
             error("cannot downsample a signature not created with --scaled")
             sys.exit(-1)
-        if args.scaled != query.minhash.scaled:
-            notify(
-                f"downsampling query from scaled={query.minhash.scaled} to {int(args.scaled)}"
-            )
-            with query.update() as query:
-                query.minhash = query.minhash.downsample(scaled=args.scaled)
+        query = _downsample_query_inplace(query, args.scaled)
 
     is_containment = args.containment or args.max_containment
-    if is_containment:
-        if args.containment and args.max_containment:
-            notify("ERROR: cannot specify both --containment and --max-containment!")
-            sys.exit(-1)
+    if args.containment and args.max_containment:
+        notify("ERROR: cannot specify both --containment and --max-containment!")
+        sys.exit(-1)
 
     databases = sourmash_args.load_dbs_and_sigs(
         args.databases,
@@ -456,11 +504,12 @@ def search(args):
         fail_on_empty_database=args.fail_on_empty_database,
     )
 
+    # abundance handling: flatten on request; forbid containment w/ abund
     if query.minhash.track_abundance:
         if args.ignore_abundance:
             with query.update() as query:
                 query.minhash = query.minhash.flatten()
-        elif args.containment or args.max_containment:
+        elif is_containment:
             notify(
                 "ERROR: cannot do containment searches on an abund signature; maybe specify --ignore-abundance?"
             )
@@ -516,17 +565,16 @@ def search(args):
         name = sr.match._display_name(60)
         print_results("{:>6}       {}", pct, name)
         if sr.cmp_scaled is not None:
-            if not size_may_be_inaccurate and sr.size_may_be_inaccurate:
-                size_may_be_inaccurate = True
+            size_may_be_inaccurate = size_may_be_inaccurate or sr.size_may_be_inaccurate
             if not is_containment and sr.cmp.jaccard_ani_untrustworthy:
                 jaccard_ani_untrustworthy = True
 
     if args.best_only:
         notify("** reporting only one match because --best-only was set")
 
-    writer = None
     if args.output:
         with FileOutputCSV(args.output) as fp:
+            writer = None
             for sr in results:
                 if writer is None:
                     writer = sr.init_dictwriter(fp)
@@ -542,9 +590,7 @@ def search(args):
         sourmash_args.report_picklist(args, picklist)
 
     if size_may_be_inaccurate:
-        notify(
-            "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will not be reported for these comparisons."
-        )
+        notify(_SIZE_WARN)
     if jaccard_ani_untrustworthy:
         notify(
             "WARNING: Jaccard estimation for at least one of these comparisons is likely inaccurate. Could not estimate ANI for these comparisons."
@@ -559,31 +605,30 @@ def categorize(args):
     set_quiet(args.quiet)
     moltype = sourmash_args.calculate_moltype(args)
 
+    # skip any queries already present in --load-csv
     already_names = set()
     if args.load_csv:
         with open(args.load_csv, newline="") as fp:
-            r = csv.reader(fp)
-            for row in r:
+            for row in csv.reader(fp):
                 already_names.add(row[0])
 
     db = sourmash_args.load_file_as_index(args.database)
     if args.ksize or moltype:
         db = db.select(ksize=args.ksize, moltype=moltype)
 
-    def _yield_all_sigs(queries, ksize, moltype):
-        for filename in queries:
+    def queries_with_locations():
+        for filename in args.queries:
             mi = MultiIndex.load_from_path(filename, False)
-            mi = mi.select(ksize=ksize, moltype=moltype)
+            mi = mi.select(ksize=args.ksize, moltype=moltype)
             yield from mi.signatures_with_location()
 
-    csv_w = None
-    csv_fp = None
+    csv_w = csv_fp = None
     if args.csv:
         csv_fp = open(args.csv, "w", newline="")
         csv_w = csv.writer(csv_fp)
 
     search_obj = make_jaccard_search_query(threshold=args.threshold)
-    for orig_query, loc in _yield_all_sigs(args.queries, args.ksize, moltype):
+    for orig_query, loc in queries_with_locations():
         if loc in already_names:
             continue
 
@@ -604,6 +649,7 @@ def categorize(args):
                 sys.exit(-1)
             query = orig_query.copy()
 
+        # best match, excluding self-hits by md5
         results = []
         for sr in db.find(search_obj, query):
             match = sr.signature
@@ -612,16 +658,20 @@ def categorize(args):
 
         if results:
             results.sort(key=lambda x: -x[0])
-            best_hit_sim, best_hit_query = results[0]
-            notify(f"for {query}, found: {best_hit_sim:.2f} {best_hit_query}")
-            best_hit_query_name = best_hit_query.name
+            best_sim, best_match = results[0]
+            notify(f"for {query}, found: {best_sim:.2f} {best_match}")
             if csv_w:
-                csv_w.writerow([loc, query, best_hit_query_name, best_hit_sim])
+                csv_w.writerow([loc, query, best_match.name, best_sim])
         else:
             notify(f"for {query}, no match found")
 
     if csv_fp:
         csv_fp.close()
+
+
+# ===========================================================================
+# gather & friends
+# ===========================================================================
 
 
 def gather(args):
@@ -636,33 +686,23 @@ def gather(args):
     query = sourmash_args.load_query_signature(
         args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
     )
-    notify(
-        f"loaded query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
-    )
+    _announce_query(query)
 
     if not query.minhash.scaled:
         error("query signature needs to be created with --scaled")
         sys.exit(-1)
 
-    if args.scaled and args.scaled != query.minhash.scaled:
-        notify(
-            f"downsampling query from scaled={query.minhash.scaled} to {int(args.scaled)}"
-        )
-        with query.update() as query:
-            query.minhash = query.minhash.downsample(scaled=args.scaled)
+    query = _downsample_query_inplace(query, args.scaled)
 
     if not len(query.minhash):
         error("no query hashes!? exiting.")
         sys.exit(-1)
 
-    cache_size = args.cache_size
-    if args.cache_size == 0:
-        cache_size = None
     databases = sourmash_args.load_dbs_and_sigs(
         args.databases,
         query,
         False,
-        cache_size=cache_size,
+        cache_size=args.cache_size or None,
         picklist=picklist,
         pattern=pattern_search,
         fail_on_empty_database=args.fail_on_empty_database,
@@ -673,6 +713,8 @@ def gather(args):
 
     size_may_be_inaccurate = False
     if args.prefetch:  # on by default
+        # sweep every database once, building one CounterGather per db and
+        # partitioning the query into identified/unidentified hashes.
         notify("Starting prefetch sweep across databases.")
         prefetch_query = query.copy()
         if prefetch_query.minhash.track_abundance:
@@ -680,22 +722,23 @@ def gather(args):
                 prefetch_query.minhash = prefetch_query.minhash.flatten()
 
         noident_mh = prefetch_query.minhash.to_mutable()
+        ident_mh = noident_mh.copy_and_clear()
+
         save_prefetch = SaveSignaturesToLocation(args.save_prefetch)
         save_prefetch.open()
+
         prefetch_csvout_fp = None
         prefetch_csvout_w = None
         if args.save_prefetch_csv:
             prefetch_csvout_fp = FileOutputCSV(args.save_prefetch_csv).open()
-            query_mh = prefetch_query.minhash
-            scaled = query_mh.scaled
+            scaled = prefetch_query.minhash.scaled
 
         counters = []
-        ident_mh = noident_mh.copy_and_clear()
         for db in databases:
-            counter = None
             try:
                 counter = db.counter_gather(prefetch_query, args.threshold_bp)
             except ValueError:
+                # no matches in this database
                 continue
 
             save_prefetch.add_many(counter.signatures())
@@ -718,15 +761,12 @@ def gather(args):
                             prefetch_csvout_fp
                         )
                     prefetch_result.write(prefetch_csvout_w)
+                prefetch_csvout_fp.flush()
 
             counters.append(counter)
 
-            if prefetch_csvout_fp:
-                prefetch_csvout_fp.flush()
-
-        display_bp = format_bp(args.threshold_bp)
         notify(
-            f"Prefetch found {len(save_prefetch)} signatures with overlap >= {display_bp}."
+            f"Prefetch found {len(save_prefetch)} signatures with overlap >= {format_bp(args.threshold_bp)}."
         )
         save_prefetch.close()
         if prefetch_csvout_fp:
@@ -738,11 +778,11 @@ def gather(args):
 
     notify("Doing gather to generate minimum metagenome cover.")
 
-    found = 0
     is_abundance = query.minhash.track_abundance and not args.ignore_abundance
     orig_query_mh = query.minhash
     if not orig_query_mh.size_is_accurate():
         size_may_be_inaccurate = True
+
     gather_iter = GatherDatabases(
         query,
         counters,
@@ -754,6 +794,7 @@ def gather(args):
     )
 
     screen_width = _get_screen_width()
+    found = 0
     sum_f_uniq_found = 0.0
     result = None
 
@@ -774,38 +815,8 @@ def gather(args):
             sum_f_uniq_found += result.f_unique_to_query
 
             if found == 1:
-                if is_abundance:
-                    print_results("")
-                    print_results("overlap     p_query p_match avg_abund")
-                    print_results("---------   ------- ------- ---------")
-                else:
-                    print_results("")
-                    print_results("overlap     p_query p_match")
-                    print_results("---------   ------- -------")
-
-            pct_query = f"{result.f_unique_weighted * 100:.1f}%"
-            pct_genome = f"{result.f_match * 100:.1f}%"
-
-            if is_abundance:
-                name = result.match._display_name(screen_width - 41)
-                average_abund = f"{result.average_abund:.1f}"
-                print_results(
-                    "{:9}   {:>7} {:>7} {:>9}    {}",
-                    format_bp(result.intersect_bp),
-                    pct_query,
-                    pct_genome,
-                    average_abund,
-                    name,
-                )
-            else:
-                name = result.match._display_name(screen_width - 31)
-                print_results(
-                    "{:9}   {:>7} {:>7}    {}",
-                    format_bp(result.intersect_bp),
-                    pct_query,
-                    pct_genome,
-                    name,
-                )
+                _gather_table_header(is_abundance)
+            _gather_table_row(result, is_abundance, screen_width)
 
             if args.output:
                 if csv_writer is None:
@@ -832,21 +843,9 @@ def gather(args):
             print_results(
                 f"(truncated gather because --num-results={args.num_results})"
             )
+        _gather_coverage_summary(result, is_abundance, sum_f_uniq_found)
     else:
-        display_bp = format_bp(args.threshold_bp)
-        notify(f"\nNo matches found for --threshold-bp at {display_bp}.")
-
-    if found:
-        if is_abundance and result:
-            p_covered = result.sum_weighted_found / result.total_weighted_hashes
-            p_covered *= 100
-            print_results(
-                f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
-            )
-
-        print_results(
-            f"the recovered matches hit {sum_f_uniq_found*100:.1f}% of the query k-mers (unweighted)."
-        )
+        notify(f"\nNo matches found for --threshold-bp at {format_bp(args.threshold_bp)}.")
 
     print_results("")
     if gather_iter.scaled != query.minhash.scaled:
@@ -871,8 +870,7 @@ def gather(args):
                 remaining_query.minhash = remaining_mh
 
             if is_abundance:
-                abund_query_mh = remaining_query.minhash.inflate(orig_query_mh)
-                remaining_query.minhash = abund_query_mh
+                remaining_query.minhash = remaining_query.minhash.inflate(orig_query_mh)
 
             with SaveSignaturesToLocation(args.output_unassigned) as save_sig:
                 save_sig.add(remaining_query)
@@ -881,16 +879,207 @@ def gather(args):
         sourmash_args.report_picklist(args, picklist)
 
     if size_may_be_inaccurate:
-        notify(
-            "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will not be reported for these comparisons."
+        notify(_SIZE_WARN)
+
+
+def multigather(args):
+    """Gather many signatures against multiple databases.
+
+    Per query, writes one `.csv`, one `.matches.sig`, and one
+    `.unassigned<ext>` output named after the query filename
+    (reference `commands.py:1124-1382`).
+    """
+    from .search import GatherDatabases, format_bp
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+
+    if not args.db:
+        error("Error! must specify at least one database with --db")
+        sys.exit(-1)
+
+    if not args.query and not args.query_from_file:
+        error("Error! must specify at least one query signature with --query")
+        sys.exit(-1)
+
+    args.db = [item for sublist in args.db for item in sublist]
+    inp_files = [item for sublist in args.query for item in sublist]
+    if args.query_from_file:
+        inp_files.extend(sourmash_args.load_pathlist_from_file(args.query_from_file))
+
+    # one representative query pins ksize/moltype for database loading
+    first_query = next(
+        iter(
+            sourmash_args.load_file_as_signatures(
+                inp_files[0], ksize=args.ksize, select_moltype=moltype
+            )
         )
+    )
+    _announce_query(first_query, first=True)
+
+    databases = sourmash_args.load_dbs_and_sigs(
+        args.db, first_query, False, fail_on_empty_database=args.fail_on_empty_database
+    )
+
+    n = 0
+    size_may_be_inaccurate = False
+    used_output_bases = set()
+    for queryfile in inp_files:
+        for query in sourmash_args.load_file_as_signatures(
+            queryfile, ksize=args.ksize, select_moltype=moltype
+        ):
+            _announce_query(query)
+
+            if not query.minhash.scaled:
+                error("query signature needs to be created with --scaled; skipping")
+                continue
+
+            query = _downsample_query_inplace(query, args.scaled)
+
+            if not len(query.minhash):
+                error("no query hashes!? skipping to next..")
+                continue
+
+            # per-query prefetch sweep
+            prefetch_query = query.copy()
+            if prefetch_query.minhash.track_abundance:
+                with prefetch_query.update() as prefetch_query:
+                    prefetch_query.minhash = prefetch_query.minhash.flatten()
+
+            ident_mh = prefetch_query.minhash.copy_and_clear()
+            noident_mh = prefetch_query.minhash.to_mutable()
+
+            counters = []
+            for db in databases:
+                try:
+                    counter = db.counter_gather(prefetch_query, args.threshold_bp)
+                except ValueError:
+                    continue
+                counters.append(counter)
+
+                union_found = counter.union_found
+                noident_mh.remove_many(union_found)
+                ident_mh.add_many(union_found)
+
+            is_abundance = query.minhash.track_abundance and not args.ignore_abundance
+            orig_query_mh = query.minhash
+            gather_iter = GatherDatabases(
+                query,
+                counters,
+                threshold_bp=args.threshold_bp,
+                ignore_abundance=args.ignore_abundance,
+                noident_mh=noident_mh,
+                ident_mh=ident_mh,
+            )
+
+            # derive per-query output base, refusing accidental overwrites
+            query_filename = query.filename
+            if not query_filename or query_filename == "-":
+                output_base = query.md5sum()
+            elif args.output_add_query_md5sum:
+                output_base = os.path.basename(query_filename) + "." + query.md5sum()
+            else:
+                output_base = os.path.basename(query_filename)
+
+            if args.output_dir:
+                output_base = os.path.join(args.output_dir, output_base)
+
+            if output_base in used_output_bases:
+                error(
+                    f"ERROR: detected overwritten outputs! '{output_base}' has already been used. Failing."
+                )
+                if args.force_allow_overwrite_output:
+                    error("continuing because --force-allow-overwrite was specified")
+                else:
+                    error(
+                        "Consider using '-U/--output-add-query-md5sum' to build unique outputs"
+                    )
+                    error("and/or '--force-allow-overwrite-output'")
+                    sys.exit(-1)
+            used_output_bases.add(output_base)
+
+            output_matches = output_base + ".matches.sig"
+            save_sig_obj = SaveSignaturesToLocation(output_matches)
+            save_sig = save_sig_obj.__enter__()
+            notify(f"saving all matching signatures to '{output_matches}'")
+
+            output_csv = output_base + ".csv"
+            notify(f'saving all CSV matches to "{output_csv}"')
+            csv_out_obj = FileOutputCSV(output_csv)
+            csv_outfp = csv_out_obj.__enter__()
+            csv_writer = None
+
+            screen_width = _get_screen_width()
+            found = 0
+            sum_f_uniq_found = 0.0
+            result = None
+
+            for result in gather_iter:
+                found += 1
+                sum_f_uniq_found += result.f_unique_to_query
+                if found == 1:
+                    _gather_table_header(is_abundance)
+                _gather_table_row(result, is_abundance, screen_width)
+
+                if csv_writer is None:
+                    csv_writer = result.init_dictwriter(csv_outfp)
+                result.write(csv_writer)
+
+                save_sig.add(result.match)
+
+                if not size_may_be_inaccurate and result.size_may_be_inaccurate:
+                    size_may_be_inaccurate = True
+
+            if gather_iter.query.minhash:
+                notify(
+                    f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
+                )
+
+            print_results("\nfound {} matches total;", found)
+
+            save_sig_obj.close()
+            save_sig_obj = save_sig = None
+
+            csv_out_obj.close()
+            csv_out_obj = csv_outfp = csv_writer = None
+
+            _gather_coverage_summary(result, is_abundance, sum_f_uniq_found)
+            print_results("")
+
+            if found == 0:
+                notify("nothing found... skipping.")
+                continue
+
+            # save unassigned (remaining + unidentified) hashes
+            output_unassigned = output_base + f".unassigned{args.extension}"
+            remaining_query = gather_iter.query
+            if noident_mh:
+                remaining_mh = remaining_query.minhash.to_mutable()
+                remaining_mh += noident_mh.downsample(scaled=remaining_mh.scaled)
+                remaining_query.minhash = remaining_mh
+
+            if is_abundance:
+                remaining_query.minhash = remaining_query.minhash.inflate(orig_query_mh)
+
+            if not remaining_query:
+                notify("no unassigned hashes! not saving.")
+            else:
+                notify(f'saving unassigned hashes to "{output_unassigned}"')
+
+            with SaveSignaturesToLocation(output_unassigned) as save_sig:
+                save_sig.add(remaining_query)
+
+            n += 1
+
+    notify(f"\nconducted gather searches on {n} signatures")
+    if size_may_be_inaccurate:
+        notify(_SIZE_WARN)
 
 
 def prefetch(args):
     "Output the raw results of a containment/overlap search."
     if args.db_from_file:
-        more_db = sourmash_args.load_pathlist_from_file(args.db_from_file)
-        args.databases.extend(more_db)
+        args.databases.extend(sourmash_args.load_pathlist_from_file(args.db_from_file))
 
     if not args.databases:
         notify("ERROR: no databases or signatures to search!?")
@@ -906,7 +1095,6 @@ def prefetch(args):
             "WARNING: no output(s) specified! Nothing will be saved from this prefetch!"
         )
 
-    ksize = args.ksize
     moltype = sourmash_args.calculate_moltype(args)
     picklist = sourmash_args.load_picklist(args)
     pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
@@ -914,16 +1102,15 @@ def prefetch(args):
     query = sourmash_args.load_query_signature(
         args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
     )
-    notify(
-        f"loaded query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
-    )
+    _announce_query(query)
 
     if not query.minhash.scaled:
         error("query signature needs to be created with --scaled")
         sys.exit(-1)
 
-    query_mh = query.minhash
-    orig_query_mh = query_mh
+    # flatten + optionally downsample the working query sketch
+    orig_query_mh = query.minhash
+    query_mh = orig_query_mh
     if query_mh.track_abundance:
         query_mh = query_mh.flatten()
 
@@ -973,7 +1160,6 @@ def prefetch(args):
             db = LazyLinearIndex(db)
 
         db = db.select(ksize=ksize, moltype=moltype, containment=True)
-
         sum_signatures_after_select += len(db)
 
         db = sourmash_args.apply_picklist_and_pattern(db, picklist, pattern_search)
@@ -987,6 +1173,7 @@ def prefetch(args):
         ):
             match = result.match
 
+            # the working scaled ratchets up to cover every match seen
             common_scaled = max(
                 match.minhash.scaled, query.minhash.scaled, common_scaled
             )
@@ -1054,128 +1241,39 @@ def prefetch(args):
     notify(f"a total of {len(noident_mh)} query hashes remain unmatched.")
     notify(f"final scaled value (max across query and all matches) is {common_scaled}")
 
-    if args.save_matching_hashes:
-        filename = args.save_matching_hashes
-        notify(f"saving {len(ident_mh)} matched hashes to '{filename}'")
-
-        sig_name = ""
-        if query.name:
-            sig_name = f"{query.name}-known"
-
+    def _save_hash_subset(filename, subset_mh, suffix):
+        "Write a matched/unmatched hash subset as a standalone signature."
+        sig_name = f"{query.name}-{suffix}" if query.name else ""
         if orig_query_mh.track_abundance:
-            ident_mh = ident_mh.inflate(orig_query_mh)
-
-        ss = sig.SourmashSignature(ident_mh, name=sig_name)
+            subset_mh = subset_mh.inflate(orig_query_mh)
+        ss = sig.SourmashSignature(subset_mh, name=sig_name)
         with SaveSignaturesToLocation(filename) as save_sig:
             save_sig.add(ss)
+
+    if args.save_matching_hashes:
+        notify(
+            f"saving {len(ident_mh)} matched hashes to '{args.save_matching_hashes}'"
+        )
+        _save_hash_subset(args.save_matching_hashes, ident_mh, "known")
 
     if args.save_unmatched_hashes:
-        filename = args.save_unmatched_hashes
-
-        sig_name = ""
-        if query.name:
-            sig_name = f"{query.name}-unknown"
-
-        notify(f"saving {len(noident_mh)} unmatched hashes to '{filename}'")
-
-        if orig_query_mh.track_abundance:
-            noident_mh = noident_mh.inflate(orig_query_mh)
-
-        ss = sig.SourmashSignature(noident_mh, name=sig_name)
-        with SaveSignaturesToLocation(filename) as save_sig:
-            save_sig.add(ss)
+        notify(
+            f"saving {len(noident_mh)} unmatched hashes to '{args.save_unmatched_hashes}'"
+        )
+        _save_hash_subset(args.save_unmatched_hashes, noident_mh, "unknown")
 
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
     if size_may_be_inaccurate:
-        notify(
-            "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will not be reported for these comparisons."
-        )
+        notify(_SIZE_WARN)
 
     return 0
 
 
-def info(args):
-    "Report version and environment information."
-    import sourmash_tpu
-
-    from .logging import notify
-
-    notify(f"sourmash version {sourmash_tpu.VERSION}")
-    notify("- loaded from path: {}".format(os.path.dirname(__file__)))
-    notify("")
-
-    if args.verbose:
-        # reference cli/info.py:27-33 reports dependency versions; khmer is
-        # not a dependency here (internal Nodegraph) and screed is satisfied
-        # by the bundled compat shim over sequence_io.
-        notify("khmer version: None (internal Nodegraph)")
-        notify("")
-
-        import screed
-
-        notify(f"screed version {screed.__version__}")
-        notify("- loaded from path: {}".format(os.path.dirname(screed.__file__)))
-
-        import jax
-
-        notify(f"jax version {jax.__version__}")
-        notify(f"jax devices: {jax.devices()}")
-
-        from .plugins import list_all_plugins
-
-        list_all_plugins()
-
-
-def import_csv(args):
-    "Import a mash CSV file full of signatures/hashes."
-    from .minhash import MinHash
-
-    set_quiet(args.quiet)
-
-    with open(args.mash_csvfile, newline="") as fp:
-        reader = csv.reader(fp)
-        siglist = []
-        for row in reader:
-            hashfn = row[0]
-            hashseed = int(row[1])
-
-            assert hashfn == "murmur64"
-            assert hashseed == 42
-
-            _, _, ksize, name, hashes = row
-            ksize = int(ksize)
-
-            hashes = hashes.strip()
-            hashes = list(map(int, hashes.split(" ")))
-
-            e = MinHash(len(hashes), ksize)
-            e.add_many(hashes)
-            s = sig.SourmashSignature(e, filename=name)
-            siglist.append(s)
-            notify(f"loaded signature: {name} {s.md5sum()[:8]}")
-
-        notify(f"saving {len(siglist)} signatures to JSON")
-        with SaveSignaturesToLocation(args.output) as save_sig:
-            save_sig.add_many(siglist)
-
-
-def sbt_combine(args):
-    "Combine multiple SBTs into one."
-    from .sbtmh import load_sbt_index
-
-    inp_files = list(args.sbts)
-    notify(f"combining {len(inp_files)} SBTs")
-
-    tree = load_sbt_index(inp_files.pop(0))
-
-    for f in inp_files:
-        new_tree = load_sbt_index(f)
-        tree.combine(new_tree)
-
-    notify(f'saving SBT under "{args.sbt_name}".')
-    tree.save(args.sbt_name)
+# ===========================================================================
+# index construction + maintenance
+# ===========================================================================
 
 
 def index(args):
@@ -1245,6 +1343,7 @@ def index(args):
         if not ss:
             continue
 
+        # all sketches must agree on k/moltype, and be all-num or all-scaled
         if len(ksizes) > 1 or len(moltypes) > 1:
             error("multiple k-mer sizes or molecule types present; fail.")
             error("specify --dna/--protein and --ksize as necessary")
@@ -1255,11 +1354,9 @@ def index(args):
             )
             sys.exit(-1)
 
-        if nums == {0} and len(scaleds) == 1:
-            pass
-        elif scaleds == {0} and len(nums) == 1:
-            pass
-        else:
+        all_num = scaleds == {0} and len(nums) == 1
+        all_scaled = nums == {0} and len(scaleds) == 1
+        if not (all_num or all_scaled):
             error("trying to build an SBT with incompatible signatures.")
             error("nums = {}; scaleds = {}", repr(nums), repr(scaleds))
             sys.exit(-1)
@@ -1279,7 +1376,63 @@ def index(args):
         tree.storage.close()
 
 
-WATERMARK_SIZE = 10000
+def sbt_combine(args):
+    "Combine multiple SBTs into one."
+    from .sbtmh import load_sbt_index
+
+    inp_files = list(args.sbts)
+    notify(f"combining {len(inp_files)} SBTs")
+
+    tree = load_sbt_index(inp_files.pop(0))
+    for f in inp_files:
+        tree.combine(load_sbt_index(f))
+
+    notify(f'saving SBT under "{args.sbt_name}".')
+    tree.save(args.sbt_name)
+
+
+def migrate(args):
+    "Migrate an SBT database to the latest version."
+    from .sbtmh import load_sbt_index
+
+    tree = load_sbt_index(args.sbt_name, print_version_warning=False)
+
+    notify(f'saving SBT under "{args.sbt_name}".')
+    tree.save(args.sbt_name, structure_only=True)
+
+
+# ===========================================================================
+# odds and ends: import_csv, watch, info
+# ===========================================================================
+
+
+def import_csv(args):
+    "Import a mash CSV file full of signatures/hashes."
+    from .minhash import MinHash
+
+    set_quiet(args.quiet)
+
+    with open(args.mash_csvfile, newline="") as fp:
+        siglist = []
+        for row in csv.reader(fp):
+            hashfn = row[0]
+            hashseed = int(row[1])
+
+            assert hashfn == "murmur64"
+            assert hashseed == 42
+
+            _, _, ksize, name, hashes = row
+            mins = [int(h) for h in hashes.strip().split(" ")]
+
+            e = MinHash(len(mins), int(ksize))
+            e.add_many(mins)
+            s = sig.SourmashSignature(e, filename=name)
+            siglist.append(s)
+            notify(f"loaded signature: {name} {s.md5sum()[:8]}")
+
+        notify(f"saving {len(siglist)} signatures to JSON")
+        with SaveSignaturesToLocation(args.output) as save_sig:
+            save_sig.add_many(siglist)
 
 
 def watch(args):
@@ -1299,33 +1452,21 @@ def watch(args):
         notify('ERROR: cannot use "watch" with both nucleotide and protein.')
 
     if args.dna:
-        moltype = "DNA"
-        is_protein = False
-        dayhoff = False
-        hp = False
+        moltype, is_protein, dayhoff, hp = "DNA", False, False, False
     elif args.protein:
-        moltype = "protein"
-        is_protein = True
-        dayhoff = False
-        hp = False
+        moltype, is_protein, dayhoff, hp = "protein", True, False, False
     elif args.dayhoff:
-        moltype = "dayhoff"
-        is_protein = True
-        dayhoff = True
-        hp = False
+        moltype, is_protein, dayhoff, hp = "dayhoff", True, True, False
     else:
-        moltype = "hp"
-        is_protein = True
-        dayhoff = False
-        hp = True
+        moltype, is_protein, dayhoff, hp = "hp", True, False, True
 
     tree = load_sbt_index(args.sbt_name)
 
     ksize = args.ksize
     if ksize is None:
+        # pick up the tree's ksize from any leaf
         leaf = next(iter(tree.leaves()))
-        tree_mh = leaf.data.minhash
-        ksize = tree_mh.ksize
+        ksize = leaf.data.minhash.ksize
 
     E = MinHash(
         ksize=ksize, n=args.num_hashes, is_protein=is_protein, dayhoff=dayhoff, hp=hp
@@ -1344,14 +1485,12 @@ def watch(args):
             do_containment=False,
         ):
             results.append((similarity, match))
-
         return results
 
     notify("reading sequences from stdin")
     watermark = WATERMARK_SIZE
 
     n = 0
-    inp = sys.stdin if args.inp_file == "-" else args.inp_file
     for n, record in enumerate(iter_records(args.inp_file)):
         if n >= watermark:
             notify(f"\r... read {n} sequences", end="")
@@ -1380,253 +1519,33 @@ def watch(args):
             save_sig.add(streamsig)
 
 
-def migrate(args):
-    "Migrate an SBT database to the latest version."
-    from .sbtmh import load_sbt_index
+def info(args):
+    "Report version and environment information."
+    import sourmash_tpu
 
-    tree = load_sbt_index(args.sbt_name, print_version_warning=False)
+    from .logging import notify
 
-    notify(f'saving SBT under "{args.sbt_name}".')
-    tree.save(args.sbt_name, structure_only=True)
+    notify(f"sourmash version {sourmash_tpu.VERSION}")
+    notify("- loaded from path: {}".format(os.path.dirname(__file__)))
+    notify("")
 
+    if args.verbose:
+        # reference cli/info.py:27-33 reports dependency versions; khmer is
+        # not a dependency here (internal Nodegraph) and screed is satisfied
+        # by the bundled compat shim over sequence_io.
+        notify("khmer version: None (internal Nodegraph)")
+        notify("")
 
-def multigather(args):
-    """Gather many signatures against multiple databases (reference
-    `commands.py:1124-1382`). Per query: one .csv, one .matches.sig, one
-    .unassigned<ext> output, named after the query filename."""
-    from .search import GatherDatabases, format_bp
+        import screed
 
-    set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
+        notify(f"screed version {screed.__version__}")
+        notify("- loaded from path: {}".format(os.path.dirname(screed.__file__)))
 
-    if not args.db:
-        error("Error! must specify at least one database with --db")
-        sys.exit(-1)
+        import jax
 
-    if not args.query and not args.query_from_file:
-        error("Error! must specify at least one query signature with --query")
-        sys.exit(-1)
+        notify(f"jax version {jax.__version__}")
+        notify(f"jax devices: {jax.devices()}")
 
-    args.db = [item for sublist in args.db for item in sublist]
-    inp_files = [item for sublist in args.query for item in sublist]
-    if args.query_from_file:
-        more_files = sourmash_args.load_pathlist_from_file(args.query_from_file)
-        inp_files.extend(more_files)
+        from .plugins import list_all_plugins
 
-    # need a query to get ksize, moltype for db loading
-    query = next(
-        iter(
-            sourmash_args.load_file_as_signatures(
-                inp_files[0], ksize=args.ksize, select_moltype=moltype
-            )
-        )
-    )
-    notify(
-        f"loaded first query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
-    )
-
-    databases = sourmash_args.load_dbs_and_sigs(
-        args.db, query, False, fail_on_empty_database=args.fail_on_empty_database
-    )
-
-    n = 0
-    size_may_be_inaccurate = False
-    output_base_tracking = set()
-    for queryfile in inp_files:
-        for query in sourmash_args.load_file_as_signatures(
-            queryfile, ksize=args.ksize, select_moltype=moltype
-        ):
-            notify(
-                f"loaded query: {str(query)[:30]}... (k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
-            )
-
-            if not query.minhash.scaled:
-                error("query signature needs to be created with --scaled; skipping")
-                continue
-
-            if args.scaled and args.scaled != query.minhash.scaled:
-                notify(
-                    f"downsampling query from scaled={query.minhash.scaled} to {int(args.scaled)}"
-                )
-                with query.update() as query:
-                    query.minhash = query.minhash.downsample(scaled=args.scaled)
-
-            if not len(query.minhash):
-                error("no query hashes!? skipping to next..")
-                continue
-
-            prefetch_query = query.copy()
-            if prefetch_query.minhash.track_abundance:
-                with prefetch_query.update() as prefetch_query:
-                    prefetch_query.minhash = prefetch_query.minhash.flatten()
-
-            ident_mh = prefetch_query.minhash.copy_and_clear()
-            noident_mh = prefetch_query.minhash.to_mutable()
-
-            counters = []
-            for db in databases:
-                try:
-                    counter = db.counter_gather(prefetch_query, args.threshold_bp)
-                except ValueError:
-                    continue
-                counters.append(counter)
-
-                union_found = counter.union_found
-                noident_mh.remove_many(union_found)
-                ident_mh.add_many(union_found)
-
-            found = 0
-            is_abundance = query.minhash.track_abundance and not args.ignore_abundance
-            orig_query_mh = query.minhash
-            gather_iter = GatherDatabases(
-                query,
-                counters,
-                threshold_bp=args.threshold_bp,
-                ignore_abundance=args.ignore_abundance,
-                noident_mh=noident_mh,
-                ident_mh=ident_mh,
-            )
-
-            screen_width = _get_screen_width()
-            sum_f_uniq_found = 0.0
-            result = None
-
-            query_filename = query.filename
-            if not query_filename or query_filename == "-":
-                output_base = query.md5sum()
-            elif args.output_add_query_md5sum:
-                output_base = os.path.basename(query_filename) + "." + query.md5sum()
-            else:
-                output_base = os.path.basename(query_filename)
-
-            if args.output_dir:
-                output_base = os.path.join(args.output_dir, output_base)
-
-            if output_base in output_base_tracking:
-                error(
-                    f"ERROR: detected overwritten outputs! '{output_base}' has already been used. Failing."
-                )
-                if args.force_allow_overwrite_output:
-                    error("continuing because --force-allow-overwrite was specified")
-                else:
-                    error(
-                        "Consider using '-U/--output-add-query-md5sum' to build unique outputs"
-                    )
-                    error("and/or '--force-allow-overwrite-output'")
-                    sys.exit(-1)
-            output_base_tracking.add(output_base)
-
-            output_matches = output_base + ".matches.sig"
-            save_sig_obj = SaveSignaturesToLocation(output_matches)
-            save_sig = save_sig_obj.__enter__()
-            notify(f"saving all matching signatures to '{output_matches}'")
-
-            output_csv = output_base + ".csv"
-            notify(f'saving all CSV matches to "{output_csv}"')
-            csv_out_obj = FileOutputCSV(output_csv)
-            csv_outfp = csv_out_obj.__enter__()
-            csv_writer = None
-
-            for result in gather_iter:
-                found += 1
-                sum_f_uniq_found += result.f_unique_to_query
-                if found == 1:
-                    if is_abundance:
-                        print_results("")
-                        print_results("overlap     p_query p_match avg_abund")
-                        print_results("---------   ------- ------- ---------")
-                    else:
-                        print_results("")
-                        print_results("overlap     p_query p_match")
-                        print_results("---------   ------- -------")
-
-                pct_query = f"{result.f_unique_weighted * 100:.1f}%"
-                pct_genome = f"{result.f_match * 100:.1f}%"
-
-                if is_abundance:
-                    name = result.match._display_name(screen_width - 41)
-                    average_abund = f"{result.average_abund:.1f}"
-                    print_results(
-                        "{:9}   {:>7} {:>7} {:>9}    {}",
-                        format_bp(result.intersect_bp),
-                        pct_query,
-                        pct_genome,
-                        average_abund,
-                        name,
-                    )
-                else:
-                    name = result.match._display_name(screen_width - 31)
-                    print_results(
-                        "{:9}   {:>7} {:>7}    {}",
-                        format_bp(result.intersect_bp),
-                        pct_query,
-                        pct_genome,
-                        name,
-                    )
-
-                if csv_writer is None:
-                    csv_writer = result.init_dictwriter(csv_outfp)
-                result.write(csv_writer)
-
-                save_sig.add(result.match)
-
-                if not size_may_be_inaccurate and result.size_may_be_inaccurate:
-                    size_may_be_inaccurate = True
-
-            if gather_iter.query.minhash:
-                notify(
-                    f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
-                )
-
-            print_results("\nfound {} matches total;", found)
-
-            save_sig_obj.close()
-            save_sig_obj = save_sig = None
-
-            csv_out_obj.close()
-            csv_out_obj = csv_outfp = csv_writer = None
-
-            if is_abundance and result:
-                p_covered = result.sum_weighted_found / result.total_weighted_hashes
-                p_covered *= 100
-                print_results(
-                    f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
-                )
-
-            print_results(
-                f"the recovered matches hit {sum_f_uniq_found * 100:.1f}% of the query k-mers (unweighted)."
-            )
-            print_results("")
-
-            if found == 0:
-                notify("nothing found... skipping.")
-                continue
-
-            output_unassigned = output_base + f".unassigned{args.extension}"
-            remaining_query = gather_iter.query
-            if noident_mh:
-                remaining_mh = remaining_query.minhash.to_mutable()
-                remaining_mh += noident_mh.downsample(scaled=remaining_mh.scaled)
-                remaining_query.minhash = remaining_mh
-
-            if is_abundance:
-                abund_query_mh = remaining_query.minhash.inflate(orig_query_mh)
-                remaining_query.minhash = abund_query_mh
-
-            if found == 0:
-                notify("nothing found - entire query signature unassigned.")
-            elif not remaining_query:
-                notify("no unassigned hashes! not saving.")
-            else:
-                notify(f'saving unassigned hashes to "{output_unassigned}"')
-
-            with SaveSignaturesToLocation(output_unassigned) as save_sig:
-                save_sig.add(remaining_query)
-
-            n += 1
-
-    notify(f"\nconducted gather searches on {n} signatures")
-    if size_may_be_inaccurate:
-        notify(
-            "WARNING: size estimation for at least one of these sketches may be inaccurate. ANI values will not be reported for these comparisons."
-        )
+        list_all_plugins()
