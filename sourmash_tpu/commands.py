@@ -1,9 +1,17 @@
 """Top-level command drivers.
 
-Each public function here implements one `sourmash <cmd>` subcommand:
-loading inputs through ``sourmash_args``, running the batched device engines
-(compare matrices, index search, the gather counter rounds), and emitting the
-reference-compatible console/CSV outputs.
+Each public function implements one ``sourmash <cmd>`` subcommand. The file
+is organized around a small set of reusable pipeline stages rather than one
+monolithic function per command:
+
+* ``_Selectors`` / ``_load_announced_query`` — shared input selection,
+* ``_PrefetchSweep`` — the one-pass-per-database overlap sweep that seeds
+  gather with per-database counters plus identified/unidentified hash
+  bookkeeping (used by ``gather`` and ``multigather``),
+* ``_GatherReport`` — incremental console-table + CSV row emission for the
+  greedy rounds,
+* ``_RatchetedPartition`` — the scaled-ratcheting matched/unmatched hash
+  split used by ``prefetch``.
 
 Console strings and CSV schemas are parity surface and match the reference
 (`src/sourmash/commands.py` — compare:38, plot:306, search:606,
@@ -19,6 +27,7 @@ import io
 import os
 import shutil
 import sys
+from dataclasses import dataclass, field
 
 import numpy
 
@@ -27,14 +36,6 @@ from . import signature as sig
 from .logging import notify, error, print_results, set_quiet
 from .sourmash_args import FileOutputCSV
 from .save_load import SaveSignaturesToLocation
-from .compare import (
-    compare_all_pairs,
-    compare_serial_containment,
-    compare_serial_max_containment,
-    compare_serial_avg_containment,
-)
-from .index import LazyLinearIndex
-from .search import PrefetchResult, prefetch_database
 
 DEFAULT_N = 3
 WATERMARK_SIZE = 10000
@@ -45,14 +46,30 @@ _SIZE_WARN = (
 )
 
 
-def _get_screen_width():
-    col, _ = shutil.get_terminal_size()
-    return col
+# ---------------------------------------------------------------------------
+# shared input-selection stages
+# ---------------------------------------------------------------------------
 
 
-# ---------------------------------------------------------------------------
-# shared query-loading steps
-# ---------------------------------------------------------------------------
+@dataclass
+class _Selectors:
+    """The three standard database/signature subsetting knobs, parsed once."""
+
+    moltype: str | None
+    picklist: object
+    pattern: object
+
+    @classmethod
+    def parse(cls, args):
+        return cls(
+            moltype=sourmash_args.calculate_moltype(args),
+            picklist=sourmash_args.load_picklist(args),
+            pattern=sourmash_args.load_include_exclude_db_patterns(args),
+        )
+
+    def report_picklist(self, args):
+        if self.picklist:
+            sourmash_args.report_picklist(args, self.picklist)
 
 
 def _announce_query(query, *, first=False):
@@ -62,6 +79,15 @@ def _announce_query(query, *, first=False):
         f"loaded {which}: {str(query)[:30]}... "
         f"(k={query.minhash.ksize}, {sourmash_args.get_moltype(query)})"
     )
+
+
+def _load_announced_query(args, moltype):
+    "Load the single query signature named by args.query and announce it."
+    query = sourmash_args.load_query_signature(
+        args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
+    )
+    _announce_query(query)
+    return query
 
 
 def _downsample_query_inplace(query, target_scaled):
@@ -75,58 +101,18 @@ def _downsample_query_inplace(query, target_scaled):
     return query
 
 
-# ---------------------------------------------------------------------------
-# shared gather console output
-# ---------------------------------------------------------------------------
+def _flattened_copy(query):
+    "A copy of `query` with abundances stripped (if any)."
+    out = query.copy()
+    if out.minhash.track_abundance:
+        with out.update() as out:
+            out.minhash = out.minhash.flatten()
+    return out
 
 
-def _gather_table_header(is_abundance):
-    print_results("")
-    if is_abundance:
-        print_results("overlap     p_query p_match avg_abund")
-        print_results("---------   ------- ------- ---------")
-    else:
-        print_results("overlap     p_query p_match")
-        print_results("---------   ------- -------")
-
-
-def _gather_table_row(result, is_abundance, screen_width):
-    from .search import format_bp
-
-    pct_query = f"{result.f_unique_weighted * 100:.1f}%"
-    pct_genome = f"{result.f_match * 100:.1f}%"
-
-    if is_abundance:
-        name = result.match._display_name(screen_width - 41)
-        print_results(
-            "{:9}   {:>7} {:>7} {:>9}    {}",
-            format_bp(result.intersect_bp),
-            pct_query,
-            pct_genome,
-            f"{result.average_abund:.1f}",
-            name,
-        )
-    else:
-        name = result.match._display_name(screen_width - 31)
-        print_results(
-            "{:9}   {:>7} {:>7}    {}",
-            format_bp(result.intersect_bp),
-            pct_query,
-            pct_genome,
-            name,
-        )
-
-
-def _gather_coverage_summary(result, is_abundance, sum_f_uniq_found):
-    "The 'recovered matches hit X%' lines after a gather run."
-    if is_abundance and result:
-        p_covered = 100 * result.sum_weighted_found / result.total_weighted_hashes
-        print_results(
-            f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
-        )
-    print_results(
-        f"the recovered matches hit {sum_f_uniq_found*100:.1f}% of the query k-mers (unweighted)."
-    )
+def _screen_width():
+    col, _ = shutil.get_terminal_size()
+    return col
 
 
 # ===========================================================================
@@ -134,84 +120,120 @@ def _gather_coverage_summary(result, is_abundance, sum_f_uniq_found):
 # ===========================================================================
 
 
-def compare(args):
-    "Compare multiple signature files and create a similarity matrix."
-    set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
+@dataclass
+class _ComparePool:
+    """Signatures collected for an all-pairs comparison, with provenance and
+    the parameter sets observed while loading (used for consistency checks)."""
 
+    sigs: list = field(default_factory=list)  # (signature, source filename)
+    ksizes: set = field(default_factory=set)
+    moltypes: set = field(default_factory=set)
+
+    def absorb(self, ss, filename):
+        self.sigs.append((ss, filename))
+        self.ksizes.add(ss.minhash.ksize)
+        self.moltypes.add(sourmash_args.get_moltype(ss))
+
+    @property
+    def inconsistent(self):
+        return len(self.ksizes) > 1 or len(self.moltypes) > 1
+
+    def fail_if_mixed_params(self):
+        if len(self.ksizes) > 1:
+            error("multiple k-mer sizes loaded; please specify one with -k.")
+            error("(saw k-mer sizes {})".format(", ".join(map(str, sorted(self.ksizes)))))
+            sys.exit(-1)
+        if len(self.moltypes) > 1:
+            error("multiple molecule types loaded; please specify --dna, --protein")
+            sys.exit(-1)
+
+
+def _fill_compare_pool(args, sel):
+    "Load every input file for `compare` into a _ComparePool."
     inp_files = list(args.signatures)
     if args.from_file:
         inp_files.extend(sourmash_args.load_pathlist_from_file(args.from_file))
 
     progress = sourmash_args.SignatureLoadingProgress()
+    pool = _ComparePool()
 
-    # load everything, tracking provenance + sketch-parameter consistency
-    siglist = []
-    ksizes = set()
-    moltypes = set()
-    size_may_be_inaccurate = False
     for filename in inp_files:
         notify(f"loading '{filename}'", end="\r")
         loaded = list(
             sourmash_args.load_file_as_signatures(
                 filename,
                 ksize=args.ksize,
-                select_moltype=moltype,
-                picklist=picklist,
+                select_moltype=sel.moltype,
+                picklist=sel.picklist,
                 yield_all_files=args.force,
                 progress=progress,
-                pattern=pattern_search,
+                pattern=sel.pattern,
             )
         )
         if not loaded:
             notify(
                 f"\nwarning: no signatures loaded at given ksize/molecule type/picklist from {filename}"
             )
-
         for ss in loaded:
-            siglist.append((ss, filename))
-            ksizes.add(ss.minhash.ksize)
-            moltypes.add(sourmash_args.get_moltype(ss))
+            pool.absorb(ss, filename)
 
-        # no point loading more once inconsistency is guaranteed
-        if len(ksizes) > 1 or len(moltypes) > 1:
+        # once inconsistency is guaranteed, further loading is pointless
+        if pool.inconsistent:
             break
 
-    if not siglist:
+    if not pool.sigs:
         error("no signatures found! exiting.")
         sys.exit(-1)
 
-    if len(ksizes) > 1:
-        error("multiple k-mer sizes loaded; please specify one with -k.")
-        error("(saw k-mer sizes {})".format(", ".join(map(str, sorted(ksizes)))))
-        sys.exit(-1)
-
-    if len(moltypes) > 1:
-        error("multiple molecule types loaded; please specify --dna, --protein")
-        sys.exit(-1)
-
     notify(" " * 79, end="\r")
-    notify(f"loaded {len(siglist)} signatures total.")
+    notify(f"loaded {len(pool.sigs)} signatures total.")
+    return pool
 
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
 
-    # all-scaled or all-num; no mixing
-    scaled_flags = [s.minhash.scaled for (s, _) in siglist]
-    is_scaled = all(scaled_flags)
-    if is_scaled != any(scaled_flags):
+def _common_scaled_for(siglist, args):
+    "Pick the scaled value every signature will be brought to."
+    target = max(s.minhash.scaled for s, _ in siglist)
+    if args.scaled:
+        args.scaled = int(args.scaled)
+        target = max(target, args.scaled)
+        if target > args.scaled:
+            notify(
+                f"WARNING: --scaled specified {args.scaled}, but max scaled of sketches is {target}"
+            )
+            notify(f"WARNING: continuing with scaled value of {target}.")
+    return target
+
+
+def compare(args):
+    "Compare multiple signature files and create a similarity matrix."
+    from .compare import (
+        compare_all_pairs,
+        compare_serial_containment,
+        compare_serial_max_containment,
+        compare_serial_avg_containment,
+    )
+
+    set_quiet(args.quiet)
+    sel = _Selectors.parse(args)
+
+    pool = _fill_compare_pool(args, sel)
+    pool.fail_if_mixed_params()
+    sel.report_picklist(args)
+    siglist = pool.sigs
+
+    # signatures must be uniformly scaled or uniformly num
+    scaled_vals = [s.minhash.scaled for (s, _) in siglist]
+    is_scaled = all(scaled_vals)
+    if is_scaled != any(scaled_vals):
         error("ERROR: cannot mix scaled signatures with num signatures")
         sys.exit(-1)
 
-    # which comparison mode?
-    containment_flags = [args.containment, args.max_containment, args.avg_containment]
-    is_containment = any(containment_flags)
-    if is_containment and sum(containment_flags) > 1:
+    # comparison-mode flags: at most one containment variant
+    cont_flags = [args.containment, args.max_containment, args.avg_containment]
+    is_containment = any(cont_flags)
+    if sum(cont_flags) > 1:
         notify("ERROR: cannot specify more than one containment argument!")
         sys.exit(-1)
-
     if is_containment and not is_scaled:
         error(
             "must use scaled signatures with --containment, --max-containment, and --avg-containment"
@@ -223,37 +245,29 @@ def compare(args):
         error("must use scaled signatures with --estimate-ani")
         sys.exit(-1)
 
-    if is_containment or return_ani:
-        if any(s.minhash.track_abundance for s, _ in siglist):
-            notify(
-                "NOTE: --containment, --max-containment, --avg-containment, and --estimate-ani ignore signature abundances."
-            )
+    if (is_containment or return_ani) and any(
+        s.minhash.track_abundance for s, _ in siglist
+    ):
+        notify(
+            "NOTE: --containment, --max-containment, --avg-containment, and --estimate-ani ignore signature abundances."
+        )
 
-    # bring all scaled sigs to one common (max) scaled
+    # harmonize all scaled sketches to one common (max) scaled
+    size_may_be_inaccurate = False
     if is_scaled:
-        max_scaled = max(s.minhash.scaled for s, _ in siglist)
-        if args.scaled:
-            args.scaled = int(args.scaled)
-            max_scaled = max(max_scaled, args.scaled)
-            if max_scaled > args.scaled:
-                notify(
-                    f"WARNING: --scaled specified {args.scaled}, but max scaled of sketches is {max_scaled}"
-                )
-                notify(f"WARNING: continuing with scaled value of {max_scaled}.")
-
+        target_scaled = _common_scaled_for(siglist, args)
         printed_scaled_msg = False
-        resampled = []
-        for ss, filename in siglist:
+        for i, (ss, filename) in enumerate(siglist):
             if not size_may_be_inaccurate and not ss.minhash.size_is_accurate():
                 size_may_be_inaccurate = True
-            if ss.minhash.scaled != max_scaled:
+            if ss.minhash.scaled != target_scaled:
                 if not printed_scaled_msg:
-                    notify(f"NOTE: downsampling to scaled value of {max_scaled}")
+                    notify(f"NOTE: downsampling to scaled value of {target_scaled}")
                     printed_scaled_msg = True
+                # sig.update() hands back a fresh frozen signature — rebind
                 with ss.update() as ss:
-                    ss.minhash = ss.minhash.downsample(scaled=max_scaled)
-            resampled.append((ss, filename))
-        siglist = resampled
+                    ss.minhash = ss.minhash.downsample(scaled=target_scaled)
+                siglist[i] = (ss, filename)
     elif args.scaled is not None:
         error("ERROR: cannot specify --scaled with non-scaled signatures.")
         sys.exit(-1)
@@ -268,7 +282,7 @@ def compare(args):
     labeltext = [str(ss) for ss, _ in siglist]
     sigsonly = [ss for ss, _ in siglist]
 
-    # run the (device-batched) all-pairs comparison
+    # the device-batched all-pairs engines
     if args.containment:
         similarity = compare_serial_containment(sigsonly, return_ani=return_ani)
     elif args.max_containment:
@@ -286,7 +300,7 @@ def compare(args):
     matrix = 1 - similarity if args.distance_matrix else similarity
 
     if len(siglist) < 30:
-        for i, (ss, filename) in enumerate(siglist):
+        for i, (ss, _) in enumerate(siglist):
             name_num = f"{i}-{str(ss)}"
             if len(name_num) > 20:
                 name_num = name_num[:17] + "..."
@@ -297,6 +311,17 @@ def compare(args):
     else:
         print_results("min similarity in matrix: {:.3f}", numpy.min(matrix))
 
+    _write_compare_outputs(args, matrix, siglist, labeltext)
+
+    if size_may_be_inaccurate:
+        kind = "ANI distances" if args.distance_matrix else "ANI values"
+        notify(
+            f"WARNING: size estimation for at least one of these sketches may be inaccurate. {kind} will be set to 1 for these comparisons."
+        )
+
+
+def _write_compare_outputs(args, matrix, siglist, labeltext):
+    "All the optional file outputs of `compare`: .npy matrix, labels, CSVs."
     if args.output:
         labeloutname = args.output + ".labels.txt"
         notify(f"saving labels to: {labeloutname}")
@@ -323,14 +348,49 @@ def compare(args):
         with FileOutputCSV(args.csv) as csv_fp:
             w = csv.writer(csv_fp)
             w.writerow(labeltext)
-            for i in range(len(labeltext)):
-                w.writerow([str(matrix[i][j]) for j in range(len(labeltext))])
+            for row in matrix:
+                w.writerow([str(v) for v in row])
 
-    if size_may_be_inaccurate:
-        kind = "ANI distances" if args.distance_matrix else "ANI values"
-        notify(
-            f"WARNING: size estimation for at least one of these sketches may be inaccurate. {kind} will be set to 1 for these comparisons."
-        )
+
+def _resolve_plot_labels(args, n_rows):
+    """Work out the label list + whether to display labels at all
+    (reference commands.py:325-372, sourmash#2790): full labels by default,
+    bare indices with --indices, nothing with --no-labels."""
+    if args.labeltext or args.labels or args.labels_from:
+        if args.labeltext and args.labels_from:
+            notify("ERROR: cannot supply both --labeltext and --labels-from")
+            sys.exit(-1)
+        display = True
+        args.labels = True  # override => labels always true
+    elif args.labels is None and not args.indices:
+        args.labels = True
+        display = True
+    elif args.indices or (not args.labels and args.indices is None):
+        args.indices = True
+        display = True
+    else:
+        display = False
+
+    if args.labels_from:
+        notify(f"loading labels from CSV file '{args.labels_from}'")
+        with sourmash_args.FileInputCSV(args.labels_from) as r:
+            ordered = sorted((int(row["sort_order"]), row["label"]) for row in r)
+        labeltext = [label for _, label in ordered]
+    elif args.labels:
+        labelfilename = args.labeltext or (args.distances + ".labels.txt")
+        notify(f"loading labels from text file '{labelfilename}'")
+        with open(labelfilename) as f:
+            labeltext = [x.strip() for x in f]
+        if len(labeltext) != n_rows:
+            error("{} labels != matrix size, exiting", len(labeltext))
+            sys.exit(-1)
+    elif args.indices:
+        labeltext = [str(i + 1) for i in range(n_rows)]
+    else:
+        assert not display
+        labeltext = [""] * n_rows
+
+    return labeltext, display
 
 
 def plot(args):
@@ -338,7 +398,6 @@ def plot(args):
     import matplotlib as mpl
 
     mpl.use("Agg")
-    import numpy
     import pylab
     import scipy.cluster.hierarchy as sch
 
@@ -351,90 +410,49 @@ def plot(args):
         D = numpy.load(f)
     notify(f"...got {D.shape[0]} x {D.shape[1]} matrix.", *D.shape)
 
-    # figure out what kind of labeling was requested (reference
-    # commands.py:325-372, sourmash#2790): full labels by default, bare
-    # indices with --indices, nothing with --no-labels.
-    if args.labeltext or args.labels or args.labels_from:
-        if args.labeltext and args.labels_from:
-            notify("ERROR: cannot supply both --labeltext and --labels-from")
-            sys.exit(-1)
-        display_labels = True
-        args.labels = True  # override => labels always true
-    elif args.labels is None and not args.indices:
-        args.labels = True
-        display_labels = True
-    elif args.indices or (not args.labels and args.indices is None):
-        args.indices = True
-        display_labels = True
-    else:
-        display_labels = False
+    labeltext, display_labels = _resolve_plot_labels(args, D.shape[0])
 
-    if args.labels_from:
-        notify(f"loading labels from CSV file '{args.labels_from}'")
-        ordered = []
-        with sourmash_args.FileInputCSV(args.labels_from) as r:
-            for row in r:
-                ordered.append((int(row["sort_order"]), row["label"]))
-        ordered.sort()
-        labeltext = [label for _, label in ordered]
-    elif args.labels:
-        labelfilename = args.labeltext or (D_filename + ".labels.txt")
-        notify(f"loading labels from text file '{labelfilename}'")
-        with open(labelfilename) as f:
-            labeltext = [x.strip() for x in f]
-
-        if len(labeltext) != D.shape[0]:
-            error("{} labels != matrix size, exiting", len(labeltext))
-            sys.exit(-1)
-    elif args.indices:
-        labeltext = [str(i + 1) for i in range(D.shape[0])]
-    else:
-        assert not display_labels
-        labeltext = [""] * D.shape[0]
-
-    # derive output filenames
+    # output file naming: <basename>.{dendro,matrix,hist}.{png,pdf}
     ext = ".pdf" if args.pdf else ".png"
     basename = os.path.basename(D_filename)
-    dendrogram_out = basename + ".dendro" + ext
-    matrix_out = basename + ".matrix" + ext
-    hist_out = basename + ".hist" + ext
-
+    outnames = {
+        kind: basename + "." + kind + ext for kind in ("dendro", "matrix", "hist")
+    }
     if args.output_dir:
         if not os.path.isdir(args.output_dir):
             os.mkdir(args.output_dir)
-        dendrogram_out = os.path.join(args.output_dir, dendrogram_out)
-        matrix_out = os.path.join(args.output_dir, matrix_out)
-        hist_out = os.path.join(args.output_dir, hist_out)
+        outnames = {
+            kind: os.path.join(args.output_dir, name)
+            for kind, name in outnames.items()
+        }
 
     # histogram of matrix values
-    notify(f"saving histogram of matrix values => {hist_out}")
+    notify(f"saving histogram of matrix values => {outnames['hist']}")
     fig = pylab.figure(figsize=(8, 5))
     pylab.hist(numpy.array(D.flat), bins=100)
-    fig.savefig(hist_out)
+    fig.savefig(outnames["hist"])
 
-    # dendrogram
-    fig = pylab.figure(figsize=(8, 5))
-    ax1 = fig.add_axes([0.1, 0.1, 0.7, 0.8])
-    ax1.set_xticks([])
-    ax1.set_yticks([])
-
+    # optional random subsample of the rows before clustering
     if args.subsample:
         numpy.random.seed(args.subsample_seed)
-
         sample_idx = list(range(len(labeltext)))
         numpy.random.shuffle(sample_idx)
         sample_idx = sample_idx[: args.subsample]
-
         np_idx = numpy.array(sample_idx)
         D = D[numpy.ix_(np_idx, np_idx)]
         labeltext = [labeltext[idx] for idx in sample_idx]
 
+    # dendrogram alone
+    fig = pylab.figure(figsize=(8, 5))
+    ax1 = fig.add_axes([0.1, 0.1, 0.7, 0.8])
+    ax1.set_xticks([])
+    ax1.set_yticks([])
     Y = sch.linkage(D, method="single")
     sch.dendrogram(
         Y, orientation="right", labels=labeltext, no_labels=not display_labels
     )
-    fig.savefig(dendrogram_out)
-    notify(f"wrote dendrogram to: {dendrogram_out}")
+    fig.savefig(outnames["dendro"])
+    notify(f"wrote dendrogram to: {outnames['dendro']}")
 
     # dendrogram + matrix composite
     (fig, rlabels, rmat) = sourmash_fig.plot_composite_matrix(
@@ -445,8 +463,8 @@ def plot(args):
         vmax=args.vmax,
         force=args.force,
     )
-    fig.savefig(matrix_out)
-    notify(f"wrote numpy distance matrix to: {matrix_out}")
+    fig.savefig(outnames["matrix"])
+    notify(f"wrote numpy distance matrix to: {outnames['matrix']}")
 
     if len(labeltext) < 30:
         # for small matrices, print out sample numbering for FYI.
@@ -457,8 +475,8 @@ def plot(args):
         with FileOutputCSV(args.csv) as csv_fp:
             w = csv.writer(csv_fp)
             w.writerow(rlabels)
-            for i in range(len(rlabels)):
-                w.writerow([f"{rmat[i][j]}" for j in range(len(rlabels))])
+            for row in rmat:
+                w.writerow([f"{v}" for v in row])
         notify(f"Wrote clustered matrix and labels out to {args.csv}")
 
 
@@ -475,14 +493,9 @@ def search(args):
     )
 
     set_quiet(args.quiet, args.debug)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
+    sel = _Selectors.parse(args)
 
-    query = sourmash_args.load_query_signature(
-        args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
-    )
-    _announce_query(query)
+    query = _load_announced_query(args, sel.moltype)
 
     if args.scaled:
         if not query.minhash.scaled:
@@ -490,77 +503,68 @@ def search(args):
             sys.exit(-1)
         query = _downsample_query_inplace(query, args.scaled)
 
-    is_containment = args.containment or args.max_containment
     if args.containment and args.max_containment:
         notify("ERROR: cannot specify both --containment and --max-containment!")
         sys.exit(-1)
+    is_containment = args.containment or args.max_containment
 
     databases = sourmash_args.load_dbs_and_sigs(
         args.databases,
         query,
         not is_containment,
-        picklist=picklist,
-        pattern=pattern_search,
+        picklist=sel.picklist,
+        pattern=sel.pattern,
         fail_on_empty_database=args.fail_on_empty_database,
     )
 
     # abundance handling: flatten on request; forbid containment w/ abund
-    if query.minhash.track_abundance:
-        if args.ignore_abundance:
-            with query.update() as query:
-                query.minhash = query.minhash.flatten()
-        elif is_containment:
-            notify(
-                "ERROR: cannot do containment searches on an abund signature; maybe specify --ignore-abundance?"
-            )
-            sys.exit(-1)
-    else:
+    if not query.minhash.track_abundance:
         args.ignore_abundance = True
+    elif args.ignore_abundance:
+        with query.update() as query:
+            query.minhash = query.minhash.flatten()
+    elif is_containment:
+        notify(
+            "ERROR: cannot do containment searches on an abund signature; maybe specify --ignore-abundance?"
+        )
+        sys.exit(-1)
 
+    common = dict(
+        threshold=args.threshold,
+        do_containment=args.containment,
+        do_max_containment=args.max_containment,
+        best_only=args.best_only,
+        unload_data=True,
+    )
     if query.minhash.track_abundance:
         try:
-            results = search_databases_with_abund_query(
-                query,
-                databases,
-                threshold=args.threshold,
-                do_containment=args.containment,
-                do_max_containment=args.max_containment,
-                best_only=args.best_only,
-                unload_data=True,
-            )
+            results = search_databases_with_abund_query(query, databases, **common)
         except TypeError as exc:
             error(f"ERROR: {str(exc)}")
             sys.exit(-1)
     else:
         results = search_databases_with_flat_query(
-            query,
-            databases,
-            threshold=args.threshold,
-            do_containment=args.containment,
-            do_max_containment=args.max_containment,
-            best_only=args.best_only,
-            unload_data=True,
-            estimate_ani_ci=args.estimate_ani_ci,
+            query, databases, estimate_ani_ci=args.estimate_ani_ci, **common
         )
 
-    n_matches = len(results)
+    n_shown = len(results)
     if args.best_only:
         args.num_results = 1
 
-    if not args.num_results or n_matches <= args.num_results:
+    if not args.num_results or n_shown <= args.num_results:
         print_results(f"{len(results)} matches above threshold {args.threshold:0.3f}:")
     else:
         print_results(
             f"{len(results)} matches above threshold {args.threshold:0.3f}; showing first {args.num_results}:"
         )
-        n_matches = args.num_results
+        n_shown = args.num_results
 
     size_may_be_inaccurate = False
     jaccard_ani_untrustworthy = False
 
     print_results("similarity   match")
     print_results("----------   -----")
-    for sr in results[:n_matches]:
+    for sr in results[:n_shown]:
         pct = f"{sr.similarity * 100:.1f}%"
         name = sr.match._display_name(60)
         print_results("{:>6}       {}", pct, name)
@@ -586,8 +590,7 @@ def search(args):
             for sr in results:
                 save_sig.add(sr.match)
 
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    sel.report_picklist(args)
 
     if size_may_be_inaccurate:
         notify(_SIZE_WARN)
@@ -609,8 +612,7 @@ def categorize(args):
     already_names = set()
     if args.load_csv:
         with open(args.load_csv, newline="") as fp:
-            for row in csv.reader(fp):
-                already_names.add(row[0])
+            already_names.update(row[0] for row in csv.reader(fp))
 
     db = sourmash_args.load_file_as_index(args.database)
     if args.ksize or moltype:
@@ -636,29 +638,25 @@ def categorize(args):
             f"loaded query: {str(orig_query)[:30]}... (k={orig_query.minhash.ksize}, {orig_query.minhash.moltype})"
         )
 
-        if args.ignore_abundance and orig_query.minhash.track_abundance:
-            query = orig_query.copy()
-            with query.update() as query:
-                query.minhash = query.minhash.flatten()
-        else:
-            if orig_query.minhash.track_abundance:
-                notify(
-                    "ERROR: this search cannot be done on signatures calculated with abundance."
-                )
-                notify("ERROR: please specify --ignore-abundance.")
-                sys.exit(-1)
-            query = orig_query.copy()
+        if orig_query.minhash.track_abundance and not args.ignore_abundance:
+            notify(
+                "ERROR: this search cannot be done on signatures calculated with abundance."
+            )
+            notify("ERROR: please specify --ignore-abundance.")
+            sys.exit(-1)
+
+        query = _flattened_copy(orig_query) if args.ignore_abundance else orig_query.copy()
 
         # best match, excluding self-hits by md5
-        results = []
+        hits = []
         for sr in db.find(search_obj, query):
             match = sr.signature
             if match.md5sum() != query.md5sum():
-                results.append((orig_query.similarity(match), match))
+                hits.append((orig_query.similarity(match), match))
 
-        if results:
-            results.sort(key=lambda x: -x[0])
-            best_sim, best_match = results[0]
+        if hits:
+            hits.sort(key=lambda x: -x[0])
+            best_sim, best_match = hits[0]
             notify(f"for {query}, found: {best_sim:.2f} {best_match}")
             if csv_w:
                 csv_w.writerow([loc, query, best_match.name, best_sim])
@@ -670,23 +668,140 @@ def categorize(args):
 
 
 # ===========================================================================
-# gather & friends
+# the gather family
 # ===========================================================================
+
+
+class _PrefetchSweep:
+    """One pass over every database building a CounterGather per database.
+
+    Partitions the (flattened) query hashes into identified (`ident_mh`,
+    found in at least one database entry above threshold) and unidentified
+    (`noident_mh`) sets as it goes; optionally streams the per-match
+    PrefetchResult rows / matched signatures out.
+    """
+
+    def __init__(self, query, threshold_bp):
+        self.threshold_bp = threshold_bp
+        flat = _flattened_copy(query)
+        self.query = flat
+        self.noident_mh = flat.minhash.to_mutable()
+        self.ident_mh = self.noident_mh.copy_and_clear()
+        self.counters = []
+
+    def sweep_one(self, db, *, sink=None):
+        "Run the counter_gather sweep on a single database."
+        try:
+            counter = db.counter_gather(self.query, self.threshold_bp)
+        except ValueError:  # no matches in this database
+            return None
+
+        union_found = counter.union_found
+        self.ident_mh.add_many(union_found)
+        self.noident_mh.remove_many(union_found)
+        self.counters.append(counter)
+
+        if sink is not None:
+            sink(counter)
+        return counter
+
+
+class _GatherReport:
+    """Accumulates gather rounds: prints the console table incrementally,
+    buffers CSV rows, tracks the summary statistics."""
+
+    def __init__(self, is_abundance, *, csv_fp=None):
+        self.is_abundance = is_abundance
+        self.screen_width = _screen_width()
+        self.found = 0
+        self.sum_f_uniq = 0.0
+        self.last = None
+        self.csv_fp = csv_fp
+        self._csv_writer = None
+
+    def _header(self):
+        print_results("")
+        if self.is_abundance:
+            print_results("overlap     p_query p_match avg_abund")
+            print_results("---------   ------- ------- ---------")
+        else:
+            print_results("overlap     p_query p_match")
+            print_results("---------   ------- -------")
+
+    def row(self, result):
+        from .search import format_bp
+
+        self.found += 1
+        self.sum_f_uniq += result.f_unique_to_query
+        self.last = result
+        if self.found == 1:
+            self._header()
+
+        pct_query = f"{result.f_unique_weighted * 100:.1f}%"
+        pct_genome = f"{result.f_match * 100:.1f}%"
+        if self.is_abundance:
+            name = result.match._display_name(self.screen_width - 41)
+            print_results(
+                "{:9}   {:>7} {:>7} {:>9}    {}",
+                format_bp(result.intersect_bp),
+                pct_query,
+                pct_genome,
+                f"{result.average_abund:.1f}",
+                name,
+            )
+        else:
+            name = result.match._display_name(self.screen_width - 31)
+            print_results(
+                "{:9}   {:>7} {:>7}    {}",
+                format_bp(result.intersect_bp),
+                pct_query,
+                pct_genome,
+                name,
+            )
+
+        if self.csv_fp is not None:
+            if self._csv_writer is None:
+                self._csv_writer = result.init_dictwriter(self.csv_fp)
+            result.write(self._csv_writer)
+
+    def coverage_summary(self):
+        "The 'recovered matches hit X%' lines after a gather run."
+        if self.is_abundance and self.last:
+            p_covered = 100 * self.last.sum_weighted_found / self.last.total_weighted_hashes
+            print_results(
+                f"the recovered matches hit {p_covered:.1f}% of the abundance-weighted query."
+            )
+        print_results(
+            f"the recovered matches hit {self.sum_f_uniq*100:.1f}% of the query k-mers (unweighted)."
+        )
+
+
+def _assemble_unassigned(gather_iter, noident_mh, is_abundance, orig_query_mh, *, downsample_noident):
+    """The leftover-signature construction shared by gather/multigather:
+    remaining query hashes + never-identified hashes, reinflated with the
+    original abundances when tracking them."""
+    remaining_query = gather_iter.query
+    if noident_mh:
+        remaining_mh = remaining_query.minhash.to_mutable()
+        if downsample_noident:
+            remaining_mh += noident_mh.downsample(scaled=remaining_mh.scaled)
+        else:
+            remaining_mh += noident_mh
+        remaining_query.minhash = remaining_mh
+    if is_abundance:
+        remaining_query.minhash = remaining_query.minhash.inflate(orig_query_mh)
+    return remaining_query
 
 
 def gather(args):
     "Greedy min-set-cov decomposition of a query against databases."
-    from .search import GatherDatabases, format_bp
+    from .index import LazyLinearIndex
+    from .search import GatherDatabases, PrefetchResult, format_bp
 
     set_quiet(args.quiet, args.debug)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
+    sel = _Selectors.parse(args)
 
-    query = sourmash_args.load_query_signature(
-        args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
-    )
-    _announce_query(query)
+    query = _load_announced_query(args, sel.moltype)
 
     if not query.minhash.scaled:
         error("query signature needs to be created with --scaled")
@@ -703,8 +818,8 @@ def gather(args):
         query,
         False,
         cache_size=args.cache_size or None,
-        picklist=picklist,
-        pattern=pattern_search,
+        picklist=sel.picklist,
+        pattern=sel.pattern,
         fail_on_empty_database=args.fail_on_empty_database,
     )
 
@@ -713,16 +828,8 @@ def gather(args):
 
     size_may_be_inaccurate = False
     if args.prefetch:  # on by default
-        # sweep every database once, building one CounterGather per db and
-        # partitioning the query into identified/unidentified hashes.
         notify("Starting prefetch sweep across databases.")
-        prefetch_query = query.copy()
-        if prefetch_query.minhash.track_abundance:
-            with prefetch_query.update() as prefetch_query:
-                prefetch_query.minhash = prefetch_query.minhash.flatten()
-
-        noident_mh = prefetch_query.minhash.to_mutable()
-        ident_mh = noident_mh.copy_and_clear()
+        sweep = _PrefetchSweep(query, args.threshold_bp)
 
         save_prefetch = SaveSignaturesToLocation(args.save_prefetch)
         save_prefetch.open()
@@ -731,26 +838,15 @@ def gather(args):
         prefetch_csvout_w = None
         if args.save_prefetch_csv:
             prefetch_csvout_fp = FileOutputCSV(args.save_prefetch_csv).open()
-            scaled = prefetch_query.minhash.scaled
+            scaled = sweep.query.minhash.scaled
 
-        counters = []
-        for db in databases:
-            try:
-                counter = db.counter_gather(prefetch_query, args.threshold_bp)
-            except ValueError:
-                # no matches in this database
-                continue
-
+        def per_counter(counter):
+            nonlocal prefetch_csvout_w
             save_prefetch.add_many(counter.signatures())
-
-            union_found = counter.union_found
-            ident_mh.add_many(union_found)
-            noident_mh.remove_many(union_found)
-
             if prefetch_csvout_fp:
                 for found_sig in counter.signatures():
                     prefetch_result = PrefetchResult(
-                        prefetch_query,
+                        sweep.query,
                         found_sig,
                         cmp_scaled=scaled,
                         threshold_bp=args.threshold_bp,
@@ -763,7 +859,8 @@ def gather(args):
                     prefetch_result.write(prefetch_csvout_w)
                 prefetch_csvout_fp.flush()
 
-            counters.append(counter)
+        for db in databases:
+            sweep.sweep_one(db, sink=per_counter)
 
         notify(
             f"Prefetch found {len(save_prefetch)} signatures with overlap >= {format_bp(args.threshold_bp)}."
@@ -771,6 +868,10 @@ def gather(args):
         save_prefetch.close()
         if prefetch_csvout_fp:
             prefetch_csvout_fp.close()
+
+        counters = sweep.counters
+        noident_mh = sweep.noident_mh
+        ident_mh = sweep.ident_mh
     else:
         counters = databases
         noident_mh = None
@@ -793,10 +894,8 @@ def gather(args):
         estimate_ani_ci=args.estimate_ani_ci,
     )
 
-    screen_width = _get_screen_width()
-    found = 0
-    sum_f_uniq_found = 0.0
-    result = None
+    csv_buffer = io.StringIO()
+    report = _GatherReport(is_abundance, csv_fp=csv_buffer if args.output else None)
 
     if args.save_matches:
         notify(f"saving all matches to '{args.save_matches}'")
@@ -806,27 +905,12 @@ def gather(args):
         save_sig_obj = None
         save_sig = None
 
-    csv_outfp = io.StringIO()
-    csv_writer = None
-
     try:
         for result in gather_iter:
-            found += 1
-            sum_f_uniq_found += result.f_unique_to_query
-
-            if found == 1:
-                _gather_table_header(is_abundance)
-            _gather_table_row(result, is_abundance, screen_width)
-
-            if args.output:
-                if csv_writer is None:
-                    csv_writer = result.init_dictwriter(csv_outfp)
-                result.write(csv_writer)
-
+            report.row(result)
             if save_sig is not None:
                 save_sig.add(result.match)
-
-            if args.num_results and found >= args.num_results:
+            if args.num_results and report.found >= args.num_results:
                 break
     finally:
         if save_sig_obj:
@@ -837,13 +921,13 @@ def gather(args):
     if gather_iter.query:
         notify(f"found less than {format_bp(args.threshold_bp)} in common. => exiting")
 
-    if found:
-        print_results(f"\nfound {found} matches total;")
-        if found == args.num_results:
+    if report.found:
+        print_results(f"\nfound {report.found} matches total;")
+        if report.found == args.num_results:
             print_results(
                 f"(truncated gather because --num-results={args.num_results})"
             )
-        _gather_coverage_summary(result, is_abundance, sum_f_uniq_found)
+        report.coverage_summary()
     else:
         notify(f"\nNo matches found for --threshold-bp at {format_bp(args.threshold_bp)}.")
 
@@ -853,33 +937,55 @@ def gather(args):
             f"WARNING: final scaled was {gather_iter.scaled}, vs query scaled of {query.minhash.scaled}"
         )
 
-    if (found and args.output) or args.create_empty_results:
+    if (report.found and args.output) or args.create_empty_results:
         with FileOutputCSV(args.output) as fp:
-            fp.write(csv_outfp.getvalue())
+            fp.write(csv_buffer.getvalue())
 
     if args.output_unassigned:
-        remaining_query = gather_iter.query
-        if not (remaining_query.minhash or noident_mh):
+        if not (gather_iter.query.minhash or noident_mh):
             notify("no unassigned hashes to save with --output-unassigned!")
         else:
             notify(f"saving unassigned hashes to '{args.output_unassigned}'")
-
-            if noident_mh:
-                remaining_mh = remaining_query.minhash.to_mutable()
-                remaining_mh += noident_mh
-                remaining_query.minhash = remaining_mh
-
-            if is_abundance:
-                remaining_query.minhash = remaining_query.minhash.inflate(orig_query_mh)
-
+            remaining_query = _assemble_unassigned(
+                gather_iter, noident_mh, is_abundance, orig_query_mh,
+                downsample_noident=False,
+            )
             with SaveSignaturesToLocation(args.output_unassigned) as save_sig:
                 save_sig.add(remaining_query)
 
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    sel.report_picklist(args)
 
     if size_may_be_inaccurate:
         notify(_SIZE_WARN)
+
+
+def _multigather_output_base(query, args, used_output_bases):
+    "Per-query output naming for multigather, refusing accidental overwrites."
+    query_filename = query.filename
+    if not query_filename or query_filename == "-":
+        base = query.md5sum()
+    elif args.output_add_query_md5sum:
+        base = os.path.basename(query_filename) + "." + query.md5sum()
+    else:
+        base = os.path.basename(query_filename)
+
+    if args.output_dir:
+        base = os.path.join(args.output_dir, base)
+
+    if base in used_output_bases:
+        error(
+            f"ERROR: detected overwritten outputs! '{base}' has already been used. Failing."
+        )
+        if args.force_allow_overwrite_output:
+            error("continuing because --force-allow-overwrite was specified")
+        else:
+            error(
+                "Consider using '-U/--output-add-query-md5sum' to build unique outputs"
+            )
+            error("and/or '--force-allow-overwrite-output'")
+            sys.exit(-1)
+    used_output_bases.add(base)
+    return base
 
 
 def multigather(args):
@@ -940,63 +1046,23 @@ def multigather(args):
                 error("no query hashes!? skipping to next..")
                 continue
 
-            # per-query prefetch sweep
-            prefetch_query = query.copy()
-            if prefetch_query.minhash.track_abundance:
-                with prefetch_query.update() as prefetch_query:
-                    prefetch_query.minhash = prefetch_query.minhash.flatten()
-
-            ident_mh = prefetch_query.minhash.copy_and_clear()
-            noident_mh = prefetch_query.minhash.to_mutable()
-
-            counters = []
+            # per-query prefetch sweep (always on for multigather)
+            sweep = _PrefetchSweep(query, args.threshold_bp)
             for db in databases:
-                try:
-                    counter = db.counter_gather(prefetch_query, args.threshold_bp)
-                except ValueError:
-                    continue
-                counters.append(counter)
-
-                union_found = counter.union_found
-                noident_mh.remove_many(union_found)
-                ident_mh.add_many(union_found)
+                sweep.sweep_one(db)
 
             is_abundance = query.minhash.track_abundance and not args.ignore_abundance
             orig_query_mh = query.minhash
             gather_iter = GatherDatabases(
                 query,
-                counters,
+                sweep.counters,
                 threshold_bp=args.threshold_bp,
                 ignore_abundance=args.ignore_abundance,
-                noident_mh=noident_mh,
-                ident_mh=ident_mh,
+                noident_mh=sweep.noident_mh,
+                ident_mh=sweep.ident_mh,
             )
 
-            # derive per-query output base, refusing accidental overwrites
-            query_filename = query.filename
-            if not query_filename or query_filename == "-":
-                output_base = query.md5sum()
-            elif args.output_add_query_md5sum:
-                output_base = os.path.basename(query_filename) + "." + query.md5sum()
-            else:
-                output_base = os.path.basename(query_filename)
-
-            if args.output_dir:
-                output_base = os.path.join(args.output_dir, output_base)
-
-            if output_base in used_output_bases:
-                error(
-                    f"ERROR: detected overwritten outputs! '{output_base}' has already been used. Failing."
-                )
-                if args.force_allow_overwrite_output:
-                    error("continuing because --force-allow-overwrite was specified")
-                else:
-                    error(
-                        "Consider using '-U/--output-add-query-md5sum' to build unique outputs"
-                    )
-                    error("and/or '--force-allow-overwrite-output'")
-                    sys.exit(-1)
-            used_output_bases.add(output_base)
+            output_base = _multigather_output_base(query, args, used_output_bases)
 
             output_matches = output_base + ".matches.sig"
             save_sig_obj = SaveSignaturesToLocation(output_matches)
@@ -1007,26 +1073,12 @@ def multigather(args):
             notify(f'saving all CSV matches to "{output_csv}"')
             csv_out_obj = FileOutputCSV(output_csv)
             csv_outfp = csv_out_obj.__enter__()
-            csv_writer = None
 
-            screen_width = _get_screen_width()
-            found = 0
-            sum_f_uniq_found = 0.0
-            result = None
+            report = _GatherReport(is_abundance, csv_fp=csv_outfp)
 
             for result in gather_iter:
-                found += 1
-                sum_f_uniq_found += result.f_unique_to_query
-                if found == 1:
-                    _gather_table_header(is_abundance)
-                _gather_table_row(result, is_abundance, screen_width)
-
-                if csv_writer is None:
-                    csv_writer = result.init_dictwriter(csv_outfp)
-                result.write(csv_writer)
-
+                report.row(result)
                 save_sig.add(result.match)
-
                 if not size_may_be_inaccurate and result.size_may_be_inaccurate:
                     size_may_be_inaccurate = True
 
@@ -1035,31 +1087,27 @@ def multigather(args):
                     f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
                 )
 
-            print_results("\nfound {} matches total;", found)
+            print_results("\nfound {} matches total;", report.found)
 
             save_sig_obj.close()
             save_sig_obj = save_sig = None
 
             csv_out_obj.close()
-            csv_out_obj = csv_outfp = csv_writer = None
+            csv_out_obj = csv_outfp = None
 
-            _gather_coverage_summary(result, is_abundance, sum_f_uniq_found)
+            report.coverage_summary()
             print_results("")
 
-            if found == 0:
+            if report.found == 0:
                 notify("nothing found... skipping.")
                 continue
 
             # save unassigned (remaining + unidentified) hashes
             output_unassigned = output_base + f".unassigned{args.extension}"
-            remaining_query = gather_iter.query
-            if noident_mh:
-                remaining_mh = remaining_query.minhash.to_mutable()
-                remaining_mh += noident_mh.downsample(scaled=remaining_mh.scaled)
-                remaining_query.minhash = remaining_mh
-
-            if is_abundance:
-                remaining_query.minhash = remaining_query.minhash.inflate(orig_query_mh)
+            remaining_query = _assemble_unassigned(
+                gather_iter, sweep.noident_mh, is_abundance, orig_query_mh,
+                downsample_noident=True,
+            )
 
             if not remaining_query:
                 notify("no unassigned hashes! not saving.")
@@ -1076,8 +1124,37 @@ def multigather(args):
         notify(_SIZE_WARN)
 
 
+class _RatchetedPartition:
+    """prefetch's matched/unmatched hash split, under a scaled value that
+    ratchets up to the max of query + every match seen so far."""
+
+    def __init__(self, query_mh):
+        self.scaled = query_mh.scaled
+        self.ident_mh = query_mh.copy_and_clear()
+        self.noident_mh = query_mh.to_mutable()
+
+    def absorb_match(self, query, match):
+        "Fold one matching signature in; returns the (ratcheted) scaled."
+        self.scaled = max(match.minhash.scaled, query.minhash.scaled, self.scaled)
+
+        query_mh = query.minhash.downsample(scaled=self.scaled)
+        match_mh = match.minhash.downsample(scaled=self.scaled)
+
+        if self.ident_mh.scaled != self.scaled:
+            self.ident_mh = self.ident_mh.downsample(scaled=self.scaled)
+        if self.noident_mh.scaled != self.scaled:
+            self.noident_mh = self.noident_mh.downsample(scaled=self.scaled)
+
+        self.ident_mh += query_mh & match_mh.flatten()
+        self.noident_mh.remove_many(match_mh)
+        return query_mh
+
+
 def prefetch(args):
     "Output the raw results of a containment/overlap search."
+    from .index import LazyLinearIndex
+    from .search import prefetch_database
+
     if args.db_from_file:
         args.databases.extend(sourmash_args.load_pathlist_from_file(args.db_from_file))
 
@@ -1095,14 +1172,9 @@ def prefetch(args):
             "WARNING: no output(s) specified! Nothing will be saved from this prefetch!"
         )
 
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
+    sel = _Selectors.parse(args)
 
-    query = sourmash_args.load_query_signature(
-        args.query, ksize=args.ksize, select_moltype=moltype, select_md5=args.md5
-    )
-    _announce_query(query)
+    query = _load_announced_query(args, sel.moltype)
 
     if not query.minhash.scaled:
         error("query signature needs to be created with --scaled")
@@ -1123,7 +1195,6 @@ def prefetch(args):
     notify(
         f"query sketch has scaled={query_mh.scaled}; will be dynamically downsampled as needed."
     )
-    common_scaled = query_mh.scaled
 
     if not len(query_mh):
         error("no query hashes!? exiting.")
@@ -1143,8 +1214,7 @@ def prefetch(args):
     if args.save_matches:
         notify(f"saving all matching database signatures to '{args.save_matches}'")
 
-    ident_mh = query_mh.copy_and_clear()
-    noident_mh = query_mh.to_mutable()
+    part = _RatchetedPartition(query_mh)
 
     did_a_search = False
     size_may_be_inaccurate = False
@@ -1159,10 +1229,10 @@ def prefetch(args):
         if args.linear:
             db = LazyLinearIndex(db)
 
-        db = db.select(ksize=ksize, moltype=moltype, containment=True)
+        db = db.select(ksize=ksize, moltype=sel.moltype, containment=True)
         sum_signatures_after_select += len(db)
 
-        db = sourmash_args.apply_picklist_and_pattern(db, picklist, pattern_search)
+        db = sourmash_args.apply_picklist_and_pattern(db, sel.picklist, sel.pattern)
 
         if not db:
             notify(f"...no compatible signatures in '{dbfilename}'; skipping")
@@ -1172,22 +1242,7 @@ def prefetch(args):
             query, db, args.threshold_bp, estimate_ani_ci=args.estimate_ani_ci
         ):
             match = result.match
-
-            # the working scaled ratchets up to cover every match seen
-            common_scaled = max(
-                match.minhash.scaled, query.minhash.scaled, common_scaled
-            )
-
-            query_mh = query.minhash.downsample(scaled=common_scaled)
-            match_mh = match.minhash.downsample(scaled=common_scaled)
-
-            if ident_mh.scaled != common_scaled:
-                ident_mh = ident_mh.downsample(scaled=common_scaled)
-            if noident_mh.scaled != common_scaled:
-                noident_mh = noident_mh.downsample(scaled=common_scaled)
-
-            ident_mh += query_mh & match_mh.flatten()
-            noident_mh.remove_many(match_mh)
+            query_mh = part.absorb_match(query, match)
 
             if csvout_fp:
                 if csvout_w is None:
@@ -1234,12 +1289,13 @@ def prefetch(args):
         notify(f"saved {matches_out.count} matches to CSV file '{args.output}'")
         csvout_fp.close()
 
+    ident_mh, noident_mh = part.ident_mh, part.noident_mh
     assert len(query_mh) == len(ident_mh) + len(noident_mh)
     notify(
         f"of {len(query_mh)} distinct query hashes, {len(ident_mh)} were found in matches above threshold."
     )
     notify(f"a total of {len(noident_mh)} query hashes remain unmatched.")
-    notify(f"final scaled value (max across query and all matches) is {common_scaled}")
+    notify(f"final scaled value (max across query and all matches) is {part.scaled}")
 
     def _save_hash_subset(filename, subset_mh, suffix):
         "Write a matched/unmatched hash subset as a standalone signature."
@@ -1262,8 +1318,7 @@ def prefetch(args):
         )
         _save_hash_subset(args.save_unmatched_hashes, noident_mh, "unknown")
 
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    sel.report_picklist(args)
 
     if size_may_be_inaccurate:
         notify(_SIZE_WARN)
@@ -1274,6 +1329,42 @@ def prefetch(args):
 # ===========================================================================
 # index construction + maintenance
 # ===========================================================================
+
+
+class _SketchParamTracker:
+    "Accumulates sketch params seen during an SBT build; fails on mixtures."
+
+    def __init__(self):
+        self.ksizes = set()
+        self.moltypes = set()
+        self.nums = set()
+        self.scaleds = set()
+
+    def note_pre(self, ss):
+        self.ksizes.add(ss.minhash.ksize)
+        self.moltypes.add(sourmash_args.get_moltype(ss))
+        self.nums.add(ss.minhash.num)
+
+    def note_post(self, ss):
+        self.scaleds.add(ss.minhash.scaled)
+
+    def fail_if_mixed(self):
+        if len(self.ksizes) > 1 or len(self.moltypes) > 1:
+            error("multiple k-mer sizes or molecule types present; fail.")
+            error("specify --dna/--protein and --ksize as necessary")
+            error(
+                "ksizes: {}; moltypes: {}",
+                ", ".join(map(str, self.ksizes)),
+                ", ".join(self.moltypes),
+            )
+            sys.exit(-1)
+
+        all_num = self.scaleds == {0} and len(self.nums) == 1
+        all_scaled = self.nums == {0} and len(self.scaleds) == 1
+        if not (all_num or all_scaled):
+            error("trying to build an SBT with incompatible signatures.")
+            error("nums = {}; scaleds = {}", repr(self.nums), repr(self.scaleds))
+            sys.exit(-1)
 
 
 def index(args):
@@ -1307,12 +1398,9 @@ def index(args):
     notify(f"loading {len(inp_files)} files into SBT")
 
     progress = sourmash_args.SignatureLoadingProgress()
+    tracker = _SketchParamTracker()
 
     n = 0
-    ksizes = set()
-    moltypes = set()
-    nums = set()
-    scaleds = set()
     for f in inp_files:
         siglist = sourmash_args.load_file_as_signatures(
             f,
@@ -1325,9 +1413,7 @@ def index(args):
 
         ss = None
         for ss in siglist:
-            ksizes.add(ss.minhash.ksize)
-            moltypes.add(sourmash_args.get_moltype(ss))
-            nums.add(ss.minhash.num)
+            tracker.note_pre(ss)
 
             with ss.update() as ss:
                 if args.scaled:
@@ -1335,7 +1421,7 @@ def index(args):
                 if ss.minhash.track_abundance:
                     ss.minhash = ss.minhash.flatten()
 
-            scaleds.add(ss.minhash.scaled)
+            tracker.note_post(ss)
 
             tree.insert(ss)
             n += 1
@@ -1343,23 +1429,7 @@ def index(args):
         if not ss:
             continue
 
-        # all sketches must agree on k/moltype, and be all-num or all-scaled
-        if len(ksizes) > 1 or len(moltypes) > 1:
-            error("multiple k-mer sizes or molecule types present; fail.")
-            error("specify --dna/--protein and --ksize as necessary")
-            error(
-                "ksizes: {}; moltypes: {}",
-                ", ".join(map(str, ksizes)),
-                ", ".join(moltypes),
-            )
-            sys.exit(-1)
-
-        all_num = scaleds == {0} and len(nums) == 1
-        all_scaled = nums == {0} and len(scaleds) == 1
-        if not (all_num or all_scaled):
-            error("trying to build an SBT with incompatible signatures.")
-            error("nums = {}; scaleds = {}", repr(nums), repr(scaleds))
-            sys.exit(-1)
+        tracker.fail_if_mixed()
 
     notify("")
 
@@ -1435,6 +1505,15 @@ def import_csv(args):
             save_sig.add_many(siglist)
 
 
+# watch's moltype flag resolution: (moltype name, is_protein, dayhoff, hp)
+_WATCH_MOLTYPES = {
+    "dna": ("DNA", False, False, False),
+    "protein": ("protein", True, False, False),
+    "dayhoff": ("dayhoff", True, True, False),
+    "hp": ("hp", True, False, True),
+}
+
+
 def watch(args):
     "Build a signature from raw FASTA/FASTQ on stdin; search an SBT."
     from .minhash import MinHash
@@ -1451,14 +1530,12 @@ def watch(args):
     if args.dna and args.protein:
         notify('ERROR: cannot use "watch" with both nucleotide and protein.')
 
-    if args.dna:
-        moltype, is_protein, dayhoff, hp = "DNA", False, False, False
-    elif args.protein:
-        moltype, is_protein, dayhoff, hp = "protein", True, False, False
-    elif args.dayhoff:
-        moltype, is_protein, dayhoff, hp = "dayhoff", True, True, False
+    for flag in ("dna", "protein", "dayhoff", "hp"):
+        if getattr(args, flag, False):
+            moltype, is_protein, dayhoff, hp = _WATCH_MOLTYPES[flag]
+            break
     else:
-        moltype, is_protein, dayhoff, hp = "hp", True, False, True
+        moltype, is_protein, dayhoff, hp = _WATCH_MOLTYPES["hp"]
 
     tree = load_sbt_index(args.sbt_name)
 
