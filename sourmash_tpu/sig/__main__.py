@@ -1,9 +1,24 @@
 """'sourmash signature' (sig) subcommands: signature manipulation utilities.
 
+The 22 subcommands share one loading pipeline (`_SigStream`: moltype/
+picklist/pattern selection, ``--from-file`` expansion, progress tracking) and
+a handful of result-emission helpers; each command function is then a short
+driver over those stages, grouped below as
+
+* whole-collection IO         — cat, split
+* inspection                  — describe, fileinfo/summarize, manifest, overlap
+* sketch set algebra          — merge, intersect, subtract, inflate
+* per-sketch transforms       — rename, extract, filter, flatten, downsample
+* interchange with mash       — ingest, export
+* hash → sequence mapping     — kmers
+* manifest/collection mgmt    — check, collect, grep
+
 Behavior parity: reference `src/sourmash/sig/__main__.py` (cat:114, split:166,
 describe:250, manifest:347, overlap:379, merge:459, intersect:526,
 inflate:595, subtract:643, rename:715, extract:753, filter:830, flatten:881,
-downsample:926). Console/CSV formats match the reference.
+downsample:926, ingest:1002, export:1059, kmers:1087, fileinfo:1343,
+check:1412, collect:1553) and `sig/grep.py:14-139`. Console/CSV formats
+match the reference exactly.
 """
 
 from __future__ import annotations
@@ -11,7 +26,7 @@ from __future__ import annotations
 import csv
 import os
 import sys
-from collections import defaultdict
+from collections import Counter, defaultdict, namedtuple
 
 import sourmash_tpu as sourmash
 from .. import sourmash_args
@@ -21,12 +36,55 @@ from ..minhash import _get_max_hash_for_scaled, MinHash
 _extend_notes = "(also see 'sourmash sig --help')"
 
 
+# ---------------------------------------------------------------------------
+# the shared loading pipeline + small helpers
+# ---------------------------------------------------------------------------
+
+
 def _extend_signatures_with_from_file(args, target_attr="signatures"):
+    "Fold any --from-file pathlist into the positional location list."
     if getattr(args, "from_file", None):
         more = sourmash_args.load_pathlist_from_file(args.from_file)
-        setattr(
-            args, target_attr, list(getattr(args, target_attr)) + list(more)
+        setattr(args, target_attr, list(getattr(args, target_attr)) + list(more))
+
+
+class _SigStream:
+    """Standard signature-loading pipeline for sig subcommands.
+
+    Parses the moltype/picklist(/pattern) selectors once, expands
+    ``--from-file``, and iterates (signature, location) pairs across every
+    input with progress tracking. ``len()`` reports signatures loaded so far.
+    """
+
+    def __init__(self, args, *, use_pattern=False, expand_attr="signatures"):
+        self.args = args
+        self.moltype = sourmash_args.calculate_moltype(args)
+        self.picklist = sourmash_args.load_picklist(args)
+        self.pattern = None
+        if use_pattern:
+            self.pattern = sourmash_args.load_include_exclude_db_patterns(args)
+        if expand_attr:
+            _extend_signatures_with_from_file(args, expand_attr)
+        self.progress = sourmash_args.SignatureLoadingProgress()
+
+    def __iter__(self):
+        yield from sourmash_args.load_many_signatures(
+            self.args.signatures,
+            ksize=self.args.ksize,
+            moltype=self.moltype,
+            picklist=self.picklist,
+            progress=self.progress,
+            yield_all_files=self.args.force,
+            force=self.args.force,
+            pattern=self.pattern,
         )
+
+    def __len__(self):
+        return len(self.progress)
+
+    def report_picklist(self):
+        if self.picklist:
+            sourmash_args.report_picklist(self.args, self.picklist)
 
 
 def _check_abundance_compatibility(sig1, sig2):
@@ -38,132 +96,131 @@ def _check_abundance_compatibility(sig1, sig2):
         )
 
 
-def _set_num_scaled(mh, num, scaled):
-    "Set num and scaled values on a MinHash, re-inserting mins to re-trim."
-    import numpy as np
 
-    mins, abunds = mh._mins, mh._abunds
-    mh._num = num
-    mh._max_hash = _get_max_hash_for_scaled(scaled)
-    mh._mins = np.zeros(0, dtype=np.uint64)
-    if mh._track_abundance:
-        mh._abunds = np.zeros(0, dtype=np.uint64)
-    mh._invalidate()
-    mh._insert_hashes(mins, abunds)
-    assert mh.num == num
-    assert mh.scaled == scaled
+def _abort_no_picklist_support(cmd, *, kinds="picklists", kind="a picklist", pipe_to=None):
+    "Consistent abort when an index type cannot subset by picklist."
+    error(f"** This input collection doesn't support '{cmd}' with {kinds}.")
+    error("** EXITING.")
+    error("**")
+    error(f"** You can use 'sourmash sig cat' with {kind},")
+    error(f"** and then pipe the output to 'sourmash sig {pipe_to or cmd}")
+    sys.exit(-1)
+
+
+def _loaded_extracted_summary(n_loaded, n_saved, n_files):
+    "The standard two-line summary used by the per-sketch transforms."
+    notify(f"loaded {n_loaded} total that matched ksize & molecule type")
+    notify(f"extracted {n_saved} signatures from {n_files} file(s)")
+
+
+def _save_named_result(args, mh):
+    "Wrap a result MinHash in a signature named --name and write it out."
+    out = sourmash.SourmashSignature(mh, name=args.set_name or "")
+    out._name = args.set_name
+    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
+        save_sigs.add(out)
+
+
+def _reinflate_from_file(mh, args, moltype):
+    "Re-attach abundances to `mh` from the --abundances-from signature."
+    notify(f"loading signature from {args.abundances_from}, keeping abundances")
+    abund_sig = sourmash_args.load_one_signature(
+        args.abundances_from, ksize=args.ksize, select_moltype=moltype
+    )
+    if not abund_sig.minhash.track_abundance:
+        error("--track-abundance not set on loaded signature?! exiting.")
+        sys.exit(-1)
+    return mh.inflate(abund_sig.minhash)
+
+
+# ---------------------------------------------------------------------------
+# whole-collection IO: cat, split
+# ---------------------------------------------------------------------------
 
 
 def cat(args):
     "Concatenate all signatures into one file."
     set_quiet(args.quiet, args.debug)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
+    stream = _SigStream(args, use_pattern=True)
 
-    encountered_md5sums = defaultdict(int)
+    seen_md5 = defaultdict(int)
 
     save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
     save_sigs.open()
 
-    _extend_signatures_with_from_file(args)
-
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-        pattern=pattern_search,
-    )
-    for ss, sigloc in loader:
+    for ss, _ in stream:
         md5 = ss.md5sum()
-        encountered_md5sums[md5] += 1
-        if args.unique and encountered_md5sums[md5] > 1:
+        seen_md5[md5] += 1
+        if args.unique and seen_md5[md5] > 1:
             continue
         save_sigs.add(ss)
 
     notify(f"loaded {len(save_sigs)} signatures total.")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    stream.report_picklist()
 
     save_sigs.close()
 
     notify(f"output {len(save_sigs)} signatures")
 
-    multiple_md5 = [1 for cnt in encountered_md5sums.values() if cnt > 1]
-    if multiple_md5:
-        notify(f"encountered {sum(multiple_md5)} MinHashes multiple times")
+    n_dup_md5 = sum(1 for cnt in seen_md5.values() if cnt > 1)
+    if n_dup_md5:
+        notify(f"encountered {n_dup_md5} MinHashes multiple times")
         if args.unique:
             notify("...and removed the duplicates, because --unique was specified.")
+
+
+# split output naming: one template per sketch kind, plus a dup counter
+_SPLIT_TEMPLATES = {
+    "scaled": "{md5sum}.k={ksize}.scaled={scaled}.{moltype}.dup={dup}.{basename}",
+    "num": "{md5sum}.k={ksize}.num={num}.{moltype}.dup={dup}.{basename}",
+}
+
+
+def _unique_split_name(ss, taken, extension):
+    "Derive a collision-free output filename for one signature in `split`."
+    mh = ss.minhash
+    basename = os.path.basename(ss.filename)
+    if not basename or basename == "-":
+        basename = "none"
+
+    kind = "scaled" if mh.scaled else "num"
+    if kind == "num":
+        assert mh.num
+    template = _SPLIT_TEMPLATES[kind] + extension
+
+    fields = dict(
+        basename=basename,
+        md5sum=ss.md5sum()[:8],
+        scaled=mh.scaled,
+        ksize=mh.ksize,
+        num=mh.num,
+        moltype=mh.moltype,
+    )
+
+    n = 0
+    while True:
+        fields["dup"] = n
+        name = template.format(**fields)
+        if name not in taken:
+            break
+        n += 1
+    taken.add(name)
+    return name
 
 
 def split(args):
     "Split all signatures into individual files."
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
-
-    output_names = set()
-    output_scaled_template = (
-        "{md5sum}.k={ksize}.scaled={scaled}.{moltype}.dup={dup}.{basename}"
-        + args.extension
-    )
-    output_num_template = (
-        "{md5sum}.k={ksize}.num={num}.{moltype}.dup={dup}.{basename}" + args.extension
-    )
+    stream = _SigStream(args)
 
     if args.output_dir:
         if not os.path.exists(args.output_dir):
             notify(f"Creating --output-dir {args.output_dir}")
             os.mkdir(args.output_dir)
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-
-    for sig, sigloc in loader:
-        md5sum = sig.md5sum()[:8]
-        minhash = sig.minhash
-        basename = os.path.basename(sig.filename)
-        if not basename or basename == "-":
-            basename = "none"
-
-        params = dict(
-            basename=basename,
-            md5sum=md5sum,
-            scaled=minhash.scaled,
-            ksize=minhash.ksize,
-            num=minhash.num,
-            moltype=minhash.moltype,
-        )
-
-        if minhash.scaled:
-            output_template = output_scaled_template
-        else:
-            assert minhash.num
-            output_template = output_num_template
-
-        n = 0
-        params["dup"] = n
-        output_name = output_template.format(**params)
-        while output_name in output_names:
-            params["dup"] = n
-            output_name = output_template.format(**params)
-            n += 1
-
-        output_names.add(output_name)
+    taken = set()
+    for ss, _ in stream:
+        output_name = _unique_split_name(ss, taken, args.extension)
 
         if args.output_dir:
             output_name = os.path.join(args.output_dir, output_name)
@@ -172,87 +229,71 @@ def split(args):
             notify(f"** overwriting existing file {format(output_name)}")
 
         with sourmash_args.SaveSignaturesToLocation(output_name) as save_sigs:
-            save_sigs.add(sig)
+            save_sigs.add(ss)
             notify(f"writing sig to {output_name}")
 
-    notify(f"loaded and split {len(progress)} signatures total.")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    notify(f"loaded and split {len(stream)} signatures total.")
+    stream.report_picklist()
+
+
+# ---------------------------------------------------------------------------
+# inspection: describe, fileinfo/summarize, manifest, overlap
+# ---------------------------------------------------------------------------
+
+_DESCRIBE_FIELDS = [
+    "signature_file",
+    "md5",
+    "ksize",
+    "moltype",
+    "num",
+    "scaled",
+    "n_hashes",
+    "seed",
+    "with_abundance",
+    "name",
+    "filename",
+    "license",
+    "sum_hashes",
+]
 
 
 def describe(args):
     "Provide basic info on signatures."
     set_quiet(args.quiet, args.debug)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args, use_pattern=True)
 
     w = None
     csv_obj = None
     if args.csv:
         csv_obj = sourmash_args.FileOutputCSV(args.csv)
-        csv_fp = csv_obj.open()
-        w = csv.DictWriter(
-            csv_fp,
-            [
-                "signature_file",
-                "md5",
-                "ksize",
-                "moltype",
-                "num",
-                "scaled",
-                "n_hashes",
-                "seed",
-                "with_abundance",
-                "name",
-                "filename",
-                "license",
-                "sum_hashes",
-            ],
-            extrasaction="ignore",
-        )
+        w = csv.DictWriter(csv_obj.open(), _DESCRIBE_FIELDS, extrasaction="ignore")
         w.writeheader()
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-        pattern=pattern_search,
-    )
-
-    for sig, location in loader:
-        signature_file = location
-        mh = sig.minhash
-        ksize = mh.ksize
-        moltype = mh.moltype
-        scaled = mh.scaled
-        num = mh.num
-        seed = mh.seed
-        n_hashes = len(mh)
-        sum_hashes = sum(mh.hashes.values())
-        with_abundance = 0
-        if mh.track_abundance:
-            with_abundance = 1
-        md5 = sig.md5sum()
-        name = sig.name
-        p_name = name or "** no name **"
-        filename = sig.filename
-        p_filename = filename or "** no name **"
-        license = sig.license
+    for ss, location in stream:
+        mh = ss.minhash
+        row = dict(
+            signature_file=location,
+            md5=ss.md5sum(),
+            ksize=mh.ksize,
+            moltype=mh.moltype,
+            num=mh.num,
+            scaled=mh.scaled,
+            n_hashes=len(mh),
+            seed=mh.seed,
+            with_abundance=int(mh.track_abundance),
+            name=ss.name,
+            filename=ss.filename,
+            license=ss.license,
+            sum_hashes=sum(mh.hashes.values()),
+        )
 
         if w:
-            w.writerow(locals())
+            w.writerow(row)
 
         print_results(
             """\
 ---
-signature filename: {location}
+signature filename: {signature_file}
 signature: {p_name}
 source file: {p_filename}
 md5: {md5}
@@ -261,14 +302,108 @@ size: {n_hashes}
 sum hashes: {sum_hashes}
 signature license: {license}
 """,
-            **locals(),
+            p_name=row["name"] or "** no name **",
+            p_filename=row["filename"] or "** no name **",
+            **row,
         )
 
     if csv_obj:
         csv_obj.close()
 
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    stream.report_picklist()
+
+
+_SketchInfo = namedtuple("_SketchInfo", "ksize, moltype, scaled, num, abund")
+
+
+def _summarize_manifest(manifest):
+    "Summary dict of sketch types in a manifest (reference :1283-1313)."
+    kinds = Counter()
+    kind_hashes = Counter()
+    total_size = 0
+    for row in manifest.rows:
+        ski = _SketchInfo(
+            ksize=row["ksize"],
+            moltype=row["moltype"],
+            scaled=row["scaled"],
+            num=row["num"],
+            abund=row["with_abundance"],
+        )
+        kinds[ski] += 1
+        kind_hashes[ski] += row["n_hashes"]
+        total_size += row["n_hashes"]
+
+    return dict(
+        total_hashes=total_size,
+        sketch_info=[
+            dict(ski._asdict(), count=count, n_hashes=kind_hashes[ski])
+            for ski, count in kinds.items()
+        ],
+    )
+
+
+def fileinfo(args):
+    """Summary information on a signature collection/index (reference
+    `sig/__main__.py:1343-1409`). Aliased as 'summarize'."""
+    import json
+
+    set_quiet(args.quiet, args.debug)
+
+    text_out = not args.json_out
+
+    try:
+        notify(f"** loading from '{args.path}'")
+        idx = sourmash_args.load_file_as_index(args.path, yield_all_files=args.force)
+    except ValueError:
+        error(f"Cannot open '{args.path}' as a sourmash signature collection.")
+        error("Use -d/--debug for details.")
+        sys.exit(-1)
+
+    def print_bool(x):
+        return "yes" if x else "no"
+
+    info_d = dict(
+        path_filetype=type(idx).__name__,
+        location=idx.location or "",
+        is_database=bool(idx.is_database),
+        has_manifest=bool(idx.manifest),
+        num_sketches=len(idx),
+    )
+
+    if text_out:
+        print_results(f"path filetype: {info_d['path_filetype']}")
+        print_results(f"location: {info_d['location']}")
+        print_results(f"is database? {print_bool(info_d['is_database'])}")
+        print_results(f"has manifest? {print_bool(info_d['has_manifest'])}")
+        print_results(f"num signatures: {info_d['num_sketches']}")
+
+    notify("** examining manifest...")
+
+    manifest = sourmash_args.get_manifest(
+        idx, rebuild=args.rebuild_manifest, require=False
+    )
+
+    if manifest is None:
+        notify("** no manifest and cannot be generated; exiting.")
+        sys.exit(0)
+
+    info_d.update(_summarize_manifest(manifest))
+
+    if not text_out:
+        print(json.dumps(info_d))
+        return
+
+    print_results(f"total hashes: {info_d['total_hashes']}")
+    print_results("summary of sketches:")
+    for ski in info_d["sketch_info"]:
+        mh_type = f"num={ski['num']}" if ski["num"] else f"scaled={ski['scaled']}"
+        mh_abund = ", abund" if ski["abund"] else ""
+        sketch_str = f"{ski['count']} sketches with {ski['moltype']}, k={ski['ksize']}, {mh_type}{mh_abund}"
+        print_results(f"   {sketch_str: <50} {ski['n_hashes']} total hashes")
+
+
+# alias, reference cli aliases 'summarize' to fileinfo
+summarize = fileinfo
 
 
 def manifest(args):
@@ -284,20 +419,19 @@ def manifest(args):
         error("Use -d/--debug for details.")
         sys.exit(-1)
 
-    rebuild = True
-    if args.no_rebuild_manifest:
-        debug("sig manifest: not forcing rebuild.")
-        rebuild = False
-    else:
+    rebuild = not args.no_rebuild_manifest
+    if rebuild:
         debug("sig manifest: forcing rebuild.")
+    else:
+        debug("sig manifest: not forcing rebuild.")
 
-    manifest = sourmash_args.get_manifest(loader, require=True, rebuild=rebuild)
-    manifest._check_row_values()
+    mf = sourmash_args.get_manifest(loader, require=True, rebuild=rebuild)
+    mf._check_row_values()
 
-    manifest.write_to_filename(
+    mf.write_to_filename(
         args.output, database_format=args.manifest_format, ok_if_exists=args.force
     )
-    notify(f"manifest contains {len(manifest)} signatures total.")
+    notify(f"manifest contains {len(mf)} signatures total.")
     notify(f"wrote manifest to '{args.output}' ({args.manifest_format})")
 
 
@@ -316,35 +450,30 @@ def overlap(args):
 
     notify(f"loaded one signature each from {args.signature1} and {args.signature2}")
 
-    similarity = sig1.similarity(sig2)
-    cont1 = sig1.contained_by(sig2)
-    cont2 = sig2.contained_by(sig1)
-
-    sig1_file = args.signature1
-    sig2_file = args.signature2
-
-    name1 = sig1.name
-    name2 = sig2.name
-
-    md5_1 = sig1.md5sum()
-    md5_2 = sig2.md5sum()
-
-    ksize = sig1.minhash.ksize
-    moltype = sig1.minhash.moltype
-
-    num = sig1.minhash.num
-    size1 = len(sig1.minhash)
-    size2 = len(sig2.minhash)
-
-    scaled = sig1.minhash.scaled
-
     hashes_1 = set(sig1.minhash.hashes)
     hashes_2 = set(sig2.minhash.hashes)
 
-    num_common = len(hashes_1 & hashes_2)
-    disjoint_1 = len(hashes_1 - hashes_2)
-    disjoint_2 = len(hashes_2 - hashes_1)
-    num_union = len(hashes_1.union(hashes_2))
+    fields = dict(
+        sig1_file=args.signature1,
+        sig2_file=args.signature2,
+        name1=sig1.name,
+        name2=sig2.name,
+        md5_1=sig1.md5sum(),
+        md5_2=sig2.md5sum(),
+        ksize=sig1.minhash.ksize,
+        moltype=sig1.minhash.moltype,
+        num=sig1.minhash.num,
+        scaled=sig1.minhash.scaled,
+        similarity=sig1.similarity(sig2),
+        cont1=sig1.contained_by(sig2),
+        cont2=sig2.contained_by(sig1),
+        size1=len(sig1.minhash),
+        size2=len(sig2.minhash),
+        num_common=len(hashes_1 & hashes_2),
+        disjoint_1=len(hashes_1 - hashes_2),
+        disjoint_2=len(hashes_2 - hashes_1),
+        num_union=len(hashes_1 | hashes_2),
+    )
 
     print(
         """\
@@ -371,46 +500,38 @@ number of hashes in common:  {num_common}
 only in first:               {disjoint_1}
 only in second:              {disjoint_2}
 total (union):               {num_union}
-""".format(**locals())
+""".format(**fields)
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch set algebra: merge, intersect, subtract, inflate
+# ---------------------------------------------------------------------------
 
 
 def merge(args):
     "Merge one or more signatures."
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args)
 
     first_sig = None
-    mh = None
+    merged_mh = None
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-
-    for sigobj, sigloc in loader:
+    for sigobj, sigloc in stream:
         if first_sig is None:
             first_sig = sigobj
-            mh = first_sig.minhash.copy_and_clear().to_mutable()
+            merged_mh = first_sig.minhash.copy_and_clear().to_mutable()
             if args.flatten:
-                mh.track_abundance = False
+                merged_mh.track_abundance = False
 
         try:
-            sigobj_mh = sigobj.minhash
-            if not args.flatten:
-                _check_abundance_compatibility(first_sig, sigobj)
+            incoming = sigobj.minhash
+            if args.flatten:
+                incoming = incoming.flatten()
             else:
-                sigobj_mh = sigobj_mh.flatten()
+                _check_abundance_compatibility(first_sig, sigobj)
 
-            mh.merge(sigobj_mh)
+            merged_mh.merge(incoming)
         except (TypeError, ValueError) as exc:
             error(
                 "ERROR when merging signature '{}' ({}) from file {}",
@@ -421,127 +542,48 @@ def merge(args):
             error(str(exc))
             sys.exit(-1)
 
-    if not len(progress):
+    if not len(stream):
         error("no signatures to merge!?")
         sys.exit(-1)
 
-    merged_sigobj = sourmash.SourmashSignature(mh, name=args.set_name or "")
-    merged_sigobj._name = args.set_name
+    _save_named_result(args, merged_mh)
 
-    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
-        save_sigs.add(merged_sigobj)
-
-    notify(f"loaded and merged {len(progress)} signatures")
-
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    notify(f"loaded and merged {len(stream)} signatures")
+    stream.report_picklist()
 
 
 def intersect(args):
     "Intersect one or more signatures; removes abundances unless -A."
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args)
 
-    first_sig = None
-    mins = None
+    template_sig = None
+    common = None
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
+    for sigobj, _ in stream:
+        if template_sig is None:
+            template_sig = sigobj
+            common = set(sigobj.minhash.hashes)
+        elif not sigobj.minhash.is_compatible(template_sig.minhash):
+            error("incompatible minhashes; specify -k and/or molecule type.")
+            sys.exit(-1)
 
-    for sigobj, sigloc in loader:
-        if first_sig is None:
-            first_sig = sigobj
-            mins = set(sigobj.minhash.hashes)
-        else:
-            if not sigobj.minhash.is_compatible(first_sig.minhash):
-                error("incompatible minhashes; specify -k and/or molecule type.")
-                sys.exit(-1)
+        common.intersection_update(sigobj.minhash.hashes)
 
-        mins.intersection_update(sigobj.minhash.hashes)
-
-    if first_sig is None:
+    if template_sig is None:
         notify("no signatures provided to intersect!?")
         sys.exit(-1)
 
-    intersect_mh = first_sig.minhash.copy_and_clear().flatten().to_mutable()
-    intersect_mh.add_many(mins)
+    intersect_mh = template_sig.minhash.copy_and_clear().flatten().to_mutable()
+    intersect_mh.add_many(common)
 
     if args.abundances_from:
-        notify(f"loading signature from {args.abundances_from}, keeping abundances")
-        abund_sig = sourmash_args.load_one_signature(
-            args.abundances_from, ksize=args.ksize, select_moltype=moltype
-        )
-        if not abund_sig.minhash.track_abundance:
-            error("--track-abundance not set on loaded signature?! exiting.")
-            sys.exit(-1)
+        intersect_mh = _reinflate_from_file(intersect_mh, args, stream.moltype)
 
-        intersect_mh = intersect_mh.inflate(abund_sig.minhash)
+    _save_named_result(args, intersect_mh)
 
-    intersect_sigobj = sourmash.SourmashSignature(intersect_mh, name=args.set_name or "")
-    intersect_sigobj._name = args.set_name
-
-    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
-        save_sigs.add(intersect_sigobj)
-
-    notify(f"loaded and intersected {len(progress)} signatures")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
-
-
-def inflate(args):
-    "Inflate (add abundances to) signatures from the first signature."
-    set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-
-    inflate_sig = sourmash_args.load_query_signature(
-        args.signature_from, ksize=args.ksize, select_moltype=moltype
-    )
-    inflate_from_mh = inflate_sig.minhash
-    ksize = inflate_from_mh.ksize
-    moltype = inflate_from_mh.moltype
-
-    if not inflate_from_mh.track_abundance:
-        error(f"ERROR: signature '{inflate_sig.name}' from ")
-        error(f"file '{args.signature_from}' has no abundances.")
-        sys.exit(-1)
-
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.other_sigs,
-        ksize=ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-
-    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
-        for sigobj, sigloc in loader:
-            inflated_mh = sigobj.minhash.inflate(inflate_from_mh)
-            inflated_sigobj = sourmash.SourmashSignature(
-                inflated_mh, name=sigobj.name
-            )
-            save_sigs.add(inflated_sigobj)
-
-    if len(progress) == 0:
-        error("no signatures to inflate!?")
-        sys.exit(-1)
-
-    notify(f"loaded and intersected {len(save_sigs)} signatures")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    notify(f"loaded and intersected {len(stream)} signatures")
+    stream.report_picklist()
 
 
 def subtract(args):
@@ -561,7 +603,7 @@ def subtract(args):
         error("Cannot use subtract on signatures with abundance tracking, sorry!")
         sys.exit(1)
 
-    subtract_mins = set(from_mh.hashes)
+    remaining = set(from_mh.hashes)
 
     notify(f"loaded signature from {args.signature_from}...", end="\r")
 
@@ -581,7 +623,7 @@ def subtract(args):
                 )
                 sys.exit(1)
 
-            subtract_mins -= set(sigobj.minhash.hashes)
+            remaining -= set(sigobj.minhash.hashes)
 
             notify(f"loaded and subtracted signatures from {sigfile}...", end="\r")
 
@@ -590,61 +632,81 @@ def subtract(args):
         sys.exit(-1)
 
     subtract_mh = from_sigobj.minhash.copy_and_clear().flatten().to_mutable()
-    subtract_mh.add_many(subtract_mins)
+    subtract_mh.add_many(remaining)
 
     if args.abundances_from:
-        notify(f"loading signature from {args.abundances_from}, keeping abundances")
-        abund_sig = sourmash_args.load_one_signature(
-            args.abundances_from, ksize=args.ksize, select_moltype=moltype
-        )
-        if not abund_sig.minhash.track_abundance:
-            error("--track-abundance not set on loaded signature?! exiting.")
-            sys.exit(-1)
+        subtract_mh = _reinflate_from_file(subtract_mh, args, moltype)
 
-        subtract_mh = subtract_mh.inflate(abund_sig.minhash)
-
-    subtract_sigobj = sourmash.SourmashSignature(subtract_mh, name=args.set_name or "")
-    subtract_sigobj._name = args.set_name
-
-    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
-        save_sigs.add(subtract_sigobj)
+    _save_named_result(args, subtract_mh)
 
     notify(f"loaded and subtracted {len(progress)} signatures")
+
+
+def inflate(args):
+    "Inflate (add abundances to) signatures from the first signature."
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+
+    inflate_sig = sourmash_args.load_query_signature(
+        args.signature_from, ksize=args.ksize, select_moltype=moltype
+    )
+    inflate_from_mh = inflate_sig.minhash
+
+    if not inflate_from_mh.track_abundance:
+        error(f"ERROR: signature '{inflate_sig.name}' from ")
+        error(f"file '{args.signature_from}' has no abundances.")
+        sys.exit(-1)
+
+    progress = sourmash_args.SignatureLoadingProgress()
+    loader = sourmash_args.load_many_signatures(
+        args.other_sigs,
+        ksize=inflate_from_mh.ksize,
+        moltype=inflate_from_mh.moltype,
+        picklist=picklist,
+        progress=progress,
+        yield_all_files=args.force,
+        force=args.force,
+    )
+
+    with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
+        for sigobj, _ in loader:
+            inflated_mh = sigobj.minhash.inflate(inflate_from_mh)
+            save_sigs.add(sourmash.SourmashSignature(inflated_mh, name=sigobj.name))
+
+        n_saved = len(save_sigs)
+
+    if len(progress) == 0:
+        error("no signatures to inflate!?")
+        sys.exit(-1)
+
+    notify(f"loaded and intersected {n_saved} signatures")
+    if picklist:
+        sourmash_args.report_picklist(args, picklist)
+
+
+# ---------------------------------------------------------------------------
+# per-sketch transforms: rename, extract, filter, flatten, downsample
+# ---------------------------------------------------------------------------
 
 
 def rename(args):
     "Rename one or more signatures."
     set_quiet(args.quiet, args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    pattern_search = sourmash_args.load_include_exclude_db_patterns(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args, use_pattern=True)
 
     save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
     save_sigs.open()
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-        pattern=pattern_search,
-    )
-
-    for sigobj, sigloc in loader:
-        sigobj = sigobj.to_mutable()
-        sigobj._name = args.name
-        save_sigs.add(sigobj)
+    for sigobj, _ in stream:
+        renamed = sigobj.to_mutable()
+        renamed._name = args.name
+        save_sigs.add(renamed)
 
     save_sigs.close()
 
     notify(f"set name to '{args.name}' on {len(save_sigs)} signatures")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    stream.report_picklist()
 
 
 def extract(args):
@@ -659,14 +721,9 @@ def extract(args):
     if args.md5 is not None or args.name is not None:
 
         def filter_fn(row):
-            keep = False
-            if args.name:
-                name = row["name"] or row["filename"]
-                if args.name in name:
-                    keep = True
-            if args.md5 and args.md5 in row["md5"]:
-                keep = True
-            return keep
+            if args.name and args.name in (row["name"] or row["filename"]):
+                return True
+            return bool(args.md5 and args.md5 in row["md5"])
 
     save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
     save_sigs.open()
@@ -681,20 +738,16 @@ def extract(args):
         total_rows_examined += len(manifest)
 
         if filter_fn and not pattern_search:
-            sub_manifest = manifest.filter_rows(filter_fn)
-            sub_picklist = sub_manifest.to_picklist()
+            sub_picklist = manifest.filter_rows(filter_fn).to_picklist()
 
             try:
                 idx = idx.select(picklist=sub_picklist)
             except ValueError:
-                error(
-                    "** This input collection doesn't support 'extract' with picklists or patterns."
+                _abort_no_picklist_support(
+                    "extract",
+                    kinds="picklists or patterns",
+                    kind="a picklist or pattern",
                 )
-                error("** EXITING.")
-                error("**")
-                error("** You can use 'sourmash sig cat' with a picklist or pattern,")
-                error("** and then pipe the output to 'sourmash sig extract")
-                sys.exit(-1)
 
         for ss in idx.signatures():
             save_sigs.add(ss)
@@ -707,7 +760,6 @@ def extract(args):
         sys.exit(-1)
 
     notify(f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)")
-
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
@@ -723,10 +775,11 @@ def filter(args):
     save_sigs.open()
 
     for filename in args.signatures:
-        siglist = sourmash_args.load_file_as_signatures(
-            filename, ksize=args.ksize, select_moltype=moltype, progress=progress
+        siglist = list(
+            sourmash_args.load_file_as_signatures(
+                filename, ksize=args.ksize, select_moltype=moltype, progress=progress
+            )
         )
-        siglist = list(siglist)
 
         if args.md5 is not None:
             siglist = [ss for ss in siglist if args.md5 in ss.md5sum()]
@@ -739,15 +792,15 @@ def filter(args):
                 notify(f"ignoring signature {ss} - track_abundance not set.")
                 continue
 
-            abunds = mh.hashes
-            abunds2 = {}
-            for k, v in abunds.items():
-                if v >= args.min_abundance:
-                    if args.max_abundance is None or v <= args.max_abundance:
-                        abunds2[k] = v
+            kept = {
+                hashval: abund
+                for hashval, abund in mh.hashes.items()
+                if abund >= args.min_abundance
+                and (args.max_abundance is None or abund <= args.max_abundance)
+            }
 
             filtered_mh = mh.copy_and_clear().to_mutable()
-            filtered_mh.set_abundances(abunds2)
+            filtered_mh.set_abundances(kept)
 
             ss = ss.to_mutable()
             ss.minhash = filtered_mh
@@ -756,37 +809,22 @@ def filter(args):
 
     save_sigs.close()
 
-    notify(f"loaded {len(progress)} total that matched ksize & molecule type")
-    notify(f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)")
+    _loaded_extracted_summary(len(progress), len(save_sigs), len(args.signatures))
 
 
 def flatten(args):
     "Flatten one or more signatures, removing abundances."
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args)
 
     save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
     save_sigs.open()
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-    for ss, sigloc in loader:
-        if args.md5 is not None:
-            if args.md5 not in ss.md5sum():
-                continue
-        if args.name is not None:
-            if args.name not in ss.name:
-                continue
+    for ss, _ in stream:
+        if args.md5 is not None and args.md5 not in ss.md5sum():
+            continue
+        if args.name is not None and args.name not in ss.name:
+            continue
 
         ss = ss.to_mutable()
         ss.minhash = ss.minhash.flatten()
@@ -794,18 +832,56 @@ def flatten(args):
 
     save_sigs.close()
 
-    notify(f"loaded {len(progress)} total that matched ksize & molecule type")
-    notify(f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    _loaded_extracted_summary(len(stream), len(save_sigs), len(args.signatures))
+    stream.report_picklist()
+
+
+def _set_num_scaled(mh, num, scaled):
+    "Set num and scaled values on a MinHash, re-inserting mins to re-trim."
+    import numpy as np
+
+    mins, abunds = mh._mins, mh._abunds
+    mh._num = num
+    mh._max_hash = _get_max_hash_for_scaled(scaled)
+    mh._mins = np.zeros(0, dtype=np.uint64)
+    if mh._track_abundance:
+        mh._abunds = np.zeros(0, dtype=np.uint64)
+    mh._invalidate()
+    mh._insert_hashes(mins, abunds)
+    assert mh.num == num
+    assert mh.scaled == scaled
+
+
+def _as_scaled(mh, scaled):
+    "Downsample a scaled MinHash, or convert a num MinHash to scaled."
+    if mh.scaled:
+        return mh.downsample(scaled=scaled)
+
+    max_hash = _get_max_hash_for_scaled(scaled)
+    if max(mh.hashes) < max_hash:
+        raise ValueError(
+            "this num MinHash does not have enough hashes to convert it into a scaled MinHash."
+        )
+    converted = mh.copy().to_mutable()
+    _set_num_scaled(converted, 0, scaled)
+    return converted
+
+
+def _as_num(mh, num):
+    "Downsample a num MinHash, or convert a scaled MinHash to num."
+    if mh.num:
+        return mh.downsample(num=num)
+
+    if len(mh) < num:
+        raise ValueError(f"this scaled MinHash has only {len(mh)} hashes")
+    converted = mh.copy().to_mutable()
+    _set_num_scaled(converted, num, 0)
+    return converted
 
 
 def downsample(args):
     "Downsample num and scaled signatures; also interconvert."
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
 
     if not args.num_hashes and not args.scaled:
         error("ERROR: must specify either --num or --scaled value")
@@ -815,95 +891,81 @@ def downsample(args):
         error("ERROR: cannot specify both --num and --scaled")
         sys.exit(-1)
 
+    stream = _SigStream(args)
+
     save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
     save_sigs.open()
 
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-    for ss, sigloc in loader:
+    for ss, _ in stream:
         sigobj = ss.to_mutable()
-        mh = sigobj.minhash
 
         if args.scaled:
-            args_scaled = int(args.scaled)
-            if mh.scaled:
-                mh_new = mh.downsample(scaled=args_scaled)
-            else:
-                max_hash = _get_max_hash_for_scaled(args_scaled)
-                mins = mh.hashes
-                if max(mins) < max_hash:
-                    raise ValueError(
-                        "this num MinHash does not have enough hashes to convert it into a scaled MinHash."
-                    )
-                mh_new = mh.copy().to_mutable()
-                _set_num_scaled(mh_new, 0, args_scaled)
+            sigobj.minhash = _as_scaled(sigobj.minhash, int(args.scaled))
         elif args.num_hashes:
-            if mh.num:
-                mh_new = mh.downsample(num=args.num_hashes)
-            else:
-                if len(mh) < args.num_hashes:
-                    raise ValueError(f"this scaled MinHash has only {len(mh)} hashes")
-                mh_new = mh.copy().to_mutable()
-                _set_num_scaled(mh_new, args.num_hashes, 0)
+            sigobj.minhash = _as_num(sigobj.minhash, args.num_hashes)
 
-        sigobj.minhash = mh_new
         save_sigs.add(sigobj)
 
     save_sigs.close()
 
-    notify(f"loaded {len(progress)} signatures")
+    notify(f"loaded {len(stream)} signatures")
     notify(f"output {len(save_sigs)} downsampled signatures", len(save_sigs))
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    stream.report_picklist()
+
+
+# ---------------------------------------------------------------------------
+# interchange with mash: ingest, export
+# ---------------------------------------------------------------------------
+
+
+def _sigs_from_mash_csv(filename):
+    "Parse one mash CSV file into a list of signatures."
+    out = []
+    with open(filename, newline="") as csv_fp:
+        for row in csv.reader(csv_fp):
+            hashfn = row[0]
+            hashseed = int(row[1])
+            assert hashfn == "murmur64"
+            assert hashseed == 42
+
+            _, _, ksize, name, hashes = row
+            hashes = [int(x) for x in hashes.strip().split(" ")]
+
+            e = MinHash(len(hashes), int(ksize))
+            e.add_many(hashes)
+            s = sourmash.SourmashSignature(e, filename=name)
+            out.append(s)
+            notify(f"loaded signature: {name} {s.md5sum()[:8]}")
+    return out
+
+
+def _sig_from_mash_json(filename):
+    "Parse one mash-style JSON sketch file into a signature."
+    import json
+
+    with open(filename) as fp:
+        x = json.loads(fp.read())
+
+    assert x["hashType"] == "MurmurHash3_x64_128"
+    assert x["hashBits"] == 64
+    assert x["hashSeed"] == 42
+
+    mh = MinHash(ksize=x["kmer"], n=x["sketchSize"], is_protein=False)
+    mh.add_many(x["sketches"][0]["hashes"])
+    return sourmash.SourmashSignature(mh, filename=filename)
 
 
 def ingest(args):
     """Import signatures from mash JSON or CSV into sourmash format
     (reference `sig/__main__.py:1002-1056`)."""
-    import json
-
     set_quiet(args.quiet)
 
     siglist = []
-    if args.csv:
-        for filename in args.filenames:
-            with open(filename, newline="") as csv_fp:
-                reader = csv.reader(csv_fp)
-                siglist = []
-                for row in reader:
-                    hashfn = row[0]
-                    hashseed = int(row[1])
-                    assert hashfn == "murmur64"
-                    assert hashseed == 42
-                    _, _, ksize, name, hashes = row
-                    ksize = int(ksize)
-                    hashes = [int(x) for x in hashes.strip().split(" ")]
-                    e = MinHash(len(hashes), ksize)
-                    e.add_many(hashes)
-                    s = sourmash.SourmashSignature(e, filename=name)
-                    siglist.append(s)
-                    notify(f"loaded signature: {name} {s.md5sum()[:8]}")
-    else:
-        for filename in args.filenames:
-            with open(filename) as fp:
-                x = json.loads(fp.read())
-            ksize = x["kmer"]
-            num = x["sketchSize"]
-            assert x["hashType"] == "MurmurHash3_x64_128"
-            assert x["hashBits"] == 64
-            assert x["hashSeed"] == 42
-            hashes = x["sketches"][0]["hashes"]
-            mh = MinHash(ksize=ksize, n=num, is_protein=False)
-            mh.add_many(hashes)
-            siglist.append(sourmash.SourmashSignature(mh, filename=filename))
+    for filename in args.filenames:
+        if args.csv:
+            siglist = _sigs_from_mash_csv(filename)
+        else:
+            siglist.append(_sig_from_mash_json(filename))
 
     notify(f"saving {len(siglist)} signatures to JSON")
     with sourmash_args.SaveSignaturesToLocation(args.output) as save_sigs:
@@ -923,17 +985,50 @@ def export(args):
     )
     mh = query.minhash
 
-    x = {}
-    x["kmer"] = mh.ksize
-    x["sketchSize"] = len(mh)
-    x["hashType"] = "MurmurHash3_x64_128"
-    x["hashBits"] = 64
-    x["hashSeed"] = mh.seed
-    x["sketches"] = [{"hashes": list(mh.hashes)}]
+    doc = dict(
+        kmer=mh.ksize,
+        sketchSize=len(mh),
+        hashType="MurmurHash3_x64_128",
+        hashBits=64,
+        hashSeed=mh.seed,
+        sketches=[{"hashes": list(mh.hashes)}],
+    )
 
     with sourmash_args.FileOutput(args.output, "wt") as fp:
-        print(json.dumps(x), file=fp)
+        print(json.dumps(doc), file=fp)
     notify(f"exported signature {query} ({query.md5sum()[:8]})")
+
+
+# ---------------------------------------------------------------------------
+# hash → sequence mapping: kmers
+# ---------------------------------------------------------------------------
+
+
+def _merged_query_for_kmers(stream):
+    "Merge every input sketch (abundances dropped) into one query MinHash."
+    query_mh = None
+    for sigobj, sigloc in stream:
+        if query_mh is None:
+            query_mh = sigobj.minhash.copy_and_clear()
+            query_mh.track_abundance = False
+        try:
+            flat_mh = sigobj.minhash.to_mutable()
+            flat_mh.track_abundance = False
+            query_mh.merge(flat_mh)
+        except (TypeError, ValueError) as exc:
+            error(
+                f"ERROR when merging signature '{sigobj}' ({sigobj.md5sum()[:8]}) from file {sigloc}"
+            )
+            error(str(exc))
+            sys.exit(-1)
+
+    if not len(stream):
+        error("no signatures in query!?")
+        sys.exit(-1)
+
+    notify(f"loaded and merged {len(stream)} signatures")
+    stream.report_picklist()
+    return query_mh
 
 
 def kmers(args):
@@ -943,47 +1038,9 @@ def kmers(args):
     from .. import sequence_io
 
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
-    picklist = sourmash_args.load_picklist(args)
-    _extend_signatures_with_from_file(args)
+    stream = _SigStream(args)
 
-    first_sig = None
-    query_mh = None
-
-    progress = sourmash_args.SignatureLoadingProgress()
-    loader = sourmash_args.load_many_signatures(
-        args.signatures,
-        ksize=args.ksize,
-        moltype=moltype,
-        picklist=picklist,
-        progress=progress,
-        yield_all_files=args.force,
-        force=args.force,
-    )
-
-    for sigobj, sigloc in loader:
-        if first_sig is None:
-            first_sig = sigobj
-            query_mh = first_sig.minhash.copy_and_clear()
-            query_mh.track_abundance = False
-        try:
-            sigobj_mh = sigobj.minhash.to_mutable()
-            sigobj_mh.track_abundance = False
-            query_mh.merge(sigobj_mh)
-        except (TypeError, ValueError) as exc:
-            error(
-                f"ERROR when merging signature '{sigobj}' ({sigobj.md5sum()[:8]}) from file {sigloc}"
-            )
-            error(str(exc))
-            sys.exit(-1)
-
-    if not len(progress):
-        error("no signatures in query!?")
-        sys.exit(-1)
-
-    notify(f"loaded and merged {len(progress)} signatures")
-    if picklist:
-        sourmash_args.report_picklist(args, picklist)
+    query_mh = _merged_query_for_kmers(stream)
 
     if query_mh.moltype == "DNA" and args.translate:
         error("ERROR: cannot use --translate with DNA sketches.")
@@ -1020,9 +1077,7 @@ def kmers(args):
         save_seqs = sourmash_args.FileOutput(args.save_sequences)
         save_seqs.open()
 
-    is_protein = False
-    if query_mh.moltype != "DNA" and not args.translate:
-        is_protein = True
+    is_protein = query_mh.moltype != "DNA" and not args.translate
 
     n_files_searched = 0
     n_sequences_searched = 0
@@ -1115,110 +1170,27 @@ def kmers(args):
     if kmer_w:
         notify(f"matched and saved a total of {n_kmers_found} k-mers.")
 
-    query_hashes = set(query_mh.hashes)
-    found_hashes = set(found_mh.hashes)
-    cont = len(query_hashes.intersection(found_hashes)) / len(query_hashes)
-
+    cont = len(query_hash_set.intersection(found_mh.hashes)) / len(query_hash_set)
     notify(f"found {len(found_mh)} distinct matching hashes ({cont * 100:.1f}%)")
 
     if not kmer_w and not save_seqs:
         notify("NOTE: see --save-kmers or --save-sequences for output options.")
 
 
-from collections import namedtuple, Counter
-
-_SketchInfo = namedtuple("_SketchInfo", "ksize, moltype, scaled, num, abund")
-
-
-def _summarize_manifest(manifest):
-    "Summary dict of sketch types in a manifest (reference :1283-1313)."
-    info_d = {}
-    total_size = 0
-    counter = Counter()
-    hashcounts = Counter()
-    for row in manifest.rows:
-        ski = _SketchInfo(
-            ksize=row["ksize"],
-            moltype=row["moltype"],
-            scaled=row["scaled"],
-            num=row["num"],
-            abund=row["with_abundance"],
-        )
-        counter[ski] += 1
-        hashcounts[ski] += row["n_hashes"]
-        total_size += row["n_hashes"]
-
-    info_d["total_hashes"] = total_size
-    sketch_info = []
-    for ski, count in counter.items():
-        sketch_d = dict(ski._asdict())
-        sketch_d["count"] = count
-        sketch_d["n_hashes"] = hashcounts[ski]
-        sketch_info.append(sketch_d)
-    info_d["sketch_info"] = sketch_info
-    return info_d
+# ---------------------------------------------------------------------------
+# manifest/collection management: check, collect, grep
+# ---------------------------------------------------------------------------
 
 
-def fileinfo(args):
-    """Summary information on a signature collection/index (reference
-    `sig/__main__.py:1343-1409`). Aliased as 'summarize'."""
-    import json
-
-    set_quiet(args.quiet, args.debug)
-
-    text_out = not args.json_out
-
-    try:
-        notify(f"** loading from '{args.path}'")
-        idx = sourmash_args.load_file_as_index(args.path, yield_all_files=args.force)
-    except ValueError:
-        error(f"Cannot open '{args.path}' as a sourmash signature collection.")
-        error("Use -d/--debug for details.")
-        sys.exit(-1)
-
-    def print_bool(x):
-        return "yes" if x else "no"
-
-    info_d = {}
-    info_d["path_filetype"] = type(idx).__name__
-    info_d["location"] = "" if not idx.location else idx.location
-    info_d["is_database"] = bool(idx.is_database)
-    info_d["has_manifest"] = bool(idx.manifest)
-    info_d["num_sketches"] = len(idx)
-
-    if text_out:
-        print_results(f"path filetype: {info_d['path_filetype']}")
-        print_results(f"location: {info_d['location']}")
-        print_results(f"is database? {print_bool(info_d['is_database'])}")
-        print_results(f"has manifest? {print_bool(info_d['has_manifest'])}")
-        print_results(f"num signatures: {info_d['num_sketches']}")
-
-    notify("** examining manifest...")
-
-    manifest = sourmash_args.get_manifest(
-        idx, rebuild=args.rebuild_manifest, require=False
-    )
-
-    if manifest is None:
-        notify("** no manifest and cannot be generated; exiting.")
-        sys.exit(0)
-
-    info_d.update(_summarize_manifest(manifest))
-
-    if text_out:
-        print_results(f"total hashes: {info_d['total_hashes']}")
-        print_results("summary of sketches:")
-        for ski in info_d["sketch_info"]:
-            mh_type = f"num={ski['num']}" if ski["num"] else f"scaled={ski['scaled']}"
-            mh_abund = ", abund" if ski["abund"] else ""
-            sketch_str = f"{ski['count']} sketches with {ski['moltype']}, k={ski['ksize']}, {mh_type}{mh_abund}"
-            print_results(f"   {sketch_str: <50} {ski['n_hashes']} total hashes")
-    else:
-        print(json.dumps(info_d))
-
-
-# alias, reference cli aliases 'summarize' to fileinfo
-summarize = fileinfo
+def _relocated(loc, args, relpath):
+    "Apply --abspath/--relpath rewriting to an internal location."
+    if args.abspath:
+        return os.path.abspath(loc)
+    if args.relpath:
+        if loc.startswith("/"):
+            notify(f"** WARNING: cannot convert abspath {loc} into relative path.")
+        return os.path.join(relpath, loc)
+    return loc
 
 
 def check(args):
@@ -1247,7 +1219,7 @@ def check(args):
         error("** Cannot specify both --abspath and --relpath; pick one!")
         sys.exit(-1)
 
-    if args.relpath or args.abspath and not args.save_manifest_matching:
+    if args.relpath or (args.abspath and not args.save_manifest_matching):
         notify(
             "** WARNING: --abspath and --relpath only have effects when saving a manifest"
         )
@@ -1261,16 +1233,7 @@ def check(args):
 
     total_rows_examined = 0
     for filename in args.signatures:
-        if args.abspath:
-            new_iloc = os.path.abspath(filename)
-        elif args.relpath:
-            if filename.startswith("/"):
-                notify(
-                    f"** WARNING: cannot convert abspath {filename} into relative path."
-                )
-            new_iloc = os.path.join(relpath, filename)
-        else:
-            new_iloc = filename
+        new_iloc = _relocated(filename, args, relpath)
 
         idx = sourmash_args.load_file_as_index(filename, yield_all_files=args.force)
         idx = idx.select(ksize=args.ksize, moltype=moltype)
@@ -1296,10 +1259,9 @@ def check(args):
 
     n_missing = len(picklist.pickset - picklist.found)
     if args.output_missing and n_missing:
-        pickfile = picklist.pickfile
         n_input = 0
         n_output = 0
-        with sourmash_args.FileInputCSV(pickfile) as r:
+        with sourmash_args.FileInputCSV(picklist.pickfile) as r:
             with open(args.output_missing, "w", newline="") as outfp:
                 w = csv.DictWriter(outfp, fieldnames=r.fieldnames)
                 w.writeheader()
@@ -1334,11 +1296,36 @@ def check(args):
         sys.exit(-1)
 
 
+def _open_collect_manifest(args):
+    "Open or create the output manifest for `sig collect`."
+    from ..manifest import CollectionManifest
+
+    try:
+        if args.manifest_format == "sql":
+            from ..index.sqlite_index import SqliteCollectionManifest
+
+            if args.merge_previous:
+                return SqliteCollectionManifest.create_or_open(args.output)
+            return SqliteCollectionManifest.create(args.output)
+
+        assert args.manifest_format == "csv"
+        if args.merge_previous and os.path.exists(args.output):
+            collected_mf = CollectionManifest.load_from_filename(args.output)
+        else:
+            collected_mf = CollectionManifest()
+        if not isinstance(collected_mf, CollectionManifest):
+            raise Exception
+        return collected_mf
+    except Exception:
+        error(
+            f"ERROR loading '{args.output}' with --merge-previous. Is it of type {args.manifest_format}?"
+        )
+        sys.exit(-1)
+
+
 def collect(args):
     """Collect signature metadata across many locations into one manifest
     (reference `sig/__main__.py:1553-1667`)."""
-    from ..manifest import CollectionManifest
-
     set_quiet(False, args.debug)
 
     if os.path.exists(args.output):
@@ -1355,27 +1342,7 @@ def collect(args):
         error("** Cannot specify both --abspath and --relpath; pick one!")
         sys.exit(-1)
 
-    try:
-        if args.manifest_format == "sql":
-            from ..index.sqlite_index import SqliteCollectionManifest
-
-            if args.merge_previous:
-                collected_mf = SqliteCollectionManifest.create_or_open(args.output)
-            else:
-                collected_mf = SqliteCollectionManifest.create(args.output)
-        else:
-            assert args.manifest_format == "csv"
-            if args.merge_previous and os.path.exists(args.output):
-                collected_mf = CollectionManifest.load_from_filename(args.output)
-            else:
-                collected_mf = CollectionManifest()
-            if not isinstance(collected_mf, CollectionManifest):
-                raise Exception
-    except Exception:
-        error(
-            f"ERROR loading '{args.output}' with --merge-previous. Is it of type {args.manifest_format}?"
-        )
-        sys.exit(-1)
+    collected_mf = _open_collect_manifest(args)
 
     if args.merge_previous:
         notify(f"merging new locations with {len(collected_mf)} previous rows.")
@@ -1393,6 +1360,7 @@ def collect(args):
         notify(f"Loading signature information from {loc}.")
         if n_files and n_files % 100 == 0:
             notify(f"... loaded {len(collected_mf)} sigs from {n_files} files")
+
         idx = sourmash.load_file_as_index(loc)
         if idx.manifest is None and require_manifest:
             error(f"ERROR on location '{loc}'")
@@ -1403,15 +1371,7 @@ def collect(args):
             sys.exit(-1)
 
         mf = sourmash_args.get_manifest(idx)
-
-        if args.abspath:
-            new_iloc = os.path.abspath(loc)
-        elif args.relpath:
-            if loc.startswith("/"):
-                notify(f"** WARNING: cannot convert abspath {loc} into relative path.")
-            new_iloc = os.path.join(relpath, loc)
-        else:
-            new_iloc = loc
+        new_iloc = _relocated(loc, args, relpath)
 
         for row in mf.rows:
             row = dict(row)
@@ -1441,21 +1401,17 @@ def grep(args):
     picklist = sourmash_args.load_picklist(args)
     _extend_signatures_with_from_file(args)
 
-    pattern = args.pattern
-    if args.ignore_case:
-        pattern = re.compile(pattern, re.IGNORECASE)
-    else:
-        pattern = re.compile(pattern)
+    matcher = re.compile(args.pattern, re.IGNORECASE if args.ignore_case else 0)
 
     if args.invert_match:
 
         def search_pattern(vals):
-            return all(not pattern.search(val) for val in vals)
+            return all(not matcher.search(val) for val in vals)
 
     else:
 
         def search_pattern(vals):
-            return any(pattern.search(val) for val in vals)
+            return any(matcher.search(val) for val in vals)
 
     require_manifest = not args.no_require_manifest
 
@@ -1490,8 +1446,7 @@ def grep(args):
                 )
                 error("specify --no-require-manifest to dynamically generate one.")
                 sys.exit(-1)
-            else:
-                manifest = sourmash_args.get_manifest(idx, require=False)
+            manifest = sourmash_args.get_manifest(idx, require=False)
 
         sub_manifest = manifest.filter_on_columns(
             search_pattern, ["name", "filename", "md5"]
@@ -1508,12 +1463,7 @@ def grep(args):
             try:
                 idx = idx.select(picklist=sub_picklist)
             except ValueError:
-                error("** This input collection doesn't support 'grep' with picklists.")
-                error("** EXITING.")
-                error("**")
-                error("** You can use 'sourmash sig cat' with a picklist,")
-                error("** and then pipe the output to 'sourmash sig grep -")
-                sys.exit(-1)
+                _abort_no_picklist_support("grep", pipe_to="grep -")
 
             for ss in idx.signatures():
                 save_sigs.add(ss)
