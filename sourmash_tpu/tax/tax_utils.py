@@ -1,10 +1,22 @@
 """Taxonomy utilities: lineage types, lineage databases, gather-CSV
 summarization.
 
+Organization:
+
+* lineage model — ``LineagePair`` + the ``BaseLineageInfo`` family
+  (NCBI ranks, ICTV viral ranks, positional LINs), all frozen dataclasses
+  normalized through the shared ``_store_lineage``/``_split_lineage_string``
+  helpers;
+* lineage databases — ``LineageDB`` (CSV), ``LineageDB_Sqlite``, and the
+  precedence-ordered ``MultiLineageDB``, all sharing the read-only mapping
+  protocol of ``_LineageMapping``;
+* gather-CSV summarization — the ``TaxResult``/``QueryTaxResult`` pipeline
+  producing csv_summary / krona / kreport / lingroup / bioboxes outputs.
+
 Parity target: reference `src/sourmash/tax/tax_utils.py` (LineagePair:83,
 BaseLineageInfo/RankLineageInfo/LINLineageInfo :89-640, LineageDB:1210,
-MultiLineageDB:1590+, summarization dataclasses :1825+). Built out
-incrementally; the core lineage types live here first.
+MultiLineageDB:1590+, summarization dataclasses :1825+). All console and
+CSV output formats match the reference exactly.
 """
 
 from __future__ import annotations
@@ -12,9 +24,14 @@ from __future__ import annotations
 import csv
 import sqlite3
 from collections import defaultdict
-from dataclasses import dataclass, field, replace
+from dataclasses import asdict, dataclass, field, fields, replace
 from itertools import zip_longest
 from typing import NamedTuple
+
+from ..logging import notify
+from ..distance_utils import containment_to_distance
+from ..sourmash_args import load_pathlist_from_file
+from .. import sourmash_args
 
 __all__ = [
     "LineagePair",
@@ -37,6 +54,41 @@ RANKS = NCBI_RANKS = (
     "strain",
 )
 
+ICTV_RANKS = (
+    "realm",
+    "subrealm",
+    "kingdom",
+    "subkingdom",
+    "phylum",
+    "subphylum",
+    "class",
+    "subclass",
+    "order",
+    "suborder",
+    "family",
+    "subfamily",
+    "genus",
+    "subgenus",
+    "species",
+    "name",
+)
+
+# kraken-style rank codes for kreport output
+RANKCODE = {
+    "superkingdom": "D",
+    "kingdom": "K",
+    "phylum": "P",
+    "class": "C",
+    "order": "O",
+    "family": "F",
+    "genus": "G",
+    "species": "S",
+    "unclassified": "U",
+}
+
+# placeholder strings treated as "no name" in taxonomy-CSV cells
+_NULL_NAMES = frozenset(["[Blank]", "na", "null", "NA", ""])
+
 
 class LineagePair(NamedTuple):
     rank: str
@@ -58,6 +110,23 @@ def ascending_taxlist(include_strain=True):
     if include_strain:
         ascending = ["strain"] + ascending
     yield from ascending
+
+
+def _split_lineage_string(lineage_str):
+    "Split a lineage-name string on ';' (or ',' when no ';' present)."
+    parts = lineage_str.split(";")
+    if len(parts) == 1:
+        parts = lineage_str.split(",")
+    return parts
+
+
+def _lineage_info_class(lins=False, ictv=False):
+    "Pick the LineageInfo class for the requested taxonomy flavor."
+    if lins:
+        return LINLineageInfo
+    if ictv:
+        return ICTVRankLineageInfo
+    return RankLineageInfo
 
 
 @dataclass(frozen=True, order=True)
@@ -86,7 +155,57 @@ class BaseLineageInfo:
     def __eq__(self, other):
         if other == ():
             return False
-        return all([self.ranks == other.ranks and self.lineage == other.lineage])
+        return self.ranks == other.ranks and self.lineage == other.lineage
+
+    # -- construction plumbing (frozen dataclass ⇒ object.__setattr__) -----
+
+    def _store_lineage(self, pairs, *, named_only=False):
+        """Freeze a normalized pair list in place and derive filled_ranks.
+
+        `named_only=True` treats empty-string names as unfilled (dict-based
+        initialization); the default counts any non-None name as filled."""
+        if named_only:
+            filled = tuple(p.rank for p in pairs if p.name)
+        else:
+            filled = tuple(p.rank for p in pairs if p.name is not None)
+        object.__setattr__(self, "lineage", tuple(pairs))
+        object.__setattr__(self, "filled_ranks", filled)
+
+    def _blank_pairs(self):
+        return [LineagePair(rank=rank) for rank in self.ranks]
+
+    def _init_empty(self):
+        "Initialize an empty lineage over the given ranks."
+        self._store_lineage(self._blank_pairs())
+
+    def _init_from_lineage_tuples(self):
+        """Initialize from a tuple/list of LineagePairs; empty ranks and
+        out-of-order input are allowed and normalized."""
+        pairs = self._blank_pairs()
+        for lin_tup in self.lineage:
+            if not isinstance(lin_tup, LineagePair):
+                raise ValueError(f"{lin_tup} is not tax_utils LineagePair.")
+            if not lin_tup.rank:  # skip empty-rank pairs
+                continue
+            try:
+                rank_idx = self.rank_index(lin_tup.rank)
+            except ValueError as e:
+                raise ValueError(
+                    f"Rank '{lin_tup.rank}' not present in {', '.join(self.ranks)}"
+                ) from e
+            pairs[rank_idx] = lin_tup
+        self._store_lineage(pairs)
+
+    def _init_from_lineage_str(self):
+        "Initialize from a ';'- or ','-separated lineage-name string."
+        names = _split_lineage_string(self.lineage_str)
+        pairs = [
+            LineagePair(rank=rank, name=n)
+            for (rank, n) in zip_longest(self.ranks, names)
+        ]
+        self._store_lineage(pairs)
+
+    # -- rank bookkeeping ---------------------------------------------------
 
     @property
     def taxlist(self):
@@ -96,29 +215,27 @@ class BaseLineageInfo:
     def ascending_taxlist(self):
         return self.ranks[::-1]
 
-    @property
-    def lowest_rank(self):
-        if not self.filled_ranks:
-            return None
-        return self.filled_ranks[-1]
-
     def rank_index(self, rank):
         self.check_rank_availability(rank)
         return self.ranks.index(rank)
 
-    def name_at_rank(self, rank):
-        "Return the lineage name at this rank."
-        self.check_rank_availability(rank)
-        if not self.filled_ranks or rank not in self.filled_ranks:
-            return None
-        return self.filled_lineage[self.rank_index(rank)].name
+    def check_rank_availability(self, rank):
+        if rank in self.ranks:
+            return True
+        raise ValueError(f"Desired Rank '{rank}' not available for this lineage.")
 
-    def taxid_at_rank(self, rank):
-        "Return the lineage taxid at this rank."
+    def rank_is_filled(self, rank, other=None):
         self.check_rank_availability(rank)
-        if not self.filled_ranks or rank not in self.filled_ranks:
-            return None
-        return self.filled_lineage[self.rank_index(rank)].taxid
+        if rank not in self.filled_ranks:
+            return False
+        if other is not None:
+            return rank in other.filled_ranks
+        return True
+
+    def is_compatible(self, other):
+        return self.ranks == other.ranks
+
+    # -- accessors ------------------------------------------------------------
 
     @property
     def filled_lineage(self):
@@ -129,98 +246,56 @@ class BaseLineageInfo:
         return self.lineage[: lowest_filled_rank_idx + 1]
 
     @property
+    def lowest_rank(self):
+        return self.filled_ranks[-1] if self.filled_ranks else None
+
+    @property
     def lowest_lineage_name(self):
-        if not self.filled_ranks:
-            return None
-        return self.filled_lineage[-1].name
+        return self.filled_lineage[-1].name if self.filled_ranks else None
 
     @property
     def lowest_lineage_taxid(self):
-        if not self.filled_ranks:
+        return self.filled_lineage[-1].taxid if self.filled_ranks else None
+
+    def _pair_at_rank(self, rank):
+        self.check_rank_availability(rank)
+        if not self.filled_ranks or rank not in self.filled_ranks:
             return None
-        return self.filled_lineage[-1].taxid
+        return self.filled_lineage[self.rank_index(rank)]
 
-    def _init_empty(self):
-        "Initialize an empty lineage over the given ranks."
-        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", ())
+    def name_at_rank(self, rank):
+        "Return the lineage name at this rank."
+        pair = self._pair_at_rank(rank)
+        return pair.name if pair else None
 
-    def _init_from_lineage_tuples(self):
-        """Initialize from a tuple/list of LineagePairs; empty ranks and
-        out-of-order input are allowed and normalized."""
-        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
-        for lin_tup in self.lineage:
-            if not isinstance(lin_tup, LineagePair):
-                raise ValueError(f"{lin_tup} is not tax_utils LineagePair.")
-            if lin_tup.rank:  # skip empty-rank pairs
-                try:
-                    rank_idx = self.rank_index(lin_tup.rank)
-                except ValueError as e:
-                    raise ValueError(
-                        f"Rank '{lin_tup.rank}' not present in {', '.join(self.ranks)}"
-                    ) from e
-                new_lineage[rank_idx] = lin_tup
+    def taxid_at_rank(self, rank):
+        "Return the lineage taxid at this rank."
+        pair = self._pair_at_rank(rank)
+        return pair.taxid if pair else None
 
-        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
-
-    def _init_from_lineage_str(self):
-        "Initialize from a ';'- or ','-separated lineage-name string."
-        new_lineage = self.lineage_str.split(";")
-        if len(new_lineage) == 1:
-            new_lineage = self.lineage_str.split(",")
-        new_lineage = [
-            LineagePair(rank=rank, name=n)
-            for (rank, n) in zip_longest(self.ranks, new_lineage)
-        ]
-        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
+    # -- display ---------------------------------------------------------------
 
     def zip_lineage(self, truncate_empty=False):
         "Return lineage names as a list (None replaced with '')."
-        if truncate_empty:
-            zipped = [a.name for a in self.filled_lineage]
-        else:
-            zipped = [a.name for a in self.lineage]
-        return ["" if x is None else x for x in zipped]
+        source = self.filled_lineage if truncate_empty else self.lineage
+        return [p.name if p.name is not None else "" for p in source]
 
     def zip_taxid(self, truncate_empty=False):
         "Return taxids as a list of strings (None replaced with '')."
-        if truncate_empty:
-            zipped = [a.taxid for a in self.filled_lineage]
-        else:
-            zipped = [a.taxid for a in self.lineage]
-        return ["" if x is None else str(x) for x in zipped]
+        source = self.filled_lineage if truncate_empty else self.lineage
+        return [str(p.taxid) if p.taxid is not None else "" for p in source]
 
     def display_lineage(self, truncate_empty=True, null_as_unclassified=False, sep=";"):
         "Return lineage names as a separator-joined string."
         lin = sep.join(self.zip_lineage(truncate_empty=truncate_empty))
-        if null_as_unclassified and lin == "" or lin is None:
+        if (null_as_unclassified and lin == "") or lin is None:
             return "unclassified"
         return lin
 
     def display_taxid(self, truncate_empty=True, sep=";"):
         return sep.join(self.zip_taxid(truncate_empty=truncate_empty))
 
-    def check_rank_availability(self, rank):
-        if rank in self.ranks:
-            return True
-        raise ValueError(f"Desired Rank '{rank}' not available for this lineage.")
-
-    def rank_is_filled(self, rank, other=None):
-        self.check_rank_availability(rank)
-        if other is not None:
-            if rank in self.filled_ranks and rank in other.filled_ranks:
-                return True
-        elif rank in self.filled_ranks:
-            return True
-        return False
-
-    def is_compatible(self, other):
-        return self.ranks == other.ranks
+    # -- lineage algebra --------------------------------------------------------
 
     def is_lineage_match(self, other, rank):
         "Check whether two lineages match down to the given rank (1/0)."
@@ -236,17 +311,6 @@ class BaseLineageInfo:
                 return 1
         return 0
 
-    def pop_to_rank(self, rank):
-        "Return a new LineageInfo with ranks only filled down to `rank`."
-        self.check_rank_availability(rank)
-        if not self.rank_is_filled(rank):
-            return replace(self)
-        new_lineage = self.lineage_at_rank(rank)
-        new = replace(self, lineage=new_lineage)
-        # replace() doesn't rerun __post_init__ normalization; redo it.
-        new._init_from_lineage_tuples()
-        return new
-
     def lineage_at_rank(self, rank):
         "Return the tuple of LineagePairs down to the given rank."
         self.check_rank_availability(rank)
@@ -255,12 +319,60 @@ class BaseLineageInfo:
         rank_idx = self.rank_index(rank)
         return self.filled_lineage[: rank_idx + 1]
 
+    def pop_to_rank(self, rank):
+        "Return a new LineageInfo with ranks only filled down to `rank`."
+        self.check_rank_availability(rank)
+        if not self.rank_is_filled(rank):
+            return replace(self)
+        new = replace(self, lineage=self.lineage_at_rank(rank))
+        # replace() doesn't rerun __post_init__ normalization; redo it.
+        new._init_from_lineage_tuples()
+        return new
+
     def find_lca(self, other):
         "Return the lowest-common-ancestor lineage with `other`, or None."
         for rank in self.ascending_taxlist:
             if self.is_lineage_match(other, rank):
                 return self.pop_to_rank(rank)
         return None
+
+
+def _pairs_from_dict(info, *, with_taxpath):
+    """Build the normalized pair list for a dict-based initialization.
+
+    Non-rank dict keys (extra CSV columns) are skipped; placeholder names
+    (_NULL_NAMES) are treated as missing. With `with_taxpath`, an optional
+    '|'-separated NCBI 'taxpath' entry supplies per-rank taxids."""
+    if not isinstance(info.lineage_dict, dict):
+        raise ValueError(f"{info.lineage_dict} is not dictionary")
+    pairs = info._blank_pairs()
+
+    taxpath = []
+    if with_taxpath:
+        taxpath_str = info.lineage_dict.get("taxpath", [])
+        if taxpath_str:
+            taxpath = taxpath_str.split("|")
+            if len(taxpath) > len(info.ranks):
+                raise ValueError(
+                    f"Number of NCBI taxids ({len(taxpath)}) exceeds number of ranks ({len(info.ranks)})"
+                )
+
+    for rank, name in info.lineage_dict.items():
+        try:
+            rank_idx = info.rank_index(rank)
+        except ValueError:
+            continue  # ignore columns that don't match a rank
+
+        taxid = None
+        if taxpath:
+            try:
+                taxid = taxpath[rank_idx]
+            except IndexError:
+                taxid = None
+        if name is not None and name.strip() in _NULL_NAMES:
+            name = None
+        pairs[rank_idx] = LineagePair(rank=rank, name=name, taxid=taxid)
+    return pairs
 
 
 @dataclass(frozen=True, order=True)
@@ -288,60 +400,8 @@ class RankLineageInfo(BaseLineageInfo):
 
     def _init_from_lineage_dict(self):
         "Initialize from a lineage dict (e.g. a taxonomy-CSV row)."
-        null_names = set(["[Blank]", "na", "null", "NA", ""])
-        if not isinstance(self.lineage_dict, dict):
-            raise ValueError(f"{self.lineage_dict} is not dictionary")
-        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
-
-        taxpath = []
-        taxpath_str = self.lineage_dict.get("taxpath", [])
-        if taxpath_str:
-            taxpath = taxpath_str.split("|")
-            if len(taxpath) > len(self.ranks):
-                raise ValueError(
-                    f"Number of NCBI taxids ({len(taxpath)}) exceeds number of ranks ({len(self.ranks)})"
-                )
-
-        for key, val in self.lineage_dict.items():
-            name, taxid = None, None
-            try:
-                rank, name = key, val
-                rank_idx = self.rank_index(rank)
-            except ValueError:
-                continue  # ignore columns that don't match a rank
-
-            if taxpath:
-                try:
-                    taxid = taxpath[rank_idx]
-                except IndexError:
-                    taxid = None
-            if name is not None and name.strip() in null_names:
-                name = None
-            new_lineage[rank_idx] = LineagePair(rank=rank, name=name, taxid=taxid)
-
-        filled_ranks = [a.rank for a in new_lineage if a.name]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
-
-
-ICTV_RANKS = (
-    "realm",
-    "subrealm",
-    "kingdom",
-    "subkingdom",
-    "phylum",
-    "subphylum",
-    "class",
-    "subclass",
-    "order",
-    "suborder",
-    "family",
-    "subfamily",
-    "genus",
-    "subgenus",
-    "species",
-    "name",
-)
+        pairs = _pairs_from_dict(self, with_taxpath=True)
+        self._store_lineage(pairs, named_only=True)
 
 
 @dataclass(frozen=True, order=True)
@@ -367,26 +427,8 @@ class ICTVRankLineageInfo(RankLineageInfo):
 
     def _init_from_lineage_dict(self):
         "Initialize from a lineage dict; skips non-rank columns, null names."
-        null_names = set(["[Blank]", "na", "null", "NA", ""])
-        if not isinstance(self.lineage_dict, dict):
-            raise ValueError(f"{self.lineage_dict} is not dictionary")
-        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
-
-        for key, val in self.lineage_dict.items():
-            name = None
-            try:
-                rank, name = key, val
-                rank_idx = self.rank_index(rank)
-            except ValueError:
-                continue  # ignore columns that don't match a rank
-
-            if name is not None and name.strip() in null_names:
-                name = None
-            new_lineage[rank_idx] = LineagePair(rank=rank, name=name)
-
-        filled_ranks = [a.rank for a in new_lineage if a.name]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
+        pairs = _pairs_from_dict(self, with_taxpath=False)
+        self._store_lineage(pairs, named_only=True)
 
 
 @dataclass(frozen=True, order=True)
@@ -413,66 +455,125 @@ class LINLineageInfo(BaseLineageInfo):
             return False
         return self.filled_lineage == other.filled_lineage
 
-    def _init_ranks_from_n_lin_positions(self):
-        object.__setattr__(
-            self, "ranks", [str(x) for x in range(0, self.n_lin_positions)]
-        )
+    def _set_positions(self, n_positions):
+        object.__setattr__(self, "n_lin_positions", n_positions)
+        object.__setattr__(self, "ranks", [str(x) for x in range(0, n_positions)])
+
+    def _store_lin(self, pairs):
+        self._store_lineage(pairs)
+        object.__setattr__(self, "n_filled_pos", len(self.filled_ranks))
 
     def _init_empty(self):
-        if self.n_lin_positions is None:
-            object.__setattr__(self, "n_lin_positions", 0)
-        self._init_ranks_from_n_lin_positions()
-        new_lineage = [LineagePair(rank=rank) for rank in self.ranks]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", ())
-        object.__setattr__(self, "n_filled_pos", 0)
+        self._set_positions(self.n_lin_positions or 0)
+        pairs = self._blank_pairs()
+        self._store_lin(pairs)
 
     def _init_from_lineage_str(self):
         "Initialize from a ';'- or ','-separated LIN string."
-        new_lineage = self.lineage_str.split(";")
-        if len(new_lineage) == 1:
-            new_lineage = self.lineage_str.split(",")
+        names = _split_lineage_string(self.lineage_str)
         if self.n_lin_positions is not None:
-            if self.n_lin_positions < len(new_lineage):
+            if self.n_lin_positions < len(names):
                 raise ValueError(
                     "Provided 'n_lin_positions' has fewer positions than provided 'lineage_str'."
                 )
-            self._init_ranks_from_n_lin_positions()
+            self._set_positions(self.n_lin_positions)
         else:
-            object.__setattr__(self, "n_lin_positions", len(new_lineage))
-            self._init_ranks_from_n_lin_positions()
+            self._set_positions(len(names))
 
-        new_lineage = [
+        pairs = [
             LineagePair(rank=rank, name=n)
-            for (rank, n) in zip_longest(self.ranks, new_lineage)
+            for (rank, n) in zip_longest(self.ranks, names)
         ]
-        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
-        object.__setattr__(self, "n_filled_pos", len(filled_ranks))
+        self._store_lin(pairs)
 
     def _init_from_lineage_tuples(self):
         "Initialize from LineagePairs, taking ranks from the pairs."
-        new_lineage = []
-        ranks = []
+        pairs = []
         for lin_tup in self.lineage:
             if not isinstance(lin_tup, LineagePair):
                 raise ValueError(f"{lin_tup} is not tax_utils LineagePair.")
-            new_lineage.append(lin_tup)
-            ranks.append(lin_tup.rank)
-        filled_ranks = [a.rank for a in new_lineage if a.name is not None]
-        object.__setattr__(self, "lineage", tuple(new_lineage))
-        object.__setattr__(self, "n_lin_positions", len(new_lineage))
-        object.__setattr__(self, "ranks", tuple(ranks))
-        object.__setattr__(self, "filled_ranks", tuple(filled_ranks))
-        object.__setattr__(self, "n_filled_pos", len(filled_ranks))
+            pairs.append(lin_tup)
+        object.__setattr__(self, "n_lin_positions", len(pairs))
+        object.__setattr__(self, "ranks", tuple(p.rank for p in pairs))
+        self._store_lin(pairs)
 
     def is_compatible(self, other):
         "LIN prefixes may match full LINs: require any shared position."
         return any(x in self.ranks for x in other.ranks)
 
 
-class LineageDB:
+# ---------------------------------------------------------------------------
+# lineage databases
+# ---------------------------------------------------------------------------
+
+
+def get_ident(ident, *, keep_full_identifiers=False, keep_identifier_versions=False):
+    """Hack identifiers: split on whitespace unless keep_full_identifiers;
+    strip trailing .N version unless keep_identifier_versions."""
+    if not keep_full_identifiers:
+        ident = ident.split(" ")[0]
+        if not keep_identifier_versions:
+            ident = ident.split(".")[0]
+    return ident
+
+
+class _LineageMapping:
+    """Read-only mapping protocol over {identifier: lineage tuple};
+    subclasses provide __getitem__, __iter__, and __len__."""
+
+    def __contains__(self, ident):
+        try:
+            self[ident]
+            return True
+        except KeyError:
+            return False
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __bool__(self):
+        return bool(len(self))
+
+    def keys(self):
+        yield from iter(self)
+
+    def items(self):
+        for k in self:
+            yield k, self[k]
+
+    def values(self):
+        for _, v in self.items():
+            yield v
+
+
+def _require_regular_file(filename):
+    import os
+
+    if not os.path.exists(filename):
+        raise ValueError(f"'{filename}' does not exist")
+    if os.path.isdir(filename):
+        raise ValueError(f"'{filename}' is a directory")
+
+
+def _resolve_ident_column(header):
+    """Locate the identifier column among the common alternatives; returns
+    (column_name, normalized_header) or (None, header) when the file looks
+    like a with-lineages CSV instead."""
+    if "ident" in header:
+        return "ident", header
+    for alt in ("identifiers", "accession"):
+        if alt in header:
+            return alt, ["ident" if c == alt else c for c in header]
+    if "lineage" in header and ("name" in header or "match_name" in header):
+        return None, header  # with-lineages flavor
+    header_str = ",".join([repr(x) for x in header])
+    raise ValueError(f"No taxonomic identifiers found; headers are {header_str}")
+
+
+class LineageDB(_LineageMapping):
     """An in-memory mapping {identifier: lineage tuple}.
 
     Parity: reference `tax_utils.py:1210+` — load from taxonomy CSV with
@@ -491,9 +592,7 @@ class LineageDB:
     def __len__(self):
         return len(self.assignments)
 
-    def __bool__(self):
-        return bool(self.assignments)
-
+    # direct dict views beat the mixin's generic generators
     def keys(self):
         return self.assignments.keys()
 
@@ -503,57 +602,28 @@ class LineageDB:
     def values(self):
         return self.assignments.values()
 
-    def get(self, key, default=None):
-        return self.assignments.get(key, default)
-
-    def __contains__(self, key):
-        return key in self.assignments
-
     @classmethod
     def load(cls, filename, *, delimiter=",", force=False,
              keep_full_identifiers=False, keep_identifier_versions=True,
              lins=False, ictv=False):
         """Load a taxonomy-assignment CSV into a LineageDB
         (reference tax_utils.py:1233-1377)."""
-        import os
-
-        from .. import sourmash_args
-
-        include_strain = False
         if not keep_identifier_versions and keep_full_identifiers:
             raise ValueError(
                 "keep_identifer_versions=False doesn't make sense with keep_full_identifiers=True"
             )
-        if not os.path.exists(filename):
-            raise ValueError(f"'{filename}' does not exist")
-        if os.path.isdir(filename):
-            raise ValueError(f"'{filename}' is a directory")
+        _require_regular_file(filename)
 
         with sourmash_args.FileInputCSV(filename, delimiter=",") as r:
             header = r.fieldnames
             if not header:
                 raise ValueError(f"cannot read taxonomy assignments from {filename}")
 
-            identifier = "ident"
-            # handle common alternatives to the 'ident' column
-            if "ident" not in header:
-                if "identifiers" in header:
-                    identifier = "identifiers"
-                    header = ["ident" if c == "identifiers" else c for c in header]
-                elif "accession" in header:
-                    identifier = "accession"
-                    header = ["ident" if c == "accession" else c for c in header]
-                elif "lineage" in header and any(
-                    ["name" in header, "match_name" in header]
-                ):
-                    return cls.load_from_gather_with_lineages(
-                        filename, force=force, lins=lins, ictv=ictv
-                    )
-                else:
-                    header_str = ",".join([repr(x) for x in header])
-                    raise ValueError(
-                        f"No taxonomic identifiers found; headers are {header_str}"
-                    )
+            identifier, header = _resolve_ident_column(header)
+            if identifier is None:
+                return cls.load_from_gather_with_lineages(
+                    filename, force=force, lins=lins, ictv=ictv
+                )
 
             if lins:
                 notify("Trying to read LIN taxonomy assignments.")
@@ -561,44 +631,34 @@ class LineageDB:
                     raise ValueError(
                         f"'lin' column not found: cannot read LIN taxonomy assignments from {filename}."
                     )
-
-            if ictv:
+            elif ictv:
                 notify("Trying to read ICTV taxonomy assignments.")
                 ranks = list(ICTVRankLineageInfo().taxlist)
                 if not set(ranks).issubset(header):
                     raise ValueError("Not all taxonomy ranks present")
-
-            if not lins and not ictv:
-                if "strain" in header:
-                    include_strain = True
+            else:
                 ranks = list(RankLineageInfo().taxlist)
-                if not include_strain:
+                if "strain" not in header:
                     ranks.remove("strain")
                 if not set(ranks).issubset(header):
                     raise ValueError("Not all taxonomy ranks present")
 
             assignments = {}
-            num_rows = 0
-            n_species = 0
-            n_strains = 0
             n_pos = None
 
             for row in r:
-                num_rows += 1
                 if lins:
                     lineageInfo = LINLineageInfo(lineage_str=row["lin"])
-                    if n_pos is not None:
-                        if lineageInfo.n_lin_positions != n_pos:
-                            raise ValueError(
-                                "For taxonomic summarization, all LIN assignments must use the same number of LIN positions."
-                            )
-                    else:
+                    if n_pos is None:
                         n_pos = lineageInfo.n_lin_positions
                         ranks = lineageInfo.ranks
-                elif ictv:
-                    lineageInfo = ICTVRankLineageInfo(lineage_dict=row)
+                    elif lineageInfo.n_lin_positions != n_pos:
+                        raise ValueError(
+                            "For taxonomic summarization, all LIN assignments must use the same number of LIN positions."
+                        )
                 else:
-                    lineageInfo = RankLineageInfo(lineage_dict=row)
+                    info_cls = _lineage_info_class(ictv=ictv)
+                    lineageInfo = info_cls(lineage_dict=row)
 
                 ident = get_ident(
                     row[identifier],
@@ -607,21 +667,13 @@ class LineageDB:
                 )
 
                 lineage = lineageInfo.filled_lineage
-                if lineage:
-                    if ident in assignments:
-                        if assignments[ident] != lineage and not force:
-                            raise ValueError(
-                                f"multiple lineages for identifier {ident}"
-                            )
-                    else:
-                        assignments[ident] = lineage
-
-                        if not lins and not ictv:
-                            if lineage[-1].rank == "species":
-                                n_species += 1
-                            elif lineage[-1].rank == "strain":
-                                n_species += 1
-                                n_strains += 1
+                if not lineage:
+                    continue
+                if ident in assignments:
+                    if assignments[ident] != lineage and not force:
+                        raise ValueError(f"multiple lineages for identifier {ident}")
+                else:
+                    assignments[ident] = lineage
 
         return LineageDB(assignments, ranks)
 
@@ -630,25 +682,16 @@ class LineageDB:
                                        ictv=False):
         """Load a 'tax annotate'-style with-lineages CSV into a LineageDB
         (reference tax_utils.py:1379-1452)."""
-        import os
+        _require_regular_file(filename)
 
-        from .. import sourmash_args
-
-        if not os.path.exists(filename):
-            raise ValueError(f"'{filename}' does not exist")
-        if os.path.isdir(filename):
-            raise ValueError(f"'{filename}' is a directory")
+        info_cls = _lineage_info_class(lins=lins, ictv=ictv)
 
         with sourmash_args.FileInputCSV(filename) as r:
             header = r.fieldnames
             if not header:
                 raise ValueError(f"cannot read taxonomy assignments from {filename}")
 
-            ident_col = None
-            if "name" in header:
-                ident_col = "name"
-            elif "match_name" in header:
-                ident_col = "match_name"
+            ident_col = next((c for c in ("name", "match_name") if c in header), None)
             if "lineage" not in header or ident_col is None:
                 raise ValueError(
                     "Expected headers 'name'/'match_name' and 'lineage' not found. Is this a with-lineages file?"
@@ -656,20 +699,10 @@ class LineageDB:
 
             ranks = None
             assignments = {}
-            num_rows = 0
-            n_species = 0
-            n_strains = 0
 
             for row in r:
-                num_rows += 1
                 ident = get_ident(row[ident_col])
-
-                if lins:
-                    lineageInfo = LINLineageInfo(lineage_str=row["lineage"])
-                elif ictv:
-                    lineageInfo = ICTVRankLineageInfo(lineage_str=row["lineage"])
-                else:
-                    lineageInfo = RankLineageInfo(lineage_str=row["lineage"])
+                lineageInfo = info_cls(lineage_str=row["lineage"])
 
                 if ranks is None:
                     ranks = lineageInfo.taxlist
@@ -681,21 +714,138 @@ class LineageDB:
                 else:
                     assignments[ident] = lineage
 
-                    if isinstance(lineageInfo, RankLineageInfo):
-                        if lineage[-1].rank == "species":
-                            n_species += 1
-                        elif lineage[-1].rank == "strain":
-                            n_species += 1
-                            n_strains += 1
-
         return LineageDB(assignments, ranks)
 
 
-class MultiLineageDB:
+class LineageDB_Sqlite(_LineageMapping):
+    """A LineageDB over a sqlite3 'sourmash_taxonomy' table
+    (parity: reference `tax_utils.py:1455+`)."""
+
+    # NOTE: 'order' is a reserved word in SQL; the column is 'order_'.
+    columns = (
+        "superkingdom",
+        "phylum",
+        "class",
+        "order_",
+        "family",
+        "genus",
+        "species",
+        "strain",
+    )
+    table_name = "sourmash_taxonomy"
+
+    def __init__(self, conn, *, table_name=None):
+        self.conn = conn
+
+        if table_name is not None:
+            self.table_name = table_name
+
+        c = conn.cursor()
+        try:
+            c.execute(f"SELECT * FROM {self.table_name} LIMIT 1")
+        except (sqlite3.DatabaseError, sqlite3.OperationalError):
+            raise ValueError("not a taxonomy database")
+
+        self.__len__()
+        c = conn.cursor()
+
+        # a rank is available iff its column holds any non-empty value
+        ranks = set()
+        for column, rank in zip(self.columns, RANKS):
+            c.execute(
+                f'SELECT COUNT({column}) FROM {self.table_name} '
+                f'WHERE {column} IS NOT NULL AND {column} != ""'
+            )
+            (cnt,) = c.fetchone()
+            if cnt:
+                ranks.add(rank)
+
+        self.available_ranks = ranks
+        self.cursor = c
+
+    @classmethod
+    def load(cls, location):
+        "Load taxonomy information from an existing sqlite3 database."
+        from .. import sqlite_utils
+
+        conn = sqlite_utils.open_sqlite_db(location)
+        if not conn:
+            raise ValueError("not a sqlite taxonomy database")
+
+        table_name = None
+        c = conn.cursor()
+        try:
+            info = sqlite_utils.get_sourmash_internal(c)
+        except sqlite3.OperationalError:
+            info = {}
+
+        if "SqliteLineage" in info:
+            if info["SqliteLineage"] != "1.0":
+                from ..exceptions import IndexNotSupported
+
+                raise IndexNotSupported("unsupported SqliteLineage version")
+            table_name = "sourmash_taxonomy"
+        else:
+            try:
+                c.execute("SELECT * FROM taxonomy LIMIT 1")
+                table_name = "taxonomy"
+            except sqlite3.OperationalError:
+                pass
+
+        if table_name is None:
+            raise ValueError("not a sqlite taxonomy database")
+
+        return cls(conn, table_name=table_name)
+
+    @staticmethod
+    def _row_to_lineage(names):
+        "Build a (trailing-empties trimmed) lineage tuple from a sqlite row."
+        tup = tuple(LineagePair(rank, name) for (rank, name) in zip(RANKS, names))
+        while tup and not tup[-1].name:
+            tup = tup[:-1]
+        return tup
+
+    def __getitem__(self, ident):
+        c = self.cursor
+        c.execute(
+            f"SELECT superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name} WHERE ident=?",
+            (ident,),
+        )
+        names = c.fetchone()
+        if names:
+            return self._row_to_lineage(names)
+        raise KeyError(ident)
+
+    def __len__(self):
+        c = self.conn.cursor()
+        c.execute(f"SELECT COUNT(DISTINCT ident) FROM {self.table_name}")
+        (nrows,) = c.fetchone()
+        return nrows
+
+    def __iter__(self):
+        c = self.conn.cursor()
+        c.execute(f"SELECT DISTINCT ident FROM {self.table_name}")
+        for (ident,) in c:
+            yield ident
+
+    def items(self):
+        c = self.conn.cursor()
+        c.execute(
+            f"SELECT DISTINCT ident, superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name}"
+        )
+        for ident, *names in c:
+            yield ident, self._row_to_lineage(names)
+
+
+class MultiLineageDB(_LineageMapping):
     "A wrapper for (possibly multiple) lineage databases."
 
     def __init__(self):
         self.lineage_dbs = []
+
+    def add(self, db):
+        "Add a database; later additions take precedence for lookups."
+        self.lineage_dbs.insert(0, db)
 
     @property
     def available_ranks(self):
@@ -704,10 +854,6 @@ class MultiLineageDB:
         for db in self.lineage_dbs:
             x.update(db.available_ranks)
         return x
-
-    def add(self, db):
-        "Add a database; later additions take precedence for lookups."
-        self.lineage_dbs.insert(0, db)
 
     def shadowed_identifiers(self):
         "Return identifiers seen across databases (reference tax_utils.py:1631)."
@@ -737,13 +883,6 @@ class MultiLineageDB:
                     seen.add(k)
                     yield k, v
 
-    def keys(self):
-        yield from iter(self)
-
-    def values(self):
-        for k, v in self.items():
-            yield v
-
     def __getitem__(self, ident):
         "Return lineage tuple for first match to identifier."
         for db in self.lineage_dbs:
@@ -753,12 +892,6 @@ class MultiLineageDB:
 
     def __contains__(self, ident):
         return any(ident in db for db in self.lineage_dbs)
-
-    def get(self, key, default=None):
-        try:
-            return self[key]
-        except KeyError:
-            return default
 
     def __bool__(self):
         return any(self.lineage_dbs)
@@ -775,8 +908,7 @@ class MultiLineageDB:
         force = kwargs.get("force", False)
         tax_assign = cls()
         for location in locations:
-            db = None
-            # try sqlite first
+            # try sqlite first, then the CSV flavors
             try:
                 db = LineageDB_Sqlite.load(location)
             except ValueError:
@@ -794,6 +926,8 @@ class MultiLineageDB:
 
         return tax_assign
 
+    # -- persistence -----------------------------------------------------
+
     def save(self, filename_or_fp, file_format="csv"):
         "Save to CSV or a sqlite taxonomy database."
         is_filename = isinstance(filename_or_fp, str)
@@ -801,18 +935,12 @@ class MultiLineageDB:
             if not is_filename:
                 raise ValueError("sql output requires a filename")
             self._save_sqlite(filename_or_fp)
-            return
-        if is_filename:
+        elif is_filename:
             import gzip as _gzip
 
-            if filename_or_fp.endswith(".gz"):
-                fp = _gzip.open(filename_or_fp, "wt", newline="")
-            else:
-                fp = open(filename_or_fp, "w", newline="")
-            try:
+            opener = _gzip.open if filename_or_fp.endswith(".gz") else open
+            with opener(filename_or_fp, "wt", newline="") as fp:
                 self._save_csv(fp)
-            finally:
-                fp.close()
         else:
             self._save_csv(filename_or_fp)
 
@@ -856,14 +984,10 @@ class MultiLineageDB:
         )
         for ident, tax in self.items():
             names = {p.rank: p.name for p in tax}
-            x = [ident] + [
-                names.get(r) for r in
-                ("superkingdom", "phylum", "class", "order", "family",
-                 "genus", "species", "strain")
-            ]
+            values = [ident] + [names.get(r) for r in RANKS]
             cursor.execute(
                 "INSERT INTO sourmash_taxonomy (ident, superkingdom, phylum, class, order_, family, genus, species, strain) VALUES (?,?,?,?,?,?,?,?,?)",
-                x,
+                values,
             )
 
         db.commit()
@@ -880,184 +1004,9 @@ class MultiLineageDB:
             w.writerow([ident] + [d.get(r, "") or "" for r in ranks])
 
 
-def get_ident(ident, *, keep_full_identifiers=False, keep_identifier_versions=False):
-    """Hack identifiers: split on whitespace unless keep_full_identifiers;
-    strip trailing .N version unless keep_identifier_versions."""
-    if not keep_full_identifiers:
-        ident = ident.split(" ")[0]
-        if not keep_identifier_versions:
-            ident = ident.split(".")[0]
-    return ident
-
-
-class LineageDB_Sqlite:
-    """A LineageDB over a sqlite3 'sourmash_taxonomy' table
-    (parity: reference `tax_utils.py:1455+`)."""
-
-    # NOTE: 'order' is a reserved word in SQL; the column is 'order_'.
-    columns = (
-        "superkingdom",
-        "phylum",
-        "class",
-        "order_",
-        "family",
-        "genus",
-        "species",
-        "strain",
-    )
-    table_name = "sourmash_taxonomy"
-
-    def __init__(self, conn, *, table_name=None):
-        self.conn = conn
-
-        if table_name is not None:
-            self.table_name = table_name
-
-        c = conn.cursor()
-        try:
-            c.execute(f"SELECT * FROM {self.table_name} LIMIT 1")
-        except (sqlite3.DatabaseError, sqlite3.OperationalError):
-            raise ValueError("not a taxonomy database")
-
-        self.__len__()
-        c = conn.cursor()
-
-        ranks = set()
-        for column, rank in zip(self.columns, RANKS):
-            query = (
-                f'SELECT COUNT({column}) FROM {self.table_name} '
-                f'WHERE {column} IS NOT NULL AND {column} != ""'
-            )
-            c.execute(query)
-            (cnt,) = c.fetchone()
-            if cnt:
-                ranks.add(rank)
-
-        self.available_ranks = ranks
-        self.cursor = c
-
-    @classmethod
-    def load(cls, location):
-        "Load taxonomy information from an existing sqlite3 database."
-        from .. import sqlite_utils
-
-        conn = sqlite_utils.open_sqlite_db(location)
-        if not conn:
-            raise ValueError("not a sqlite taxonomy database")
-
-        table_name = None
-        c = conn.cursor()
-        try:
-            info = sqlite_utils.get_sourmash_internal(c)
-        except sqlite3.OperationalError:
-            info = {}
-
-        if "SqliteLineage" in info:
-            if info["SqliteLineage"] != "1.0":
-                from ..exceptions import IndexNotSupported
-
-                raise IndexNotSupported("unsupported SqliteLineage version")
-            table_name = "sourmash_taxonomy"
-        else:
-            try:
-                c.execute("SELECT * FROM taxonomy LIMIT 1")
-                table_name = "taxonomy"
-            except sqlite3.OperationalError:
-                pass
-
-        if table_name is None:
-            raise ValueError("not a sqlite taxonomy database")
-
-        return cls(conn, table_name=table_name)
-
-    def _make_tup(self, row):
-        "Build a lineage tuple of LineagePairs from a sqlite row."
-        return tuple(LineagePair(n, r) for (n, r) in zip(RANKS, row))
-
-    def __getitem__(self, ident):
-        c = self.cursor
-        c.execute(
-            f"SELECT superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name} WHERE ident=?",
-            (ident,),
-        )
-
-        names = c.fetchone()
-        if names:
-            tup = self._make_tup(names)
-            while tup and not tup[-1].name:
-                tup = tup[:-1]
-            return tup
-
-        raise KeyError(ident)
-
-    def __bool__(self):
-        return bool(len(self))
-
-    def __len__(self):
-        c = self.conn.cursor()
-        c.execute(f"SELECT COUNT(DISTINCT ident) FROM {self.table_name}")
-        (nrows,) = c.fetchone()
-        return nrows
-
-    def __iter__(self):
-        c = self.conn.cursor()
-        c.execute(f"SELECT DISTINCT ident FROM {self.table_name}")
-        for (ident,) in c:
-            yield ident
-
-    def __contains__(self, ident):
-        try:
-            self[ident]
-            return True
-        except KeyError:
-            return False
-
-    def get(self, key, default=None):
-        try:
-            return self[key]
-        except KeyError:
-            return default
-
-    def keys(self):
-        yield from iter(self)
-
-    def items(self):
-        c = self.conn.cursor()
-        c.execute(
-            f"SELECT DISTINCT ident, superkingdom, phylum, class, order_, family, genus, species, strain FROM {self.table_name}"
-        )
-        for ident, *names in c:
-            tup = self._make_tup(names)
-            while tup and not tup[-1].name:
-                tup = tup[:-1]
-            yield ident, tup
-
-    def values(self):
-        for k, v in self.items():
-            yield v
-
-
-# -- gather-CSV taxonomic summarization machinery -------------------------
-# (parity: reference tax_utils.py:1810-2829)
-
-from dataclasses import asdict, fields  # noqa: E402
-
-from ..logging import notify  # noqa: E402
-from ..distance_utils import containment_to_distance  # noqa: E402
-from ..sourmash_args import load_pathlist_from_file  # noqa: E402
-from .. import sourmash_args  # noqa: E402
-
-RANKCODE = {
-    "superkingdom": "D",
-    "kingdom": "K",
-    "phylum": "P",
-    "class": "C",
-    "order": "O",
-    "family": "F",
-    "genus": "G",
-    "species": "S",
-    "unclassified": "U",
-}
+# ---------------------------------------------------------------------------
+# lineage trees (LCA / ordered traversal over nested dicts)
+# ---------------------------------------------------------------------------
 
 
 class LineageTree:
@@ -1075,9 +1024,7 @@ class LineageTree:
         node = self.tree
         for lineage_tup in lineage:
             if lineage_tup.name:
-                child = node.get(lineage_tup, {})
-                node[lineage_tup] = child
-                node = child
+                node = node.setdefault(lineage_tup, {})
 
     def add_lineages(self, lineages):
         from collections import abc as _abc
@@ -1095,15 +1042,11 @@ class LineageTree:
         "Find the first node with multiple children (or the only leaf)."
         node = self.tree
         lca = []
-        while 1:
-            if len(node) == 1:
-                lineage_tup = next(iter(node.keys()))
-                lca.append(lineage_tup)
-                node = node[lineage_tup]
-            elif len(node) == 0:
-                return tuple(lca), 0
-            else:
-                return tuple(lca), len(node)
+        while len(node) == 1:
+            lineage_tup = next(iter(node))
+            lca.append(lineage_tup)
+            node = node[lineage_tup]
+        return tuple(lca), len(node)
 
     def ordered_paths(self, include_internal=False):
         "Depth-first list of all root->leaf paths (optionally internal too)."
@@ -1111,18 +1054,24 @@ class LineageTree:
         stack = [((), self.tree)]
         while stack:
             path, node = stack.pop()
-            for key, val in node.items():
-                if len(val) == 0:
-                    if include_internal:
-                        internal_path = path
-                        while internal_path:
-                            if internal_path not in paths:
-                                paths.append(internal_path)
-                            internal_path = internal_path[:-1]
-                    paths.append(path + (key,))
-                else:
-                    stack.append((path + (key,), val))
+            for key, children in node.items():
+                if children:
+                    stack.append((path + (key,), children))
+                    continue
+                if include_internal:
+                    internal_path = path
+                    while internal_path:
+                        if internal_path not in paths:
+                            paths.append(internal_path)
+                        internal_path = internal_path[:-1]
+                paths.append(path + (key,))
         return paths
+
+
+# ---------------------------------------------------------------------------
+# gather-CSV taxonomic summarization machinery
+# (parity: reference tax_utils.py:1810-2829)
+# ---------------------------------------------------------------------------
 
 
 def filter_row(row, dataclass_type):
@@ -1198,6 +1147,9 @@ class BaseTaxResult:
     lins: bool = False
     ictv: bool = False
 
+    def _empty_lineage_info(self):
+        return _lineage_info_class(lins=self.lins, ictv=self.ictv)()
+
     def get_ident(self, id_col=None):
         "Hack and slash identifiers."
         if id_col:
@@ -1219,12 +1171,8 @@ class BaseTaxResult:
         else:
             lin = tax_assignments.get(self.match_ident)
             if lin:
-                if self.lins:
-                    self.lineageInfo = LINLineageInfo(lineage=lin)
-                elif self.ictv:
-                    self.lineageInfo = ICTVRankLineageInfo(lineage=lin)
-                else:
-                    self.lineageInfo = RankLineageInfo(lineage=lin)
+                info_cls = _lineage_info_class(lins=self.lins, ictv=self.ictv)
+                self.lineageInfo = info_cls(lineage=lin)
             else:
                 self.missed_ident = True
         self.match_lineage_attempted = True
@@ -1244,12 +1192,7 @@ class AnnotateTaxResult(BaseTaxResult):
         if self.id_col not in self.raw.keys():
             raise ValueError(f"ID column '{self.id_col}' not found.")
         self.get_ident(id_col=self.id_col)
-        if self.lins:
-            self.lineageInfo = LINLineageInfo()
-        elif self.ictv:
-            self.lineageInfo = ICTVRankLineageInfo()
-        else:
-            self.lineageInfo = RankLineageInfo()
+        self.lineageInfo = self._empty_lineage_info()
 
     def row_with_lineages(self):
         lineage = self.lineageInfo.display_lineage(truncate_empty=True)
@@ -1282,12 +1225,7 @@ class TaxResult(BaseTaxResult):
         self.f_unique_to_query = float(self.raw.f_unique_to_query)
         self.f_unique_weighted = float(self.raw.f_unique_weighted)
         self.unique_intersect_bp = int(self.raw.unique_intersect_bp)
-        if self.lins:
-            self.lineageInfo = LINLineageInfo()
-        elif self.ictv:
-            self.lineageInfo = ICTVRankLineageInfo()
-        else:
-            self.lineageInfo = RankLineageInfo()
+        self.lineageInfo = self._empty_lineage_info()
 
 
 @dataclass
@@ -1305,11 +1243,11 @@ class SummarizedGatherResult:
         self.check_values()
 
     def check_values(self):
-        if any([self.fraction > 1, self.f_weighted_at_rank > 1]):
+        if self.fraction > 1 or self.f_weighted_at_rank > 1:
             raise ValueError(
                 "Summarized fraction is > 100% of the query! This should not be possible. Please check that your input files come directly from a single gather run per query."
             )
-        if any([self.fraction <= 0, self.f_weighted_at_rank <= 0]):
+        if self.fraction <= 0 or self.f_weighted_at_rank <= 0:
             raise ValueError(
                 "Summarized fraction is <=0% of the query! This should not occur."
             )
@@ -1323,15 +1261,15 @@ class SummarizedGatherResult:
             sequence_len_bp=query_info.query_bp,
         ).ani
 
+    def _is_default_lineage(self):
+        "True when this row carries the empty/unclassified lineage."
+        return self.lineage == RankLineageInfo()
+
     def as_lineage_dict(self, query_info, ranks):
         "Lineage-CSV row dict ('ident' + one column per rank)."
-        lD = {}
-        lD["ident"] = query_info.query_name
+        lD = {"ident": query_info.query_name}
         for rank in ranks:
-            lin_name = self.lineage.name_at_rank(rank)
-            if lin_name is None:
-                lin_name = ""
-            lD[rank] = lin_name
+            lD[rank] = self.lineage.name_at_rank(rank) or ""
         return lD
 
     def as_summary_dict(self, query_info, limit_float=False, lingroups=None):
@@ -1372,57 +1310,58 @@ class SummarizedGatherResult:
 
     def as_kreport_dict(self, query_info):
         "kraken-style kreport row."
-        lowest_assignment_rank = "species"
-        sD = {}
-        sD["num_bp_assigned"] = str(0)
-        sD["ncbi_taxid"] = None
-        sD["percent_containment"] = f"{self.f_weighted_at_rank * 100:.2f}"
-        sD["num_bp_contained"] = str(
-            int(self.f_weighted_at_rank * query_info.total_weighted_bp)
-        )
         if isinstance(self.lineage, LINLineageInfo):
             raise ValueError("Cannot produce 'kreport' with LIN taxonomy.")
-        if self.lineage != RankLineageInfo():
+
+        contained_bp = str(int(self.f_weighted_at_rank * query_info.total_weighted_bp))
+        sD = {
+            "num_bp_assigned": str(0),
+            "ncbi_taxid": None,
+            "percent_containment": f"{self.f_weighted_at_rank * 100:.2f}",
+            "num_bp_contained": contained_bp,
+        }
+        if self._is_default_lineage():
+            sD["sci_name"] = "unclassified"
+            sD["rank_code"] = RANKCODE["unclassified"]
+            sD["num_bp_assigned"] = contained_bp
+        else:
             this_rank = self.lineage.lowest_rank
             sD["rank_code"] = RANKCODE[this_rank]
             sD["sci_name"] = self.lineage.lowest_lineage_name
             taxid = self.lineage.lowest_lineage_taxid
             if taxid:
                 sD["ncbi_taxid"] = str(taxid)
-            if this_rank == lowest_assignment_rank:
-                sD["num_bp_assigned"] = sD["num_bp_contained"]
-        else:
-            sD["sci_name"] = "unclassified"
-            sD["rank_code"] = RANKCODE["unclassified"]
-            sD["num_bp_assigned"] = sD["num_bp_contained"]
+            # only species-level assignments count as "assigned"
+            if this_rank == "species":
+                sD["num_bp_assigned"] = contained_bp
         return sD
 
     def as_lingroup_dict(self, query_info, lg_name):
         "lingroup report row."
-        sD = {}
-        sD["percent_containment"] = f"{self.f_weighted_at_rank * 100:.2f}"
-        sD["num_bp_contained"] = str(
-            int(self.f_weighted_at_rank * query_info.total_weighted_bp)
-        )
-        sD["lin"] = self.lineage.display_lineage()
-        sD["name"] = lg_name
-        return sD
+        return {
+            "percent_containment": f"{self.f_weighted_at_rank * 100:.2f}",
+            "num_bp_contained": str(
+                int(self.f_weighted_at_rank * query_info.total_weighted_bp)
+            ),
+            "lin": self.lineage.display_lineage(),
+            "name": lg_name,
+        }
 
     def as_cami_bioboxes(self):
         "CAMI profiling Bioboxes row: TAXID RANK TAXPATH TAXPATHSN PERCENTAGE."
         if isinstance(self.lineage, LINLineageInfo):
             raise ValueError("Cannot produce 'bioboxes' with LIN taxonomy.")
-        if self.lineage != RankLineageInfo():
-            taxid = self.lineage.lowest_lineage_taxid
-            if taxid:
-                taxpath = self.lineage.display_taxid(sep="|")
-                taxid = str(taxid)
-            else:
-                taxpath = None
-            taxpathsn = self.lineage.display_lineage(sep="|")
-            percentage = f"{(self.f_weighted_at_rank * 100):.2f}"
-            return [taxid, self.rank, taxpath, taxpathsn, percentage]
-        return []
+        if self._is_default_lineage():
+            return []
+        taxid = self.lineage.lowest_lineage_taxid
+        if taxid:
+            taxpath = self.lineage.display_taxid(sep="|")
+            taxid = str(taxid)
+        else:
+            taxpath = None
+        taxpathsn = self.lineage.display_lineage(sep="|")
+        percentage = f"{(self.f_weighted_at_rank * 100):.2f}"
+        return [taxid, self.rank, taxpath, taxpathsn, percentage]
 
 
 @dataclass
@@ -1436,7 +1375,7 @@ class ClassificationResult(SummarizedGatherResult):
         self.status = "nomatch"
 
     def set_status(self, query_info, containment_threshold=None, ani_threshold=None):
-        if any([containment_threshold is not None, ani_threshold is not None]):
+        if containment_threshold is not None or ani_threshold is not None:
             self.status = "below_threshold"
         self.set_query_ani(query_info=query_info)
         if ani_threshold is not None:
@@ -1451,12 +1390,9 @@ class ClassificationResult(SummarizedGatherResult):
         krona_classified, krona_unclassified = None, None
         if rank is not None and rank == self.rank:
             lin_as_list = self.lineage.display_lineage().split(";")
-            krona_classification = (self.fraction, *lin_as_list)
-            krona_classified = krona_classification
-            unclassified_fraction = 1.0 - self.fraction
-            len_unclassified_lin = len(lin_as_list)
-            unclassifed_lin = ["unclassified"] * (len_unclassified_lin)
-            krona_unclassified = (unclassified_fraction, *unclassifed_lin)
+            krona_classified = (self.fraction, *lin_as_list)
+            unclassified_names = ["unclassified"] * len(lin_as_list)
+            krona_unclassified = (1.0 - self.fraction, *unclassified_names)
         return krona_classified, krona_unclassified
 
 
@@ -1504,6 +1440,9 @@ class QueryTaxResult:
         self.krona_unclassified = None
         self.krona_header = []
 
+    def _empty_lineage_info(self):
+        return _lineage_info_class(lins=self.lins, ictv=self.ictv)()
+
     def is_compatible(self, taxresult):
         return (
             taxresult.query_info == self.query_info
@@ -1518,24 +1457,32 @@ class QueryTaxResult:
         return self.ranks[::-1]
 
     def add_taxresult(self, taxresult):
-        if self.is_compatible(taxresult=taxresult):
-            if not taxresult.match_lineage_attempted:
-                raise ValueError(
-                    "Error: Cannot add TaxResult. Please use get_match_lineage() to add taxonomic lineage information first."
-                )
-            if not self.ranks:
-                self.ranks = taxresult.lineageInfo.ranks
-            if taxresult.skipped_ident:
-                self.n_skipped += 1
-                self.skipped_idents.add(taxresult.match_ident)
-            elif taxresult.missed_ident:
-                self.n_missed += 1
-                self.missed_idents.add(taxresult.match_ident)
-            self.raw_taxresults.append(taxresult)
-        else:
+        if not self.is_compatible(taxresult=taxresult):
             raise ValueError(
                 "Error: Cannot add TaxResult: query information does not match."
             )
+        if not taxresult.match_lineage_attempted:
+            raise ValueError(
+                "Error: Cannot add TaxResult. Please use get_match_lineage() to add taxonomic lineage information first."
+            )
+        if not self.ranks:
+            self.ranks = taxresult.lineageInfo.ranks
+        if taxresult.skipped_ident:
+            self.n_skipped += 1
+            self.skipped_idents.add(taxresult.match_ident)
+        elif taxresult.missed_ident:
+            self.n_missed += 1
+            self.missed_idents.add(taxresult.match_ident)
+        self.raw_taxresults.append(taxresult)
+
+    # -- summarization ---------------------------------------------------
+
+    def _warn_perfect_match(self, taxres):
+        if taxres.f_unique_to_query >= 1.0 and taxres.match_ident not in self.perfect_match:
+            notify(
+                f"WARNING: 100% match! Is query '{self.query_name}' identical to its database match, '{taxres.match_ident}'?"
+            )
+            self.perfect_match.add(taxres.match_ident)
 
     def summarize_up_ranks(self, single_rank=None, force_resummarize=False):
         if self.summarized_ranks:
@@ -1545,6 +1492,7 @@ class QueryTaxResult:
                 raise ValueError(
                     f"Error: already summarized using rank(s): '{', '.join(self.summarized_ranks)}'. Use 'force_resummarize=True' to reset and resummarize"
                 )
+
         self.summarized_ranks = self.ascending_ranks
         if single_rank:
             if single_rank not in self.summarized_ranks:
@@ -1552,27 +1500,19 @@ class QueryTaxResult:
                     f"Error: rank '{single_rank}' not in available ranks ({', '.join(self.summarized_ranks)})"
                 )
             self.summarized_ranks = [single_rank]
+
         for taxres in self.raw_taxresults:
             lininfo = taxres.lineageInfo
-            if lininfo and lininfo.filled_lineage:
-                if taxres.f_unique_to_query >= 1.0:
-                    if taxres.match_ident not in self.perfect_match:
-                        notify(
-                            f"WARNING: 100% match! Is query '{self.query_name}' identical to its database match, '{taxres.match_ident}'?"
-                        )
-                        self.perfect_match.add(taxres.match_ident)
-                for rank in self.summarized_ranks:
-                    if rank in lininfo.filled_ranks:
-                        lin_at_rank = lininfo.pop_to_rank(rank)
-                        self.sum_uniq_weighted[rank][lin_at_rank] += (
-                            taxres.f_unique_weighted
-                        )
-                        self.sum_uniq_to_query[rank][lin_at_rank] += (
-                            taxres.f_unique_to_query
-                        )
-                        self.sum_uniq_bp[rank][lin_at_rank] += (
-                            taxres.unique_intersect_bp
-                        )
+            if not (lininfo and lininfo.filled_lineage):
+                continue
+            self._warn_perfect_match(taxres)
+            for rank in self.summarized_ranks:
+                if rank in lininfo.filled_ranks:
+                    lin_at_rank = lininfo.pop_to_rank(rank)
+                    self.sum_uniq_weighted[rank][lin_at_rank] += taxres.f_unique_weighted
+                    self.sum_uniq_to_query[rank][lin_at_rank] += taxres.f_unique_to_query
+                    self.sum_uniq_bp[rank][lin_at_rank] += taxres.unique_intersect_bp
+
         self.summarized_ranks = [
             x for x in self.summarized_ranks if x in self.sum_uniq_bp.keys()
         ]
@@ -1580,6 +1520,10 @@ class QueryTaxResult:
             raise ValueError(
                 f"Error: rank '{single_rank}' was not available for any matching lineages."
             )
+
+    def _lineages_by_fraction(self, rank):
+        "Summed (lineage, f_unique) at one rank, largest fraction first."
+        return sorted(self.sum_uniq_to_query[rank].items(), key=lambda x: -x[1])
 
     def build_summarized_result(self, single_rank=None, force_resummarize=False):
         self._init_summarization_results()
@@ -1591,11 +1535,9 @@ class QueryTaxResult:
             raise ValueError(
                 f"Error: rank '{single_rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
             )
+
         for rank in self.summarized_ranks[::-1]:
-            sum_uniq_to_query = self.sum_uniq_to_query[rank]
-            sorted_sum_uniq_to_query = list(sum_uniq_to_query.items())
-            sorted_sum_uniq_to_query.sort(key=lambda x: -x[1])
-            for lineage, f_unique in sorted_sum_uniq_to_query:
+            for lineage, f_unique in self._lineages_by_fraction(rank):
                 if f_unique == 0:
                     continue
                 f_weighted_at_rank = self.sum_uniq_weighted[rank][lineage]
@@ -1614,28 +1556,29 @@ class QueryTaxResult:
                 self.total_f_weighted[rank] += f_weighted_at_rank
                 self.total_bp_classified[rank] += bp_intersect_at_rank
 
-            if self.lins:
-                lineage = LINLineageInfo()
-            elif self.ictv:
-                lineage = ICTVRankLineageInfo()
-            else:
-                lineage = RankLineageInfo()
-            query_ani = None
-            f_unique = 1.0 - self.total_f_classified[rank]
-            if f_unique > 0:
-                f_weighted_at_rank = 1.0 - self.total_f_weighted[rank]
-                bp_intersect_at_rank = (
-                    self.query_info.query_bp - self.total_bp_classified[rank]
-                )
+            # one trailing "unclassified" row per rank covering the remainder
+            f_unclassified = 1.0 - self.total_f_classified[rank]
+            if f_unclassified > 0:
                 sres = SummarizedGatherResult(
-                    lineage=lineage,
+                    lineage=self._empty_lineage_info(),
                     rank=rank,
-                    f_weighted_at_rank=f_weighted_at_rank,
-                    fraction=f_unique,
-                    bp_match_at_rank=bp_intersect_at_rank,
-                    query_ani_at_rank=query_ani,
+                    f_weighted_at_rank=1.0 - self.total_f_weighted[rank],
+                    fraction=f_unclassified,
+                    bp_match_at_rank=(
+                        self.query_info.query_bp - self.total_bp_classified[rank]
+                    ),
+                    query_ani_at_rank=None,
                 )
                 self.summarized_lineage_results[rank].append(sres)
+
+    # -- classification -----------------------------------------------------
+
+    @staticmethod
+    def _check_threshold(value, what):
+        if value is not None and not 0 <= value <= 1:
+            raise ValueError(
+                f"{what} threshold must be between 0 and 1 (input value: {value})."
+            )
 
     def build_classification_result(
         self,
@@ -1646,27 +1589,22 @@ class QueryTaxResult:
         lingroup_ranks=None,
         lingroups=None,
     ):
-        if containment_threshold is not None and not 0 <= containment_threshold <= 1:
-            raise ValueError(
-                f"Containment threshold must be between 0 and 1 (input value: {containment_threshold})."
-            )
-        if ani_threshold is not None and not 0 <= ani_threshold <= 1:
-            raise ValueError(
-                f"ANI threshold must be between 0 and 1 (input value: {ani_threshold})."
-            )
+        self._check_threshold(containment_threshold, "Containment")
+        self._check_threshold(ani_threshold, "ANI")
+
         self._init_classification_results()
         if not self.summarized_ranks or force_resummarize:
             self.summarize_up_ranks(
                 single_rank=rank, force_resummarize=force_resummarize
             )
+
         self.classified_ranks = self.summarized_ranks
         if rank:
             if rank not in self.summarized_ranks:
                 raise ValueError(
                     f"Error: rank '{rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
                 )
-            else:
-                self.classified_ranks = [rank]
+            self.classified_ranks = [rank]
         if lingroup_ranks:
             notify("Restricting classification to lingroups.")
             self.classified_ranks = [
@@ -1674,36 +1612,29 @@ class QueryTaxResult:
             ]
         if not self.classified_ranks:
             raise ValueError("Error: no ranks remain for classification.")
+
         classif = None
         for this_rank in self.classified_ranks:
-            f_weighted = 0.0
-            f_unique_at_rank = 0.0
-            bp_intersect_at_rank = 0
-            sum_uniq_to_query = self.sum_uniq_to_query[this_rank]
-            sorted_sum_uniq_to_query = list(sum_uniq_to_query.items())
-            sorted_sum_uniq_to_query.sort(key=lambda x: -x[1])
-            if not sorted_sum_uniq_to_query:
+            by_fraction = self._lineages_by_fraction(this_rank)
+            if not by_fraction:
                 continue
-            this_lineage, f_unique_at_rank = sorted_sum_uniq_to_query[0]
+            this_lineage, f_unique_at_rank = by_fraction[0]
             if lingroups and this_lineage not in lingroups:
                 continue
-            bp_intersect_at_rank = self.sum_uniq_bp[this_rank][this_lineage]
-            f_weighted = self.sum_uniq_weighted[this_rank][this_lineage]
 
             classif = ClassificationResult(
                 rank=this_rank,
                 fraction=f_unique_at_rank,
                 lineage=this_lineage,
-                f_weighted_at_rank=f_weighted,
-                bp_match_at_rank=bp_intersect_at_rank,
+                f_weighted_at_rank=self.sum_uniq_weighted[this_rank][this_lineage],
+                bp_match_at_rank=self.sum_uniq_bp[this_rank][this_lineage],
             )
-
             classif.set_status(
                 self.query_info,
                 containment_threshold=containment_threshold,
                 ani_threshold=ani_threshold,
             )
-            if classif.status == "match" or classif.status == "nomatch":
+            if classif.status in ("match", "nomatch"):
                 break
 
         self.classification_result = classif
@@ -1722,6 +1653,8 @@ class QueryTaxResult:
         rank_index = self.ranks.index(min_rank)
         return ["fraction"] + list(self.ranks[: rank_index + 1])
 
+    # -- report generation --------------------------------------------------
+
     def check_classification(self):
         if not self.classification_result:
             raise ValueError("query not classified yet.")
@@ -1731,7 +1664,6 @@ class QueryTaxResult:
             raise ValueError("lineages not summarized yet.")
 
     def make_human_summary(self, display_rank, classification=False):
-        results = []
         if classification:
             self.check_classification()
             display_rank_results = [self.classification_result]
@@ -1740,76 +1672,79 @@ class QueryTaxResult:
             display_rank_results = self.summarized_lineage_results[display_rank]
             display_rank_results.sort(key=lambda res: -res.f_weighted_at_rank)
 
-        for res in display_rank_results:
-            results.append(res.as_human_friendly_dict(query_info=self.query_info))
-        return results
+        return [
+            res.as_human_friendly_dict(query_info=self.query_info)
+            for res in display_rank_results
+        ]
+
+    def _make_classification_summary(self, limit_float):
+        self.check_classification()
+        header = [
+            "query_name",
+            "status",
+            "rank",
+            "fraction",
+            "lineage",
+            "query_md5",
+            "query_filename",
+            "f_weighted_at_rank",
+            "bp_match_at_rank",
+            "query_ani_at_rank",
+        ]
+        rD = self.classification_result.as_summary_dict(
+            query_info=self.query_info, limit_float=limit_float
+        )
+        del rD["total_weighted_hashes"]
+        return header, [rD]
+
+    def _make_rank_summary(self, limit_float, lingroups):
+        self.check_summarization()
+        header = [
+            "query_name",
+            "rank",
+            "fraction",
+            "lineage",
+            "query_md5",
+            "query_filename",
+            "f_weighted_at_rank",
+            "bp_match_at_rank",
+            "query_ani_at_rank",
+            "total_weighted_hashes",
+        ]
+
+        lingroup_ranks = set()
+        if lingroups is not None:
+            for lin in lingroups.keys():
+                lingroup_ranks.add(len(lin.split(";")) - 1)
+
+        results = []
+        for rank in self.summarized_ranks[::-1]:
+            if lingroup_ranks and int(rank) not in lingroup_ranks:
+                continue
+            unclassified = []
+            rank_results = self.summarized_lineage_results[rank]
+            rank_results.sort(key=lambda res: -res.fraction)
+            for res in rank_results:
+                rD = res.as_summary_dict(
+                    query_info=self.query_info,
+                    limit_float=limit_float,
+                    lingroups=lingroups,
+                )
+                if rD is None:
+                    continue
+                if rD["lineage"] == "unclassified":
+                    unclassified.append(rD)
+                else:
+                    results.append(rD)
+            results += unclassified
+        return header, results
 
     def make_full_summary(
         self, classification=False, limit_float=False, lingroups=None
     ):
-        results = []
-        rD = {}
         if classification:
-            self.check_classification()
-            header = [
-                "query_name",
-                "status",
-                "rank",
-                "fraction",
-                "lineage",
-                "query_md5",
-                "query_filename",
-                "f_weighted_at_rank",
-                "bp_match_at_rank",
-                "query_ani_at_rank",
-            ]
-            rD = self.classification_result.as_summary_dict(
-                query_info=self.query_info, limit_float=limit_float
-            )
-            del rD["total_weighted_hashes"]
-            results.append(rD)
-        else:
-            self.check_summarization()
-            header = [
-                "query_name",
-                "rank",
-                "fraction",
-                "lineage",
-                "query_md5",
-                "query_filename",
-                "f_weighted_at_rank",
-                "bp_match_at_rank",
-                "query_ani_at_rank",
-                "total_weighted_hashes",
-            ]
-
-            lingroup_ranks = set()
-            if lingroups is not None:
-                for lin in lingroups.keys():
-                    lin_rank = len(lin.split(";")) - 1
-                    lingroup_ranks.add(lin_rank)
-
-            for rank in self.summarized_ranks[::-1]:
-                if lingroup_ranks:
-                    if int(rank) not in lingroup_ranks:
-                        continue
-                unclassified = []
-                rank_results = self.summarized_lineage_results[rank]
-                rank_results.sort(key=lambda res: -res.fraction)
-                for res in rank_results:
-                    rD = res.as_summary_dict(
-                        query_info=self.query_info,
-                        limit_float=limit_float,
-                        lingroups=lingroups,
-                    )
-                    if rD is None:
-                        continue
-                    if rD["lineage"] == "unclassified":
-                        unclassified.append(rD)
-                    else:
-                        results.append(rD)
-                results += unclassified
-        return header, results
+            return self._make_classification_summary(limit_float)
+        return self._make_rank_summary(limit_float, lingroups)
 
     def make_kreport_results(self):
         "Format summarized results as a kraken-style kreport."
@@ -1837,14 +1772,13 @@ class QueryTaxResult:
         for rank in self.ranks:
             if rank == "strain":
                 continue
-            rank_results = self.summarized_lineage_results[rank]
-            for res in rank_results:
+            for res in self.summarized_lineage_results[rank]:
                 kresD = res.as_kreport_dict(self.query_info)
                 if kresD["sci_name"] == "unclassified":
+                    # only report the unclassified remainder once
                     if unclassified_recorded:
                         continue
-                    else:
-                        unclassified_recorded = True
+                    unclassified_recorded = True
                 kreport_results.append(kresD)
         return header, kreport_results
 
@@ -1862,21 +1796,20 @@ class QueryTaxResult:
 
         lg_results = {}
         for rank in lg_ranks:
-            rank_results = self.summarized_lineage_results[rank]
-            for res in rank_results:
+            for res in self.summarized_lineage_results[rank]:
                 if res.lineage in all_lgs:
                     this_lingroup_name = LINgroupsD[
                         res.lineage.display_lineage(truncate_empty=True)
                     ]
-                    lg_resD = res.as_lingroup_dict(self.query_info, this_lingroup_name)
-                    lg_results[res.lineage] = lg_resD
+                    lg_results[res.lineage] = res.as_lingroup_dict(
+                        self.query_info, this_lingroup_name
+                    )
 
+        # emit in depth-first LINgroup-tree order (internal nodes included)
         lg_tree = LineageTree(all_lgs)
-        ordered_paths = lg_tree.ordered_paths(include_internal=True)
         lingroup_results = []
-        for lg in ordered_paths:
-            lg_LINInfo = LINLineageInfo(lineage=lg)
-            lg_res = lg_results.get(lg_LINInfo)
+        for lg in lg_tree.ordered_paths(include_internal=True):
+            lg_res = lg_results.get(LINLineageInfo(lineage=lg))
             if lg_res:
                 lingroup_results.append(lg_res)
 
@@ -1884,21 +1817,19 @@ class QueryTaxResult:
 
     def make_cami_bioboxes(self):
         "CAMI profiling Bioboxes format output."
-        header_title = "# Taxonomic Profiling Output"
-        version_info = "@Version:0.10.0"
-        program = "@__program__:sourmash"
-        sample_info = f"@SampleID:{self.query_info.query_name}"
         ranks = list(self.ranks)
-        rank_info = f"@Ranks:{'|'.join(ranks)}"
-
-        header_lines = [header_title, sample_info, version_info, rank_info, program]
-        colnames = ["@@TAXID", "RANK", "TAXPATH", "TAXPATHSN", "PERCENTAGE"]
-        header_lines.append("\t".join(colnames))
+        header_lines = [
+            "# Taxonomic Profiling Output",
+            f"@SampleID:{self.query_info.query_name}",
+            "@Version:0.10.0",
+            f"@Ranks:{'|'.join(ranks)}",
+            "@__program__:sourmash",
+            "\t".join(["@@TAXID", "RANK", "TAXPATH", "TAXPATHSN", "PERCENTAGE"]),
+        ]
 
         bioboxes_results = []
         for rank in ranks:
-            rank_results = self.summarized_lineage_results[rank]
-            for res in rank_results:
+            for res in self.summarized_lineage_results[rank]:
                 bb_info = res.as_cami_bioboxes()
                 if bb_info:
                     bioboxes_results.append(bb_info)
@@ -1906,23 +1837,20 @@ class QueryTaxResult:
         return header_lines, bioboxes_results
 
 
-# -- gather-CSV collection/writing helpers --------------------------------
+# ---------------------------------------------------------------------------
+# gather-CSV collection/loading helpers
+# ---------------------------------------------------------------------------
 
 
 def collect_gather_csvs(cmdline_gather_input, *, from_file=None):
     "Collect gather files from the command line + --from-file, deduplicated."
     gather_csvs = []
-    for gf in cmdline_gather_input:
+    more = list(load_pathlist_from_file(from_file)) if from_file else []
+    for gf in list(cmdline_gather_input) + more:
         if gf not in gather_csvs:
             gather_csvs.append(gf)
         else:
             notify(f"ignoring duplicated reference to file: {gf}")
-    if from_file:
-        for gf in load_pathlist_from_file(from_file):
-            if gf not in gather_csvs:
-                gather_csvs.append(gf)
-            else:
-                notify(f"ignoring duplicated reference to file: {gf}")
     return gather_csvs
 
 
@@ -1955,8 +1883,7 @@ def parse_lingroups(lingroupD):
     for lg_prefix in lingroupD.keys():
         lg_info = LINLineageInfo(lineage_str=lg_prefix)
         all_lgs.add(lg_info)
-        lg_rank = str(lg_info.lowest_rank)
-        lg_ranks.add(lg_rank)
+        lg_ranks.add(str(lg_info.lowest_rank))
     return lg_ranks, all_lgs
 
 
@@ -1976,7 +1903,6 @@ def load_gather_results(
     "Load a single gather CSV into {query_name: QueryTaxResult}."
     if not seen_queries:
         seen_queries = set()
-    header = []
     gather_results = {}
     with sourmash_args.FileInputCSV(gather_csv) as r:
         header = r.fieldnames
@@ -1986,10 +1912,9 @@ def load_gather_results(
             )
 
         this_querytaxres = None
-        for n, row in enumerate(r):
+        for row in r:
             try:
-                filt_row = filter_row(row, GatherRow)
-                gatherRow = GatherRow(**filt_row)
+                gatherRow = GatherRow(**filter_row(row, GatherRow))
             except TypeError as exc:
                 raise ValueError(
                     f"'{gather_csv}' is missing columns needed for taxonomic summarization. Please run gather with sourmash >= 4.4."
@@ -2020,8 +1945,7 @@ def load_gather_results(
 
     if not gather_results:
         raise ValueError(f"No gather results loaded from {gather_csv}.")
-    else:
-        notify(f"loaded {len(gather_results)} gather results from '{gather_csv}'.")
+    notify(f"loaded {len(gather_results)} gather results from '{gather_csv}'.")
     return (gather_results, header)
 
 
@@ -2040,13 +1964,11 @@ def check_and_load_gather_csvs(
     if not isinstance(gather_csvs, list):
         gather_csvs = [gather_csvs]
     gather_results = {}
-    header = []
     n_ignored = 0
     n = 0
     for n, gather_csv in enumerate(gather_csvs):
-        these_results = {}
         try:
-            these_results, header = load_gather_results(
+            these_results, _ = load_gather_results(
                 gather_csv,
                 tax_assign,
                 seen_queries=gather_results.keys(),
@@ -2058,21 +1980,20 @@ def check_and_load_gather_csvs(
                 ictv=ictv,
             )
         except ValueError as exc:
-            if force:
-                if "found in more than one CSV" in str(exc):
-                    notify("Cannot force past duplicated gather query. Exiting.")
-                    raise
-                if "Failing, as requested via --fail-on-missing-taxonomy" in str(exc):
-                    raise
-                notify(str(exc))
-                notify(
-                    "--force is set. Attempting to continue to next set of gather results."
-                )
-                n_ignored += 1
-                continue
-            else:
+            if not force:
                 notify("Exiting.")
                 raise
+            if "found in more than one CSV" in str(exc):
+                notify("Cannot force past duplicated gather query. Exiting.")
+                raise
+            if "Failing, as requested via --fail-on-missing-taxonomy" in str(exc):
+                raise
+            notify(str(exc))
+            notify(
+                "--force is set. Attempting to continue to next set of gather results."
+            )
+            n_ignored += 1
+            continue
 
         gather_results.update(these_results)
 
@@ -2088,15 +2009,11 @@ def check_and_load_gather_csvs(
 def report_missing_and_skipped_identities(gather_results):
     "Report match identifiers absent from the taxonomy assignments."
     ident_missed = set()
-    ident_skipped = set()
     total_n_missed = 0
-    total_n_skipped = 0
     total_taxresults = 0
     for querytaxres in gather_results.values():
         ident_missed.update(querytaxres.missed_idents)
-        ident_skipped.update(querytaxres.skipped_idents)
         total_n_missed += querytaxres.n_missed
-        total_n_skipped += querytaxres.n_skipped
         total_taxresults += len(querytaxres.raw_taxresults)
 
     if ident_missed:
@@ -2108,11 +2025,14 @@ def report_missing_and_skipped_identities(gather_results):
         )
 
 
+# ---------------------------------------------------------------------------
+# aggregation + output writers
+# ---------------------------------------------------------------------------
+
+
 def aggregate_by_lineage_at_rank(query_gather_results, rank, *, by_query=False):
     "Aggregate summarized results at one rank, optionally per query."
-    lineage_summary = defaultdict(float)
-    if by_query:
-        lineage_summary = defaultdict(dict)
+    lineage_summary = defaultdict(dict) if by_query else defaultdict(float)
     all_queries = []
 
     for queryResult in query_gather_results:
@@ -2152,27 +2072,22 @@ def format_for_krona(query_gather_results, rank, *, classification=False):
                 q_res.build_classification_result(rank=rank)
                 header = q_res.make_krona_header(min_rank=rank)
             krona_results.extend([q_res.krona_classified])
-    else:
-        lineage_summary, _ = aggregate_by_lineage_at_rank(
-            query_gather_results, rank, by_query=False
-        )
+        return krona_results, header
 
-        lin_items = list(lineage_summary.items())
-        lin_items.sort(key=lambda x: -x[1])
+    lineage_summary, _ = aggregate_by_lineage_at_rank(
+        query_gather_results, rank, by_query=False
+    )
 
-        unclassified_fraction = 0
-        for lin, fraction in lin_items:
-            if lin == "unclassified":
-                unclassified_fraction = fraction
-                continue
-            else:
-                lin_list = lin.split(";")
-                krona_results.append((fraction, *lin_list))
+    unclassified_fraction = 0
+    for lin, fraction in sorted(lineage_summary.items(), key=lambda x: -x[1]):
+        if lin == "unclassified":
+            unclassified_fraction = fraction
+        else:
+            krona_results.append((fraction, *lin.split(";")))
 
-        if unclassified_fraction:
-            len_unclassified_lin = len(header) - 1
-            unclassifed_lin = ["unclassified"] * len_unclassified_lin
-            krona_results.append((unclassified_fraction, *unclassifed_lin))
+    if unclassified_fraction:
+        unclassified_names = ["unclassified"] * (len(header) - 1)
+        krona_results.append((unclassified_fraction, *unclassified_names))
 
     return krona_results, header
 
@@ -2226,33 +2141,38 @@ def write_summary(
             w.writerow(res)
 
 
+_HUMAN_CLS_HEADER = (
+    "sample name    status    proportion   cANI   lineage\n"
+    "-----------    ------    ----------   ----   -------\n"
+)
+_HUMAN_CLS_ROW = (
+    "{query_name:<15s}   {status}    {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n"
+)
+_HUMAN_SUM_HEADER = (
+    "sample name    proportion   cANI   lineage\n"
+    "-----------    ----------   ----   -------\n"
+)
+_HUMAN_SUM_ROW = (
+    "{query_name:<15s}   {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n"
+)
+
+
 def write_human_summary(
     query_gather_results, out_fp, display_rank, classification=False
 ):
     "Write human-readable summary for a specific rank."
+    if classification:
+        header, row_template = _HUMAN_CLS_HEADER, _HUMAN_CLS_ROW
+    else:
+        header, row_template = _HUMAN_SUM_HEADER, _HUMAN_SUM_ROW
+
     for queryResult in query_gather_results:
         results = queryResult.make_human_summary(
             display_rank=display_rank, classification=classification
         )
-
-        if classification:
-            out_fp.write("sample name    status    proportion   cANI   lineage\n")
-            out_fp.write("-----------    ------    ----------   ----   -------\n")
-            for rD in results:
-                out_fp.write(
-                    "{query_name:<15s}   {status}    {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n".format(
-                        **rD
-                    )
-                )
-        else:
-            out_fp.write("sample name    proportion   cANI   lineage\n")
-            out_fp.write("-----------    ----------   ----   -------\n")
-            for rD in results:
-                out_fp.write(
-                    "{query_name:<15s}   {f_weighted_at_rank}     {query_ani_at_rank}  {lineage}\n".format(
-                        **rD
-                    )
-                )
+        out_fp.write(header)
+        for rD in results:
+            out_fp.write(row_template.format(**rD))
 
 
 def write_lineage_sample_frac(sample_names, lineage_dict, out_fp, *, sep="\t"):
@@ -2263,11 +2183,8 @@ def write_lineage_sample_frac(sample_names, lineage_dict, out_fp, *, sep="\t"):
     blank_row = {query_name: 0 for query_name in sample_names}
     unclassified_row = None
     for lin, sampleinfo in sorted(lineage_dict.items()):
-        row = {"lineage": lin}
-        row.update(blank_row)
-        row.update(sampleinfo)
+        row = {"lineage": lin, **blank_row, **sampleinfo}
         if lin == "unclassified":
-            row.update({"lineage": "unclassified"})
             unclassified_row = row
             continue
         w.writerow(row)
