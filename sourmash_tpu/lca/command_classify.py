@@ -23,8 +23,9 @@ def classify_signature(query_sig, dblist, threshold, majority):
     counts = lca_utils.count_lca_for_assignments(assignments)
     debug(counts.most_common())
 
+    # gather the above-threshold LCAs into one tree: all of them by
+    # default, or just the top vote with --majority
     tree = {}
-
     if counts and majority:
         majority_vote, count = counts.most_common()[0]
         if count > threshold:
@@ -35,12 +36,11 @@ def classify_signature(query_sig, dblist, threshold, majority):
                 break
             lca_utils.build_tree([lca], tree)
 
-    status = "nomatch"
     if not tree:
-        return [], status
+        return [], "nomatch"
 
-    lca, reason = lca_utils.find_lca(tree)
-    if reason == 0:
+    lca, n_children = lca_utils.find_lca(tree)
+    if n_children == 0:
         debug("END", lca)
         status = "found"
     else:
@@ -49,6 +49,24 @@ def classify_signature(query_sig, dblist, threshold, majority):
 
     debug("lineage is:", lca)
     return lca, status
+
+
+def _collect_query_files(args):
+    "Positional queries + --query-from-file, existence-checked."
+    notify("finding query signatures...")
+    inp_files = list(args.query)
+    if args.query_from_file:
+        inp_files.extend(sourmash_args.load_pathlist_from_file(args.query_from_file))
+
+    if not check_files_exist(*inp_files):
+        sys.exit(-1)
+
+    if not inp_files:
+        error(
+            "Error! must specify at least one query signature with --query or --query-from-file"
+        )
+        sys.exit(-1)
+    return inp_files
 
 
 def classify(args):
@@ -67,19 +85,7 @@ def classify(args):
 
     dblist, ksize, scaled = lca_utils.load_databases(args.db, args.scaled)
 
-    notify("finding query signatures...")
-    inp_files = list(args.query)
-    if args.query_from_file:
-        inp_files.extend(sourmash_args.load_pathlist_from_file(args.query_from_file))
-
-    if not check_files_exist(*inp_files):
-        sys.exit(-1)
-
-    if not inp_files:
-        error(
-            "Error! must specify at least one query signature with --query or --query-from-file"
-        )
-        sys.exit(-1)
+    inp_files = _collect_query_files(args)
 
     notify(f"outputting classifications to {args.output}")
     with sourmash_args.FileOutputCSV(args.output) as outfp:
@@ -88,10 +94,8 @@ def classify(args):
         csvfp.writerow(["ID", "status"] + list(lca_utils.taxlist()))
 
         total_count = 0
-        n = 0
         total_n = len(inp_files)
-        for query_filename in inp_files:
-            n += 1
+        for n, query_filename in enumerate(inp_files, 1):
             for query_sig in load_file_as_signatures(query_filename, ksize=ksize):
                 notify("\r\033[K", end="")
                 notify(f"... classifying {query_sig} (file {n} of {total_n})", end="\r")
@@ -107,12 +111,9 @@ def classify(args):
                 )
                 debug(lineage)
 
-                row = [str(query_sig), status]
-                row += lca_utils.zip_lineage(lineage)
-
                 if not args.output:
                     notify("\r\033[K", end="")
-                csvfp.writerow(row)
+                csvfp.writerow([str(query_sig), status] + lca_utils.zip_lineage(lineage))
 
         notify("\r\033[K", end="")
         notify(f"classified {total_count} signatures total")

@@ -14,6 +14,53 @@ from . import lca_utils
 from .lca_db import LCA_Database
 
 
+def _spreadsheet_columns(start_column):
+    "Expected column layout: identifier, skipped cols, then the rank list."
+    return (
+        ["identifiers"]
+        + ["_skip_"] * (start_column - 2)
+        + list(lca_utils.taxlist())
+    )
+
+
+def _check_headers(first_row, row_headers, force):
+    "Warn/abort when the spreadsheet headers disagree with expectations."
+    n_disagree = 0
+    for column, value in zip(row_headers, first_row):
+        if column == "_skip_":
+            continue
+        if column.lower() != value.lower():
+            notify(f"** assuming column '{value}' is {column} in spreadsheet")
+            n_disagree += 1
+            if n_disagree > 2:
+                error("whoa, too many assumptions. are the headers right?")
+                error("expecting {}", ",".join(row_headers))
+                if not force:
+                    sys.exit(-1)
+                notify("...continue, because --force was specified.")
+
+
+def _row_to_ident_lineage(row_headers, row, *, split_identifiers, keep_identifier_versions):
+    "Parse one spreadsheet row into (ident, trimmed lineage tuple)."
+    from ..tax.tax_utils import LineagePair
+
+    cells = [x for x in zip(row_headers, row) if x[0] != "_skip_"]
+
+    ident = cells[0][1]
+    if split_identifiers:
+        ident = ident.split(" ")[0]
+        if not keep_identifier_versions:
+            ident = ident.split(".")[0]
+
+    lineage = [
+        LineagePair(rank, lca_utils.filter_null(name)) for (rank, name) in cells[1:]
+    ]
+    while lineage and lineage[-1].name == "unassigned":
+        lineage = lineage[:-1]
+
+    return ident, tuple(lineage)
+
+
 def load_taxonomy_assignments(
     filename,
     *,
@@ -25,119 +72,118 @@ def load_taxonomy_assignments(
     keep_identifier_versions=False,
 ):
     """Load a taxonomy assignment spreadsheet into {ident: lineage tuple}."""
-    from ..tax.tax_utils import LineagePair
-
-    fp = open(filename, newline="")
-    r = csv.reader(fp, delimiter=delimiter)
-    row_headers = ["identifiers"]
-    row_headers += ["_skip_"] * (start_column - 2)
-    row_headers += list(lca_utils.taxlist())
-
-    if use_headers:
-        notify("examining spreadsheet headers...")
-        first_row = next(iter(r))
-
-        n_disagree = 0
-        for column, value in zip(row_headers, first_row):
-            if column == "_skip_":
-                continue
-            if column.lower() != value.lower():
-                notify(f"** assuming column '{value}' is {column} in spreadsheet")
-                n_disagree += 1
-                if n_disagree > 2:
-                    error("whoa, too many assumptions. are the headers right?")
-                    error("expecting {}", ",".join(row_headers))
-                    if not force:
-                        sys.exit(-1)
-                    notify("...continue, because --force was specified.")
+    row_headers = _spreadsheet_columns(start_column)
 
     assignments = {}
     num_rows = 0
     n_species = 0
-    n_strains = 0
-    for row in r:
-        if row and row[0].strip():
+
+    with open(filename, newline="") as fp:
+        r = csv.reader(fp, delimiter=delimiter)
+
+        if use_headers:
+            notify("examining spreadsheet headers...")
+            _check_headers(next(iter(r)), row_headers, force)
+
+        for row in r:
+            if not (row and row[0].strip()):
+                continue
             num_rows += 1
-            lineage = list(zip(row_headers, row))
-            lineage = [x for x in lineage if x[0] != "_skip_"]
 
-            ident = lineage[0][1]
-            lineage = lineage[1:]
-
-            if split_identifiers:
-                ident = ident.split(" ")[0]
-                if not keep_identifier_versions:
-                    ident = ident.split(".")[0]
-
-            lineage = [(a, lca_utils.filter_null(b)) for (a, b) in lineage]
-            lineage = [LineagePair(a, b) for (a, b) in lineage]
-
-            while lineage and lineage[-1].name == "unassigned":
-                lineage = lineage[:-1]
-
-            if lineage:
-                if ident in assignments:
-                    if assignments[ident] != tuple(lineage):
-                        if not force:
-                            raise Exception(f"multiple lineages for identifier {ident}")
-                else:
-                    assignments[ident] = tuple(lineage)
-
-                    if lineage[-1].rank == "species":
-                        n_species += 1
-                    elif lineage[-1].rank == "strain":
-                        n_species += 1
-                        n_strains += 1
-
-    fp.close()
-
-    if len(assignments) * 0.2 > n_species and len(assignments) > 50:
-        if not force:
-            error("")
-            error("ERROR: fewer than 20% of lineages have species-level resolution!?")
-            error(
-                "({} species assignments found, of {} assignments total)",
-                n_species,
-                len(assignments),
+            ident, lineage = _row_to_ident_lineage(
+                row_headers,
+                row,
+                split_identifiers=split_identifiers,
+                keep_identifier_versions=keep_identifier_versions,
             )
-            error("** If this is intentional, re-run the command with -f.")
-            sys.exit(-1)
+            if not lineage:
+                continue
+
+            if ident in assignments:
+                if assignments[ident] != lineage and not force:
+                    raise Exception(f"multiple lineages for identifier {ident}")
+            else:
+                assignments[ident] = lineage
+                if lineage[-1].rank in ("species", "strain"):
+                    n_species += 1
+
+    # sanity check: taxonomy spreadsheets should mostly resolve to species
+    if len(assignments) * 0.2 > n_species and len(assignments) > 50 and not force:
+        error("")
+        error("ERROR: fewer than 20% of lineages have species-level resolution!?")
+        error(
+            "({} species assignments found, of {} assignments total)",
+            n_species,
+            len(assignments),
+        )
+        error("** If this is intentional, re-run the command with -f.")
+        sys.exit(-1)
 
     return assignments, num_rows
 
 
-def generate_report(
-    record_duplicates,
-    record_no_lineage,
-    record_remnants,
-    unused_lineages,
-    unused_identifiers,
-    filename,
-):
+class _BuildLog:
+    "Anomaly bookkeeping while inserting signatures into the LCA database."
+
+    def __init__(self, assignments):
+        self.duplicates = set()
+        self.no_lineage = []
+        self.remnants = set(assignments)  # idents with no signature (yet)
+        self.used_lineages = set()
+        self.used_idents = set()
+
+    def note_inserted(self, ident, lineage):
+        if lineage:
+            self.remnants.remove(ident)
+            self.used_idents.add(ident)
+            self.used_lineages.add(lineage)
+        else:
+            debug("WARNING: no lineage assignment for {}.", ident)
+            self.no_lineage.append(ident)
+
+
+def generate_report(log, unused_lineages, unused_identifiers, filename):
     "Output a report of anomalies from building the index."
+    sections = [
+        (f"Duplicate signatures: {len(log.duplicates)}", log.duplicates),
+        (f"----\nUnused identifiers: {len(unused_identifiers)}", unused_identifiers),
+        (
+            f"----\nNo lineage provided for these identifiers: {len(log.no_lineage)}",
+            log.no_lineage,
+        ),
+        (
+            f"----\nNo signatures found for these identifiers: {len(log.remnants)}",
+            log.remnants,
+        ),
+    ]
     with open(filename, "w") as fp:
-        print(f"Duplicate signatures: {len(record_duplicates)}", file=fp)
-        fp.write("\n".join(record_duplicates))
-        fp.write("\n")
-        print(f"----\nUnused identifiers: {len(unused_identifiers)}", file=fp)
-        fp.write("\n".join(unused_identifiers))
-        fp.write("\n")
-        print(
-            f"----\nNo lineage provided for these identifiers: {len(record_no_lineage)}",
-            file=fp,
-        )
-        fp.write("\n".join(record_no_lineage))
-        fp.write("\n")
-        print(
-            f"----\nNo signatures found for these identifiers: {len(record_remnants)}",
-            file=fp,
-        )
-        fp.write("\n".join(record_remnants))
-        fp.write("\n")
+        for title, items in sections:
+            print(title, file=fp)
+            fp.write("\n".join(items))
+            fp.write("\n")
         print(f"----\nUnused lineages: {len(unused_lineages)}", file=fp)
         for lineage in unused_lineages:
             fp.write(";".join(lca_utils.zip_lineage(lineage)))
             fp.write("\n")
+
+
+def _resolve_db_outfile(args):
+    "Apply the format-specific filename suffix; refuse overwrites."
+    db_outfile = args.lca_db_out
+    if args.database_format == "json":
+        if not (
+            db_outfile.endswith(".lca.json") or db_outfile.endswith(".lca.json.gz")
+        ):
+            db_outfile += ".lca.json"
+    else:
+        assert args.database_format == "sql"
+        if not db_outfile.endswith(".lca.sql"):
+            db_outfile += ".lca.sql"
+
+    if os.path.exists(db_outfile):
+        error(f"ERROR: output file {db_outfile} already exists. Not overwriting.")
+        sys.exit(-1)
+    return db_outfile
 
 
 def index(args):
@@ -156,33 +202,16 @@ def index(args):
     moltype = sourmash_args.calculate_moltype(args, default="DNA")
     picklist = sourmash_args.load_picklist(args)
 
-    db_outfile = args.lca_db_out
-    if args.database_format == "json":
-        if not (
-            db_outfile.endswith(".lca.json") or db_outfile.endswith(".lca.json.gz")
-        ):
-            db_outfile += ".lca.json"
-    else:
-        assert args.database_format == "sql"
-        if not db_outfile.endswith(".lca.sql"):
-            db_outfile += ".lca.sql"
-
-    if os.path.exists(db_outfile):
-        error(f"ERROR: output file {db_outfile} already exists. Not overwriting.")
-        sys.exit(-1)
-
+    db_outfile = _resolve_db_outfile(args)
     notify(f"saving to LCA DB: {format(db_outfile)}")
 
     notify(
         f"Building LCA database with ksize={args.ksize} scaled={args.scaled} moltype={moltype}."
     )
 
-    delimiter = ","
-    if args.tabs:
-        delimiter = "\t"
     assignments, num_rows = load_taxonomy_assignments(
         args.csv,
-        delimiter=delimiter,
+        delimiter="\t" if args.tabs else ",",
         start_column=args.start_column,
         use_headers=not args.no_headers,
         force=args.force,
@@ -204,25 +233,20 @@ def index(args):
         inp_files.extend(sourmash_args.load_pathlist_from_file(args.from_file))
 
     md5_to_name = {}
+    log = _BuildLog(assignments)
 
     n = 0
     total_n = len(inp_files)
-    record_duplicates = set()
-    record_no_lineage = []
-    record_remnants = set(assignments)
-    record_used_lineages = set()
-    record_used_idents = set()
     n_skipped = 0
     for filename in inp_files:
         n += 1
-        it = load_file_as_signatures(
+        for sig in load_file_as_signatures(
             filename,
             ksize=args.ksize,
             select_moltype=moltype,
             picklist=picklist,
             yield_all_files=args.force,
-        )
-        for sig in it:
+        ):
             notify("\r\033[K", end="")
             notify(
                 f"\r... loading signature {str(sig)[:30]} ({n} of {total_n}); skipped {n_skipped} so far",
@@ -236,17 +260,13 @@ def index(args):
                     filename,
                     sig.md5sum(),
                 )
-                record_duplicates.add(sig.name)
+                log.duplicates.add(sig.name)
                 continue
 
             md5_to_name[sig.md5sum()] = str(sig)
 
-            if sig.name:
-                ident = sig.name
-            else:
-                ident = sig.filename
-
-            orig_ident = ident
+            orig_ident = sig.name or sig.filename
+            ident = orig_ident
             if args.split_identifiers:
                 ident = ident.split(" ")[0]
                 if not args.keep_identifier_versions:
@@ -276,13 +296,7 @@ def index(args):
                 error("ERROR: {}", str(e))
                 sys.exit(-1)
 
-            if lineage:
-                record_remnants.remove(ident)
-                record_used_idents.add(ident)
-                record_used_lineages.add(lineage)
-            else:
-                debug("WARNING: no lineage assignment for {}.", ident)
-                record_no_lineage.append(ident)
+            log.note_inserted(ident, lineage)
 
     if n_skipped:
         notify(
@@ -305,31 +319,28 @@ def index(args):
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
+    all_lineages = set(assignments.values())
     notify(
-        f"{len(record_used_lineages)} assigned lineages out of {len(set(assignments.values()))} distinct lineages in spreadsheet."
+        f"{len(log.used_lineages)} assigned lineages out of {len(all_lineages)} distinct lineages in spreadsheet."
     )
-    unused_lineages = set(assignments.values()) - record_used_lineages
+    unused_lineages = all_lineages - log.used_lineages
 
     notify(
-        f"{len(record_used_idents)} identifiers used out of {len(set(assignments))} distinct identifiers in spreadsheet."
+        f"{len(log.used_idents)} identifiers used out of {len(set(assignments))} distinct identifiers in spreadsheet."
     )
 
-    assert record_used_idents.issubset(set(assignments))
-    unused_identifiers = set(assignments) - record_used_idents
+    assert log.used_idents.issubset(set(assignments))
+    unused_identifiers = set(assignments) - log.used_idents
 
     db.save(db_outfile, format=args.database_format)
 
-    if record_duplicates or record_no_lineage or record_remnants or unused_lineages:
-        if record_duplicates:
-            notify(f"WARNING: {len(record_duplicates)} duplicate signatures.")
-        if record_no_lineage:
-            notify(
-                f"WARNING: no lineage provided for {len(record_no_lineage)} signatures."
-            )
-        if record_remnants:
-            notify(
-                f"WARNING: no signatures for {len(record_remnants)} spreadsheet rows."
-            )
+    if log.duplicates or log.no_lineage or log.remnants or unused_lineages:
+        if log.duplicates:
+            notify(f"WARNING: {len(log.duplicates)} duplicate signatures.")
+        if log.no_lineage:
+            notify(f"WARNING: no lineage provided for {len(log.no_lineage)} signatures.")
+        if log.remnants:
+            notify(f"WARNING: no signatures for {len(log.remnants)} spreadsheet rows.")
         if unused_lineages:
             notify(f"WARNING: {len(unused_lineages)} unused lineages.")
 
@@ -338,13 +349,6 @@ def index(args):
 
         if args.report:
             notify(f"generating a report and saving in '{args.report}'")
-            generate_report(
-                record_duplicates,
-                record_no_lineage,
-                record_remnants,
-                unused_lineages,
-                unused_identifiers,
-                args.report,
-            )
+            generate_report(log, unused_lineages, unused_identifiers, args.report)
         else:
             notify("(You can use --report to generate a detailed report.)")

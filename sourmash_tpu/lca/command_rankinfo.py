@@ -12,6 +12,7 @@ from . import lca_utils
 
 def make_lca_counts(dblist, min_num=0):
     "Collect counts of all LCAs in the list of databases."
+    # union the lineage assignments of every hashval across databases
     assignments = defaultdict(set)
     for lca_db in dblist:
         for hashval in lca_db.hashvals:
@@ -19,11 +20,11 @@ def make_lca_counts(dblist, min_num=0):
             if lineages:
                 assignments[hashval].update(lineages)
 
+    # resolve each hashval's assignment set to its LCA
     counts = defaultdict(int)
-    for hashval, lineages in assignments.items():
+    for lineages in assignments.values():
         debug(lineages)
-        tree = lca_utils.build_tree(lineages)
-        lca, reason = lca_utils.find_lca(tree)
+        lca, _ = lca_utils.find_lca(lca_utils.build_tree(lineages))
         counts[lca] += 1
 
     return counts
@@ -44,16 +45,17 @@ def rankinfo_main(args):
 
     counts = make_lca_counts(dblist, args.minimum_num)
 
+    # fold LCA counts by the rank they resolved to
     counts_by_rank = defaultdict(int)
     for lineage, count in counts.items():
         if lineage:
-            lineage_tup = lineage[-1]
-            counts_by_rank[lineage_tup.rank] += count
+            counts_by_rank[lineage[-1].rank] += count
 
     total = float(sum(counts_by_rank.values()))
     if total == 0:
         notify("(no hashvals with lineages found)")
-    else:
-        for rank in lca_utils.taxlist():
-            count = counts_by_rank.get(rank, 0)
-            print(f"{rank}: {count} ({count / total * 100.0:.1f}%)")
+        return
+
+    for rank in lca_utils.taxlist():
+        count = counts_by_rank.get(rank, 0)
+        print(f"{rank}: {count} ({count / total * 100.0:.1f}%)")

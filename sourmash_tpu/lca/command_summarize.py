@@ -20,12 +20,11 @@ def summarize(hashvals, dblist, threshold, ignore_abundance):
     {lineage: count} climbing each LCA to the root."""
     assignments = lca_utils.gather_assignments(hashvals, dblist)
 
-    if not ignore_abundance:
-        counts = lca_utils.count_lca_for_assignments(assignments, hashvals)
-    else:
-        counts = lca_utils.count_lca_for_assignments(assignments, None)
+    weights = None if ignore_abundance else hashvals
+    counts = lca_utils.count_lca_for_assignments(assignments, weights)
     debug(counts.most_common())
 
+    # propagate each above-threshold LCA's count up to the root
     aggregated_counts = defaultdict(int)
     for lca, count in counts.most_common():
         if count < threshold:
@@ -34,12 +33,33 @@ def summarize(hashvals, dblist, threshold, ignore_abundance):
         if not lca:
             aggregated_counts[lca] += count
 
-        while lca:
-            aggregated_counts[lca] += count
-            lca = lca[:-1]
+        prefix = lca
+        while prefix:
+            aggregated_counts[prefix] += count
+            prefix = prefix[:-1]
 
     debug(aggregated_counts)
     return aggregated_counts
+
+
+def _hashval_weights(sig, scaled):
+    "Hash → multiplicity for one sketch (abundances kept when tracked)."
+    mh = sig.minhash.downsample(scaled=scaled)
+    weights = defaultdict(int)
+    if mh.track_abundance:
+        for hashval, count in mh.hashes.items():
+            weights[hashval] += count
+    else:
+        for hashval in mh.hashes:
+            weights[hashval] += 1
+    return weights
+
+
+# kept under the reference's name for API familiarity
+def count_signature(sig, scaled, hashvals):
+    "Downsample sig to given scaled, count hash values (with abundance)."
+    for hashval, count in _hashval_weights(sig, scaled).items():
+        hashvals[hashval] += count
 
 
 def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
@@ -50,8 +70,7 @@ def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
     total_n = len(filenames)
     for filename in filenames:
         n += 1
-        idx = sourmash_args.load_file_as_index(filename)
-        idx = idx.select(ksize=ksize)
+        idx = sourmash_args.load_file_as_index(filename).select(ksize=ksize)
 
         for query_sig, query_filename in idx.signatures_with_location():
             notify("\r\033[K", end="")
@@ -63,56 +82,49 @@ def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
             if ignore_abundance and query_sig.minhash.track_abundance:
                 notify("NOTE: discarding abundances in query, since --ignore-abundance")
 
-            hashvals = defaultdict(int)
-            count_signature(query_sig, scaled, hashvals)
-            yield query_filename, query_sig, hashvals
+            yield query_filename, query_sig, _hashval_weights(query_sig, scaled)
 
     notify("\r\033[K", end="")
     notify(f"loaded {total_count} signatures from {n} files total.")
 
 
-def count_signature(sig, scaled, hashvals):
-    "Downsample sig to given scaled, count hash values (with abundance)."
-    mh = sig.minhash.downsample(scaled=scaled)
+class _SummaryReporter:
+    "Console + optional-CSV emission of per-signature lineage counts."
 
-    if mh.track_abundance:
-        for hashval, count in mh.hashes.items():
-            hashvals[hashval] += count
-    else:
-        for hashval in mh.hashes:
-            hashvals[hashval] += 1
+    csv_columns = (
+        ["count"]
+        + list(lca_utils.taxlist())
+        + ["filename", "sig_name", "sig_md5", "total_counts"]
+    )
 
+    def __init__(self, csv_fp):
+        self.csv_fp = csv_fp
+        self._wrote_header = False
 
-def output_results(lineage_counts, total_counts, filename=None, sig=None):
-    "Output results in ~human-readable format."
-    for lineage, count in lineage_counts.items():
-        if lineage:
-            lineage = lca_utils.zip_lineage(lineage, truncate_empty=True)
-            lineage = ";".join(lineage)
-        else:
-            lineage = "(root)"
+    @staticmethod
+    def _label(lineage):
+        if not lineage:
+            return "(root)"
+        return ";".join(lca_utils.zip_lineage(lineage, truncate_empty=True))
 
-        p = count / total_counts * 100.0
-        p = f"{p:.1f}%"
+    def emit(self, lineage_counts, total, filename, sig):
+        for lineage, count in lineage_counts.items():
+            p = f"{count / total * 100.0:.1f}%"
+            print_results(
+                f"{p:5} {count:>5}   {self._label(lineage)}   {filename}:{sig.md5sum()[:8]} {sig}"
+            )
 
-        print_results(
-            f"{p:5} {count:>5}   {lineage}   {filename}:{sig.md5sum()[:8]} {sig}"
-        )
-
-
-def output_csv(lineage_counts, total_counts, csv_fp, filename, sig, write_header=True):
-    "Output results in CSV."
-    w = csv.writer(csv_fp)
-    if write_header:
-        headers = ["count"] + list(lca_utils.taxlist())
-        headers += ["filename", "sig_name", "sig_md5", "total_counts"]
-        w.writerow(headers)
-
-    for lineage, count in lineage_counts.items():
-        debug("lineage:", lineage)
-        row = [count] + lca_utils.zip_lineage(lineage, truncate_empty=False)
-        row += [filename, sig.name, sig.md5sum(), total_counts]
-        w.writerow(row)
+        if self.csv_fp is None:
+            return
+        w = csv.writer(self.csv_fp)
+        if not self._wrote_header:
+            w.writerow(self.csv_columns)
+            self._wrote_header = True
+        for lineage, count in lineage_counts.items():
+            debug("lineage:", lineage)
+            row = [count] + lca_utils.zip_lineage(lineage, truncate_empty=False)
+            row += [filename, sig.name, sig.md5sum(), total]
+            w.writerow(row)
 
 
 def summarize_main(args):
@@ -153,10 +165,8 @@ def summarize_main(args):
     if not check_files_exist(*inp_files):
         sys.exit(-1)
 
-    csv_fp = None
-    write_header = True
-    if args.output:
-        csv_fp = open(args.output, "w", newline="")
+    csv_fp = open(args.output, "w", newline="") if args.output else None
+    reporter = _SummaryReporter(csv_fp)
 
     try:
         for filename, sig, hashvals in load_singletons_and_count(
@@ -165,23 +175,12 @@ def summarize_main(args):
             lineage_counts = summarize(
                 hashvals, dblist, args.threshold, ignore_abundance
             )
-            if not ignore_abundance:
-                total = float(sum(hashvals.values()))
-            else:
+            if ignore_abundance:
                 total = float(len(hashvals))
+            else:
+                total = float(sum(hashvals.values()))
 
-            output_results(lineage_counts, total, filename=filename, sig=sig)
-
-            if csv_fp:
-                output_csv(
-                    lineage_counts,
-                    total,
-                    csv_fp,
-                    filename,
-                    sig,
-                    write_header=write_header,
-                )
-                write_header = False
+            reporter.emit(lineage_counts, total, filename, sig)
     finally:
         if csv_fp:
             csv_fp.close()

@@ -25,16 +25,77 @@ def cached_property(fun):
 
     @functools.wraps(fun)
     def get(self):
-        try:
-            return self._cache[fun]
-        except AttributeError:
-            self._cache = {}
-        except KeyError:
-            pass
-        ret = self._cache[fun] = fun(self)
-        return ret
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
+        if fun not in cache:
+            cache[fun] = fun(self)
+        return cache[fun]
 
     return property(get)
+
+
+def _open_maybe_gz(path, mode):
+    "Text-mode open, transparently gzipped for .gz paths."
+    opener = gzip.open if path.endswith(".gz") else open
+    return opener(path, mode)
+
+
+def _parse_lca_json(db_name, fp):
+    "Read + sanity-check the LCA-db JSON document; returns the parsed dict."
+    try:
+        first_ch = fp.read(1)
+    except ValueError:
+        first_ch = "X"
+    if not first_ch or first_ch[0] != "{":
+        raise ValueError(f"'{db_name}' is not an LCA database file.")
+
+    fp.seek(0)
+
+    load_d = {}
+    try:
+        load_d = json.load(fp)
+    except json.decoder.JSONDecodeError:
+        pass
+
+    if not load_d:
+        raise ValueError("cannot parse database file '{}' as JSON; invalid format.")
+
+    version = None
+    db_type = None
+    try:
+        version = load_d.get("version")
+        db_type = load_d.get("type")
+    except AttributeError:
+        pass
+
+    if db_type != "sourmash_lca":
+        raise ValueError(f"database file '{db_name}' is not an LCA db.")
+
+    if float(version) < 2.0 or "lid_to_lineage" not in load_d:
+        raise ValueError(
+            "Error! This is an old-style LCA DB. You'll need to rebuild or download a newer one."
+        )
+    return load_d
+
+
+def _decode_lineage_table(lid_to_lineage_json):
+    """Decode the JSON lid → [[rank, name], ...] table into LineagePair
+    tuples over the full standard rank list; returns both directions."""
+    from .lca_utils import taxlist
+    from ..tax.tax_utils import LineagePair
+
+    lid_to_lineage = {}
+    lineage_to_lid = {}
+    for lid_str, rank_name_pairs in lid_to_lineage_json.items():
+        by_rank = {pair[0]: pair[1] for pair in rank_name_pairs}
+        lineage = tuple(
+            LineagePair(rank, by_rank.get(rank, "")) for rank in taxlist()
+        )
+        lid = int(lid_str)
+        lid_to_lineage[lid] = lineage
+        lineage_to_lid[lineage] = lid
+    return lid_to_lineage, lineage_to_lid
 
 
 class LCA_Database(Index):
@@ -70,9 +131,14 @@ class LCA_Database(Index):
     def __len__(self):
         return self._next_index
 
+    def __repr__(self):
+        return f"LCA_Database('{self.filename}')"
+
     def _invalidate_cache(self):
         if hasattr(self, "_cache"):
             del self._cache
+
+    # -- idx / lid assignment ------------------------------------------------
 
     def _get_ident_index(self, ident, fail_on_duplicate=False):
         idx = self._ident_to_idx.get(ident)
@@ -92,6 +158,8 @@ class LCA_Database(Index):
             self._lineage_to_lid[lineage] = lid
             self._lid_to_lineage[lid] = lineage
         return lid
+
+    # -- insertion -------------------------------------------------------------
 
     def insert(self, sig, ident=None, lineage=None):
         "Add a signature (with optional ident/lineage) to the database."
@@ -125,19 +193,17 @@ class LCA_Database(Index):
         idx = self._get_ident_index(ident, fail_on_duplicate=True)
         if lineage:
             try:
-                lineage = tuple(lineage)
-                lid = self._get_lineage_id(lineage)
-                self._idx_to_lid[idx] = lid
+                lid = self._get_lineage_id(tuple(lineage))
             except TypeError:
                 raise ValueError("lineage cannot be used as a key?!")
+            self._idx_to_lid[idx] = lid
 
         for hashval in minhash.hashes:
             self._hashval_to_idx[hashval].add(idx)
 
         return len(minhash)
 
-    def __repr__(self):
-        return f"LCA_Database('{self.filename}')"
+    # -- signature access -----------------------------------------------------
 
     def signatures(self):
         "Yield all signatures (rebuilt from the inverted index)."
@@ -165,16 +231,11 @@ class LCA_Database(Index):
         **kwargs,
     ):
         "Check requirements; raise ValueError if unmet."
-        _check_select_parameters(
-            ksize=ksize,
-            num=num,
-            moltype=moltype,
-            scaled=scaled,
-            containment=containment,
-            abund=abund,
-            picklist=picklist,
-            **kwargs,
+        requested = dict(
+            ksize=ksize, num=num, moltype=moltype, scaled=scaled,
+            containment=containment, abund=abund, picklist=picklist,
         )
+        _check_select_parameters(**requested, **kwargs)
 
         if num:
             raise ValueError("cannot use 'num' MinHashes to search LCA database")
@@ -204,17 +265,17 @@ class LCA_Database(Index):
 
         return self
 
+    # -- persistence -----------------------------------------------------------
+
     @classmethod
     def load(cls, db_name):
         "Load LCA_Database from a JSON(.gz) file (v2.x format)."
-        from .lca_utils import taxlist
-        from ..tax.tax_utils import LineagePair
-
         if not os.path.isfile(db_name):
             raise ValueError(
                 f"'{db_name}' is not a file and cannot be loaded as an LCA database"
             )
 
+        # sqlite-backed LCA databases take priority if the file is one
         try:
             from ..index.sqlite_index import LCA_SqliteDatabase
 
@@ -222,93 +283,32 @@ class LCA_Database(Index):
         except (ImportError, ValueError):
             pass
 
-        xopen = open
-        if db_name.endswith(".gz"):
-            xopen = gzip.open
+        with _open_maybe_gz(db_name, "rt") as fp:
+            load_d = _parse_lca_json(db_name, fp)
 
-        with xopen(db_name, "rt") as fp:
-            try:
-                first_ch = fp.read(1)
-            except ValueError:
-                first_ch = "X"
-            if not first_ch or first_ch[0] != "{":
-                raise ValueError(f"'{db_name}' is not an LCA database file.")
+        ksize = int(load_d["ksize"])
+        scaled = int(load_d["scaled"])
+        moltype = load_d.get("moltype", "DNA")
+        if moltype != "DNA":
+            # protein-family ksizes are stored pre-multiplied by 3
+            assert ksize % 3 == 0
+            ksize = int(ksize / 3)
 
-            fp.seek(0)
+        db = cls(ksize, scaled, moltype)
 
-            load_d = {}
-            try:
-                load_d = json.load(fp)
-            except json.decoder.JSONDecodeError:
-                pass
+        db._lid_to_lineage, db._lineage_to_lid = _decode_lineage_table(
+            load_d["lid_to_lineage"]
+        )
+        db._hashval_to_idx = {
+            int(k): v for k, v in load_d["hashval_to_idx"].items()
+        }
+        db._ident_to_name = load_d["ident_to_name"]
+        db._ident_to_idx = load_d["ident_to_idx"]
+        db._idx_to_lid = {int(k): v for k, v in load_d["idx_to_lid"].items()}
 
-            if not load_d:
-                raise ValueError(
-                    "cannot parse database file '{}' as JSON; invalid format."
-                )
-
-            version = None
-            db_type = None
-            try:
-                version = load_d.get("version")
-                db_type = load_d.get("type")
-            except AttributeError:
-                pass
-
-            if db_type != "sourmash_lca":
-                raise ValueError(f"database file '{db_name}' is not an LCA db.")
-
-            version = float(version)
-            if version < 2.0 or "lid_to_lineage" not in load_d:
-                raise ValueError(
-                    "Error! This is an old-style LCA DB. You'll need to rebuild or download a newer one."
-                )
-
-            ksize = int(load_d["ksize"])
-            scaled = int(load_d["scaled"])
-            moltype = load_d.get("moltype", "DNA")
-            if moltype != "DNA":
-                assert ksize % 3 == 0
-                ksize = int(ksize / 3)
-
-            db = cls(ksize, scaled, moltype)
-
-            lid_to_lineage_2 = load_d["lid_to_lineage"]
-            lid_to_lineage = {}
-            lineage_to_lid = {}
-            for k, v in lid_to_lineage_2.items():
-                v = dict((x[0], x[1]) for x in v)
-                vv = []
-                for rank in taxlist():
-                    name = v.get(rank, "")
-                    vv.append(LineagePair(rank, name))
-                vv = tuple(vv)
-                lid_to_lineage[int(k)] = vv
-                lineage_to_lid[vv] = int(k)
-            db._lid_to_lineage = lid_to_lineage
-            db._lineage_to_lid = lineage_to_lid
-
-            hashval_to_idx_2 = load_d["hashval_to_idx"]
-            hashval_to_idx = {}
-            for k, v in hashval_to_idx_2.items():
-                hashval_to_idx[int(k)] = v
-            db._hashval_to_idx = hashval_to_idx
-
-            db._ident_to_name = load_d["ident_to_name"]
-            db._ident_to_idx = load_d["ident_to_idx"]
-
-            db._idx_to_lid = {}
-            for k, v in load_d["idx_to_lid"].items():
-                db._idx_to_lid[int(k)] = v
-
-        if db._ident_to_idx:
-            db._next_index = max(db._ident_to_idx.values()) + 1
-        else:
-            db._next_index = 0
-        if db._idx_to_lid:
-            db._next_lid = max(db._idx_to_lid.values()) + 1
-        else:
-            db._next_lid = 0
+        next_of = lambda d: max(d.values()) + 1 if d else 0  # noqa: E731
+        db._next_index = next_of(db._ident_to_idx)
+        db._next_lid = next_of(db._idx_to_lid)
 
         db.filename = db_name
         return db
@@ -320,45 +320,41 @@ class LCA_Database(Index):
             assert format == "json"
             self.save_to_json(db_name)
 
-    def save_to_json(self, db_name):
-        "Save LCA_Database to a JSON(.gz) file."
+    def _refuse_overwrite(self, db_name):
         if os.path.exists(db_name):
             raise ValueError(
                 f"LCA database {db_name} already exists; not overwriting or appending"
             )
 
-        xopen = open
-        if db_name.endswith(".gz"):
-            xopen = gzip.open
+    def save_to_json(self, db_name):
+        "Save LCA_Database to a JSON(.gz) file."
+        self._refuse_overwrite(db_name)
 
-        with xopen(db_name, "wt") as fp:
-            save_d = OrderedDict()
-            save_d["version"] = "2.1"
-            save_d["type"] = "sourmash_lca"
-            save_d["license"] = "CC0"
+        save_d = OrderedDict()
+        save_d["version"] = "2.1"
+        save_d["type"] = "sourmash_lca"
+        save_d["license"] = "CC0"
 
-            if self.moltype != "DNA":
-                ksize = self.ksize * 3
-            else:
-                ksize = self.ksize
-            save_d["ksize"] = ksize
-            save_d["scaled"] = self.scaled
-            save_d["moltype"] = self.moltype
+        # protein-family ksizes are stored pre-multiplied by 3
+        save_d["ksize"] = self.ksize * 3 if self.moltype != "DNA" else self.ksize
+        save_d["scaled"] = self.scaled
+        save_d["moltype"] = self.moltype
 
-            save_d["hashval_to_idx"] = dict(
-                (k, list(v)) for (k, v) in self._hashval_to_idx.items()
-            )
+        save_d["hashval_to_idx"] = {
+            k: list(v) for (k, v) in self._hashval_to_idx.items()
+        }
 
-            save_d["ident_to_name"] = self._ident_to_name
-            save_d["ident_to_idx"] = self._ident_to_idx
-            save_d["idx_to_lid"] = self._idx_to_lid
-            # lineages serialize as lists of [rank, name] pairs (the loader
-            # reads x[0]/x[1] of each entry — reference format).
-            save_d["lid_to_lineage"] = {
-                k: [[vv.rank, vv.name] for vv in v]
-                for k, v in self._lid_to_lineage.items()
-            }
+        save_d["ident_to_name"] = self._ident_to_name
+        save_d["ident_to_idx"] = self._ident_to_idx
+        save_d["idx_to_lid"] = self._idx_to_lid
+        # lineages serialize as lists of [rank, name] pairs (the loader
+        # reads x[0]/x[1] of each entry — reference format).
+        save_d["lid_to_lineage"] = {
+            k: [[vv.rank, vv.name] for vv in v]
+            for k, v in self._lid_to_lineage.items()
+        }
 
+        with _open_maybe_gz(db_name, "wt") as fp:
             json.dump(save_d, fp)
 
     def save_to_sql(self, dbname):
@@ -366,10 +362,7 @@ class LCA_Database(Index):
         from ..index.sqlite_index import LCA_SqliteDatabase
         from ..tax.tax_utils import LineageDB
 
-        if os.path.exists(dbname):
-            raise ValueError(
-                f"LCA database {dbname} already exists; not overwriting or appending"
-            )
+        self._refuse_overwrite(dbname)
 
         assignments = {}
         available_ranks = set()
@@ -378,27 +371,28 @@ class LCA_Database(Index):
             if lid is not None:
                 lineage = self._lid_to_lineage[lid]
                 assignments[ident] = lineage
-                for pair in lineage:
-                    available_ranks.add(pair.rank)
+                available_ranks.update(pair.rank for pair in lineage)
 
         ldb = LineageDB(assignments, available_ranks)
         LCA_SqliteDatabase.create(dbname, self, ldb)
+
+    # -- hash-level queries ------------------------------------------------
 
     def downsample_scaled(self, scaled):
         "In-place downsample: drop hashes above the new threshold."
         if scaled == self.scaled:
             return
-        elif scaled < self.scaled:
+        if scaled < self.scaled:
             raise ValueError(f"cannot decrease scaled from {self.scaled} to {scaled}")
 
         self._invalidate_cache()
 
         max_hash = _get_max_hash_for_scaled(scaled)
-        new_hashvals = defaultdict(set)
-        for k, v in self._hashval_to_idx.items():
-            if k < max_hash:
-                new_hashvals[k] = v
-        self._hashval_to_idx = new_hashvals
+        kept = defaultdict(set)
+        for hashval, idxs in self._hashval_to_idx.items():
+            if hashval < max_hash:
+                kept[hashval] = idxs
+        self._hashval_to_idx = kept
         self.scaled = scaled
 
     @property
@@ -407,20 +401,23 @@ class LCA_Database(Index):
 
     def get_lineage_assignments(self, hashval, min_num=None):
         "List of lineages for this hashval."
-        x = []
         idx_list = self._hashval_to_idx.get(hashval, [])
         if min_num and len(idx_list) < min_num:
             return []
+
+        lineages = []
         for idx in idx_list:
             lid = self._idx_to_lid.get(idx, None)
             if lid is not None:
-                x.append(self._lid_to_lineage[lid])
-        return x
+                lineages.append(self._lid_to_lineage[lid])
+        return lineages
 
     def get_identifiers_for_hashval(self, hashval):
         "Identifiers of signatures containing this hashval."
         for idx in self._hashval_to_idx.get(hashval, []):
             yield self._idx_to_ident[idx]
+
+    # -- derived caches ------------------------------------------------------
 
     @cached_property
     def _signatures(self):
@@ -438,18 +435,19 @@ class LCA_Database(Index):
 
         debug("creating signatures for LCA DB...")
         mhd = defaultdict(minhash.copy_and_clear)
-        temp_vals = defaultdict(list)
+        pending = defaultdict(list)
 
+        # invert hash→idx into per-idx hash batches, flushing every 50
         for hashval, idlist in self._hashval_to_idx.items():
             for idx in idlist:
-                temp_hashes = temp_vals[idx]
-                temp_hashes.append(hashval)
-                if len(temp_hashes) > 50:
-                    mhd[idx].add_many(temp_hashes)
-                    del temp_vals[idx]
+                batch = pending[idx]
+                batch.append(hashval)
+                if len(batch) > 50:
+                    mhd[idx].add_many(batch)
+                    del pending[idx]
 
-        for sig, vals in temp_vals.items():
-            mhd[sig].add_many(vals)
+        for idx, batch in pending.items():
+            mhd[idx].add_many(batch)
 
         sigd = {}
         for idx, mh in mhd.items():
@@ -462,52 +460,6 @@ class LCA_Database(Index):
 
         debug("=> {} signatures!", len(sigd))
         return sigd
-
-    def find(self, search_fn, query, **kwargs):
-        "Jaccard/containment search via the inverted index counter."
-        search_fn.check_is_compatible(query)
-
-        query_mh = query.minhash
-        query_scaled = query_mh.scaled
-        if self.scaled > query_scaled:
-            query_mh = query_mh.downsample(scaled=self.scaled)
-            query_scaled = query_mh.scaled
-
-            def prepare_subject(x):
-                return x
-
-        else:
-
-            def prepare_subject(subj):
-                return subj.downsample(scaled=query_scaled)
-
-        c = Counter()
-        query_hashes = set(query_mh.hashes)
-        for hashval in query_hashes:
-            for idx in self._hashval_to_idx.get(hashval, []):
-                c[idx] += 1
-
-        debug("number of matching signatures for hashes: {}", len(c))
-
-        for idx, count in c.most_common():
-            subj = self._signatures.get(idx)
-            if subj is None:
-                assert self.picklists
-                continue
-
-            subj_mh = prepare_subject(subj.minhash)
-
-            query_size = len(query_mh)
-            subj_size = len(subj_mh)
-            shared_size = query_mh.count_common(subj_mh)
-            total_size = len(query_mh + subj_mh)
-
-            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
-
-            if search_fn.passes(score):
-                if search_fn.collect(score, subj):
-                    if passes_all_picklists(subj, self.picklists):
-                        yield IndexSearchResult(score, subj, self.location)
 
     @cached_property
     def _lid_to_idx(self):
@@ -524,6 +476,49 @@ class LCA_Database(Index):
             d[idx] = ident
         return d
 
+    # -- search ---------------------------------------------------------------
+
+    def _aligned_to_query(self, query_mh):
+        """Bring query and subjects to a common scaled; returns the working
+        query sketch and a subject-preparation function."""
+        if self.scaled > query_mh.scaled:
+            return query_mh.downsample(scaled=self.scaled), lambda subj: subj
+        query_scaled = query_mh.scaled
+        return query_mh, lambda subj: subj.downsample(scaled=query_scaled)
+
+    def find(self, search_fn, query, **kwargs):
+        "Jaccard/containment search via the inverted index counter."
+        search_fn.check_is_compatible(query)
+
+        query_mh, prepare_subject = self._aligned_to_query(query.minhash)
+
+        c = Counter()
+        for hashval in set(query_mh.hashes):
+            for idx in self._hashval_to_idx.get(hashval, []):
+                c[idx] += 1
+
+        debug("number of matching signatures for hashes: {}", len(c))
+
+        for idx, count in c.most_common():
+            subj = self._signatures.get(idx)
+            if subj is None:
+                assert self.picklists
+                continue
+
+            subj_mh = prepare_subject(subj.minhash)
+
+            score = search_fn.score_fn(
+                len(query_mh),
+                query_mh.count_common(subj_mh),
+                len(subj_mh),
+                len(query_mh + subj_mh),
+            )
+
+            if search_fn.passes(score):
+                if search_fn.collect(score, subj):
+                    if passes_all_picklists(subj, self.picklists):
+                        yield IndexSearchResult(score, subj, self.location)
+
 
 def load_single_database(filename, verbose=False):
     "Load a single LCA database; return (db, ksize, scaled)."
@@ -533,10 +528,13 @@ def load_single_database(filename, verbose=False):
 
 def load_databases(filenames, scaled=None, verbose=True):
     "Load multiple LCA databases; return (dblist, ksize, scaled)."
-    ksize_vals = set()
-    scaled_vals = set()
-    moltype_vals = set()
     dblist = []
+    seen = {"ksize": set(), "scaled": set(), "moltype": set()}
+
+    def _note(param, value, *, unique):
+        seen[param].add(value)
+        if unique and len(seen[param]) > 1:
+            raise Exception(f"multiple {param}s, quitting")
 
     for db_name in filenames:
         if verbose:
@@ -545,23 +543,19 @@ def load_databases(filenames, scaled=None, verbose=True):
 
         lca_db = LCA_Database.load(db_name)
 
-        ksize_vals.add(lca_db.ksize)
-        if len(ksize_vals) > 1:
-            raise Exception("multiple ksizes, quitting")
+        _note("ksize", lca_db.ksize, unique=True)
 
         if scaled and scaled > lca_db.scaled:
             lca_db.downsample_scaled(scaled)
-        scaled_vals.add(lca_db.scaled)
+        _note("scaled", lca_db.scaled, unique=False)
 
-        moltype_vals.add(lca_db.moltype)
-        if len(moltype_vals) > 1:
-            raise Exception("multiple moltypes, quitting")
+        _note("moltype", lca_db.moltype, unique=True)
 
         dblist.append(lca_db)
 
-    ksize = ksize_vals.pop()
-    scaled = scaled_vals.pop()
-    moltype = moltype_vals.pop()
+    ksize = seen["ksize"].pop()
+    scaled = seen["scaled"].pop()
+    moltype = seen["moltype"].pop()
 
     if verbose:
         notify("\r\033[K", end="")

@@ -30,6 +30,9 @@ __all__ = [
 # element of a taxonomic lineage
 LineagePair = namedtuple("LineagePair", ["rank", "name"])
 
+# placeholder cell values meaning "no assignment"
+null_names = set(["[Blank]", "na", "null"])
+
 
 def check_files_exist(*files):
     not_found = [f for f in files if not exists(f)]
@@ -40,8 +43,7 @@ def check_files_exist(*files):
                 "\n".join(not_found)
             )
         )
-        return False
-    return True
+    return not not_found
 
 
 def taxlist(include_strain=True):
@@ -73,11 +75,8 @@ def zip_lineage(lineage, include_strain=True, truncate_empty=False):
     )
 
     if truncate_empty:
-        last = pairs[-1][1]
-        while pairs and last == empty:
+        while pairs and pairs[-1][1] == empty:
             pairs.pop(-1)
-            if pairs:
-                last = pairs[-1][1]
 
     row = []
     for taxrank, lineage_tup in pairs:
@@ -98,12 +97,9 @@ def display_lineage(lineage, include_strain=True, truncate_empty=True):
 
 
 def filter_null(x):
-    return (
-        "unassigned" if x is None or x.strip() in ("[Blank]", "na", "null", "") else x
-    )
-
-
-null_names = set(["[Blank]", "na", "null"])
+    if x is None or x.strip() in ("[Blank]", "na", "null", ""):
+        return "unassigned"
+    return x
 
 
 def build_tree(assignments, initial=None):
@@ -118,9 +114,7 @@ def build_tree(assignments, initial=None):
         node = tree
         for lineage_tup in assignment:
             if lineage_tup.name:
-                child = node.get(lineage_tup, {})
-                node[lineage_tup] = child
-                node = child
+                node = node.setdefault(lineage_tup, {})
     return tree
 
 
@@ -129,15 +123,11 @@ def find_lca(tree):
     Returns (lineage_tuple, number_of_children_at_stop)."""
     node = tree
     lineage = []
-    while 1:
-        if len(node) == 1:
-            lineage_tup = next(iter(node.keys()))
-            lineage.append(lineage_tup)
-            node = node[lineage_tup]
-        elif len(node) == 0:
-            return tuple(lineage), 0
-        else:
-            return tuple(lineage), len(node)
+    while len(node) == 1:
+        lineage_tup = next(iter(node))
+        lineage.append(lineage_tup)
+        node = node[lineage_tup]
+    return tuple(lineage), len(node)
 
 
 def gather_assignments(hashvals, dblist):
@@ -154,14 +144,9 @@ def gather_assignments(hashvals, dblist):
 def count_lca_for_assignments(assignments, hashval_counts=None):
     "Count the LCA across each hashval's assignments (optionally weighted)."
     counts = Counter()
-    for hashval in assignments:
-        lineages = assignments[hashval]
-        tree = build_tree(lineages)
-        lca, reason = find_lca(tree)
-        if hashval_counts:
-            counts[lca] += hashval_counts[hashval]
-        else:
-            counts[lca] += 1
+    for hashval, lineages in assignments.items():
+        lca, _ = find_lca(build_tree(lineages))
+        counts[lca] += hashval_counts[hashval] if hashval_counts else 1
     return counts
 
 
@@ -169,9 +154,8 @@ def is_lineage_match(lin_a, lin_b, rank):
     "Check whether two lineages match down to the given rank."
     for a, b in zip(lin_a, lin_b):
         assert a.rank == b.rank
-        if a.rank == rank:
-            if a == b:
-                return 1
+        if a.rank == rank and a == b:
+            return 1
         if a != b:
             return 0
     return 0
@@ -181,13 +165,14 @@ def pop_to_rank(lin, rank):
     "Remove lineage tuples from `lin` until `rank` is reached."
     lin = list(lin)
 
+    # ranks strictly above the target
     before_rank = []
     for txl_rank in taxlist():
-        if txl_rank != rank:
-            before_rank.append(txl_rank)
-        else:
+        if txl_rank == rank:
             break
+        before_rank.append(txl_rank)
 
+    # short-circuit: lineage already stops above the target rank
     if lin and lin[-1].rank in before_rank:
         return tuple(lin)
 
