@@ -5,6 +5,11 @@ GraphFactory:43, Node:1409, Leaf:1467; on-disk versions v1–v6, v6 writer
 :637-820). Provided chiefly for compatibility with existing `.sbt.zip` /
 `.sbt.json` databases — the TPU-native search path is the flat device index
 (`index/flat.py`); SBT search here follows the reference's pruned queue walk.
+
+The v1–v6 on-disk formats are decoded by ONE loader (`_load_any`) driven by
+the `_LAYOUTS` table, which captures how each version differs: where leaf
+records live, whether filenames are dirname-relative, where the Bloom-filter
+factory parameters come from, and which post-load fixups apply.
 """
 
 from __future__ import annotations
@@ -80,6 +85,31 @@ class _NodesCache:
                 node.unload()
 
 
+# how each on-disk SBT version lays out its JSON description:
+#   leaves_key          key holding leaf records (None = mixed into "nodes",
+#                       discriminated by "internal" in the node name)
+#   dir_relative        filenames must be joined onto the index's dirname
+#   factory_from_file   Bloom params read from a sample nodegraph file
+#                       (older versions) vs. info["factory"]["args"]
+#   track_missing       record absent positions for on-demand rebuild
+#   fill_min_n          recompute min_n_below after loading
+#   warn_old            print the "please migrate" warning
+#   set_next_node       initialize next_node from the max position
+_Layout = namedtuple(
+    "_Layout",
+    "leaves_key dir_relative factory_from_file track_missing fill_min_n warn_old set_next_node",
+)
+
+_LAYOUTS = {
+    1: _Layout(None, True, True, False, True, False, False),
+    2: _Layout(None, True, True, False, True, False, False),
+    3: _Layout(None, False, False, True, True, True, False),
+    4: _Layout(None, False, False, True, False, False, True),
+    5: _Layout("leaves", False, False, True, False, False, False),
+    6: _Layout("signatures", False, False, True, False, False, False),
+}
+
+
 class SBT(Index):
     "Sequence Bloom Tree with generic internal nodes and leaves."
 
@@ -113,9 +143,7 @@ class SBT(Index):
                 manifest = manifest.select_to_manifest(picklist=picklist)
 
             for loc in manifest.locations():
-                buf = self.storage.load(loc)
-                ss = load_one_signature_from_json(buf)
-                yield ss
+                yield load_one_signature_from_json(self.storage.load(loc))
         else:
             for k in self.leaves():
                 ss = k.data
@@ -138,16 +166,11 @@ class SBT(Index):
         **kwargs,
     ):
         "Check this database against requirements; raise ValueError if unmet."
-        _check_select_parameters(
-            ksize=ksize,
-            num=num,
-            moltype=moltype,
-            scaled=scaled,
-            containment=containment,
-            abund=abund,
-            picklist=picklist,
-            **kwargs,
+        requested = dict(
+            ksize=ksize, num=num, moltype=moltype, scaled=scaled,
+            containment=containment, abund=abund, picklist=picklist,
         )
+        _check_select_parameters(**requested, **kwargs)
 
         first_sig = next(iter(self.signatures()))
         db_mh = first_sig.minhash
@@ -160,11 +183,10 @@ class SBT(Index):
             raise ValueError(
                 f"search moltype {moltype} is different from database moltype {db_mh.moltype}"
             )
-        if containment:
-            if not db_mh.scaled:
-                raise ValueError(
-                    "cannot search this SBT for containment; signatures are not calculated with scaled"
-                )
+        if containment and not db_mh.scaled:
+            raise ValueError(
+                "cannot search this SBT for containment; signatures are not calculated with scaled"
+            )
         if num:
             if not db_mh.num:
                 raise ValueError(
@@ -204,15 +226,14 @@ class SBT(Index):
 
         min_leaf = min(self._leaves.keys())
 
+        # reuse a gap below the first leaf when one exists
         next_internal_node = None
         if self.next_node <= min_leaf:
             for i in range(min_leaf):
-                if all(
-                    (
-                        i not in self._nodes,
-                        i not in self._leaves,
-                        i not in self._missing_nodes,
-                    )
+                if (
+                    i not in self._nodes
+                    and i not in self._leaves
+                    and i not in self._missing_nodes
                 ):
                     next_internal_node = i
                     break
@@ -228,21 +249,25 @@ class SBT(Index):
         "Add a new SourmashSignature into the SBT."
         from .sbtmh import SigLeaf
 
-        leaf = SigLeaf(signature.md5sum(), signature)
-        self.add_node(leaf)
+        self.add_node(SigLeaf(signature.md5sum(), signature))
+
+    def _new_internal(self, pos):
+        n = Node(self.factory, name="internal." + str(pos))
+        self._nodes[pos] = n
+        return n
 
     def add_node(self, node):
         pos = self.new_node_pos(node)
 
         if pos == 0:
-            n = Node(self.factory, name="internal." + str(pos))
-            self._nodes[0] = n
+            self._new_internal(0)
             pos = self.new_node_pos(node)
 
         p = self.parent(pos)
         if isinstance(p.node, Leaf):
-            n = Node(self.factory, name="internal." + str(p.pos))
-            self._nodes[p.pos] = n
+            # split: the occupied slot becomes an internal node with the
+            # old leaf and the new node as its first two children
+            n = self._new_internal(p.pos)
 
             c1, c2 = self.children(p.pos)[:2]
 
@@ -256,19 +281,32 @@ class SBT(Index):
             self._leaves[pos] = node
             node.update(p.node)
         elif p.node is None:
-            n = Node(self.factory, name="internal." + str(p.pos))
-            self._nodes[p.pos] = n
+            n = self._new_internal(p.pos)
             c1 = self.children(p.pos)[0]
             self._leaves[c1.pos] = node
             node.update(n)
         else:
             assert 0
 
+        # propagate the new hashes up to the root
         p = self.parent(p.pos)
         while p:
             self._rebuild_node(p.pos)
             node.update(self._nodes[p.pos])
             p = self.parent(p.pos)
+
+    def _node_at(self, pos):
+        "Resolve a position to its leaf/internal node, rebuilding if missing."
+        node_g = self._leaves.get(pos)
+        if node_g is not None:
+            return node_g
+        node_g = self._nodes.get(pos)
+        if node_g is not None:
+            return node_g
+        if pos in self._missing_nodes:
+            self._rebuild_node(pos)
+            return self._nodes[pos]
+        return None
 
     def _find_nodes(self, search_fn, *args, **kwargs):
         "Pruned queue walk of the tree using search_fn."
@@ -280,38 +318,56 @@ class SBT(Index):
         while queue:
             node_p = queue.pop(0)
 
-            node_g = self._leaves.get(node_p, None)
-            if node_g is None:
-                node_g = self._nodes.get(node_p, None)
-                if node_g is None:
-                    if node_p in self._missing_nodes:
-                        self._rebuild_node(node_p)
-                        node_g = self._nodes[node_p]
+            node_g = self._node_at(node_p)
+            if node_g is None or node_p in visited:
+                continue
+            visited.add(node_p)
+
+            if search_fn(node_g, *args):
+                if isinstance(node_g, Leaf):
+                    matches.append(node_g)
+                elif isinstance(node_g, Node):
+                    child_positions = [c.pos for c in self.children(node_p)]
+                    if kwargs.get("dfs", True):
+                        # children are prepended one-by-one, so they enter
+                        # the queue in reverse order (reference sbt.py:419)
+                        queue[0:0] = reversed(child_positions)
                     else:
-                        continue
+                        queue.extend(child_positions)
 
-            if node_p not in visited:
-                visited.add(node_p)
-
-                if search_fn(node_g, *args):
-                    if isinstance(node_g, Leaf):
-                        matches.append(node_g)
-                    elif isinstance(node_g, Node):
-                        if kwargs.get("dfs", True):
-                            for c in self.children(node_p):
-                                queue.insert(0, c.pos)
-                        else:
-                            queue.extend(c.pos for c in self.children(node_p))
-
-                if unload_data:
-                    if isinstance(node_g, Node):
-                        # internal nodes ride the bounded cache; eviction
-                        # unloads (reference `sbt.py:68-116,400-410`)
-                        self._nodescache[node_p] = node_g
-                    else:
-                        node_g.unload()
+            if unload_data:
+                if isinstance(node_g, Node):
+                    # internal nodes ride the bounded cache; eviction
+                    # unloads (reference `sbt.py:68-116,400-410`)
+                    self._nodescache[node_p] = node_g
+                else:
+                    node_g.unload()
 
         return matches
+
+    def _align_to_query(self, query_mh, a_leaf):
+        """Bring query/subjects to comparable resolution. Returns the working
+        query sketch and a subject-downsampling function."""
+        leaf_mh = a_leaf.data.minhash
+
+        if leaf_mh.scaled:
+            assert query_mh.scaled
+            scaled = max(query_mh.scaled, leaf_mh.scaled)
+            if query_mh.scaled < leaf_mh.scaled:
+                query_mh = query_mh.downsample(scaled=leaf_mh.scaled)
+
+            if scaled == leaf_mh.scaled:
+                return query_mh, lambda x: x
+            return query_mh, lambda mh: mh.downsample(scaled=scaled)
+
+        assert query_mh.num
+        min_num = min(query_mh.num, leaf_mh.num)
+        if query_mh.num > min_num:
+            query_mh = query_mh.downsample(num=min_num)
+
+        if min_num == leaf_mh.num:
+            return query_mh, lambda x: x
+        return query_mh, lambda mh: mh.downsample(num=min_num)
 
     def find(self, search_fn, query, **kwargs):
         "Jaccard/containment search with internal-node upper-bound pruning."
@@ -319,53 +375,15 @@ class SBT(Index):
 
         search_fn.check_is_compatible(query)
 
-        query_mh = query.minhash
-
         a_leaf = next(iter(self.leaves()))
-        tree_scaled = a_leaf.data.minhash.scaled
-
-        if tree_scaled:
-            assert query_mh.scaled
-            scaled = max(query_mh.scaled, tree_scaled)
-            if query_mh.scaled < tree_scaled:
-                query_mh = query_mh.downsample(scaled=tree_scaled)
-
-            if scaled == tree_scaled:
-
-                def downsample_node(x):
-                    return x
-
-            else:
-
-                def downsample_node(node_mh):
-                    return node_mh.downsample(scaled=scaled)
-
-        else:
-            assert query_mh.num
-            min_num = min(query_mh.num, a_leaf.data.minhash.num)
-
-            if query_mh.num > min_num:
-                query_mh = query_mh.downsample(num=min_num)
-
-            if min_num == a_leaf.data.minhash.num:
-
-                def downsample_node(x):
-                    return x
-
-            else:
-
-                def downsample_node(node_mh):
-                    return node_mh.downsample(num=min_num)
+        query_mh, downsample_node = self._align_to_query(query.minhash, a_leaf)
 
         query_size = len(query_mh)
         results = {}
 
         def node_search(node, *args, **kw):
-            is_leaf = False
-
             if isinstance(node, SigLeaf):
-                is_leaf = True
-
+                # leaf: exact (downsampled, flattened) sketch comparison
                 subj_mh = downsample_node(node.data.minhash)
                 subj_size = len(subj_mh)
                 subj_mh = subj_mh.flatten()
@@ -374,6 +392,7 @@ class SBT(Index):
 
                 shared_size, total_size = query_mh.intersection_and_union_size(subj_mh)
             else:
+                # internal node: Bloom-filter upper bound on the overlap
                 shared_size = node.data.matches(query_mh)
                 subj_size = node.metadata.get("min_n_below", -1)
                 if subj_size == -1:
@@ -384,14 +403,13 @@ class SBT(Index):
 
             score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
 
-            if search_fn.passes(score):
-                if is_leaf:
-                    if search_fn.collect(score, node.data):
-                        results[node.data] = score
-                        return True
-                else:
-                    return True
-
+            if not search_fn.passes(score):
+                return False
+            if not isinstance(node, SigLeaf):
+                return True
+            if search_fn.collect(score, node.data):
+                results[node.data] = score
+                return True
             return False
 
         for n in self._find_nodes(node_search, **kwargs):
@@ -401,8 +419,7 @@ class SBT(Index):
 
     def _rebuild_node(self, pos=0):
         "Recursively rebuild a missing internal node."
-        node = self._nodes.get(pos, None)
-        if node is not None:
+        if self._nodes.get(pos) is not None:
             return
 
         node = Node(self.factory, name=f"internal.{pos}")
@@ -415,82 +432,92 @@ class SBT(Index):
                     cnode = self._nodes[c.pos]
                 cnode.update(node)
 
+    def _resolve_pos(self, pos):
+        if pos in self._leaves:
+            return NodePos(pos, self._leaves[pos])
+        return NodePos(pos, self._nodes.get(pos, None))
+
     def parent(self, pos):
         if pos == 0:
             return None
-        p = int(math.floor((pos - 1) / self.d))
-        if p in self._leaves:
-            return NodePos(p, self._leaves[p])
-        return NodePos(p, self._nodes.get(p, None))
+        return self._resolve_pos(int(math.floor((pos - 1) / self.d)))
 
     def children(self, pos):
         return [self.child(pos, c) for c in range(self.d)]
 
     def child(self, parent, pos):
-        cd = self.d * parent + pos + 1
-        if cd in self._leaves:
-            return NodePos(cd, self._leaves[cd])
-        return NodePos(cd, self._nodes.get(cd, None))
+        return self._resolve_pos(self.d * parent + pos + 1)
 
     def leaves(self, with_pos=False, unload_data=False):
-        nodes = []
-        for pos, node in self._leaves.items():
-            if with_pos:
-                nodes.append((pos, node))
-            else:
-                nodes.append(node)
-        return nodes
+        if with_pos:
+            return list(self._leaves.items())
+        return list(self._leaves.values())
 
     def __len__(self):
         return len(self._leaves)
 
     def __iter__(self):
-        for i, obj in self._nodes.items():
-            yield (i, obj)
-        for i, obj in self._leaves.items():
-            yield (i, obj)
+        yield from self._nodes.items()
+        yield from self._leaves.items()
 
-    # -- save/load ---------------------------------------------------------
+    # -- saving --------------------------------------------------------------
 
-    def save(self, path, storage=None, sparseness=0.0, structure_only=False):
-        "Save the SBT: v6 JSON description + node blobs (zip or FS)."
-        info = {}
-        info["d"] = self.d
-        info["version"] = 6
-        info["index_type"] = self.__class__.__name__
-
-        kind = None
+    def _prepare_save_storage(self, path, storage):
+        """Resolve the output layout for save(): returns
+        (kind, storage, name, subdir, index_filename, path, storage_info)."""
+        subdir = None
         if not path.endswith(".sbt.json"):
-            kind = "Zip"
+            # default: self-contained .sbt.zip with an FSStorage-style subdir
             if not path.endswith(".sbt.zip"):
                 path += ".sbt.zip"
             storage = ZipStorage(path, mode="w")
-            backend = "FSStorage"
 
             name = os.path.basename(path[:-8])
             subdir = f".sbt.{name}"
-            storage_args = FSStorage("", subdir, make_dirs=False).init_args()
+            storage_info = {
+                "backend": "FSStorage",
+                "args": FSStorage("", subdir, make_dirs=False).init_args(),
+            }
             storage.save(subdir + "/", b"")
             storage.subdir = subdir
-            index_filename = os.path.abspath(path)
-        else:
-            name = os.path.basename(path)[:-9]
-            index_filename = os.path.abspath(path)
+            return "Zip", storage, name, subdir, os.path.abspath(path), path, storage_info
 
-            if storage is None:
-                kind = "FS"
-                location = os.path.dirname(index_filename)
-                subdir = f".sbt.{name}"
-                storage = FSStorage(location, subdir)
-                index_filename = os.path.join(location, index_filename)
+        name = os.path.basename(path)[:-9]
+        index_filename = os.path.abspath(path)
 
-            backend = [k for (k, v) in STORAGES.items() if v is type(storage)][0]
-            storage_args = storage.init_args()
+        kind = None
+        if storage is None:
+            kind = "FS"
+            location = os.path.dirname(index_filename)
+            subdir = f".sbt.{name}"
+            storage = FSStorage(location, subdir)
+            index_filename = os.path.join(location, index_filename)
 
-        info["storage"] = {"backend": backend, "args": storage_args}
-        info["factory"] = {
-            "class": GraphFactory.__name__,
-            "args": self.factory.init_args(),
+        backend = [k for (k, v) in STORAGES.items() if v is type(storage)][0]
+        storage_info = {"backend": backend, "args": storage.init_args()}
+        return kind, storage, name, subdir, index_filename, path, storage_info
+
+    def save(self, path, storage=None, sparseness=0.0, structure_only=False):
+        "Save the SBT: v6 JSON description + node blobs (zip or FS)."
+        (
+            kind,
+            storage,
+            name,
+            subdir,
+            index_filename,
+            path,
+            storage_info,
+        ) = self._prepare_save_storage(path, storage)
+
+        info = {
+            "d": self.d,
+            "version": 6,
+            "index_type": self.__class__.__name__,
+            "storage": storage_info,
+            "factory": {
+                "class": GraphFactory.__name__,
+                "args": self.factory.init_args(),
+            },
         }
 
         nodes = {}
@@ -504,9 +531,9 @@ class SBT(Index):
             if node is None:
                 continue
 
-            if isinstance(node, Node):
-                if random() - sparseness <= 0:
-                    continue
+            # --sparseness randomly drops internal nodes (rebuilt on load)
+            if isinstance(node, Node) and random() - sparseness <= 0:
+                continue
 
             data = {
                 "filename": os.path.basename(node.name),
@@ -546,31 +573,25 @@ class SBT(Index):
         info["nodes"] = nodes
         info["signatures"] = leaves
 
-        manifest = CollectionManifest(manifest_rows)
-        manifest_name = f"{name}.manifest.csv"
-
         manifest_fp = StringIO()
-        manifest.write_to_csv(manifest_fp, write_header=True)
+        CollectionManifest(manifest_rows).write_to_csv(manifest_fp, write_header=True)
         manifest_data = manifest_fp.getvalue().encode("utf-8")
 
+        manifest_name = f"{name}.manifest.csv"
         if kind == "Zip":
             manifest_name = os.path.join(storage.subdir, manifest_name)
-            manifest_path = storage.save(
+            info["manifest_path"] = storage.save(
                 manifest_name, manifest_data, overwrite=True, compress=True
             )
         elif kind == "FS":
-            manifest_path = storage.save(manifest_name, manifest_data, overwrite=True)
-        else:
-            manifest_path = None
-
-        if manifest_path:
-            info["manifest_path"] = manifest_path
+            info["manifest_path"] = storage.save(
+                manifest_name, manifest_data, overwrite=True
+            )
 
         tree_data = json.dumps(info).encode("utf-8")
 
         if kind == "Zip":
-            save_path = f"{name}.sbt.json"
-            storage.save(save_path, tree_data, overwrite=True)
+            storage.save(f"{name}.sbt.json", tree_data, overwrite=True)
             storage.flush()
             storage.close()
         else:
@@ -581,6 +602,8 @@ class SBT(Index):
 
         notify(f"Finished saving SBT index, available at {format(index_filename)}\n")
         return path
+
+    # -- loading -----------------------------------------------------------
 
     @classmethod
     def load(
@@ -595,16 +618,14 @@ class SBT(Index):
         "Load an SBT description (any version v1-v6, zip or FS layout)."
         tempfile = None
         sbt_name = None
-        tree_data = None
 
         if storage is None:
             if ZipStorage.can_open(location):
                 storage = ZipStorage(location)
-            else:
-                if not location.endswith(".sbt.zip"):
-                    location2 = location + ".sbt.zip"
-                    if os.path.exists(location2) and ZipStorage.can_open(location2):
-                        storage = ZipStorage(location2)
+            elif not location.endswith(".sbt.zip"):
+                location2 = location + ".sbt.zip"
+                if os.path.exists(location2) and ZipStorage.can_open(location2):
+                    storage = ZipStorage(location2)
 
         if storage:
             sbts = storage.list_sbts()
@@ -644,152 +665,113 @@ class SBT(Index):
         if leaf_loader is None:
             leaf_loader = Leaf.load
 
-        loaders = {
-            1: cls._load_v1,
-            2: cls._load_v2,
-            3: cls._load_v3,
-            4: cls._load_v4,
-            5: cls._load_v5,
-            6: cls._load_v6,
-        }
-
-        try:
-            loader = loaders[version]
-        except KeyError:
+        if version not in _LAYOUTS:
             raise IndexNotSupported()
 
-        if version < 3 and storage is None:
-            storage = FSStorage(dirname, f".sbt.{sbt_name}")
-        elif storage is None:
-            klass = STORAGES[jnodes["storage"]["backend"]]
-            if jnodes["storage"]["backend"] == "FSStorage":
-                storage = FSStorage(dirname, jnodes["storage"]["args"]["path"])
+        if storage is None:
+            if version < 3:
+                storage = FSStorage(dirname, f".sbt.{sbt_name}")
             else:
-                storage = klass(**jnodes["storage"]["args"])
+                storage = _storage_from_info(jnodes["storage"], dirname)
 
-        obj = loader(
+        obj = cls._load_any(
             jnodes,
             leaf_loader,
             dirname,
             storage,
+            version=version,
             print_version_warning=print_version_warning,
             cache_size=cache_size,
         )
         obj._location = location
 
         if isinstance(jnodes, Mapping) and "manifest_path" in jnodes:
-            manifest_path = jnodes["manifest_path"]
-            manifest_data = storage.load(manifest_path).decode("utf-8")
+            manifest_data = storage.load(jnodes["manifest_path"]).decode("utf-8")
             obj.manifest = CollectionManifest.load_from_csv(StringIO(manifest_data))
         else:
             obj.manifest = None
 
         return obj
 
-    @staticmethod
-    def _load_v1(
-        jnodes, leaf_loader, dirname, storage, *, print_version_warning=True,
-        cache_size=None,
-    ):
-        if jnodes[0] is None:
-            raise ValueError("Empty tree!")
-
-        sbt_nodes = {}
-        sbt_leaves = {}
-
-        sample_bf = os.path.join(dirname, jnodes[0]["filename"])
-        ksize, tablesize, ntables = extract_nodegraph_info(sample_bf)[:3]
-        factory = GraphFactory(ksize, tablesize, ntables)
-
-        for i, jnode in enumerate(jnodes):
-            if jnode is None:
-                continue
-
-            jnode["filename"] = os.path.join(dirname, jnode["filename"])
-
-            if "internal" in jnode["name"]:
-                jnode["factory"] = factory
-                sbt_nodes[i] = Node.load(jnode, storage)
-            else:
-                sbt_leaves[i] = leaf_loader(jnode, storage)
-
-        tree = SBT(factory, cache_size=cache_size)
-        tree._nodes = sbt_nodes
-        tree._leaves = sbt_leaves
-        tree._fill_min_n_below()
-        return tree
-
     @classmethod
-    def _load_v2(
-        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
+    def _load_any(
+        cls,
+        info,
+        leaf_loader,
+        dirname,
+        storage,
+        *,
+        version,
+        print_version_warning=True,
         cache_size=None,
     ):
-        nodes = {int(k): v for (k, v) in info["nodes"].items()}
+        "Version-table-driven SBT deserialization (see _LAYOUTS)."
+        layout = _LAYOUTS[version]
 
-        if nodes[0] is None:
+        if version == 1:
+            # v1 is a bare JSON list; adapt it to the dict shape
+            info = {"nodes": dict(enumerate(info)), "d": 2}
+            node_entries = info["nodes"]
+        else:
+            node_entries = {int(k): v for (k, v) in info["nodes"].items()}
+
+        leaf_entries = None
+        if layout.leaves_key:
+            leaf_entries = {int(k): v for (k, v) in info[layout.leaves_key].items()}
+            if not leaf_entries:
+                raise ValueError("Empty tree!")
+        elif version <= 2:
+            if node_entries[0] is None:
+                raise ValueError("Empty tree!")
+        elif not node_entries:
             raise ValueError("Empty tree!")
+
+        if layout.factory_from_file:
+            sample_bf = os.path.join(dirname, node_entries[0]["filename"])
+            factory = GraphFactory(*extract_nodegraph_info(sample_bf)[:3])
+        else:
+            factory = GraphFactory(*info["factory"]["args"])
 
         sbt_nodes = {}
         sbt_leaves = {}
-
-        sample_bf = os.path.join(dirname, nodes[0]["filename"])
-        k, size, ntables = extract_nodegraph_info(sample_bf)[:3]
-        factory = GraphFactory(k, size, ntables)
-
-        for k_, node in nodes.items():
-            if node is None:
-                continue
-
-            node["filename"] = os.path.join(dirname, node["filename"])
-
-            if "internal" in node["name"]:
-                node["factory"] = factory
-                sbt_nodes[k_] = Node.load(node, storage)
-            else:
-                sbt_leaves[k_] = leaf_loader(node, storage)
-
-        tree = cls(factory, d=info["d"], cache_size=cache_size)
-        tree._nodes = sbt_nodes
-        tree._leaves = sbt_leaves
-        tree._fill_min_n_below()
-        return tree
-
-    @classmethod
-    def _load_v3(
-        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
-        cache_size=None,
-    ):
-        nodes = {int(k): v for (k, v) in info["nodes"].items()}
-
-        if not nodes:
-            raise ValueError("Empty tree!")
-
-        sbt_nodes = {}
-        sbt_leaves = {}
-
-        factory = GraphFactory(*info["factory"]["args"])
-
         max_node = 0
-        for k, node in nodes.items():
-            if node is None:
-                continue
 
-            if "internal" in node["name"]:
-                node["factory"] = factory
-                sbt_nodes[k] = Node.load(node, storage)
+        def load_entry(pos, entry, *, force_internal=False, force_leaf=False):
+            nonlocal max_node
+            if layout.dir_relative:
+                entry["filename"] = os.path.join(dirname, entry["filename"])
+            if force_internal or (not force_leaf and "internal" in entry["name"]):
+                entry["factory"] = factory
+                sbt_nodes[pos] = Node.load(entry, storage)
             else:
-                sbt_leaves[k] = leaf_loader(node, storage)
+                sbt_leaves[pos] = leaf_loader(entry, storage)
+            max_node = max(max_node, pos)
 
-            max_node = max(max_node, k)
+        for pos, entry in node_entries.items():
+            if entry is None:
+                continue
+            load_entry(pos, entry, force_internal=bool(layout.leaves_key))
 
-        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
+        if leaf_entries:
+            for pos, entry in leaf_entries.items():
+                load_entry(pos, entry, force_leaf=True)
+
+        # v1/v2 trees predate the storage field and leave it unset
+        tree_storage = storage if version >= 3 else None
+        tree = cls(factory, d=info["d"], storage=tree_storage, cache_size=cache_size)
         tree._nodes = sbt_nodes
         tree._leaves = sbt_leaves
-        tree._missing_nodes = {
-            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
-        }
 
-        if print_version_warning:
+        if layout.track_missing:
+            tree._missing_nodes = {
+                i
+                for i in range(max_node)
+                if i not in sbt_nodes and i not in sbt_leaves
+            }
+        if layout.set_next_node:
+            tree.next_node = max_node
+
+        if layout.warn_old and print_version_warning:
             error(
                 "WARNING: this is an old index version, please run `sourmash migrate` to update it."
             )
@@ -797,124 +779,11 @@ class SBT(Index):
                 "WARNING: proceeding with execution, but it will take longer to finish!"
             )
 
-        tree._fill_min_n_below()
+        if layout.fill_min_n:
+            tree._fill_min_n_below()
         return tree
 
-    @classmethod
-    def _load_v4(
-        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
-        cache_size=None,
-    ):
-        nodes = {int(k): v for (k, v) in info["nodes"].items()}
-
-        if not nodes:
-            raise ValueError("Empty tree!")
-
-        sbt_nodes = {}
-        sbt_leaves = {}
-
-        factory = GraphFactory(*info["factory"]["args"])
-
-        max_node = 0
-        for k, node in nodes.items():
-            if "internal" in node["name"]:
-                node["factory"] = factory
-                sbt_nodes[k] = Node.load(node, storage)
-            else:
-                sbt_leaves[k] = leaf_loader(node, storage)
-
-            max_node = max(max_node, k)
-
-        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
-        tree._nodes = sbt_nodes
-        tree._leaves = sbt_leaves
-        tree._missing_nodes = {
-            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
-        }
-        tree.next_node = max_node
-        return tree
-
-    @classmethod
-    def _load_v5(
-        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
-        cache_size=None,
-    ):
-        nodes = {int(k): v for (k, v) in info["nodes"].items()}
-        leaves = {int(k): v for (k, v) in info["leaves"].items()}
-
-        if not leaves:
-            raise ValueError("Empty tree!")
-
-        sbt_nodes = {}
-        sbt_leaves = {}
-
-        if storage is None:
-            klass = STORAGES[info["storage"]["backend"]]
-            if info["storage"]["backend"] == "FSStorage":
-                storage = FSStorage(dirname, info["storage"]["args"]["path"])
-            else:
-                storage = klass(**info["storage"]["args"])
-
-        factory = GraphFactory(*info["factory"]["args"])
-
-        max_node = 0
-        for k, node in nodes.items():
-            node["factory"] = factory
-            sbt_nodes[k] = Node.load(node, storage)
-            max_node = max(max_node, k)
-
-        for k, node in leaves.items():
-            sbt_leaves[k] = leaf_loader(node, storage)
-            max_node = max(max_node, k)
-
-        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
-        tree._nodes = sbt_nodes
-        tree._leaves = sbt_leaves
-        tree._missing_nodes = {
-            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
-        }
-        return tree
-
-    @classmethod
-    def _load_v6(
-        cls, info, leaf_loader, dirname, storage, *, print_version_warning=True,
-        cache_size=None,
-    ):
-        nodes = {int(k): v for (k, v) in info["nodes"].items()}
-        leaves = {int(k): v for (k, v) in info["signatures"].items()}
-
-        if not leaves:
-            raise ValueError("Empty tree!")
-
-        sbt_nodes = {}
-        sbt_leaves = {}
-
-        if storage is None:
-            klass = STORAGES[info["storage"]["backend"]]
-            if info["storage"]["backend"] == "FSStorage":
-                storage = FSStorage(dirname, info["storage"]["args"]["path"])
-            else:
-                storage = klass(**info["storage"]["args"])
-
-        factory = GraphFactory(*info["factory"]["args"])
-
-        max_node = 0
-        for k, node in nodes.items():
-            node["factory"] = factory
-            sbt_nodes[k] = Node.load(node, storage)
-            max_node = max(max_node, k)
-
-        for k, node in leaves.items():
-            sbt_leaves[k] = leaf_loader(node, storage)
-            max_node = max(max_node, k)
-
-        tree = cls(factory, d=info["d"], storage=storage, cache_size=cache_size)
-        tree._nodes = sbt_nodes
-        tree._leaves = sbt_leaves
-        tree._missing_nodes = {
-            i for i in range(max_node) if i not in sbt_nodes and i not in sbt_leaves
-        }
-        return tree
+    # -- metadata maintenance ---------------------------------------------
 
     def _fill_min_n_below(self):
         "Propagate the smallest sketch size below each node up the tree."
@@ -923,14 +792,14 @@ class SBT(Index):
             original_min_n_below = node.metadata.get("min_n_below", sys.maxsize)
             min_n_below = original_min_n_below
 
-            children = kwargs["children"]
-            for child in children:
-                if child.node is not None:
-                    if isinstance(child.node, Leaf):
-                        min_n_below = min(len(child.node.data.minhash), min_n_below)
-                    else:
-                        child_n = child.node.metadata.get("min_n_below", sys.maxsize)
-                        min_n_below = min(child_n, min_n_below)
+            for child in kwargs["children"]:
+                if child.node is None:
+                    continue
+                if isinstance(child.node, Leaf):
+                    min_n_below = min(len(child.node.data.minhash), min_n_below)
+                else:
+                    child_n = child.node.metadata.get("min_n_below", sys.maxsize)
+                    min_n_below = min(child_n, min_n_below)
 
             if min_n_below == 0:
                 min_n_below = 1
@@ -954,12 +823,11 @@ class SBT(Index):
 
             was_missing = False
             if parent.node is None:
-                if parent.pos in self._missing_nodes:
-                    self._rebuild_node(parent.pos)
-                    parent = self.parent(node_p)
-                    was_missing = True
-                else:
+                if parent.pos not in self._missing_nodes:
                     continue
+                self._rebuild_node(parent.pos)
+                parent = self.parent(node_p)
+                was_missing = True
 
             siblings = self.children(parent.pos)
 
@@ -1005,8 +873,51 @@ class SBT(Index):
         return self
 
 
-class Node:
+def _storage_from_info(storage_info, dirname):
+    "Instantiate the storage backend recorded in an SBT's JSON description."
+    klass = STORAGES[storage_info["backend"]]
+    if storage_info["backend"] == "FSStorage":
+        return FSStorage(dirname, storage_info["args"]["path"])
+    return klass(**storage_info["args"])
+
+
+class _StoredGraph:
+    """Shared lazy-load/unload/save behavior for tree nodes whose payload
+    is a Nodegraph blob in a storage backend."""
+
+    _save_overwrite = False
+
+    @property
+    def data(self):
+        if self._data is None:
+            self._data = self._materialize()
+        return self._data
+
+    @data.setter
+    def data(self, new_data):
+        self._data = new_data
+
+    def _materialize(self):
+        return Nodegraph.from_buffer(self.storage.load(self._path))
+
+    def unload(self):
+        if self.storage:
+            self._data = None
+
+    def save(self, path):
+        buf = self.data.to_bytes(compression=1)
+        if self._save_overwrite:
+            return self.storage.save(path, buf, overwrite=True)
+        return self.storage.save(path, buf)
+
+    def update(self, parent):
+        parent.data.update(self.data)
+
+
+class Node(_StoredGraph):
     "Internal node of SBT (a Bloom filter over all hashes below)."
+
+    _save_overwrite = True
 
     def __init__(self, factory, name=None, path=None, storage=None):
         self.name = name
@@ -1022,27 +933,10 @@ class Node:
             f"fpr: {calc_expected_collisions(self.data, True, 1.1):.2}]"
         )
 
-    def save(self, path):
-        buf = self.data.to_bytes(compression=1)
-        return self.storage.save(path, buf, overwrite=True)
-
-    @property
-    def data(self):
-        if self._data is None:
-            if self._path is None:
-                self._data = self._factory()
-            else:
-                data = self.storage.load(self._path)
-                self._data = Nodegraph.from_buffer(data)
-        return self._data
-
-    @data.setter
-    def data(self, new_data):
-        self._data = new_data
-
-    def unload(self):
-        if self.storage:
-            self._data = None
+    def _materialize(self):
+        if self._path is None:
+            return self._factory()
+        return super()._materialize()
 
     @staticmethod
     def load(info, storage=None):
@@ -1053,7 +947,7 @@ class Node:
         return new_node
 
     def update(self, parent):
-        parent.data.update(self.data)
+        super().update(parent)
         if "min_n_below" in self.metadata:
             min_n_below = min(
                 parent.metadata.get("min_n_below", sys.maxsize),
@@ -1064,7 +958,7 @@ class Node:
             parent.metadata["min_n_below"] = min_n_below
 
 
-class Leaf:
+class Leaf(_StoredGraph):
     "Leaf node holding a Bloom filter (or, via SigLeaf, a signature)."
 
     def __init__(self, metadata, data=None, name=None, storage=None, path=None):
@@ -1088,28 +982,6 @@ class Leaf:
     def make_manifest_row(self, location):
         return None
 
-    @property
-    def data(self):
-        if self._data is None:
-            data = self.storage.load(self._path)
-            self._data = Nodegraph.from_buffer(data)
-        return self._data
-
-    @data.setter
-    def data(self, new_data):
-        self._data = new_data
-
-    def unload(self):
-        if self.storage:
-            self._data = None
-
-    def save(self, path):
-        buf = self.data.to_bytes(compression=1)
-        return self.storage.save(path, buf)
-
-    def update(self, parent):
-        parent.data.update(self.data)
-
     @classmethod
     def load(cls, info, storage=None):
         return cls(
@@ -1117,35 +989,56 @@ class Leaf:
         )
 
 
+# per-class wrappers kept for reference API familiarity
+def _make_versioned_loader(version):
+    def loader(cls, info, leaf_loader, dirname, storage, *, print_version_warning=True, cache_size=None):
+        return cls._load_any(
+            info, leaf_loader, dirname, storage,
+            version=version,
+            print_version_warning=print_version_warning,
+            cache_size=cache_size,
+        )
+    return classmethod(loader)
+
+
+for _v in _LAYOUTS:
+    setattr(SBT, f"_load_v{_v}", _make_versioned_loader(_v))
+
+
+_CONVERT_BACKENDS = {
+    "ipfs": IPFSStorage,
+    "ipfsstorage": IPFSStorage,
+    "redis": RedisStorage,
+    "redisstorage": RedisStorage,
+    "zip": ZipStorage,
+    "zipstorage": ZipStorage,
+    "fs": FSStorage,
+    "fsstorage": FSStorage,
+}
+
+
 def convert_cmd(name, backend):
     """Convert an SBT to use a different storage back end (reference
     `sbt.py:1554-1596`). zip and fs backends are supported; ipfs/redis
     require client libraries not present in this environment."""
     from .sbtmh import SigLeaf
-    from .sbt_storage import FSStorage, ZipStorage, IPFSStorage, RedisStorage
 
     options = backend.split("(")
-    backend = options.pop(0)
-    backend = backend.lower().strip("'")
+    backend_name = options.pop(0).lower().strip("'")
 
     kwargs = {}
-
     if options:
-        options = options[0].split(")")
         # the option is passed shell-quoted, e.g. 'ZipStorage("/path.zip")'
-        options = [options.pop(0).strip("\"'")]
-    else:
-        options = []
+        options = [options[0].split(")")[0].strip("\"'")]
 
-    if backend in ("ipfs", "ipfsstorage"):
-        backend = IPFSStorage
-    elif backend in ("redis", "redisstorage"):
-        backend = RedisStorage
-    elif backend in ("zip", "zipstorage"):
-        backend = ZipStorage
+    klass = _CONVERT_BACKENDS.get(backend_name)
+    if klass is None:
+        error(f"backend not recognized: {backend_name}")
+        return 1
+
+    if klass is ZipStorage:
         kwargs["mode"] = "w"
-    elif backend in ("fs", "fsstorage"):
-        backend = FSStorage
+    elif klass is FSStorage:
         if options:
             options = [os.path.dirname(options[0]), os.path.basename(options[0])]
         else:
@@ -1153,12 +1046,8 @@ def convert_cmd(name, backend):
             tag = ".sbt." + os.path.basename(name)
             if tag.endswith(".sbt.json"):
                 tag = tag[:-9]
-            path = os.path.dirname(name)
-            options = [path, tag]
-    else:
-        error(f"backend not recognized: {backend}")
-        return 1
+            options = [os.path.dirname(name), tag]
 
-    with backend(*options, **kwargs) as storage:
+    with klass(*options, **kwargs) as storage:
         sbt = SBT.load(name, leaf_loader=SigLeaf.load)
         sbt.save(name, storage=storage)
