@@ -4,6 +4,10 @@ Format + behavior parity: reference `src/sourmash/index/sqlite_index.py`
 (SqliteIndex:188, SqliteCollectionManifest:625, LCA_SqliteDatabase:1017;
 schema: `sourmash_hashes`/`sourmash_sketches`/`sourmash_internal` tables,
 hashes > 2^63-1 stored as wrapped signed ints).
+
+Shared plumbing lives at module level: `_hash_window` builds the
+bounded-hashval WHERE fragment used by every reverse-index query, and
+`_minhash_for` materializes a MinHash from stored sketch parameters.
 """
 
 from __future__ import annotations
@@ -12,6 +16,8 @@ import itertools
 import os
 import sqlite3
 from collections import defaultdict
+
+import numpy as np
 
 from .. import sqlite_utils
 from ..exceptions import IndexNotSupported
@@ -41,6 +47,46 @@ def convert_hash_from(x):
     return x + 2**64 if x < 0 else x
 
 
+def _hash_window(max_hash, *, table="sourmash_hashes"):
+    """WHERE fragment + values restricting hashval to [0, max_hash].
+
+    Stored hashes above 2^63-1 wrap negative, so the restriction only
+    works (and is only needed) when max_hash fits in a signed int; above
+    that every row qualifies and the fragment is empty."""
+    if max_hash <= MAX_SQLITE_INT:
+        return [f"{table}.hashval >= 0 AND {table}.hashval <= ?"], [max_hash]
+    return [], []
+
+
+def _minhash_for(*, ksize, scaled, moltype, seed):
+    "An empty scaled MinHash matching stored sketch parameters."
+    return MinHash(
+        n=0,
+        ksize=ksize,
+        scaled=scaled,
+        seed=seed,
+        is_protein=moltype == "protein",
+        dayhoff=moltype == "dayhoff",
+        hp=moltype == "hp",
+    )
+
+
+def _fetched_hashvals(cursor):
+    "Drain a hashval query into a uint64 array (unwrapping negatives)."
+    return np.fromiter(
+        (convert_hash_from(hashval) for (hashval,) in cursor), dtype=np.uint64
+    )
+
+
+def _versioned_flag(internal_d, key, what):
+    "True if `key` is present at version 1.0; raise on other versions."
+    if key not in internal_d:
+        return False
+    if internal_d[key] != "1.0":
+        raise IndexNotSupported(f"unsupported {what} version")
+    return True
+
+
 def load_sqlite_index(filename, *, request_manifest=False):
     """Load a SqliteIndex, standalone sqlite manifest, or LCA_SqliteDatabase
     from filename, depending on which tables are present."""
@@ -56,52 +102,36 @@ def load_sqlite_index(filename, *, request_manifest=False):
     except (sqlite3.OperationalError, sqlite3.DatabaseError):
         internal_d = {}
 
-    is_index = False
-    is_manifest = False
-    is_lca_db = False
-
-    if "SqliteIndex" in internal_d:
-        if internal_d["SqliteIndex"] != "1.0":
-            raise IndexNotSupported("unsupported SqliteIndex version")
-        is_index = True
+    is_index = _versioned_flag(internal_d, "SqliteIndex", "SqliteIndex")
+    if is_index:
         debug_literal("load_sqlite_index: it's an index!")
 
-    if is_index and "SqliteLineage" in internal_d:
-        if internal_d["SqliteLineage"] != "1.0":
-            raise IndexNotSupported("unsupported SqliteLineage version")
-        is_lca_db = True
+    is_lca_db = is_index and _versioned_flag(
+        internal_d, "SqliteLineage", "SqliteLineage"
+    )
+    if is_lca_db:
         debug_literal("load_sqlite_index: it's got a lineage table!")
 
-    if "SqliteManifest" in internal_d:
-        if internal_d["SqliteManifest"] != "1.0":
-            raise IndexNotSupported("unsupported SqliteManifest version")
-        is_manifest = True
+    is_manifest = _versioned_flag(internal_d, "SqliteManifest", "SqliteManifest")
 
     if is_index or is_lca_db:
         assert is_manifest
 
-    idx = None
     if is_index and not request_manifest:
         conn.close()
-
         if is_lca_db:
             debug_literal("load_sqlite_index: returning LCA_SqliteDatabase")
-            idx = LCA_SqliteDatabase.load(filename)
-        else:
-            debug_literal("load_sqlite_index: returning SqliteIndex")
-            idx = SqliteIndex(filename)
-    elif is_manifest:
-        managed_by_index = False
-        if is_index:
-            assert request_manifest
-            managed_by_index = True
+            return LCA_SqliteDatabase.load(filename)
+        debug_literal("load_sqlite_index: returning SqliteIndex")
+        return SqliteIndex(filename)
 
+    if is_manifest:
+        mf = SqliteCollectionManifest(conn, managed_by_index=is_index)
         prefix = os.path.dirname(filename)
-        mf = SqliteCollectionManifest(conn, managed_by_index=managed_by_index)
-        idx = StandaloneManifestIndex(mf, filename, prefix=prefix)
         debug_literal("load_sqlite_index: returning StandaloneManifestIndex")
+        return StandaloneManifestIndex(mf, filename, prefix=prefix)
 
-    return idx
+    return None
 
 
 class SqliteIndex(Index):
@@ -128,10 +158,7 @@ class SqliteIndex(Index):
                 "this database has multiple scaled values, which is not currently allowed"
             )
 
-        if scaled_vals:
-            self.scaled = scaled_vals[0][0]
-        else:
-            self.scaled = None
+        self.scaled = scaled_vals[0][0] if scaled_vals else None
 
     @classmethod
     def _open(cls, dbfile, *, empty_ok=True):
@@ -211,6 +238,10 @@ class SqliteIndex(Index):
     def __len__(self):
         return len(self.manifest)
 
+    @property
+    def location(self):
+        return self.dbfile
+
     def insert(self, ss, *, cursor=None, commit=True):
         "Insert a signature; hashes go into the reverse index."
         c = cursor if cursor else self.conn.cursor()
@@ -235,20 +266,13 @@ class SqliteIndex(Index):
         c.execute("SELECT last_insert_rowid()")
         (sketch_id,) = c.fetchone()
 
-        hashes_to_sketch = [
-            (convert_hash_to(h), sketch_id) for h in ss.minhash.hashes
-        ]
         c.executemany(
             "INSERT INTO sourmash_hashes (hashval, sketch_id) VALUES (?, ?)",
-            hashes_to_sketch,
+            [(convert_hash_to(h), sketch_id) for h in ss.minhash.hashes],
         )
 
         if commit:
             self.conn.commit()
-
-    @property
-    def location(self):
-        return self.dbfile
 
     def signatures(self):
         for ss, loc in self.signatures_with_location():
@@ -277,13 +301,13 @@ class SqliteIndex(Index):
         c1 = self.conn.cursor()
         c2 = self.conn.cursor()
 
+        query_size = len(query_mh)
         for sketch_id, n_matching_hashes in self._get_matching_sketches(
             c1, query_mh.hashes, query_mh._max_hash
         ):
-            query_size = len(query_mh)
             subj_size = self._load_sketch_size(c2, sketch_id, query_mh._max_hash)
-            total_size = query_size + subj_size - n_matching_hashes
             shared_size = n_matching_hashes
+            total_size = query_size + subj_size - shared_size
 
             score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
 
@@ -314,18 +338,13 @@ class SqliteIndex(Index):
     # -- SQL helpers -------------------------------------------------------
 
     def _load_sketch_size(self, c1, sketch_id, max_hash):
-        if max_hash <= MAX_SQLITE_INT:
-            c1.execute(
-                """
-            SELECT COUNT(hashval) FROM sourmash_hashes
-            WHERE sketch_id=? AND hashval >= 0 AND hashval <= ?""",
-                (sketch_id, max_hash),
-            )
-        else:
-            c1.execute(
-                "SELECT COUNT(hashval) FROM sourmash_hashes WHERE sketch_id=?",
-                (sketch_id,),
-            )
+        "Number of a sketch's hashes within [0, max_hash]."
+        window, values = _hash_window(max_hash)
+        where = " AND ".join(["sketch_id=?"] + window)
+        c1.execute(
+            f"SELECT COUNT(hashval) FROM sourmash_hashes WHERE {where}",
+            [sketch_id] + values,
+        )
         (n_hashes,) = c1.fetchone()
         return n_hashes
 
@@ -342,37 +361,15 @@ class SqliteIndex(Index):
         if match_scaled is not None:
             scaled = max(scaled, match_scaled)
 
-        mh = MinHash(
-            n=0,
-            ksize=ksize,
-            scaled=scaled,
-            seed=seed,
-            is_protein=moltype == "protein",
-            dayhoff=moltype == "dayhoff",
-            hp=moltype == "hp",
-        )
+        mh = _minhash_for(ksize=ksize, scaled=scaled, moltype=moltype, seed=seed)
 
-        template_values = [sketch_id]
-
-        hash_constraint_str = ""
-        max_hash = mh._max_hash
-        if max_hash <= MAX_SQLITE_INT:
-            hash_constraint_str = (
-                "sourmash_hashes.hashval >= 0 AND sourmash_hashes.hashval <= ? AND"
-            )
-            template_values.insert(0, max_hash)
-
+        window, values = _hash_window(mh._max_hash)
+        where = " AND ".join(window + ["sourmash_hashes.sketch_id=?"])
         c.execute(
-            f"SELECT hashval FROM sourmash_hashes WHERE {hash_constraint_str} sourmash_hashes.sketch_id=?",
-            template_values,
+            f"SELECT hashval FROM sourmash_hashes WHERE {where}",
+            values + [sketch_id],
         )
-
-        import numpy as np
-
-        vals = np.fromiter(
-            (convert_hash_from(hashval) for (hashval,) in c), dtype=np.uint64
-        )
-        mh.add_many(vals)
+        mh.add_many(_fetched_hashvals(c))
 
         return SourmashSignature(mh, name=name, filename=filename)
 
@@ -382,27 +379,17 @@ class SqliteIndex(Index):
             sketch_id = row["_id"]
             assert row["num"] == 0
 
-            moltype = row["moltype"]
-            mh = MinHash(
-                n=0,
+            mh = _minhash_for(
                 ksize=row["ksize"],
                 scaled=row["scaled"],
+                moltype=row["moltype"],
                 seed=row["seed"],
-                is_protein=moltype == "protein",
-                dayhoff=moltype == "dayhoff",
-                hp=moltype == "hp",
             )
 
             c.execute(
                 "SELECT hashval FROM sourmash_hashes WHERE sketch_id=?", (sketch_id,)
             )
-
-            import numpy as np
-
-            vals = np.fromiter(
-                (convert_hash_from(hashval) for (hashval,) in c), dtype=np.uint64
-            )
-            mh.add_many(vals)
+            mh.add_many(_fetched_hashvals(c))
 
             ss = SourmashSignature(mh, name=row["name"], filename=row["filename"])
             yield ss, self.dbfile, sketch_id
@@ -414,36 +401,41 @@ class SqliteIndex(Index):
         c.execute(
             "CREATE TEMPORARY TABLE sourmash_hash_query (hashval INTEGER PRIMARY KEY)"
         )
-
-        hashvals = [(convert_hash_to(h),) for h in hashes]
         c.executemany(
-            "INSERT OR IGNORE INTO sourmash_hash_query (hashval) VALUES (?)", hashvals
+            "INSERT OR IGNORE INTO sourmash_hash_query (hashval) VALUES (?)",
+            [(convert_hash_to(h),) for h in hashes],
         )
 
-        conditions = []
-        template_values = []
-
-        max_hash = min(max_hash, max(hashes))
-        if max_hash <= MAX_SQLITE_INT:
-            conditions.append(
-                "sourmash_hashes.hashval >= 0 AND sourmash_hashes.hashval <= ?"
-            )
-            template_values.append(max_hash)
-
+        conditions, template_values = _hash_window(min(max_hash, max(hashes)))
         conditions.append("sourmash_hashes.hashval=sourmash_hash_query.hashval")
-        conditions = " AND ".join(conditions)
 
         c.execute(
             f"""
         SELECT DISTINCT sourmash_hashes.sketch_id,COUNT(sourmash_hashes.hashval) as CNT
         FROM sourmash_hashes, sourmash_hash_query
-        WHERE {conditions}
+        WHERE {" AND ".join(conditions)}
         GROUP BY sourmash_hashes.sketch_id ORDER BY CNT DESC
         """,
             template_values,
         )
 
         return c
+
+
+# column order of the sourmash_sketches SELECTs used by `rows`
+_SKETCH_COLUMNS = (
+    "id",
+    "name",
+    "md5sum",
+    "num",
+    "scaled",
+    "ksize",
+    "filename",
+    "moltype",
+    "seed",
+    "n_hashes",
+    "internal_location",
+)
 
 
 class SqliteCollectionManifest(BaseCollectionManifest):
@@ -456,19 +448,19 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         self.managed_by_index = managed_by_index
         self._num_rows = None
 
+    # -- construction ------------------------------------------------------
+
     @classmethod
     def create(cls, filename):
         conn = sqlite3.connect(filename)
-        cursor = conn.cursor()
-        cls._create_tables(cursor)
+        cls._create_tables(conn.cursor())
         return cls(conn)
 
     @classmethod
     def create_or_open(cls, filename):
         conn = sqlite3.connect(filename)
-        cursor = conn.cursor()
         try:
-            cls._create_tables(cursor)
+            cls._create_tables(conn.cursor())
         except sqlite3.OperationalError:
             pass
         return cls(conn)
@@ -481,11 +473,30 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
     @classmethod
     def create_manifest(cls, locations_iter, *, include_signature=False):
-        def rows_iter():
-            for ss, location in locations_iter:
-                yield cls.make_manifest_row(ss, location, include_signature=False)
+        rows = (
+            cls.make_manifest_row(ss, location, include_signature=False)
+            for ss, location in locations_iter
+        )
+        return cls._create_manifest_from_rows(rows)
 
-        return cls._create_manifest_from_rows(rows_iter())
+    @classmethod
+    def _create_manifest_from_rows(cls, rows_iter, *, location=":memory:", append=False):
+        try:
+            mf = cls.create(location)
+        except (sqlite3.OperationalError, sqlite3.DatabaseError) as exc:
+            if not append:
+                raise Exception(
+                    f"cannot create sqlite3 db at '{location}'; exception: {str(exc)}"
+                )
+            db = load_sqlite_index(location, request_manifest=True)
+            mf = db.manifest
+
+        cursor = mf.conn.cursor()
+        for row in rows_iter:
+            mf._insert_row(cursor, row)
+
+        mf.conn.commit()
+        return mf
 
     @classmethod
     def _create_tables(cls, cursor):
@@ -510,17 +521,17 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         """
         )
 
+    # -- row insertion -------------------------------------------------------
+
     def add_row(self, row):
-        c = self.conn.cursor()
-        self._insert_row(c, row)
+        self._insert_row(self.conn.cursor(), row)
 
     def _insert_row(self, cursor, row, *, call_is_from_index=False):
         if self.managed_by_index and not call_is_from_index:
             raise Exception("must use SqliteIndex.insert to add to this manifest")
 
         row = dict(row)
-        if "seed" not in row:
-            row["seed"] = 42
+        row.setdefault("seed", 42)
 
         cursor.execute(
             """
@@ -535,14 +546,12 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
         self._num_rows = None
 
+    # -- container protocol --------------------------------------------------
+
     def __bool__(self):
         if self._num_rows is not None:
             return bool(self._num_rows)
-        try:
-            next(iter(self.rows))
-            return True
-        except StopIteration:
-            return False
+        return next(iter(self.rows), None) is not None
 
     def __eq__(self, other):
         for a, b in itertools.zip_longest(self.rows, other.rows):
@@ -552,9 +561,8 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         return True
 
     def __len__(self):
-        if self._num_rows is not None:
-            return self._num_rows
-        self._num_rows = sum(1 for _ in self.rows)
+        if self._num_rows is None:
+            self._num_rows = sum(1 for _ in self.rows)
         return self._num_rows
 
     def __iadd__(self, other):
@@ -569,8 +577,22 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         new_mf += other
         return new_mf
 
+    def __contains__(self, ss):
+        c = self.conn.cursor()
+        c.execute(
+            "SELECT COUNT(*) FROM sourmash_sketches WHERE md5sum=?", (ss.md5sum(),)
+        )
+        (val,) = c.fetchone()
+
+        if bool(val):
+            picklist = self.picklist
+            return picklist is None or ss in self.picklist
+        return False
+
     def close(self):
         self.conn.commit()
+
+    # -- selection -----------------------------------------------------------
 
     def _make_select(self):
         "Build SQL WHERE conditions + values + picklist from selection_dict."
@@ -579,16 +601,14 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         picklist = None
         if self.selection_dict:
             select_d = self.selection_dict
-            if "ksize" in select_d and select_d["ksize"]:
+            if select_d.get("ksize"):
                 conditions.append("sourmash_sketches.ksize = ?")
                 values.append(select_d["ksize"])
-            if "num" in select_d and select_d["num"] and select_d["num"] > 0:
+            if (select_d.get("num") or 0) > 0:
                 conditions.append("sourmash_sketches.num > 0")
-            if "scaled" in select_d and select_d["scaled"] and select_d["scaled"] > 0:
+            if (select_d.get("scaled") or 0) > 0 or select_d.get("containment"):
                 conditions.append("sourmash_sketches.scaled > 0")
-            if "containment" in select_d and select_d["containment"]:
-                conditions.append("sourmash_sketches.scaled > 0")
-            if "moltype" in select_d and select_d["moltype"] is not None:
+            if select_d.get("moltype") is not None:
                 moltype = select_d["moltype"]
                 assert moltype in ("DNA", "protein", "dayhoff", "hp"), moltype
                 conditions.append(f"sourmash_sketches.moltype = '{moltype}'")
@@ -609,103 +629,59 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
         new_mf = SqliteCollectionManifest(self.conn, selection_dict=kwargs)
 
-        picklist = kwargs.get("picklist")
-        if picklist is not None:
+        if kwargs.get("picklist") is not None:
             _ = len(self)  # forces iteration, filling picklist.found
 
         return new_mf
 
+    def _selected_sketch_query(self, columns):
+        "SELECT the given columns under the current selection conditions."
+        c1 = self.conn.cursor()
+        conditions, values, picklist = self._make_select()
+        where = f"WHERE {' AND '.join(conditions)}" if conditions else ""
+        c1.execute(f"SELECT {columns} FROM sourmash_sketches {where}", values)
+        return c1, picklist
+
     @property
     def rows(self):
-        c1 = self.conn.cursor()
+        c1, picklist = self._selected_sketch_query(", ".join(_SKETCH_COLUMNS))
 
-        conditions, values, picklist = self._make_select()
-        if conditions:
-            conditions = "WHERE " + " AND ".join(conditions)
-        else:
-            conditions = ""
-
-        c1.execute(
-            f"""
-        SELECT id, name, md5sum, num, scaled, ksize, filename, moltype,
-        seed, n_hashes, internal_location FROM sourmash_sketches {conditions}
-        """,
-            values,
-        )
-
-        for (
-            _id,
-            name,
-            md5sum,
-            num,
-            scaled,
-            ksize,
-            filename,
-            moltype,
-            seed,
-            n_hashes,
-            iloc,
-        ) in c1:
+        for values in c1:
+            stored = dict(zip(_SKETCH_COLUMNS, values))
             row = dict(
-                num=num,
-                scaled=scaled,
-                name=name,
-                filename=filename,
-                n_hashes=n_hashes,
+                num=stored["num"],
+                scaled=stored["scaled"],
+                name=stored["name"],
+                filename=stored["filename"],
+                n_hashes=stored["n_hashes"],
                 with_abundance=False,
-                ksize=ksize,
-                md5=md5sum,
-                internal_location=iloc,
-                moltype=moltype,
-                md5short=md5sum[:8],
-                seed=seed,
-                _id=_id,
+                ksize=stored["ksize"],
+                md5=stored["md5sum"],
+                internal_location=stored["internal_location"],
+                moltype=stored["moltype"],
+                md5short=stored["md5sum"][:8],
+                seed=stored["seed"],
+                _id=stored["id"],
             )
             if picklist is None or picklist.matches_manifest_row(row):
                 yield row
 
-    def filter_rows(self, row_filter_fn):
-        def rows_iter():
-            for row in self.rows:
-                if row_filter_fn(row):
-                    yield row
+    def locations(self):
+        "All possible internal locations (may be a superset under picklists)."
+        c1, _ = self._selected_sketch_query("DISTINCT internal_location")
+        return (iloc for (iloc,) in c1)
 
-        return self._create_manifest_from_rows(rows_iter())
+    def filter_rows(self, row_filter_fn):
+        return self._create_manifest_from_rows(
+            row for row in self.rows if row_filter_fn(row)
+        )
 
     def filter_on_columns(self, col_filter_fn, col_names):
         def row_filter_fn(row):
-            x = [row[col] for col in col_names if row[col] is not None]
-            return col_filter_fn(x)
+            vals = [row[col] for col in col_names if row[col] is not None]
+            return col_filter_fn(vals)
 
         return self.filter_rows(row_filter_fn)
-
-    def locations(self):
-        "All possible internal locations (may be a superset under picklists)."
-        c1 = self.conn.cursor()
-
-        conditions, values, picklist = self._make_select()
-        if conditions:
-            conditions = "WHERE " + " AND ".join(conditions)
-        else:
-            conditions = ""
-
-        c1.execute(
-            f"SELECT DISTINCT internal_location FROM sourmash_sketches {conditions}",
-            values,
-        )
-
-        return (iloc for (iloc,) in c1)
-
-    def __contains__(self, ss):
-        md5 = ss.md5sum()
-        c = self.conn.cursor()
-        c.execute("SELECT COUNT(*) FROM sourmash_sketches WHERE md5sum=?", (md5,))
-        (val,) = c.fetchone()
-
-        if bool(val):
-            picklist = self.picklist
-            return picklist is None or ss in self.picklist
-        return False
 
     @property
     def picklist(self):
@@ -717,25 +693,6 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         pl = SignaturePicklist("manifest")
         pl.pickset = {pl._get_value_for_manifest_row(row) for row in self.rows}
         return pl
-
-    @classmethod
-    def _create_manifest_from_rows(cls, rows_iter, *, location=":memory:", append=False):
-        try:
-            mf = cls.create(location)
-        except (sqlite3.OperationalError, sqlite3.DatabaseError) as exc:
-            if not append:
-                raise Exception(
-                    f"cannot create sqlite3 db at '{location}'; exception: {str(exc)}"
-                )
-            db = load_sqlite_index(location, request_manifest=True)
-            mf = db.manifest
-
-        cursor = mf.conn.cursor()
-        for row in rows_iter:
-            mf._insert_row(cursor, row)
-
-        mf.conn.commit()
-        return mf
 
 
 class LCA_SqliteDatabase(SqliteIndex):
@@ -772,8 +729,7 @@ class LCA_SqliteDatabase(SqliteIndex):
         except sqlite3.OperationalError:
             raise ValueError(f"cannot open '{filename}' as a SQLite index.")
 
-        lineage_db = LineageDB_Sqlite(obj.conn)
-        obj.lineage_db = lineage_db
+        obj.lineage_db = LineageDB_Sqlite(obj.conn)
         obj._build_index()
 
         return obj
@@ -796,36 +752,35 @@ class LCA_SqliteDatabase(SqliteIndex):
 
     def _build_index(self):
         "Build identifier <-> lineage mappings from manifest + lineage db."
-        mf = self.manifest
-        lineage_db = self.lineage_db
-
         ident_to_idx = {}
         next_lid = 0
         idx_to_lid = {}
         lineage_to_lid = {}
         lid_to_lineage = {}
 
-        for row in mf.rows:
+        for row in self.manifest.rows:
             name = row["name"]
-            if name:
-                ident = name.split(" ")[0]
+            if not name:
+                continue
 
-                lineage = lineage_db.get(ident)
-                if lineage is None:
-                    ident = name.split(".")[0]
-                    lineage = lineage_db.get(ident)
+            # look up by the space-split identifier, then by version-stripped
+            ident = name.split(" ")[0]
+            lineage = self.lineage_db.get(ident)
+            if lineage is None:
+                ident = name.split(".")[0]
+                lineage = self.lineage_db.get(ident)
 
-                idx = row["_id"]
-                ident_to_idx[ident] = idx
+            idx = row["_id"]
+            ident_to_idx[ident] = idx
 
-                if lineage:
-                    lid = lineage_to_lid.get(lineage)
-                    if lid is None:
-                        lid = next_lid
-                        next_lid += 1
-                        lineage_to_lid[lineage] = lid
-                        lid_to_lineage[lid] = lineage
-                    idx_to_lid[idx] = lid
+            if lineage:
+                lid = lineage_to_lid.get(lineage)
+                if lid is None:
+                    lid = next_lid
+                    next_lid += 1
+                    lineage_to_lid[lineage] = lid
+                    lid_to_lineage[lid] = lineage
+                idx_to_lid[idx] = lid
 
         self.ident_to_idx = ident_to_idx
         self.idx_to_lid = idx_to_lid
@@ -848,14 +803,16 @@ class LCA_SqliteDatabase(SqliteIndex):
         self.scaled = scaled
 
     def get_lineage_assignments(self, hashval, *, min_num=None):
-        x = []
         idx_list = self.hashval_to_idx.get(hashval, [])
-        if min_num is None or len(idx_list) >= min_num:
-            for idx in idx_list:
-                lid = self.idx_to_lid.get(idx, None)
-                if lid is not None:
-                    x.append(self.lid_to_lineage[lid])
-        return x
+        if min_num is not None and len(idx_list) < min_num:
+            return []
+
+        lineages = []
+        for idx in idx_list:
+            lid = self.idx_to_lid.get(idx, None)
+            if lid is not None:
+                lineages.append(self.lid_to_lineage[lid])
+        return lineages
 
     @cached_property
     def idx_to_ident(self):
@@ -892,10 +849,12 @@ class _SqliteIndexHashvalToIndex:
 
     def get(self, key, dv=None):
         c = self.sqlidx.cursor()
-        hh = convert_hash_to(key)
-        c.execute("SELECT sketch_id FROM sourmash_hashes WHERE hashval=?", (hh,))
-        x = [sketch_id for (sketch_id,) in c]
-        return x or dv
+        c.execute(
+            "SELECT sketch_id FROM sourmash_hashes WHERE hashval=?",
+            (convert_hash_to(key),),
+        )
+        ids = [sketch_id for (sketch_id,) in c]
+        return ids or dv
 
     def __getitem__(self, key):
         v = self.get(key)
