@@ -28,26 +28,32 @@ from .save_load import SaveSignaturesToLocation, load_file_as_index, _load_datab
 DEFAULT_LOAD_K = 31
 
 
+# ---------------------------------------------------------------------------
+# argument checking / selector parsing
+# ---------------------------------------------------------------------------
+
+
+def _bounded_arg(value, *, what, low, high, low_warn, high_warn):
+    "Validate a sketch-parameter argument, warning outside the sane range."
+    if value < 0:
+        raise argparse.ArgumentTypeError(f"ERROR: {what} value must be positive")
+    if value < low:
+        notify(f"WARNING: {what} value should be >= {low_warn}. Continuing anyway.")
+    if value > high:
+        notify(f"WARNING: {what} value should be <= {high_warn}. Continuing anyway.")
+    return value
+
+
 def check_scaled_bounds(arg):
-    f = float(arg)
-    if f < 0:
-        raise argparse.ArgumentTypeError("ERROR: scaled value must be positive")
-    if f < 100:
-        notify("WARNING: scaled value should be >= 100. Continuing anyway.")
-    if f > 1e6:
-        notify("WARNING: scaled value should be <= 1e6. Continuing anyway.")
-    return f
+    return _bounded_arg(
+        float(arg), what="scaled", low=100, high=1e6, low_warn="100", high_warn="1e6"
+    )
 
 
 def check_num_bounds(arg):
-    f = int(arg)
-    if f < 0:
-        raise argparse.ArgumentTypeError("ERROR: num value must be positive")
-    if f < 50:
-        notify("WARNING: num value should be >= 50. Continuing anyway.")
-    if f > 50000:
-        notify("WARNING: num value should be <= 50000. Continuing anyway.")
-    return f
+    return _bounded_arg(
+        int(arg), what="num", low=50, high=50000, low_warn="50", high_warn="50000"
+    )
 
 
 def get_moltype(sig, require=False):
@@ -57,56 +63,53 @@ def get_moltype(sig, require=False):
     raise ValueError(f"unknown molecule type for sig {sig}")
 
 
+# CLI flag name -> canonical molecule type
+_MOLTYPE_FLAGS = (
+    ("dna", "DNA"),
+    ("dayhoff", "dayhoff"),
+    ("hp", "hp"),
+    ("protein", "protein"),
+)
+
+
 def calculate_moltype(args, default=None):
     "Derive moltype from --dna/--protein/--dayhoff/--hp flags."
-    moltype = default
-    n = 0
-    if getattr(args, "dna", False):
-        moltype = "DNA"
-        n += 1
-    if getattr(args, "dayhoff", False):
-        moltype = "dayhoff"
-        n += 1
-    if getattr(args, "hp", False):
-        moltype = "hp"
-        n += 1
-    if getattr(args, "protein", False):
-        moltype = "protein"
-        n += 1
+    chosen = [mt for flag, mt in _MOLTYPE_FLAGS if getattr(args, flag, False)]
 
-    if n > 1:
+    if len(chosen) > 1:
         error(
             "cannot specify more than one of --dna/--rna/--nucleotide/--protein/--hp/--dayhoff"
         )
         sys.exit(-1)
 
-    return moltype
+    return chosen[0] if chosen else default
 
 
 def load_picklist(args):
     "Load a SignaturePicklist from --picklist arguments."
-    picklist = None
-    if args.picklist:
-        try:
-            picklist = SignaturePicklist.from_picklist_args(args.picklist)
-            notify(
-                f"picking column '{picklist.column_name}' of type '{picklist.coltype}' from '{picklist.pickfile}'"
-            )
-            n_empty_val, dup_vals = picklist.load()
-        except ValueError as exc:
-            error("ERROR: could not load picklist.")
-            error(str(exc))
-            sys.exit(-1)
+    if not args.picklist:
+        return None
 
-        notify(f"loaded {len(picklist.pickset)} distinct values into picklist.")
-        if n_empty_val:
-            notify(
-                f"WARNING: {n_empty_val} empty values in column '{picklist.column_name}' in picklist file"
-            )
-        if dup_vals:
-            notify(
-                f"WARNING: {len(dup_vals)} values in picklist column '{picklist.column_name}' were not distinct"
-            )
+    try:
+        picklist = SignaturePicklist.from_picklist_args(args.picklist)
+        notify(
+            f"picking column '{picklist.column_name}' of type '{picklist.coltype}' from '{picklist.pickfile}'"
+        )
+        n_empty_val, dup_vals = picklist.load()
+    except ValueError as exc:
+        error("ERROR: could not load picklist.")
+        error(str(exc))
+        sys.exit(-1)
+
+    notify(f"loaded {len(picklist.pickset)} distinct values into picklist.")
+    if n_empty_val:
+        notify(
+            f"WARNING: {n_empty_val} empty values in column '{picklist.column_name}' in picklist file"
+        )
+    if dup_vals:
+        notify(
+            f"WARNING: {len(dup_vals)} values in picklist column '{picklist.column_name}' were not distinct"
+        )
     return picklist
 
 
@@ -143,20 +146,13 @@ def load_include_exclude_db_patterns(args):
 
     if args.include_db_pattern:
         pattern = re.compile(args.include_db_pattern, re.IGNORECASE)
+        return lambda vals: any(pattern.search(val) for val in vals)
 
-        def search_pattern(vals):
-            return any(pattern.search(val) for val in vals)
-
-    elif args.exclude_db_pattern:
+    if args.exclude_db_pattern:
         pattern = re.compile(args.exclude_db_pattern, re.IGNORECASE)
+        return lambda vals: all(not pattern.search(val) for val in vals)
 
-        def search_pattern(vals):
-            return all(not pattern.search(val) for val in vals)
-
-    else:
-        search_pattern = None
-
-    return search_pattern
+    return None
 
 
 def apply_picklist_and_pattern(db, picklist, pattern):
@@ -176,6 +172,42 @@ def apply_picklist_and_pattern(db, picklist, pattern):
     return db
 
 
+# ---------------------------------------------------------------------------
+# query loading
+# ---------------------------------------------------------------------------
+
+
+def _pick_by_md5(sl, select_md5):
+    "Narrow a signature list by md5 prefix; exactly one match required."
+    found_sig = None
+    for sig in sl:
+        if sig.md5sum().startswith(select_md5.lower()):
+            if found_sig is not None:
+                error(f"Error! Multiple signatures start with md5 '{select_md5}'")
+                error("Please use a longer --md5 selector.")
+                sys.exit(-1)
+            found_sig = sig
+        # note: narrows after every candidate — reference behavior
+        sl = [found_sig]
+    return sl
+
+
+def _pick_query_ksize(sl, ksize):
+    "Resolve the query ksize, preferring a unique value then the default."
+    if sl and ksize is None:
+        ksizes = set(ss.minhash.ksize for ss in sl)
+        if len(ksizes) == 1:
+            ksize = ksizes.pop()
+            sl = [ss for ss in sl if ss.minhash.ksize == ksize]
+            notify(f"select query k={ksize} automatically.")
+        elif DEFAULT_LOAD_K in ksizes:
+            sl = [ss for ss in sl if ss.minhash.ksize == DEFAULT_LOAD_K]
+            notify(f"selecting default query k={DEFAULT_LOAD_K}.")
+    elif ksize:
+        notify(f"selecting specified query k={ksize}")
+    return sl
+
+
 def load_query_signature(filename, ksize, select_moltype, select_md5=None):
     "Load a single signature to use as a query, from any collection type."
     try:
@@ -186,30 +218,10 @@ def load_query_signature(filename, ksize, select_moltype, select_md5=None):
         error(f"Cannot open query file '{filename}'")
         sys.exit(-1)
 
-    if len(sl) and select_md5:
-        found_sig = None
-        for sig in sl:
-            sig_md5 = sig.md5sum()
-            if sig_md5.startswith(select_md5.lower()):
-                if found_sig is not None:
-                    error(f"Error! Multiple signatures start with md5 '{select_md5}'")
-                    error("Please use a longer --md5 selector.")
-                    sys.exit(-1)
-                else:
-                    found_sig = sig
-            sl = [found_sig]
+    if sl and select_md5:
+        sl = _pick_by_md5(sl, select_md5)
 
-    if len(sl) and ksize is None:
-        ksizes = set([ss.minhash.ksize for ss in sl])
-        if len(ksizes) == 1:
-            ksize = ksizes.pop()
-            sl = [ss for ss in sl if ss.minhash.ksize == ksize]
-            notify(f"select query k={ksize} automatically.")
-        elif DEFAULT_LOAD_K in ksizes:
-            sl = [ss for ss in sl if ss.minhash.ksize == DEFAULT_LOAD_K]
-            notify(f"selecting default query k={DEFAULT_LOAD_K}.")
-    elif ksize:
-        notify(f"selecting specified query k={ksize}")
+    sl = _pick_query_ksize(sl, ksize)
 
     if len(sl) != 1:
         error(f"When loading query from '{filename}'", filename)
@@ -218,6 +230,11 @@ def load_query_signature(filename, ksize, select_moltype, select_md5=None):
         sys.exit(-1)
 
     return sl[0]
+
+
+# ---------------------------------------------------------------------------
+# collection traversal + database loading
+# ---------------------------------------------------------------------------
 
 
 def _check_suffix(filename, endings):
@@ -251,7 +268,6 @@ def load_dbs_and_sigs(
 ):
     "Load Index objects to search; select on query compat + picklists."
     query_mh = query.minhash
-    containment = not is_similarity_query
 
     databases = []
     total_signatures_loaded = 0
@@ -274,15 +290,14 @@ def load_dbs_and_sigs(
                 ksize=query_mh.ksize,
                 num=query_mh.num,
                 scaled=query_mh.scaled,
-                containment=containment,
+                containment=not is_similarity_query,
             )
         except ValueError as exc:
             notify(f"ERROR: cannot use '{filename}' for this query.")
             notify(str(exc))
             if fail_on_empty_database:
                 sys.exit(-1)
-            else:
-                db = LinearIndex([])
+            db = LinearIndex([])
 
         if not db:
             notify(f"no compatible signatures found in '{filename}'")
@@ -291,8 +306,7 @@ def load_dbs_and_sigs(
 
         sum_signatures_after_select += len(db)
 
-        db = apply_picklist_and_pattern(db, picklist, pattern)
-        databases.append(db)
+        databases.append(apply_picklist_and_pattern(db, picklist, pattern))
 
     notify("--")
     notify(
@@ -310,8 +324,7 @@ def load_pathlist_from_file(filename):
     "Load a list-of-files text file."
     try:
         with open(filename) as fp:
-            file_list = [x.rstrip("\r\n") for x in fp]
-        file_list = set(file_list)
+            file_list = set(x.rstrip("\r\n") for x in fp)
         if not file_list:
             raise ValueError("pathlist is empty")
         for checkfile in file_list:
@@ -326,6 +339,11 @@ def load_pathlist_from_file(filename):
     return file_list
 
 
+# ---------------------------------------------------------------------------
+# file IO helpers
+# ---------------------------------------------------------------------------
+
+
 class FileOutput:
     "File-output context manager treating '-'/None as stdout."
 
@@ -336,12 +354,15 @@ class FileOutput:
         self.newline = newline
         self.encoding = encoding
 
+    def _open_file(self):
+        return open(
+            self.filename, self.mode, newline=self.newline, encoding=self.encoding
+        )
+
     def open(self):
         if self.filename == "-" or self.filename is None:
             return sys.stdout
-        self.fp = open(
-            self.filename, self.mode, newline=self.newline, encoding=self.encoding
-        )
+        self.fp = self._open_file()
         return self.fp
 
     def close(self):
@@ -364,14 +385,10 @@ class FileOutputCSV(FileOutput):
         self.filename = filename
         self.fp = None
 
-    def open(self):
-        if self.filename == "-" or self.filename is None:
-            return sys.stdout
+    def _open_file(self):
         if self.filename.endswith(".gz"):
-            self.fp = gzip.open(self.filename, "wt", newline="")
-        else:
-            self.fp = open(self.filename, "w", newline="")
-        return self.fp
+            return gzip.open(self.filename, "wt", newline="")
+        return open(self.filename, "w", newline="")
 
 
 class _DictReader_with_version:
@@ -412,6 +429,7 @@ def FileInputCSV(
     if zipfile_obj and not default_csv_name:
         raise ValueError("must provide default_csv_name with a zipfile_obj")
 
+    # a zip member named default_csv_name takes priority when applicable
     if default_csv_name:
         if zipfile_obj:
             try:
@@ -422,17 +440,17 @@ def FileInputCSV(
             except (zipfile.BadZipFile, KeyError):
                 pass
             return
-        else:
-            try:
-                with zipfile.ZipFile(filename, "r") as zip_fp:
-                    zi = zip_fp.getinfo(default_csv_name)
-                    with zip_fp.open(zi) as fp:
-                        textfp = TextIOWrapper(fp, encoding=encoding, newline="")
-                        yield _DictReader_with_version(textfp, delimiter=delimiter)
-                return
-            except (zipfile.BadZipFile, KeyError):
-                pass
+        try:
+            with zipfile.ZipFile(filename, "r") as zip_fp:
+                zi = zip_fp.getinfo(default_csv_name)
+                with zip_fp.open(zi) as fp:
+                    textfp = TextIOWrapper(fp, encoding=encoding, newline="")
+                    yield _DictReader_with_version(textfp, delimiter=delimiter)
+            return
+        except (zipfile.BadZipFile, KeyError):
+            pass
 
+    # then transparent gzip, falling back to plain text
     try:
         with gzip.open(filename, "rt", newline="", encoding=encoding) as fp:
             fp.buffer.peek(1)
@@ -443,6 +461,11 @@ def FileInputCSV(
 
     with open(filename, newline="", encoding=encoding) as fp:
         yield _DictReader_with_version(fp, delimiter=delimiter)
+
+
+# ---------------------------------------------------------------------------
+# bulk signature loading
+# ---------------------------------------------------------------------------
 
 
 class SignatureLoadingProgress:
@@ -496,6 +519,12 @@ class SignatureLoadingProgress:
         self.short_notify(f"Loaded {n_this} sigs from '{location}'", end="\r")
 
 
+def _subset_index(db, *, ksize=None, moltype=None, picklist=None, pattern=None):
+    "Apply the standard ksize/moltype/picklist/pattern narrowing chain."
+    db = db.select(ksize=ksize, moltype=moltype)
+    return apply_picklist_and_pattern(db, picklist, pattern)
+
+
 def load_many_signatures(
     locations,
     progress,
@@ -511,29 +540,25 @@ def load_many_signatures(
     for loc in locations:
         try:
             idx = load_file_as_index(loc, yield_all_files=yield_all_files)
-            idx = idx.select(ksize=ksize, moltype=moltype)
-            idx = apply_picklist_and_pattern(idx, picklist, pattern)
+            idx = _subset_index(
+                idx, ksize=ksize, moltype=moltype, picklist=picklist, pattern=pattern
+            )
 
-            loader = idx.signatures_with_location()
             n = 0
-            for sig, sigloc in progress.start_file(loc, loader):
+            for sig, sigloc in progress.start_file(loc, idx.signatures_with_location()):
                 yield sig, sigloc
                 n += 1
             notify(f"loaded {n} signatures from '{loc}'", end="\r")
         except ValueError as exc:
-            if force:
-                notify(f"ERROR: {str(exc)}")
-                notify("(continuing)")
-                continue
-            else:
-                notify(f"ERROR: {str(exc)}")
+            notify(f"ERROR: {str(exc)}")
+            if not force:
                 sys.exit(-1)
+            notify("(continuing)")
         except KeyboardInterrupt:
             notify("Received CTRL-C - exiting.")
             sys.exit(-1)
 
-    n_files = len(locations)
-    notify(f"loaded {len(progress)} signatures total, from {n_files} files")
+    notify(f"loaded {len(progress)} signatures total, from {len(locations)} files")
 
 
 def get_manifest(idx, *, require=True, rebuild=False):
@@ -555,9 +580,8 @@ def get_manifest(idx, *, require=True, rebuild=False):
         if require:
             error(f"ERROR: manifests cannot be generated for {idx.location}")
             sys.exit(-1)
-        else:
-            debug_literal("get_manifest: cannot build manifest, not req'd")
-            return None
+        debug_literal("get_manifest: cannot build manifest, not req'd")
+        return None
 
     return m
 
@@ -582,8 +606,9 @@ def load_file_as_signatures(
     if not _use_manifest and db.manifest:
         db.manifest = None
 
-    db = db.select(moltype=select_moltype, ksize=ksize)
-    db = apply_picklist_and_pattern(db, picklist, pattern)
+    db = _subset_index(
+        db, ksize=ksize, moltype=select_moltype, picklist=picklist, pattern=pattern
+    )
 
     loader = db.signatures()
 
@@ -603,23 +628,20 @@ def load_one_signature(
 ):
     "Load exactly one signature from the given location."
     db = _load_database(filename, yield_all_files)
-    db = db.select(moltype=select_moltype, ksize=ksize)
-    db = apply_picklist_and_pattern(db, picklist, pattern)
+    db = _subset_index(
+        db, ksize=ksize, moltype=select_moltype, picklist=picklist, pattern=pattern
+    )
 
-    loader = db.signatures()
-    it = iter(loader)
+    it = iter(db.signatures())
 
     try:
         ss = next(it)
     except StopIteration:
         raise ValueError(f"no signatures in '{filename}'? expected exactly one.")
 
-    try:
-        _ = next(it)
+    if next(it, None) is not None:
         raise ValueError(
             f"more than one signature in '{filename}'; expected exactly one"
         )
-    except StopIteration:
-        pass
 
     return ss
