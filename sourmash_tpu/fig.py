@@ -15,22 +15,26 @@ try:
 except ImportError:  # pragma: no cover
     pylab = None
 
+# composite-figure geometry: dendrogram at left, matrix centered (shifted
+# left when labels are hidden), colorbar just right of the matrix
+_DENDRO_AXES = [0.09, 0.1, 0.2, 0.6]
+_MATRIX_WIDTH = 0.45
+_MATRIX_X = {True: 0.45, False: 0.315}  # keyed by show_labels
+
 
 def load_matrix_and_labels(basefile):
     "Load the comparison matrix and associated labels, return (D, labels)."
     import numpy
 
-    D = numpy.load(open(basefile, "rb"))
-    labeltext = [x.strip() for x in open(basefile + ".labels.txt")]
+    with open(basefile, "rb") as fp:
+        D = numpy.load(fp)
+    with open(basefile + ".labels.txt") as fp:
+        labeltext = [x.strip() for x in fp]
     return (D, labeltext)
 
 
-def plot_composite_matrix(
-    D, labeltext, show_labels=True, vmax=1.0, vmin=0.0, force=False
-):
-    """Build a composite plot: dendrogram + distance matrix/heatmap.
-
-    Returns a matplotlib figure, plus reordered labels and matrix."""
+def _coerce_to_distance(D, force):
+    "Require values in [0, 1], rescaling only under --force."
     if D.max() > 1.0 or D.min() < 0.0:
         error(
             "This matrix doesn't look like a distance matrix - min value {}, max value {}",
@@ -39,18 +43,25 @@ def plot_composite_matrix(
         )
         if not force:
             raise ValueError("not a distance matrix")
-        else:
-            notify("force is set; scaling to [0, 1]")
-            D -= D.min()
-            D /= D.max()
+        notify("force is set; scaling to [0, 1]")
+        D -= D.min()
+        D /= D.max()
+    return D
 
-    if show_labels:
-        pass
-    else:
+
+def plot_composite_matrix(
+    D, labeltext, show_labels=True, vmax=1.0, vmin=0.0, force=False
+):
+    """Build a composite plot: dendrogram + distance matrix/heatmap.
+
+    Returns a matplotlib figure, plus reordered labels and matrix."""
+    D = _coerce_to_distance(D, force)
+
+    if not show_labels:
         labeltext = [""] * len(labeltext)
 
     fig = pylab.figure(figsize=(11, 8))
-    ax1 = fig.add_axes([0.09, 0.1, 0.2, 0.6])
+    ax1 = fig.add_axes(_DENDRO_AXES)
 
     # plot dendrogram
     Y = sch.linkage(D, method="single")
@@ -65,27 +76,20 @@ def plot_composite_matrix(
     )
     ax1.set_xticks([])
 
-    xstart = 0.45
-    width = 0.45
-    if not show_labels:
-        xstart = 0.315
-    scale_xstart = xstart + width + 0.01
+    # reorder matrix & labels by dendrogram leaf order
+    leaf_order = Z1["leaves"]
+    D = D[leaf_order, :][:, leaf_order]
+    labeltext = [labeltext[idx] for idx in leaf_order]
 
-    idx1 = Z1["leaves"]
-
-    # reorder matrix & labels
-    D = D[idx1, :]
-    D = D[:, idx1]
-    labeltext = [labeltext[idx] for idx in idx1]
-
-    axmatrix = fig.add_axes([xstart, 0.1, width, 0.6])
+    xstart = _MATRIX_X[bool(show_labels)]
+    axmatrix = fig.add_axes([xstart, 0.1, _MATRIX_WIDTH, 0.6])
     im = axmatrix.matshow(
         D, aspect="auto", origin="lower", cmap=pylab.cm.YlGnBu, vmin=vmin, vmax=vmax
     )
     axmatrix.set_xticks([])
     axmatrix.set_yticks([])
 
-    axcolor = fig.add_axes([scale_xstart, 0.1, 0.02, 0.6])
+    axcolor = fig.add_axes([xstart + _MATRIX_WIDTH + 0.01, 0.1, 0.02, 0.6])
     pylab.colorbar(im, cax=axcolor)
 
     return fig, labeltext, D

@@ -12,12 +12,13 @@ def to_memmap(array):
     Returns (memmapped array, filename)."""
     import numpy as np
 
-    filename = tempfile.NamedTemporaryFile(
+    with tempfile.NamedTemporaryFile(
         prefix="array", suffix=".mmap", delete=False
-    ).name
-    shape = array.shape
-    f = np.memmap(filename, mode="w+", shape=shape, dtype=array.dtype)
-    f[:] = array[:]
-    del f
-    large_memmap = np.memmap(filename, dtype=array.dtype, shape=shape)
-    return large_memmap, filename
+    ) as tf:
+        filename = tf.name
+
+    writer = np.memmap(filename, mode="w+", shape=array.shape, dtype=array.dtype)
+    writer[:] = array[:]
+    del writer  # flush to disk
+
+    return np.memmap(filename, dtype=array.dtype, shape=array.shape), filename

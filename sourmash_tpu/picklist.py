@@ -124,17 +124,22 @@ class SignaturePicklist:
             return ss.name
         raise ValueError(f"picklist get_sig_attribute {coltype} has unhandled branch")
 
+    # manifest column each simple coltype reads from
+    _manifest_colkey = {
+        "md5": "md5",
+        "md5prefix8": "md5short",
+        "md5short": "md5short",
+        "name": "name",
+        "ident": "name",
+        "identprefix": "name",
+    }
+
     def _get_value_for_manifest_row(self, row):
         if self.coltype in self.meta_coltypes:
             q = (row["name"], row["md5"])
         else:
-            if self.coltype == "md5":
-                colkey = "md5"
-            elif self.coltype in ("md5prefix8", "md5short"):
-                colkey = "md5short"
-            elif self.coltype in ("name", "ident", "identprefix"):
-                colkey = "name"
-            else:
+            colkey = self._manifest_colkey.get(self.coltype)
+            if colkey is None:
                 raise ValueError(
                     f"picklist get_value_for_row {self.coltype} has unhandled branch"
                 )
@@ -207,14 +212,10 @@ class SignaturePicklist:
 
     def _check(self, q):
         self.n_queries += 1
-        if self.pickstyle == PickStyle.INCLUDE:
-            if q in self.pickset:
-                self.found.add(q)
-                return True
-        elif self.pickstyle == PickStyle.EXCLUDE:
-            if q not in self.pickset:
-                self.found.add(q)
-                return True
+        in_pickset = q in self.pickset
+        if in_pickset == (self.pickstyle == PickStyle.INCLUDE):
+            self.found.add(q)
+            return True
         return False
 
     def __contains__(self, ss):

@@ -39,33 +39,32 @@ _plugin_cli = _get_entry_points("sourmash.cli_script")
 _plugin_cli_once = False
 
 
-def get_load_from_functions():
-    "Load the 'load_from' plugins and yield tuples (priority, name, fn)."
-    debug_literal(f"load_from plugins: {_plugin_load_from}")
-    for plugin in _plugin_load_from:
+def _resolve_plugins(plugins, kind, default_priority):
+    "Load each entry point, yielding (priority, name, target); skip broken."
+    debug_literal(f"{kind} plugins: {plugins}")
+    for plugin in plugins:
         try:
-            load_from_fn = plugin.load()
+            target = plugin.load()
         except (ModuleNotFoundError, AttributeError) as e:
             debug_literal(
-                f"plugins.load_from_functions: got error loading {plugin.name}: {str(e)}"
+                f"plugins.{kind}_functions: got error loading {plugin.name}: {str(e)}"
             )
             continue
-        priority = getattr(load_from_fn, "priority", DEFAULT_LOAD_FROM_PRIORITY)
-        yield priority, plugin.name, load_from_fn
+        yield getattr(target, "priority", default_priority), plugin.name, target
+
+
+def get_load_from_functions():
+    "Load the 'load_from' plugins and yield tuples (priority, name, fn)."
+    yield from _resolve_plugins(
+        _plugin_load_from, "load_from", DEFAULT_LOAD_FROM_PRIORITY
+    )
 
 
 def get_save_to_functions():
     "Load the 'save_to' plugins and yield tuples (priority, class)."
-    debug_literal(f"save_to plugins: {_plugin_save_to}")
-    for plugin in _plugin_save_to:
-        try:
-            save_cls = plugin.load()
-        except (ModuleNotFoundError, AttributeError) as e:
-            debug_literal(
-                f"plugins.save_to_functions: got error loading {plugin.name}: {str(e)}"
-            )
-            continue
-        priority = getattr(save_cls, "priority", DEFAULT_SAVE_TO_PRIORITY)
+    for priority, _, save_cls in _resolve_plugins(
+        _plugin_save_to, "save_to", DEFAULT_SAVE_TO_PRIORITY
+    ):
         yield priority, save_cls
 
 

@@ -8,6 +8,18 @@ import sqlite3
 
 from .logging import debug_literal
 
+_SQLITE_ERRORS = (sqlite3.OperationalError, sqlite3.DatabaseError)
+
+
+def _probe(cursor, query, failure_note):
+    "Execute a probing query; False (with a debug note) on sqlite errors."
+    try:
+        cursor.execute(query)
+        return True
+    except _SQLITE_ERRORS:
+        debug_literal(failure_note)
+        return False
+
 
 def open_sqlite_db(filename):
     "Return a connection if filename is an existing sourmash sqlite db."
@@ -18,19 +30,23 @@ def open_sqlite_db(filename):
 
     try:
         conn = sqlite3.connect(filename)
-    except (sqlite3.OperationalError, sqlite3.DatabaseError):
+    except _SQLITE_ERRORS:
         debug_literal("open_sqlite_db: cannot connect.")
         return None
 
+    # recognizable iff it has a sourmash_internal table, or (legacy LCA
+    # taxonomy databases) a bare 'taxonomy' table
     cursor = conn.cursor()
-    try:
-        cursor.execute("SELECT DISTINCT key, value FROM sourmash_internal")
-    except (sqlite3.OperationalError, sqlite3.DatabaseError):
-        debug_literal("open_sqlite_db: cannot read sourmash_internal.")
-        try:
-            cursor.execute("SELECT * FROM taxonomy LIMIT 1")
-        except (sqlite3.OperationalError, sqlite3.DatabaseError):
-            debug_literal("open_sqlite_db: cannot read 'taxonomy', either.")
+    if not _probe(
+        cursor,
+        "SELECT DISTINCT key, value FROM sourmash_internal",
+        "open_sqlite_db: cannot read sourmash_internal.",
+    ):
+        if not _probe(
+            cursor,
+            "SELECT * FROM taxonomy LIMIT 1",
+            "open_sqlite_db: cannot read 'taxonomy', either.",
+        ):
             return None
 
     return conn
@@ -47,18 +63,15 @@ def add_sourmash_internal(cursor, use_type, version):
     """
     )
 
-    d = get_sourmash_internal(cursor)
-
-    val = d.get(use_type)
-    if val is not None:
-        if version != val:
-            raise Exception(
-                f"sqlite problem: for {use_type}, want version {version}, got version {val}"
-            )
-    else:
+    existing = get_sourmash_internal(cursor).get(use_type)
+    if existing is None:
         cursor.execute(
             "INSERT INTO sourmash_internal (key, value) VALUES (?, ?)",
             (use_type, version),
+        )
+    elif version != existing:
+        raise Exception(
+            f"sqlite problem: for {use_type}, want version {version}, got version {existing}"
         )
 
 
