@@ -48,17 +48,35 @@ class BaseCollectionManifest:
         with xopen(filename, "rt", newline="") as fp:
             return cls.load_from_csv(fp)
 
+    # CSV cell coercions applied on load
+    _int_columns = ("num", "scaled", "ksize", "n_hashes")
+    _bool_columns = ("with_abundance",)
+    _version_prefix = "# SOURMASH-MANIFEST-VERSION: "
+
+    @classmethod
+    def _check_version_header(cls, fp):
+        firstline = fp.readline().rstrip()
+        if not firstline.startswith(cls._version_prefix):
+            raise ValueError("manifest is missing version header")
+
+        version = firstline[len(cls._version_prefix):]
+        if float(version) != 1.0:
+            raise ValueError(f"unknown manifest version number {version}")
+
+    @classmethod
+    def _typed_row(cls, row):
+        "Coerce one CSV row's cells to their manifest types."
+        for k in cls._int_columns:
+            row[k] = int(row[k])
+        for k in cls._bool_columns:
+            row[k] = bool(ast.literal_eval(str(row[k])))
+        row["signature"] = None
+        return row
+
     @classmethod
     def load_from_csv(cls, fp):
         "Load a manifest from a CSV file with the v1.0 header line."
-        manifest_list = []
-        firstline = fp.readline().rstrip()
-        if not firstline.startswith("# SOURMASH-MANIFEST-VERSION: "):
-            raise ValueError("manifest is missing version header")
-
-        version = firstline[len("# SOURMASH-MANIFEST-VERSION: ") :]
-        if float(version) != 1.0:
-            raise ValueError(f"unknown manifest version number {version}")
+        cls._check_version_header(fp)
 
         r = csv.DictReader(fp)
         if not r.fieldnames:
@@ -68,18 +86,7 @@ class BaseCollectionManifest:
             if k not in r.fieldnames:
                 raise ValueError(f"missing column '{k}' in manifest.")
 
-        introws = ("num", "scaled", "ksize", "n_hashes")
-        boolrows = ("with_abundance",)
-
-        for row in r:
-            for k in introws:
-                row[k] = int(row[k])
-            for k in boolrows:
-                row[k] = bool(ast.literal_eval(str(row[k])))
-            row["signature"] = None
-            manifest_list.append(row)
-
-        return CollectionManifest(manifest_list)
+        return CollectionManifest(cls._typed_row(row) for row in r)
 
     @classmethod
     def load_from_sql(cls, filename):
@@ -112,7 +119,7 @@ class BaseCollectionManifest:
     @classmethod
     def write_csv_header(cls, fp):
         "Write the manifest CSV header."
-        fp.write("# SOURMASH-MANIFEST-VERSION: 1.0\n")
+        fp.write(cls._version_prefix + "1.0\n")
         w = csv.DictWriter(fp, fieldnames=cls.required_keys)
         w.writeheader()
 
@@ -275,20 +282,24 @@ class CollectionManifest(BaseCollectionManifest):
             ksize=ksize, num=num, abund=abund, moltype=moltype, scaled=scaled
         )
 
-        rows = self.rows
+        # stack one predicate per active requirement
+        predicates = []
         if ksize:
-            rows = (row for row in rows if row["ksize"] == ksize)
+            predicates.append(lambda row: row["ksize"] == ksize)
         if moltype:
-            rows = (row for row in rows if row["moltype"] == moltype)
+            predicates.append(lambda row: row["moltype"] == moltype)
         if scaled or containment:
-            rows = (row for row in rows if row["scaled"] and not row["num"])
+            predicates.append(lambda row: row["scaled"] and not row["num"])
         if num:
-            rows = (row for row in rows if row["num"] and not row["scaled"])
+            predicates.append(lambda row: row["num"] and not row["scaled"])
         if abund:
-            rows = (row for row in rows if row["with_abundance"])
+            predicates.append(lambda row: row["with_abundance"])
         if picklist:
-            rows = (row for row in rows if picklist.matches_manifest_row(row))
-        yield from rows
+            predicates.append(picklist.matches_manifest_row)
+
+        for row in self.rows:
+            if all(pred(row) for pred in predicates):
+                yield row
 
     def select_to_manifest(self, **kwargs):
         return CollectionManifest(self._select(**kwargs))

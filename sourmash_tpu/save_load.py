@@ -50,23 +50,26 @@ def SaveSignaturesToLocation(location):
     )
 
 
+def _iter_loaders():
+    "Built-in + plugin loader functions, in priority order."
+    plugin_fns = sourmash_plugins.get_load_from_functions()
+    yield from sorted(itertools.chain(_loader_functions, plugin_fns))
+
+
 def _load_database(filename, traverse_yield_all, *, cache_size=None):
     "Try loader functions in priority order; return the first Index."
-    plugin_fns = sourmash_plugins.get_load_from_functions()
-    load_from_functions = sorted(itertools.chain(_loader_functions, plugin_fns))
-
-    for priority, desc, load_fn in load_from_functions:
-        db = None
+    for priority, desc, load_fn in _iter_loaders():
+        debug_literal(
+            f"_load_databases: trying loader fn - priority {priority} - '{desc}'"
+        )
         try:
-            debug_literal(
-                f"_load_databases: trying loader fn - priority {priority} - '{desc}'"
-            )
             db = load_fn(
                 filename, traverse_yield_all=traverse_yield_all, cache_size=cache_size
             )
         except (ValueError, IndexNotLoaded):
             debug_literal(f"_load_databases: FAIL with ValueError: on fn {desc}.")
             debug_literal(traceback.format_exc())
+            continue
 
         if db is not None:
             debug_literal("_load_databases: success!")
@@ -277,20 +280,19 @@ class SaveSignatures_Directory(Base_SaveSignaturesToLocation):
             notify(f"ERROR: cannot create signature output directory '{self.location}'")
             sys.exit(-1)
 
+    def _fresh_path(self, md5):
+        "First non-existing '<md5>[_N].sig.gz' path under the directory."
+        outname = os.path.join(self.location, f"{md5}.sig.gz")
+        i = 0
+        while os.path.exists(outname):
+            outname = os.path.join(self.location, f"{md5}_{i}.sig.gz")
+            i += 1
+        return outname
+
     def add(self, ss):
         super().add(ss)
-        md5 = ss.md5sum()
 
-        outname = os.path.join(self.location, f"{md5}.sig.gz")
-        if os.path.exists(outname):
-            i = 0
-            while 1:
-                outname = os.path.join(self.location, f"{md5}_{i}.sig.gz")
-                if not os.path.exists(outname):
-                    break
-                i += 1
-
-        with open(outname, "wb") as fp:
+        with open(self._fresh_path(ss.md5sum()), "wb") as fp:
             sigmod.save_signatures_to_json([ss], fp, compression=1)
 
 
@@ -347,14 +349,13 @@ class SaveSignatures_SigFile(Base_SaveSignaturesToLocation):
     def close(self):
         if self.location == "-":
             sigmod.save_signatures_to_json(self.keep, sys.stdout)
+            return
+        if self.compress:
+            open_args = dict(mode="wb", encoding=None)
         else:
-            mode = "w"
-            encoding = "utf-8"
-            if self.compress:
-                encoding = None
-                mode = "wb"
-            with open(self.location, mode, encoding=encoding) as fp:
-                sigmod.save_signatures_to_json(self.keep, fp, compression=self.compress)
+            open_args = dict(mode="w", encoding="utf-8")
+        with open(self.location, **open_args) as fp:
+            sigmod.save_signatures_to_json(self.keep, fp, compression=self.compress)
 
     def add(self, ss):
         super().add(ss)
