@@ -38,50 +38,48 @@ DEFAULTS = dict(
 )
 
 
+def _value_of(item, key, example, *, number_word=None):
+    "Split 'key=value', demanding '=' directly after the key."
+    if len(item) < len(key) + 2 or item[len(key)] != "=":
+        raise ValueError(f"{key} takes a parameter, e.g. '{example}'")
+    raw = item[len(key) + 1 :]
+    try:
+        return int(raw)
+    except ValueError:
+        if number_word is None:
+            raise
+        raise ValueError(f"cannot parse {key}='{raw}' as {number_word}")
+
+
 def _parse_params_str(params_str):
     "Parse 'k=31,scaled=1000,abund'-style parameter strings."
     moltype = None
-    params = {}
-    params["ksize"] = []
+    params = {"ksize": []}
+
     for item in params_str.split(","):
         if item == "abund":
             params["track_abundance"] = True
         elif item == "noabund":
             params["track_abundance"] = False
-        elif item.startswith("k"):
-            if len(item) < 3 or item[1] != "=":
-                raise ValueError("k takes a parameter, e.g. 'k=31'")
-            params["ksize"].append(int(item[2:]))
-        elif item.startswith("num"):
-            if len(item) < 5 or item[3] != "=":
-                raise ValueError("num takes a parameter, e.g. 'num=500'")
-            if params.get("scaled"):
-                raise ValueError("cannot set both num and scaled in a single minhash")
-            try:
-                num = int(item[4:])
-            except ValueError:
-                raise ValueError(f"cannot parse num='{item[4:]}' as a number")
-            num = check_num_bounds(num)
-            params["num"] = int(item[4:])
-            params["scaled"] = 0
-        elif item.startswith("scaled"):
-            if len(item) < 8 or item[6] != "=":
-                raise ValueError("scaled takes a parameter, e.g. 'scaled=1000'")
-            if params.get("num"):
-                raise ValueError("cannot set both num and scaled in a single minhash")
-            try:
-                scaled = int(item[7:])
-            except ValueError:
-                raise ValueError(f"cannot parse scaled='{item[7:]}' as an integer")
-            scaled = check_scaled_bounds(scaled)
-            params["scaled"] = scaled
-            params["num"] = 0
-        elif item.startswith("seed"):
-            if len(item) < 6 or item[4] != "=":
-                raise ValueError("seed takes a parameter, e.g. 'seed=42'")
-            params["seed"] = int(item[5:])
         elif item in ("protein", "dayhoff", "hp", "dna"):
             moltype = item
+        elif item.startswith("k"):
+            params["ksize"].append(_value_of(item, "k", "k=31"))
+        elif item.startswith("num"):
+            if params.get("scaled"):
+                raise ValueError("cannot set both num and scaled in a single minhash")
+            num = _value_of(item, "num", "num=500", number_word="a number")
+            check_num_bounds(num)
+            params["num"] = num
+            params["scaled"] = 0
+        elif item.startswith("scaled"):
+            if params.get("num"):
+                raise ValueError("cannot set both num and scaled in a single minhash")
+            scaled = _value_of(item, "scaled", "scaled=1000", number_word="an integer")
+            params["scaled"] = check_scaled_bounds(scaled)
+            params["num"] = 0
+        elif item.startswith("seed"):
+            params["seed"] = _value_of(item, "seed", "seed=42")
         else:
             raise ValueError(f"unknown component '{item}' in params string")
 
@@ -364,65 +362,48 @@ def _execute_sketch(args, signatures_factory):
         _compute_individual(args, signatures_factory)
 
 
-def dna(args):
-    "Compute a DNA signature for one or more files."
-    args.input_is_protein = False
+def _protein_family_moltype(args):
+    "Resolve --dayhoff/--hp flags for the protein-output commands."
+    if args.dayhoff and args.hp:
+        raise ValueError("cannot set both --dayhoff and --hp")
+    if args.dayhoff:
+        return "dayhoff"
+    if args.hp:
+        return "hp"
+    return "protein"
 
+
+def _run_sketch(args, default_moltype):
+    "Common tail of the dna/protein/translate drivers."
     try:
-        signatures_factory = _signatures_for_sketch_factory(args.param_string, "dna")
+        signatures_factory = _signatures_for_sketch_factory(
+            args.param_string, default_moltype
+        )
     except ValueError as e:
         error(f"Error creating signatures: {str(e)}")
         sys.exit(-1)
 
     _add_from_file_to_filenames(args)
     _execute_sketch(args, signatures_factory)
+
+
+def dna(args):
+    "Compute a DNA signature for one or more files."
+    args.input_is_protein = False
+    _run_sketch(args, "dna")
 
 
 def protein(args):
     "Compute a protein signature for one or more files."
     args.input_is_protein = True
     args.check_sequence = False
-
-    if args.dayhoff and args.hp:
-        raise ValueError("cannot set both --dayhoff and --hp")
-    if args.dayhoff:
-        moltype = "dayhoff"
-    elif args.hp:
-        moltype = "hp"
-    else:
-        moltype = "protein"
-
-    try:
-        signatures_factory = _signatures_for_sketch_factory(args.param_string, moltype)
-    except ValueError as e:
-        error(f"Error creating signatures: {str(e)}")
-        sys.exit(-1)
-
-    _add_from_file_to_filenames(args)
-    _execute_sketch(args, signatures_factory)
+    _run_sketch(args, _protein_family_moltype(args))
 
 
 def translate(args):
     "Compute protein signatures from DNA/RNA input."
     args.input_is_protein = False
-
-    if args.dayhoff and args.hp:
-        raise ValueError("cannot set both --dayhoff and --hp")
-    if args.dayhoff:
-        moltype = "dayhoff"
-    elif args.hp:
-        moltype = "hp"
-    else:
-        moltype = "protein"
-
-    try:
-        signatures_factory = _signatures_for_sketch_factory(args.param_string, moltype)
-    except ValueError as e:
-        error(f"Error creating signatures: {str(e)}")
-        sys.exit(-1)
-
-    _add_from_file_to_filenames(args)
-    _execute_sketch(args, signatures_factory)
+    _run_sketch(args, _protein_family_moltype(args))
 
 
 def _read_stdin_bytes():
@@ -781,14 +762,102 @@ def _output_csv_info(filename, sigs_to_build):
             output_n += 1
 
 
+def _read_build_requests(csvfiles, report_duplicated):
+    """Read fromfile CSVs into {name: (genome, proteome)}; abort on blank
+    or duplicate names."""
+    all_names = {}
+    total_rows = 0
+    n_missing_name = 0
+    duplicate_names = set()
+    n_duplicate_name = 0
+
+    for csvfile in csvfiles:
+        with sourmash_args.FileInputCSV(csvfile) as r:
+            for row in r:
+                name = row["name"]
+                if not name:
+                    n_missing_name += 1
+                    continue
+
+                total_rows += 1
+                if name in all_names:
+                    n_duplicate_name += 1
+                    duplicate_names.add(name)
+                else:
+                    all_names[name] = (row["genome_filename"], row["protein_filename"])
+
+    fail_exit = False
+    if n_duplicate_name:
+        if report_duplicated:
+            notify("duplicated:\n" + "\n".join(sorted(duplicate_names)))
+        error(
+            f"** ERROR: {n_duplicate_name} entries have duplicate 'name' records. Exiting!"
+        )
+        fail_exit = True
+
+    if n_missing_name:
+        error(f"** ERROR: {n_missing_name} entries have blank 'name's? Exiting!")
+        fail_exit = True
+
+    if fail_exit:
+        sys.exit(-1)
+
+    return all_names, total_rows
+
+
+def _load_already_done(locations, all_names, build_params):
+    """Index pre-built sketches by name; collect manifest rows matching a
+    requested (name, params) combination."""
+    import sourmash_tpu as sourmash
+    from .manifest import CollectionManifest
+
+    already_done = defaultdict(list)
+    matching_rows = []
+    for filename in locations:
+        idx = sourmash.load_file_as_index(filename)
+        manifest = idx.manifest
+        assert manifest
+
+        for row in manifest.rows:
+            name = row["name"]
+            if not name:
+                continue
+            p = ComputeParameters.from_manifest_row(row)
+            already_done[name].append(p)
+            if name in all_names and p in build_params:
+                matching_rows.append(row)
+
+    already_done_manifest = CollectionManifest(matching_rows)
+    if locations:
+        notify(f"Loaded {len(already_done)} pre-existing names from manifest(s)")
+        notify(f"collected {len(matching_rows)} rows for already-done signatures.")
+    return already_done, already_done_manifest
+
+
+def _print_sketch_type_summary(entries):
+    "One formatted line per sketch type; entries = (ski, count, n_hashes|None)."
+    for ski, count, n_hashes in entries:
+        ksize = ski["ksize"] if isinstance(ski, dict) else ski.ksize
+        moltype = ski["moltype"] if isinstance(ski, dict) else ski.moltype
+        num = ski["num"] if isinstance(ski, dict) else ski.num
+        scaled = ski["scaled"] if isinstance(ski, dict) else ski.scaled
+        abund = ski["abund"] if isinstance(ski, dict) else ski.abund
+
+        mh_type = f"num={num}" if num else f"scaled={scaled}"
+        mh_abund = ", abund" if abund else ""
+        sketch_str = f"{count} sketches with {moltype}, k={ksize}, {mh_type}{mh_abund}"
+        if n_hashes is None:
+            print_results(f"   {sketch_str: <50}")
+        else:
+            print_results(f"   {sketch_str: <50} {n_hashes} total hashes")
+
+
 def fromfile(args):
     """Build sketches for many named genomes/proteomes listed in CSV(s)
     (reference `command_sketch.py:403-633`)."""
     from collections import Counter
 
-    from .manifest import CollectionManifest
     from .sig.__main__ import _SketchInfo, _summarize_manifest
-    import sourmash_tpu as sourmash
 
     if args.license != "CC0":
         error("error: sourmash only supports CC0-licensed signatures. sorry!")
@@ -818,70 +887,16 @@ def fromfile(args):
             error("** ERROR: cannot set 'seed' in 'sketch fromfile'")
             sys.exit(-1)
 
+    all_names, total_rows = _read_build_requests(args.csvs, args.report_duplicated)
+
+    already_done, already_done_manifest = _load_already_done(
+        args.already_done, all_names, build_params
+    )
+
+    # plan: every (name, params) combination not already built
     to_build = defaultdict(list)
-    all_names = {}
-    total_rows = 0
-    skipped_sigs = 0
-    n_missing_name = 0
-    n_duplicate_name = 0
-    duplicate_names = set()
-
-    for csvfile in args.csvs:
-        with sourmash_args.FileInputCSV(csvfile) as r:
-            for row in r:
-                name = row["name"]
-                if not name:
-                    n_missing_name += 1
-                    continue
-
-                genome = row["genome_filename"]
-                proteome = row["protein_filename"]
-                total_rows += 1
-
-                if name in all_names:
-                    n_duplicate_name += 1
-                    duplicate_names.add(name)
-                else:
-                    all_names[name] = (genome, proteome)
-
-    fail_exit = False
-    if n_duplicate_name:
-        if args.report_duplicated:
-            notify("duplicated:\n" + "\n".join(sorted(duplicate_names)))
-        error(
-            f"** ERROR: {n_duplicate_name} entries have duplicate 'name' records. Exiting!"
-        )
-        fail_exit = True
-
-    if n_missing_name:
-        error(f"** ERROR: {n_missing_name} entries have blank 'name's? Exiting!")
-        fail_exit = True
-
-    if fail_exit:
-        sys.exit(-1)
-
-    already_done = defaultdict(list)
-    already_done_rows = []
-    for filename in args.already_done:
-        idx = sourmash.load_file_as_index(filename)
-        manifest = idx.manifest
-        assert manifest
-
-        for row in manifest.rows:
-            name = row["name"]
-            if name:
-                p = ComputeParameters.from_manifest_row(row)
-                already_done[name].append(p)
-                if name in all_names:
-                    if p in build_params:
-                        already_done_rows.append(row)
-
-    already_done_manifest = CollectionManifest(already_done_rows)
-    if args.already_done:
-        notify(f"Loaded {len(already_done)} pre-existing names from manifest(s)")
-        notify(f"collected {len(already_done_rows)} rows for already-done signatures.")
-
     total_sigs = 0
+    skipped_sigs = 0
     missing = defaultdict(list)
     missing_count = 0
     for name, (genome, proteome) in all_names.items():
@@ -890,18 +905,18 @@ def fromfile(args):
         for p in build_params:
             total_sigs += 1
 
-            if p not in plist:
-                filename = genome if p.dna else proteome
-                filetype = "genome" if p.dna else "proteome"
-
-                if filename:
-                    to_build[(name, filename)].append(p)
-                else:
-                    notify(f"WARNING: fromfile entry '{name}' is missing a {filetype}")
-                    missing[name].append(p)
-                    missing_count += 1
-            else:
+            if p in plist:
                 skipped_sigs += 1
+                continue
+
+            filename = genome if p.dna else proteome
+            if filename:
+                to_build[(name, filename)].append(p)
+            else:
+                filetype = "genome" if p.dna else "proteome"
+                notify(f"WARNING: fromfile entry '{name}' is missing a {filetype}")
+                missing[name].append(p)
+                missing_count += 1
 
     notify(f"Read {total_rows} rows, requesting that {total_sigs} signatures be built.")
 
@@ -909,13 +924,9 @@ def fromfile(args):
         info_d = _summarize_manifest(already_done_manifest)
         print_results("---")
         print_results("summary of already-done sketches:")
-
-        for ski in info_d["sketch_info"]:
-            mh_type = f"num={ski['num']}" if ski["num"] else f"scaled={ski['scaled']}"
-            mh_abund = ", abund" if ski["abund"] else ""
-            sketch_str = f"{ski['count']} sketches with {ski['moltype']}, k={ski['ksize']}, {mh_type}{mh_abund}"
-            print_results(f"   {sketch_str: <50} {ski['n_hashes']} total hashes")
-
+        _print_sketch_type_summary(
+            (ski, ski["count"], ski["n_hashes"]) for ski in info_d["sketch_info"]
+        )
         print_results("---")
 
     if args.output_manifest_matching:
@@ -950,29 +961,24 @@ def fromfile(args):
     print_results("summary of sketches to build:")
 
     counter = Counter()
-    for filename, param_objs in to_build.items():
+    for _, param_objs in to_build.items():
         for p in param_objs:
             assert len(p.ksizes) == 1
             ksize = p.ksizes[0]
             if not p.dna:
                 ksize //= 3
 
-            ski = _SketchInfo(
-                ksize=ksize,
-                moltype=p.moltype,
-                scaled=p.scaled,
-                num=p.num_hashes,
-                abund=p.track_abundance,
-            )
-            counter[ski] += 1
+            counter[
+                _SketchInfo(
+                    ksize=ksize,
+                    moltype=p.moltype,
+                    scaled=p.scaled,
+                    num=p.num_hashes,
+                    abund=p.track_abundance,
+                )
+            ] += 1
 
-    for ski, count in counter.items():
-        mh_type = f"num={ski.num}" if ski.num else f"scaled={ski.scaled}"
-        mh_abund = ", abund" if ski.abund else ""
-        sketch_str = (
-            f"{count} sketches with {ski.moltype}, k={ski.ksize}, {mh_type}{mh_abund}"
-        )
-        print_results(f"   {sketch_str: <50}")
+    _print_sketch_type_summary((ski, count, None) for ski, count in counter.items())
 
     print_results("---")
 
