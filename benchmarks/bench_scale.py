@@ -165,7 +165,7 @@ def bench_gather_fused(genomes, n_queries=8, n_true=20, noise=20000, rounds=24):
 
     n = len(genomes)
     mesh = get_mesh(1, 1, devices=jax.devices()[:1])
-    Shi, Slo, B = pack_shard_planes(genomes, 1)
+    Shi, Slo, Scnt, B = pack_shard_planes(genomes, 1)
     queries = []
     for q in range(n_queries):
         ids = RNG.choice(n, size=n_true, replace=False)
@@ -173,14 +173,14 @@ def bench_gather_fused(genomes, n_queries=8, n_true=20, noise=20000, rounds=24):
             np.unique(np.concatenate([genomes[i] for i in ids] + [rand_mins(noise)]))
         )
     qhi, qlo, alive = pack_query_batch(queries, B)
-    Shi, Slo = jnp.asarray(Shi), jnp.asarray(Slo)
+    Shi, Slo, Scnt = jnp.asarray(Shi), jnp.asarray(Slo), jnp.asarray(Scnt)
     qhi, qlo, alive = jnp.asarray(qhi), jnp.asarray(qlo), jnp.asarray(alive)
     thresh = jnp.full(n_queries, 50, jnp.int32)
     prog = make_sharded_gather_program(mesh, n, rounds)
-    bests, bcs = prog(Shi, Slo, qhi, qlo, alive, thresh)  # warm
+    bests, bcs = prog(Shi, Slo, Scnt, qhi, qlo, alive, thresh)  # warm
     _ = np.asarray(bests)
     t0 = time.perf_counter()
-    bests, bcs = prog(Shi, Slo, qhi, qlo, alive, thresh)
+    bests, bcs = prog(Shi, Slo, Scnt, qhi, qlo, alive, thresh)
     b_np = np.asarray(bests)
     dt = time.perf_counter() - t0
     found = int((b_np >= 0).sum(axis=1).mean())

@@ -19,6 +19,13 @@ multiprocessing only). The TPU-native scaling design replaces that with a
 
 The query's hash values never move between hosts after upload; rounds only
 exchange [dq, B] bit masks and [m] count vectors.
+
+Counting is EXACT at any scale: the shard packer sizes the bucket slot
+depth to the worst observed bucket load (no Poisson-tail spills) and
+carries slot validity in occupancy counts rather than a PAD sentinel (so
+the all-ones hash 2**64-1 is a legal value) — matching the exactness of
+the reference's posting lists
+(`/root/reference/src/core/src/index/revindex/disk_revindex.rs:278-299`).
 """
 
 from __future__ import annotations
@@ -55,51 +62,99 @@ def pack_shard_planes(mins_list, n_shards: int, B: int | None = None):
     """Pack per-dataset sorted hash arrays into bucketed u32 planes whose
     row count divides n_shards (shard k owns rows [k*per, (k+1)*per)).
 
-    Returns (hi [m, d, B] u32, lo, B) — padding rows are all-PAD and never
-    match. Spilled Poisson-tail hashes are dropped here (the multi-chip
-    counter is the throughput path; the host FlatIndex path joins spills
-    exactly)."""
+    EXACT by construction: the slot depth d is sized to the maximum bucket
+    load over the whole collection, so nothing spills; slot validity is
+    carried in per-row occupancy counts (`cnt`) instead of a PAD sentinel,
+    so the all-ones hash value 2**64-1 is representable like any other.
+
+    Returns (hi [m, d, B] u32, lo, cnt [m, B] u8, B) — padding rows have
+    occupancy 0 everywhere and can never match."""
     if B is None:
         B = choose_buckets(max((len(m) for m in mins_list), default=0))
-    bank = pack_rows_bucketed(mins_list, B, device=False)
-    hi, lo = bank.hi, bank.lo
-    m = hi.shape[0]
-    per = -(-m // n_shards)
-    pad = per * n_shards - m
-    if pad:
-        hi = np.concatenate([hi, np.full((pad,) + hi.shape[1:], 0xFFFFFFFF, hi.dtype)])
-        lo = np.concatenate([lo, np.full((pad,) + lo.shape[1:], 0xFFFFFFFF, lo.dtype)])
-    return hi, lo, B
+
+    n = len(mins_list)
+    lens = np.fromiter((len(m) for m in mins_list), dtype=np.int64, count=n)
+    N = int(lens.sum())
+    per = -(-max(n, 1) // n_shards)
+    m_rows = per * n_shards
+
+    if N:
+        vals = np.concatenate([np.asarray(m, dtype=np.uint64) for m in mins_list])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        b = (vals & np.uint64(B - 1)).astype(np.int64)
+        key = row * B + b
+        order = np.argsort(key, kind="stable")  # within (row,bucket): asc hash
+        ks, vs = key[order], vals[order]
+        pos = np.arange(len(ks), dtype=np.int64)
+        is_start = np.empty(len(ks), dtype=bool)
+        is_start[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
+        slot = pos - np.maximum.accumulate(np.where(is_start, pos, 0))
+        d = max(8, int(slot.max()) + 1)
+    else:
+        d = 8
+
+    hi = np.zeros((m_rows, d, B), dtype=np.uint32)
+    lo = np.zeros((m_rows, d, B), dtype=np.uint32)
+    cnt = np.zeros((m_rows, B), dtype=np.uint8)
+    if N:
+        ro = np.repeat(np.arange(n, dtype=np.int64), lens)[order]
+        bo = b[order]
+        hi[ro, slot, bo] = (vs >> np.uint64(32)).astype(np.uint32)
+        lo[ro, slot, bo] = (vs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        starts = np.flatnonzero(is_start)
+        sizes = np.diff(np.concatenate([starts, [len(ks)]]))
+        assert sizes.max() <= 255, "bucket load exceeds u8 occupancy"
+        cnt.reshape(-1)[ks[starts]] = sizes.astype(np.uint8)
+    return hi, lo, cnt, B
 
 
 def pack_query_batch(queries, B: int):
     """Pack a batch of sorted u64 queries into shared-shape planes.
 
     Returns (qhi [bq, dq, B] u32, qlo, alive [bq, dq, B] bool) with dq the
-    max bucket load over the batch. `alive` marks real (non-PAD) slots and
-    is the mutable query state during gather rounds."""
-    packed = [pack_query_bucketed(np.asarray(q, np.uint64), B, device=False) for q in queries]
-    dq = max(p[3] for p in packed)
+    max bucket load over the batch. Slot validity comes from per-bucket
+    occupancy (not a PAD sentinel), so 2**64-1 is a legal query hash;
+    `alive` marks occupied slots and is the mutable query state during
+    gather rounds."""
     bq = len(queries)
-    qhi = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
-    qlo = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
-    for i, (hi, lo, cnt, d_i, tail) in enumerate(packed):
-        qhi[i, :d_i] = hi
-        qlo[i, :d_i] = lo
-    alive = ~((qhi == 0xFFFFFFFF) & (qlo == 0xFFFFFFFF))
+    per_q = []
+    dq = 8
+    for q in queries:
+        q = np.asarray(q, dtype=np.uint64)
+        b = (q & np.uint64(B - 1)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cnt = np.bincount(bs, minlength=B).astype(np.int64)
+        slot = np.arange(len(bs)) - np.repeat(
+            np.cumsum(np.concatenate([[0], cnt[:-1]])), cnt
+        ) if len(bs) else np.zeros(0, np.int64)
+        per_q.append((q[order], bs, slot, cnt))
+        if len(bs):
+            dq = max(dq, int(cnt.max()))
+
+    qhi = np.zeros((bq, dq, B), dtype=np.uint32)
+    qlo = np.zeros((bq, dq, B), dtype=np.uint32)
+    alive = np.zeros((bq, dq, B), dtype=bool)
+    for i, (qs, bs, slot, cnt) in enumerate(per_q):
+        qhi[i, slot, bs] = (qs >> np.uint64(32)).astype(np.uint32)
+        qlo[i, slot, bs] = (qs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        alive[i, slot, bs] = True
     return qhi, qlo, alive
 
 
-def _local_counts(Shi, Slo, qh, ql, al):
-    """[per, d, B] local subject planes vs one query row ([dq, B] planes +
-    alive mask) -> [per] overlap counts. Gather-free dense compares; the
-    alive mask doubles as the PAD guard (query PAD slots are dead, subject
-    PAD never equals a live query value)."""
+def _local_counts(Shi, Slo, Scnt, qh, ql, al):
+    """[per, d, B] local subject planes (+ [per, B] occupancy) vs one query
+    row ([dq, B] planes + alive mask) -> [per] overlap counts. Gather-free
+    dense compares; a compare hits only where BOTH the query slot is alive
+    and the subject slot is occupied (k2 < cnt), so every u64 value —
+    including 2**64-1 — is compared exactly."""
     d = Shi.shape[1]
     acc = jnp.zeros(Shi.shape[0], jnp.int32)
     for k2 in range(d):
+        occupied = Scnt[:, None, :] > k2  # [per, 1, B]
         eq = (Shi[:, k2, None, :] == qh[None]) & (Slo[:, k2, None, :] == ql[None])
-        acc = acc + jnp.sum(eq & al[None], axis=(1, 2), dtype=jnp.int32)
+        acc = acc + jnp.sum(eq & al[None] & occupied, axis=(1, 2), dtype=jnp.int32)
     return acc
 
 
@@ -112,12 +167,12 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
     across 'data'; output sharded across 'data', replicated across
     'shards' via psum placement."""
 
-    def _local(Shi, Slo, qhi, qlo, alive):
+    def _local(Shi, Slo, Scnt, qhi, qlo, alive):
         per = Shi.shape[0]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
 
         def one(qh, ql, al):
-            return _local_counts(Shi, Slo, qh, ql, al)
+            return _local_counts(Shi, Slo, Scnt, qh, ql, al)
 
         local = jax.vmap(one)(qhi, qlo, alive)  # [bq, per]
         n_shards = jax.lax.psum(1, "shards")
@@ -132,6 +187,7 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
         in_specs=(
             P("shards", None, None),
             P("shards", None, None),
+            P("shards", None),
             P("data", None, None),
             P("data", None, None),
             P("data", None, None),
@@ -141,7 +197,7 @@ def make_sharded_counter(mesh: Mesh, n_datasets: int):
     return jax.jit(f)
 
 
-def _gather_round_body(Shi, Slo, my0, n_shards, n_datasets, qh, ql, al, cnt, th):
+def _gather_round_body(Shi, Slo, Scnt, my0, n_shards, n_datasets, qh, ql, al, cnt, th):
     """One greedy round for one query row, inside a shard_map context:
     argmax -> owner shard's membership bits (psum-OR) -> alive &= ~removed
     -> counter decrement (placed + psum). Returns
@@ -160,12 +216,13 @@ def _gather_round_body(Shi, Slo, my0, n_shards, n_datasets, qh, ql, al, cnt, th)
         m = m | (
             (Shi[local_ix, k2, None, :] == qh)
             & (Slo[local_ix, k2, None, :] == ql)
+            & (Scnt[local_ix, None, :] > k2)
         )
     m = m & owner
     m = jax.lax.psum(m.astype(jnp.int32), "shards") > 0
     rm = m & al & active
 
-    dec_local = _local_counts(Shi, Slo, qh, ql, rm)  # [per]
+    dec_local = _local_counts(Shi, Slo, Scnt, qh, ql, rm)  # [per]
     dec = jnp.zeros(per * n_shards, jnp.int32)
     dec = jax.lax.dynamic_update_slice(dec, dec_local, (my0,))
     dec = jax.lax.psum(dec, "shards")[:n_datasets]
@@ -194,14 +251,14 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
     slots. This is the device-side inner loop of `gather` — the greedy
     outer iteration stays on host."""
 
-    def _local(Shi, Slo, qhi, qlo, alive, counts, thresh):
+    def _local(Shi, Slo, Scnt, qhi, qlo, alive, counts, thresh):
         per = Shi.shape[0]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
         n_shards = jax.lax.psum(1, "shards")
 
         def one(qh, ql, al, cnt, th):
             new_al, new_cnt, best, bc = _gather_round_body(
-                Shi, Slo, my0, n_shards, n_datasets, qh, ql, al, cnt, th
+                Shi, Slo, Scnt, my0, n_shards, n_datasets, qh, ql, al, cnt, th
             )
             return best, bc, new_cnt, new_al
 
@@ -213,6 +270,7 @@ def make_sharded_gather_round(mesh: Mesh, n_datasets: int):
         in_specs=(
             P("shards", None, None),
             P("shards", None, None),
+            P("shards", None),
             P("data", None, None),
             P("data", None, None),
             P("data", None, None),
@@ -243,7 +301,7 @@ def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
     — the unpacked bools would OOM at GTDB scale (86k x 128 x 2048 = 22 GB).
     """
 
-    def _local(Shi, Slo, qhi, qlo, alive):
+    def _local(Shi, Slo, Scnt, qhi, qlo, alive):
         per = Shi.shape[0]
         d = Shi.shape[1]
         my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
@@ -251,13 +309,14 @@ def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
         bq, dq, B = qhi.shape
         row_chunk = min(per, 4096)
 
-        def build_chunk(Chi, Clo, qh, ql, al):
+        def build_chunk(Chi, Clo, Ccnt, qh, ql, al):
             M = jnp.zeros((Chi.shape[0], dq, B // 32), jnp.uint32)
             for k2 in range(d):
                 eq = (
                     (Chi[:, k2, None, :] == qh[None])
                     & (Clo[:, k2, None, :] == ql[None])
                     & al[None]
+                    & (Ccnt[:, None, :] > k2)
                 )
                 M = M | _pack_bits_u32(eq)
             counts = jnp.sum(
@@ -272,8 +331,9 @@ def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
             c1 = min(c0 + row_chunk, per)
             Chi = jax.lax.slice_in_dim(Shi, c0, c1, axis=0)
             Clo = jax.lax.slice_in_dim(Slo, c0, c1, axis=0)
+            Ccnt = jax.lax.slice_in_dim(Scnt, c0, c1, axis=0)
             Mc, cc = jax.vmap(
-                lambda qh, ql, al: build_chunk(Chi, Clo, qh, ql, al)
+                lambda qh, ql, al: build_chunk(Chi, Clo, Ccnt, qh, ql, al)
             )(qhi, qlo, alive)
             M = jax.lax.dynamic_update_slice_in_dim(M, Mc, c0, axis=1)
             local_counts = jax.lax.dynamic_update_slice_in_dim(
@@ -293,6 +353,7 @@ def make_sharded_membership_builder(mesh: Mesh, n_datasets: int):
         in_specs=(
             P("shards", None, None),
             P("shards", None, None),
+            P("shards", None),
             P("data", None, None),
             P("data", None, None),
             P("data", None, None),
@@ -377,13 +438,13 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
     device dispatches total (split so the index planes and the round
     intermediates never need peak HBM together).
 
-    (Shi, Slo, qhi, qlo, alive, thresh)
+    (Shi, Slo, Scnt, qhi, qlo, alive, thresh)
       -> (best [bq, max_rounds], best_count [bq, max_rounds])"""
     build = make_sharded_membership_builder(mesh, n_datasets)
     rounds = make_sharded_gather_rounds(mesh, n_datasets, max_rounds)
 
-    def fn(Shi, Slo, qhi, qlo, alive, thresh):
-        M, counts = build(Shi, Slo, qhi, qlo, alive)
+    def fn(Shi, Slo, Scnt, qhi, qlo, alive, thresh):
+        M, counts = build(Shi, Slo, Scnt, qhi, qlo, alive)
         return rounds(M, alive, counts, thresh)
 
     return fn

@@ -263,14 +263,13 @@ def test_fused_program_matches_host_gather():
 
     # device: fused program on a 1-device mesh
     mesh = get_mesh(1, 1, devices=jax.devices()[:1])
-    # B=512 => Poisson(0.6) buckets: no spills, so the throughput path
-    # (which drops Poisson-tail spills) is exact here and must agree
-    Shi, Slo, B = pack_shard_planes(genomes, 1, B=512)
+    Shi, Slo, Scnt, B = pack_shard_planes(genomes, 1, B=512)
     qhi, qlo, alive = pack_query_batch([meta], B)
     prog = make_sharded_gather_program(mesh, n, len(host_order) + 3)
     bests, bcs = prog(
         jnp.asarray(Shi),
         jnp.asarray(Slo),
+        jnp.asarray(Scnt),
         jnp.asarray(qhi),
         jnp.asarray(qlo),
         jnp.asarray(alive),
