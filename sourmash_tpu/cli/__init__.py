@@ -454,6 +454,11 @@ def _add_sketch(sub):
 def _add_index(sub):
     p = sub.add_parser("index", description="build an SBT index of signatures")
     p.add_argument("sbt_name", help="name to save SBT into")
+    p.add_argument("-F", "--index-type", default="sbt",
+                   choices=["sbt", "revindex"],
+                   help="index format: 'sbt' (reference-compatible Sequence "
+                        "Bloom Tree, default) or 'revindex' (TPU-native "
+                        "device-resident flat index directory)")
     p.add_argument("signatures", nargs="*",
                    help="signatures to load into SBT")
     p.add_argument("--from-file",

@@ -872,6 +872,12 @@ def gather(args):
         counters = sweep.counters
         noident_mh = sweep.noident_mh
         ident_mh = sweep.ident_mh
+
+        if len(counters) == 1 and hasattr(counters[0], "enable_device_schedule"):
+            # single-database at-scale path (device-resident flat index /
+            # revindex): replay every greedy round in one device dispatch
+            # instead of one peek/consume round-trip per match
+            counters[0].enable_device_schedule()
     else:
         counters = databases
         noident_mh = None
@@ -1367,9 +1373,68 @@ class _SketchParamTracker:
             sys.exit(-1)
 
 
+def _index_revindex(args):
+    """Build a TPU-native revindex directory (`sourmash index -F revindex`):
+    the device-resident flat index's on-disk form — packed bucketed planes +
+    sigs.zip — which `gather`/`search` load straight to HBM. The scaling
+    analog of the reference's branchwater RocksDB revindex
+    (`disk_revindex.rs:240-274`)."""
+    from .index.flat import FlatIndex
+    from .index.revindex import save_revindex
+
+    set_quiet(args.quiet)
+    moltype = sourmash_args.calculate_moltype(args)
+    picklist = sourmash_args.load_picklist(args)
+
+    inp_files = list(args.signatures)
+    if args.from_file:
+        inp_files.extend(sourmash_args.load_pathlist_from_file(args.from_file))
+
+    if not inp_files:
+        error("ERROR: no files to index!? Supply on command line or use --from-file")
+        sys.exit(-1)
+
+    notify(f"loading {len(inp_files)} files into revindex")
+
+    progress = sourmash_args.SignatureLoadingProgress()
+    sigs = []
+    for f in inp_files:
+        for ss in sourmash_args.load_file_as_signatures(
+            f,
+            ksize=args.ksize,
+            select_moltype=moltype,
+            yield_all_files=args.force,
+            picklist=picklist,
+            progress=progress,
+        ):
+            with ss.update() as ss:
+                if args.scaled:
+                    ss.minhash = ss.minhash.downsample(scaled=int(args.scaled))
+                if ss.minhash.track_abundance:
+                    ss.minhash = ss.minhash.flatten()
+            if not ss.minhash.scaled:
+                error("ERROR: can only build revindexes from scaled signatures.")
+                sys.exit(-1)
+            sigs.append(ss)
+
+    notify("")
+    if not sigs:
+        error("no signatures found to load into tree!? failing.")
+        sys.exit(-1)
+
+    if picklist:
+        sourmash_args.report_picklist(args, picklist)
+
+    notify(f'loaded {len(sigs)} sigs; saving revindex under "{args.sbt_name}"')
+    save_revindex(FlatIndex(sigs), args.sbt_name)
+
+
 def index(args):
     "Build a Sequence Bloom Tree index of the given signatures."
     from .sbtmh import load_sbt_index, create_sbt_index
+
+    if getattr(args, "index_type", "sbt") == "revindex":
+        return _index_revindex(args)
 
     set_quiet(args.quiet)
     moltype = sourmash_args.calculate_moltype(args)

@@ -213,6 +213,37 @@ def _union_rows(M, sel):
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames="length")
+def _schedule_scan(M, carry, thresh, length):
+    """`length` greedy rounds over a bitset membership matrix.
+
+    M [k, W] u32: bit j of word w in row k = (query hash 32w+j) in dataset k.
+    carry = (alive [W] u32 bitset, counts [k] i32). Each round: argmax ->
+    remove the winner's live bits -> decrement every row by its overlap with
+    the removed bits (AND + popcount). Emits (best row | -1, count)."""
+    from ..ops.bucketed import popcount_u32
+
+    def body(c, _):
+        alive_p, cnt = c
+        best = jnp.argmax(cnt).astype(jnp.int32)
+        bc = cnt[best]
+        active = bc >= thresh
+        rm = jnp.where(active, M[best], jnp.uint32(0)) & alive_p
+        dec = jnp.sum(
+            popcount_u32(M & rm[None]).astype(jnp.int32), axis=1, dtype=jnp.int32
+        )
+        new_cnt = jnp.where(active, jnp.maximum(cnt - dec, 0), cnt)
+        return (alive_p & ~rm, new_cnt), (
+            jnp.where(active, best, -1),
+            jnp.where(active, bc, 0),
+        )
+
+    return jax.lax.scan(body, carry, None, length=length)
+
+
 class FlatCounterGather:
     """Device CounterGather on a query-centric membership matrix.
 
@@ -258,6 +289,10 @@ class FlatCounterGather:
             counts = np.where(counts >= max(n_threshold_hashes, 1), counts, 0)
         self.counts = counts.astype(np.int64)
         self.query_started = 0
+        self._q_mins = q
+        self._use_schedule = False
+        self._sched = None
+        self._sched_pos = 0
 
         # one-time membership extraction for matched datasets
         from ..ops.index_ops import membership_for_banks
@@ -308,9 +343,126 @@ class FlatCounterGather:
             )
         return self.scaled
 
+    # -- scheduled device gather (the two-dispatch at-scale path) ---------
+
+    def enable_device_schedule(self):
+        """Precompute the whole greedy round sequence on device instead of
+        one peek/consume round-trip per match.
+
+        One lax.scan over a bitset membership matrix (bit j of row k = query
+        hash j present in matched dataset k) replays every round — argmax,
+        winner-bit removal, AND+popcount decrements — in a single dispatch,
+        the single-chip analog of `parallel.make_sharded_gather_program`.
+        Valid when this counter is the only database in the gather (the CLI
+        enables it then): with one counter, consume() removals are exactly
+        the winner intersections the scan already applied. Equivalent to the
+        reference's device-side greedy loop over RocksDB posting lists
+        (`disk_revindex.rs:362-466`); argmax tie-breaking (lowest dataset
+        id) and the threshold cut match peek()/consume() bit for bit."""
+        self._use_schedule = True
+
+    def _compute_schedule(self, threshold_bp):
+        "Run the round scan; returns [(dataset id, overlap at pick time)]."
+        q = self._q_mins
+        matched = np.nonzero(self.counts > 0)[0]
+        if not len(matched) or not len(q):
+            return []
+
+        W = -(-len(q) // 32)
+        # membership bitsets over query-element indices, built by sorted join
+        bits = np.zeros((len(matched), W * 32), dtype=bool)
+        for row, i in enumerate(matched):
+            ds = self.index._ds_mins[int(i)]
+            idx = np.searchsorted(q, ds)
+            idx_c = np.minimum(idx, len(q) - 1)
+            hit = q[idx_c] == ds
+            bits[row, idx_c[hit]] = True
+        M = (
+            bits.reshape(len(matched), W, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)
+        ).sum(-1, dtype=np.uint32)
+
+        try:
+            _, n_th = calc_threshold_from_bp(threshold_bp, self.scaled, len(q))
+        except ValueError:
+            return []
+        thresh = np.int32(max(n_th, 1))
+
+        counts_c = self.counts[matched].astype(np.int32)
+        alive = np.full(W * 32, False)
+        alive[: len(q)] = True
+        alive_p = (
+            alive.reshape(W, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)
+        ).sum(-1, dtype=np.uint32)
+
+        schedule = []
+        carry = (jnp.asarray(alive_p), jnp.asarray(counts_c))
+        Mj = jnp.asarray(M)
+        chunk = int(min(len(matched), 256))
+        while True:
+            carry, (bests, bcs) = _schedule_scan(Mj, carry, thresh, chunk)
+            b_np, c_np = np.asarray(bests), np.asarray(bcs)
+            done = False
+            for b, c in zip(b_np, c_np):
+                if b < 0:
+                    done = True
+                    break
+                schedule.append((int(matched[b]), int(c)))
+            if done or len(schedule) >= len(matched):
+                break
+        return schedule
+
+    def _peek_scheduled(self, cur_query_mh, threshold_bp):
+        if self._sched is None:
+            self._sched = self._compute_schedule(threshold_bp)
+            self._sched_pos = 0
+        if self._sched_pos >= len(self._sched):
+            return []
+
+        scaled = max(self.scaled, cur_query_mh.scaled)
+        cur_query_mh = cur_query_mh.downsample(scaled=scaled)
+        if not cur_query_mh:
+            return []
+        if cur_query_mh.contained_by(self.orig_query_mh, downsample=True) < 1:
+            raise ValueError("current query not a subset of original query")
+
+        try:
+            threshold, n_threshold_hashes = calc_threshold_from_bp(
+                threshold_bp, scaled, len(cur_query_mh)
+            )
+        except ValueError:
+            return []
+
+        best, match_size = self._sched[self._sched_pos]
+        if match_size < n_threshold_hashes:
+            return []
+
+        match = self.index._signatures[best]
+        cont = cur_query_mh.contained_by(match.minhash, downsample=True)
+        assert cont
+        assert cont >= threshold
+
+        match_mh = match.minhash.downsample(scaled=scaled).flatten()
+        intersect_mh = cur_query_mh & match_mh
+        if len(intersect_mh) != match_size:
+            raise RuntimeError(
+                "scheduled gather diverged from counter state "
+                f"(round {self._sched_pos}: planned overlap {match_size}, "
+                f"actual {len(intersect_mh)})"
+            )
+
+        return (
+            IndexSearchResult(cont, match, self.index._location),
+            intersect_mh,
+        )
+
     def peek(self, cur_query_mh, *, threshold_bp=0):
         "Get the next best match without mutating counters."
         self.query_started = 1
+
+        if self._use_schedule:
+            return self._peek_scheduled(cur_query_mh, threshold_bp)
 
         if not self.counts.any():
             return []
@@ -355,6 +507,10 @@ class FlatCounterGather:
         intersect_mh: one fused AND+popcount pass over the membership
         matrix per bank group — no index re-scan."""
         self.query_started = 1
+        if self._use_schedule and self._sched is not None:
+            # scheduled rounds already applied every removal in-scan
+            self._sched_pos += 1
+            return
         if not intersect_mh:
             return
         active = self.counts > 0

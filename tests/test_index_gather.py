@@ -280,3 +280,50 @@ def test_fused_program_matches_host_gather():
         (int(b), int(c)) for b, c in zip(b_np, bc_np) if b >= 0
     ]
     assert got == host_order
+
+
+def test_scheduled_gather_matches_per_round():
+    """enable_device_schedule() (the one-dispatch scan used by the CLI's
+    single-database gather) reproduces the per-round peek/consume loop:
+    same winners, same overlap sizes, same stopping point."""
+    rng = np.random.default_rng(11)
+    n = 60
+    genomes = [
+        np.unique(rng.integers(1, 2**63, size=400, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    ids = rng.choice(n, size=10, replace=False)
+    meta = np.unique(
+        np.concatenate(
+            [genomes[i] for i in ids]
+            + [np.unique(rng.integers(1, 2**63, size=800, dtype=np.uint64))]
+        )
+    )
+
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+    query = SourmashSignature(qmh, name="meta").to_frozen()
+
+    def run(schedule):
+        fi = FlatIndex(sigs)
+        cg = fi.counter_gather(query, threshold_bp=0)
+        if schedule:
+            cg.enable_device_schedule()
+        order = []
+        cur = qmh.flatten().to_mutable()
+        while True:
+            res = cg.peek(cur, threshold_bp=0)
+            if not res:
+                break
+            sr, intersect_mh = res
+            order.append((int(sr.signature.name[1:]), len(intersect_mh)))
+            cg.consume(intersect_mh)
+            cur.remove_many(intersect_mh.hashes)
+        return order
+
+    assert run(True) == run(False)
