@@ -2,19 +2,29 @@
 """Benchmark: k-mer sketching throughput on the accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.json): k-mers hashed+thresholded+sorted per
 second per chip on the flagship sketch kernel (canonical k-mer extraction,
 murmur64, scaled threshold, sort/compact), measured on the reference
 E. coli genome at k=31/scaled=1000. `vs_baseline` is the speedup over the
-single-threaded host (numpy) implementation of the identical pipeline —
-a stand-in for the reference's single-core Rust hot loop, measured in the
+single-threaded host (native C++) implementation of the identical pipeline
+— a stand-in for the reference's single-core Rust hot loop, measured in the
 same process on the same input (the reference publishes no absolute
 numbers; see BASELINE.md).
+
+Before timing, the run is gated on a VALUE-exact on-hardware check: the
+device survivor hash set over the whole genome must equal the host loop's,
+so a silent Mosaic lowering defect fails the bench instead of shipping.
+
+`extra` carries the query-engine metrics (BASELINE.json configs 2-4):
+all-pairs compare throughput, search/prefetch latency and scheduled-gather
+time against a 10k-signature device index. Set SOURMASH_TPU_BENCH_N=<n>
+to rescale the database (e.g. 85000 for the GTDB-rs214-scale run).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -122,6 +132,67 @@ def main():
     # warmup/compile
     _ = int(np.asarray(run(batches[0], mh_variants[0])).sum())
 
+    # ON-HARDWARE VALUE EXACTNESS GATE: the device survivor hash SET over
+    # the full genome must equal the single-thread host loop's — counts
+    # alone would let a bad lowering ship. Runs on whatever backend this
+    # bench runs on (the real chip under the driver).
+    def device_values(a):
+        vals = []
+        for piece in make_pieces(a):
+            if slot_path:
+                from sourmash_tpu.ops.pallas_sketch import (
+                    sketch_survivor_slots_pallas,
+                )
+                from sourmash_tpu.ops.sketch import _pick_slots
+
+                sh, sl, cnt = sketch_survivor_slots_pallas(
+                    piece[None], np.uint64(max_hash), ksize=ksize, seed=42,
+                    slots=_pick_slots(max_hash),
+                )
+                sh = np.asarray(sh)[0]
+                sl = np.asarray(sl)[0]
+                n_slots = np.asarray(cnt)[0]
+                v = []
+                for b in range(sh.shape[0]):
+                    k = int(n_slots[b])
+                    if k:
+                        v.append(
+                            (sh[b, :k].astype(np.uint64) << np.uint64(32))
+                            | sl[b, :k].astype(np.uint64)
+                        )
+                if v:
+                    vals.append(np.concatenate(v))
+            else:
+                h, n = _seq_to_compact_hashes(
+                    jnp.asarray(piece), np.uint64(max_hash), ksize, 42, cap
+                )
+                vals.append(np.asarray(h)[: int(n)])
+        return np.unique(np.concatenate(vals)) if vals else np.zeros(0, np.uint64)
+
+    from sourmash_tpu import native
+
+    dvals = device_values(arr)
+    if native.available():
+        hvals = np.unique(
+            native.sketch_hashes(arr, ksize, 42, int(max_hash), n_threads=1)
+        )
+    else:
+        hh, valid = enc.dna_hashes(arr, ksize, 42)
+        hvals = np.unique(hh[valid & (hh <= max_hash)])
+    if not np.array_equal(dvals, hvals):
+        only_d = np.setdiff1d(dvals, hvals)
+        only_h = np.setdiff1d(hvals, dvals)
+        print(
+            f"bench: EXACTNESS FAILURE device-only={len(only_d)} "
+            f"host-only={len(only_h)}",
+            file=sys.stderr,
+        )
+        raise SystemExit("device/host sketch hash values disagree")
+    print(
+        f"bench: on-hardware value-exactness OK ({len(dvals)} survivor hashes)",
+        file=sys.stderr,
+    )
+
     # best-of-3 measurement windows: the dev tunnel's dispatch latency is
     # noisy under transient load, and the minimum is the honest device rate
     reps = 24
@@ -174,6 +245,9 @@ def main():
         file=sys.stderr,
     )
 
+    extra = query_engine_metrics()
+    extra["sketch_value_exact_on_device"] = True
+
     print(
         json.dumps(
             {
@@ -181,9 +255,92 @@ def main():
                 "value": round(kmers_per_sec, 1),
                 "unit": "kmers/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "extra": extra,
             }
         )
     )
+
+
+def query_engine_metrics():
+    """BASELINE configs 2-4 on the same chip: all-pairs compare throughput,
+    search/prefetch latency and the scheduled device gather against an
+    n-signature index (n = SOURMASH_TPU_BENCH_N, default 10000)."""
+    import sourmash_tpu as sm
+    from sourmash_tpu.index.flat import FlatIndex
+    from sourmash_tpu.search import GatherDatabases
+    from sourmash_tpu.ops.intersect import pairwise_intersection_counts
+
+    rng = np.random.default_rng(42)
+    scaled = 1000
+    max_hash = (2**64 - 1) // scaled
+
+    def rand_mins(n):
+        return np.unique(rng.integers(0, max_hash, size=n, dtype=np.uint64))
+
+    def make_sig(mins, name):
+        mh = sm.MinHash(0, 31, scaled=scaled)
+        mh.add_many(mins)
+        return sm.SourmashSignature(mh, name=name)
+
+    out = {}
+
+    # config 2: all-pairs compare, 500 sketches x ~5k hashes
+    cmp_mins = [rand_mins(5000) for _ in range(500)]
+    pairwise_intersection_counts(cmp_mins)  # warm/compile
+    t0 = time.perf_counter()
+    pairwise_intersection_counts(cmp_mins)
+    dt = time.perf_counter() - t0
+    out["compare_pairs_per_sec"] = round(500 * 500 / dt, 1)
+    print(f"bench: compare 500x500 in {dt:.3f}s", file=sys.stderr)
+
+    # configs 3-4: search / prefetch / gather vs an n-signature index
+    n_db = int(os.environ.get("SOURMASH_TPU_BENCH_N", "10000"))
+    genomes = [rand_mins(5000) for _ in range(n_db)]
+    sigs = [make_sig(m, f"genome{i}") for i, m in enumerate(genomes)]
+    db = FlatIndex(sigs)
+    query = make_sig(genomes[17], "query")
+    db._build()
+    db.counts_for(genomes[17])  # warm/compile
+
+    t0 = time.perf_counter()
+    res = db.search(query, threshold=0.05)
+    out["search_latency_ms"] = round((time.perf_counter() - t0) * 1000, 2)
+
+    t0 = time.perf_counter()
+    _ = list(db.prefetch(query, threshold_bp=50000))
+    out["prefetch_latency_ms"] = round((time.perf_counter() - t0) * 1000, 2)
+
+    true_ids = rng.choice(n_db, size=20, replace=False)
+    meta = np.unique(
+        np.concatenate([genomes[i] for i in true_ids] + [rand_mins(20000)])
+    )
+    mquery = make_sig(meta, "metagenome")
+
+    t0 = time.perf_counter()
+    counter = db.counter_gather(mquery, 50000)
+    counter.enable_device_schedule()  # the CLI single-database path
+    gd = GatherDatabases(mquery, [counter], threshold_bp=50000)
+    rounds = []
+    found = 0
+    while True:
+        tr = time.perf_counter()
+        try:
+            next(gd)
+        except StopIteration:
+            break
+        rounds.append(time.perf_counter() - tr)
+        found += 1
+    out["gather_total_s"] = round(time.perf_counter() - t0, 3)
+    out["gather_round_p50_ms"] = round(
+        float(np.median(rounds)) * 1000 if rounds else 0.0, 2
+    )
+    out["gather_db_size"] = n_db
+    out["gather_found"] = found
+    print(
+        f"bench: gather {found}/20 vs {n_db} sigs in {out['gather_total_s']}s",
+        file=sys.stderr,
+    )
+    return out
 
 
 if __name__ == "__main__":

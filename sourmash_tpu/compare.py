@@ -57,6 +57,51 @@ def _containment_from_counts(common, len_self, scaled):
     return max(0.0, min(1.0, common / (len_self * bias_factor)))
 
 
+def _abund_products_fit_exactly(mhs):
+    """True when every pairwise abundance-product sum is exactly
+    representable in both i64 (device accumulation) and f64 (the host
+    merge-join) — guaranteeing the batched angular path is bit-identical
+    to per-pair `angular_similarity`."""
+    max_a = 0
+    max_len = 0
+    for mh in mhs:
+        ab = mh._abunds
+        if ab is None or not len(ab):
+            continue
+        max_a = max(max_a, int(ab.max()))
+        max_len = max(max_len, len(ab))
+    # worst-case sum: max_len * max_a^2 must stay under 2**53
+    return max_a < 2**20 and max_len * max_a * max_a < 2**53
+
+
+def _angular_matrix_batched(mhs, similarities):
+    """Abundance-weighted (angular) all-pairs matrix with the product sums
+    computed in one batched device pass (`pairwise_weighted_products`);
+    the scalar cosine->angular conversion matches `angular_similarity`
+    (minhash.py:791) exactly."""
+    from .ops.bucketed import pairwise_weighted_products
+
+    prods = pairwise_weighted_products(
+        [mh.mins_array() for mh in mhs],
+        [mh._abunds for mh in mhs],
+    )
+    norms = np.array(
+        [
+            np.sqrt(float(np.sum(mh._abunds.astype(np.float64) ** 2)))
+            for mh in mhs
+        ]
+    )
+    n = len(mhs)
+    for i, j in itertools.combinations(range(n), 2):
+        if norms[i] == 0.0 or norms[j] == 0.0:
+            v = 0.0
+        else:
+            cos = min(float(prods[i, j]) / (norms[i] * norms[j]), 1.0)
+            v = 1.0 - 2.0 * np.arccos(cos) / np.pi
+        similarities[i][j] = similarities[j][i] = v
+    return similarities
+
+
 def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=False):
     """All-pairs similarity matrix (Jaccard, or angular if both sketches
     track abundance and ignore_abundance is False)."""
@@ -71,6 +116,16 @@ def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=Fa
         or ignore_abundance
         or all(not mh.track_abundance for mh in mhs)
     )
+
+    if (
+        not use_batch
+        and not return_ani
+        and not ignore_abundance
+        and _can_batch(mhs)
+        and all(mh.track_abundance for mh in mhs)
+        and _abund_products_fit_exactly(mhs)
+    ):
+        return _angular_matrix_batched(mhs, similarities)
 
     if use_batch:
         counts = _count_matrix(mhs)

@@ -505,3 +505,102 @@ def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=
                     M[r, s, bb] = True
         M = jnp.asarray(M)
     return M, q_packed
+
+
+# -- abundance-weighted products (angular similarity) -----------------------
+
+
+@jax.jit
+def _products_block(Qhi, Qlo, Qav, Qcnt, Shi, Slo, Sav, Scnt):
+    """[bq, d, B] query planes (+ int32 abundance planes, occupancy counts)
+    vs [ns, d, B] subjects -> [bq, ns] i64 sums of abundance products over
+    the hash intersection. Occupancy counts gate validity, so zero-filled
+    empty slots can never alias a real hash; empty slots carry abundance 0
+    anyway, making any residual false compare contribute nothing."""
+    d = Shi.shape[1]
+    dq = Qhi.shape[1]
+    acc = jnp.zeros((Qhi.shape[0], Shi.shape[0]), jnp.int64)
+    qa64 = Qav.astype(jnp.int64)
+    qvalid = Qcnt[:, None, :] > jnp.arange(dq, dtype=Qcnt.dtype)[None, :, None]
+    for k2 in range(d):
+        svalid = Scnt[:, None, :] > k2  # [ns, 1, B]
+        eq = (
+            (Shi[None, :, k2, None, :] == Qhi[:, None, :, :])
+            & (Slo[None, :, k2, None, :] == Qlo[:, None, :, :])
+            & qvalid[:, None, :, :]
+            & svalid[None, :, :, :]
+        )
+        prod = qa64[:, None, :, :] * Sav[None, :, k2, None, :].astype(jnp.int64)
+        acc = acc + jnp.sum(
+            jnp.where(eq, prod, 0), axis=(2, 3), dtype=jnp.int64
+        )
+    return acc
+
+
+def _pack_weighted(mins_list, abunds_list):
+    """Occupancy-validity packing of (hash, abundance) rows: slot depth d
+    is the max observed bucket load, so nothing spills and every value
+    (including 2**64-1) is representable. Returns (hi, lo, av, cnt, B)."""
+    n = len(mins_list)
+    B = choose_buckets(max((len(m) for m in mins_list), default=0))
+    lens = np.fromiter((len(m) for m in mins_list), dtype=np.int64, count=n)
+    N = int(lens.sum())
+
+    if N:
+        vals = np.concatenate([np.asarray(m, np.uint64) for m in mins_list])
+        ab = np.concatenate([np.asarray(a, np.int64) for a in abunds_list])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        b = (vals & np.uint64(B - 1)).astype(np.int64)
+        key = row * B + b
+        order = np.argsort(key, kind="stable")
+        ks, vs, avs = key[order], vals[order], ab[order]
+        pos = np.arange(len(ks), dtype=np.int64)
+        is_start = np.empty(len(ks), dtype=bool)
+        is_start[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=is_start[1:])
+        slot = pos - np.maximum.accumulate(np.where(is_start, pos, 0))
+        d = max(8, int(slot.max()) + 1)
+    else:
+        d = 8
+
+    rows = _pad_rows(n)
+    hi = np.zeros((rows, d, B), dtype=np.uint32)
+    lo = np.zeros((rows, d, B), dtype=np.uint32)
+    av = np.zeros((rows, d, B), dtype=np.int32)
+    cnt = np.zeros((rows, B), dtype=np.uint8)
+    if N:
+        ro = row[order]
+        bo = b[order]
+        hi[ro, slot, bo] = (vs >> np.uint64(32)).astype(np.uint32)
+        lo[ro, slot, bo] = (vs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        av[ro, slot, bo] = avs.astype(np.int32)
+        starts = np.flatnonzero(is_start)
+        sizes = np.diff(np.concatenate([starts, [len(ks)]]))
+        assert sizes.max() <= 255
+        cnt.reshape(-1)[ks[starts]] = sizes.astype(np.uint8)
+    return hi, lo, av, cnt, B
+
+
+def pairwise_weighted_products(mins_list, abunds_list, block=8):
+    """All-pairs exact [n, n] i64 matrix of sum(a_i(h) * a_j(h)) over each
+    pair's hash intersection — the hot term of abundance-weighted (angular)
+    similarity (reference `minhash.rs:635-680`), batched on device.
+
+    Integer accumulation makes the result order-independent and equal to
+    the host's f64 merge-join sum whenever it fits 2**53 (callers guard)."""
+    n = len(mins_list)
+    if not n:
+        return np.zeros((0, 0), dtype=np.int64)
+    hi, lo, av, cnt, B = _pack_weighted(mins_list, abunds_list)
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    av, cnt = jnp.asarray(av), jnp.asarray(cnt)
+    rows = hi.shape[0]
+    blk = min(block, rows)
+    outs = []
+    for i in range(0, rows, blk):
+        Qhi = jax.lax.dynamic_slice_in_dim(hi, i, blk, 0)
+        Qlo = jax.lax.dynamic_slice_in_dim(lo, i, blk, 0)
+        Qav = jax.lax.dynamic_slice_in_dim(av, i, blk, 0)
+        Qcnt = jax.lax.dynamic_slice_in_dim(cnt, i, blk, 0)
+        outs.append(_products_block(Qhi, Qlo, Qav, Qcnt, hi, lo, av, cnt))
+    return np.asarray(jnp.concatenate(outs, axis=0))[:n, :n]

@@ -237,3 +237,59 @@ if HAVE_HYP:
             for m in rows
         ]
         assert counts.tolist() == expect
+
+
+def test_pairwise_weighted_products_exact():
+    "Device abundance-product matrix == host merge-join, incl 2**64-1."
+    from sourmash_tpu.ops.bucketed import pairwise_weighted_products
+
+    rng = np.random.default_rng(3)
+    n = 12
+    mins, abunds = [], []
+    for i in range(n):
+        m = np.unique(rng.integers(1, 2**63, size=rng.integers(5, 400), dtype=np.uint64))
+        if i == 4:
+            m = np.unique(np.concatenate([m, [np.uint64(2**64 - 1)]]))
+        a = rng.integers(1, 1000, size=len(m)).astype(np.int64)
+        mins.append(m)
+        abunds.append(a)
+    # force dataset 7 to share lots with 4
+    mins[7] = np.unique(np.concatenate([mins[4][::2], mins[7]]))
+    abunds[7] = rng.integers(1, 1000, size=len(mins[7])).astype(np.int64)
+
+    got = pairwise_weighted_products(mins, abunds)
+    for i in range(n):
+        for j in range(n):
+            idx = np.searchsorted(mins[j], mins[i])
+            idx_c = np.minimum(idx, len(mins[j]) - 1)
+            hit = mins[j][idx_c] == mins[i]
+            expect = int(
+                np.sum(abunds[i][hit] * abunds[j][idx_c[hit]], dtype=np.int64)
+            )
+            assert got[i, j] == expect, (i, j, got[i, j], expect)
+
+
+def test_compare_angular_batched_matches_host():
+    "Batched angular compare == per-pair angular_similarity."
+    from sourmash_tpu import MinHash, SourmashSignature
+    from sourmash_tpu.compare import compare_serial
+
+    rng = np.random.default_rng(8)
+    sigs = []
+    for i in range(8):
+        mh = MinHash(0, 31, scaled=1000, track_abundance=True)
+        m = np.unique(
+            rng.integers(1, 2**64 // 1000, size=300, dtype=np.uint64)
+        )
+        mh.set_abundances(
+            dict(zip(m.tolist(), rng.integers(1, 50, size=len(m)).tolist()))
+        )
+        sigs.append(SourmashSignature(mh, name=f"s{i}"))
+
+    got = compare_serial(sigs, ignore_abundance=False)
+    for i in range(8):
+        for j in range(8):
+            if i == j:
+                continue
+            expect = sigs[i].minhash.angular_similarity(sigs[j].minhash)
+            assert got[i, j] == expect, (i, j, got[i, j], expect)
