@@ -251,14 +251,67 @@ class MemStorage(Storage):
 
 
 class IPFSStorage(Storage):
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "IPFS storage requires the 'ipfshttpclient' library, not available"
-        )
+    """Content-addressed node storage over an IPFS daemon (behavior parity:
+    reference `sbt_storage.py:418-455`). Requires the optional
+    `ipfshttpclient` package; the connection opens at construction."""
+
+    def __init__(self, pin_on_add=True, **kwargs):
+        try:
+            import ipfshttpclient
+        except ImportError as exc:
+            raise NotImplementedError(
+                "IPFS storage requires the 'ipfshttpclient' library"
+            ) from exc
+
+        self.ipfs_args = kwargs
+        self.pin_on_add = pin_on_add
+        self.api = ipfshttpclient.connect(**self.ipfs_args)
+
+    def save(self, path, content, *, overwrite=False):
+        "Add the content; the returned IPFS hash becomes the node's path."
+        new_obj = self.api.add_bytes(content)
+        if self.pin_on_add:
+            self.api.pin.add(new_obj)
+        return new_obj
+
+    def load(self, path):
+        return self.api.cat(path)
+
+    def init_args(self):
+        return self.ipfs_args
+
+    def __exit__(self, type, value, traceback):
+        # TODO: do nothing for now; can we cache any of the data transferred?
+        pass
 
 
 class RedisStorage(Storage):
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "Redis storage requires the 'redis' library, not available"
-        )
+    """Key/value node storage in a Redis server (behavior parity:
+    reference `sbt_storage.py:457-478`). Requires the optional `redis`
+    package."""
+
+    def __init__(self, **kwargs):
+        try:
+            import redis
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Redis storage requires the 'redis' library"
+            ) from exc
+
+        self.redis_args = kwargs
+        self.conn = redis.Redis(**self.redis_args)
+
+    def save(self, path, content, *, overwrite=False):
+        if not isinstance(content, bytes):
+            content = bytes(content)
+        self.conn.set(path, content)
+        return path
+
+    def load(self, path):
+        return self.conn.get(path)
+
+    def init_args(self):
+        return self.redis_args
+
+    def __exit__(self, type, value, traceback):
+        pass

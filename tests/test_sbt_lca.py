@@ -133,3 +133,77 @@ def test_lca_lineage_assignments():
             for lin in lins:
                 assert lin[-1].name
     assert found
+
+
+def test_ipfs_redis_storages_with_fake_clients(monkeypatch):
+    """IPFS/Redis storages drive their client libraries correctly
+    (round-trip through in-memory fakes injected as the client modules)."""
+    import sys
+    import types
+
+    from sourmash_tpu.sbt_storage import IPFSStorage, RedisStorage
+
+    # --- fake ipfshttpclient -----------------------------------------
+    blobs = {}
+
+    class FakePin:
+        def add(self, obj):
+            blobs.setdefault("_pinned", set()).add(obj)
+
+    class FakeIPFS:
+        pin = FakePin()
+
+        def add_bytes(self, content):
+            key = f"Qm{len(blobs)}"
+            blobs[key] = content
+            return key
+
+        def cat(self, path):
+            return blobs[path]
+
+    fake_mod = types.ModuleType("ipfshttpclient")
+    fake_mod.connect = lambda **kw: FakeIPFS()
+    monkeypatch.setitem(sys.modules, "ipfshttpclient", fake_mod)
+
+    with IPFSStorage() as st:
+        key = st.save("ignored", b"node-bytes")
+        assert st.load(key) == b"node-bytes"
+        assert key in blobs["_pinned"]
+        assert st.init_args() == {}
+
+    # --- fake redis ---------------------------------------------------
+    kv = {}
+
+    class FakeRedis:
+        def __init__(self, **kw):
+            self.kw = kw
+
+        def set(self, k, v):
+            kv[k] = v
+
+        def get(self, k):
+            return kv.get(k)
+
+    fake_redis = types.ModuleType("redis")
+    fake_redis.Redis = FakeRedis
+    monkeypatch.setitem(sys.modules, "redis", fake_redis)
+
+    with RedisStorage(host="localhost", port=6379) as st:
+        assert st.save("node/1", bytearray(b"xyz")) == "node/1"
+        assert st.load("node/1") == b"xyz"
+        assert st.init_args() == {"host": "localhost", "port": 6379}
+
+
+def test_ipfs_redis_raise_without_clients():
+    "Without client libraries the constructors raise NotImplementedError."
+    import pytest
+
+    from sourmash_tpu.sbt_storage import IPFSStorage, RedisStorage
+
+    for cls in (IPFSStorage, RedisStorage):
+        try:
+            cls()
+        except NotImplementedError:
+            pass
+        except Exception as exc:  # client lib present and reachable
+            pytest.skip(f"client library available: {exc}")
