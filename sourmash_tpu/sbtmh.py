@@ -21,14 +21,19 @@ def load_sbt_index(filename, *, print_version_warning=True, cache_size=None):
 
 def create_sbt_index(bloom_filter_size=1e5, n_children=2):
     "Create an empty SBT index."
-    factory = GraphFactory(1, bloom_filter_size, 4)
-    return SBT(factory, d=n_children)
+    return SBT(GraphFactory(1, bloom_filter_size, 4), d=n_children)
 
 
 def search_sbt_index(tree, query, threshold):
     "Search an SBT index with a query signature; yields (match, score)."
     for score, match, _ in tree.search(query, threshold=threshold, unload_data=True):
         yield match, score
+
+
+def _ratchet_min_n_below(parent, n):
+    "Fold a child's sketch size into the parent's min_n_below metadata."
+    floor = min(parent.metadata.get("min_n_below", sys.maxsize), n)
+    parent.metadata["min_n_below"] = max(floor, 1)
 
 
 class SigLeaf(Leaf):
@@ -52,13 +57,7 @@ class SigLeaf(Leaf):
     def update(self, parent):
         mh = self.data.minhash
         parent.data.update(mh)
-        min_n_below = parent.metadata.get("min_n_below", sys.maxsize)
-        min_n_below = min(len(mh), min_n_below)
-
-        if min_n_below == 0:
-            min_n_below = 1
-
-        parent.metadata["min_n_below"] = min_n_below
+        _ratchet_min_n_below(parent, len(mh))
 
     @property
     def data(self):
