@@ -94,36 +94,32 @@ def get_cli_script_plugins():
     "Return CLI script plugin entry points that provide a command."
     global _plugin_cli_once
 
-    x = []
+    usable = []
     for plugin in _plugin_cli:
-        name = plugin.name
-        mod = plugin.module
         try:
             script_cls = plugin.load()
         except (ModuleNotFoundError, AttributeError):
             if _plugin_cli_once is False:
                 error(
-                    f"ERROR: cannot find or load module for cli_script plugin '{name}'"
+                    f"ERROR: cannot find or load module for cli_script plugin '{plugin.name}'"
                 )
             continue
 
-        command = getattr(script_cls, "command", None)
-        if command is None:
+        if getattr(script_cls, "command", None) is None:
             if _plugin_cli_once is False:
                 error(
-                    f"ERROR: no command provided by cli_script plugin '{name}' from {mod}; skipping"
+                    f"ERROR: no command provided by cli_script plugin '{plugin.name}' from {plugin.module}; skipping"
                 )
-        else:
-            x.append(plugin)
+            continue
+        usable.append(plugin)
 
     _plugin_cli_once = True
-    return x
+    return usable
 
 
 def get_cli_scripts_descriptions():
     "Yield one-line descriptions of CLI script plugins."
     for plugin in get_cli_script_plugins():
-        name = plugin.name
         script_cls = plugin.load()
 
         command = getattr(script_cls, "command")
@@ -131,38 +127,36 @@ def get_cli_scripts_descriptions():
         if description:
             description = description.splitlines()[0]
         if not description:
-            description = f"(no description provided by plugin '{name}')"
+            description = f"(no description provided by plugin '{plugin.name}')"
 
         yield f"sourmash scripts {command:16s} - {description}"
 
 
 def add_cli_scripts(parser):
     "Create a subparser per CLI script plugin and instantiate the plugin."
-    d = {}
+    commands = {}
 
     for plugin in get_cli_script_plugins():
-        name = plugin.name
         script_cls = plugin.load()
-
-        usage = getattr(script_cls, "usage", None)
-        description = getattr(script_cls, "description", None)
-        epilog = getattr(script_cls, "epilog", None)
-        formatter_class = getattr(script_cls, "formatter_class", argparse.HelpFormatter)
 
         subparser = parser.add_parser(
             script_cls.command,
-            usage=usage,
-            description=description,
-            epilog=epilog,
-            formatter_class=formatter_class,
+            usage=getattr(script_cls, "usage", None),
+            description=getattr(script_cls, "description", None),
+            epilog=getattr(script_cls, "epilog", None),
+            formatter_class=getattr(
+                script_cls, "formatter_class", argparse.HelpFormatter
+            ),
         )
         debug_literal(
-            f"cls_script plugin '{name}' adding command '{script_cls.command}'"
+            f"cls_script plugin '{plugin.name}' adding command '{script_cls.command}'"
         )
-        obj = script_cls(subparser)
-        d[script_cls.command] = obj
+        commands[script_cls.command] = script_cls(subparser)
 
-    return d
+    return commands
+
+
+_PLUGIN_ROW = "{:<20s} {:<30s} {:<5s} {:<20s}"
 
 
 def list_all_plugins():
@@ -176,16 +170,17 @@ def list_all_plugins():
     notify("the following plugins are installed:")
     notify("")
     notify(
-        f"{'plugin type':<20s} {'from python module':<30s} {'v':<5s} {'entry point name':<20s}"
+        _PLUGIN_ROW.format(
+            "plugin type", "from python module", "v", "entry point name"
+        )
     )
-    notify(f"{'-' * 20} {'-' * 30} {'-' * 5} {'-' * 20}")
+    notify(_PLUGIN_ROW.format("-" * 20, "-" * 30, "-" * 5, "-" * 20))
 
     for plugin in plugins:
-        name = plugin.name
-        mod = plugin.module
         try:
             version = plugin.dist.version
         except Exception:
             version = "?"
-        group = plugin.group
-        notify(f"{group:<20s} {mod:<30s} {version:<5s} {name:<20s}")
+        notify(
+            _PLUGIN_ROW.format(plugin.group, plugin.module, version, plugin.name)
+        )
