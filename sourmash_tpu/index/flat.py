@@ -62,11 +62,17 @@ class FlatIndex(Index):
         self._scaled = None
 
     def save(self, path):
-        raise NotImplementedError
+        "Persist as a disk revindex directory (the on-disk form of this index)."
+        from .revindex import save_revindex
+
+        return save_revindex(self, path)
 
     @classmethod
-    def load(cls, *args, **kwargs):
-        raise NotImplementedError
+    def load(cls, location):
+        "Load a disk revindex directory back as a device-backed index."
+        from .revindex import load_revindex
+
+        return load_revindex(location)
 
     def select(self, **kwargs):
         _check_select_parameters(**kwargs)
