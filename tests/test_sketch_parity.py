@@ -191,3 +191,39 @@ class TestSlotPath:
         hashes, bad_rows = _slots_to_hashes(hi, lo, counts)
         assert bad_rows == [0]  # only the overflowing row is rerouted
         assert hashes.tolist() == [7 << 32]  # good rows still extracted
+
+    def test_slot_value_extraction_matches_host(self, monkeypatch):
+        """bench.py's exactness gate reconstructs survivor hash VALUES from
+        the slot kernel's (hi, lo, count) outputs; the reconstruction must
+        equal the host loop's survivor set (interpret mode on CPU)."""
+        monkeypatch.setenv("SOURMASH_PALLAS", "1")
+        from sourmash_tpu.minhash import _get_max_hash_for_scaled
+        from sourmash_tpu.ops.encodings import dna_hashes, UPPER
+        from sourmash_tpu.ops.pallas_sketch import sketch_survivor_slots_pallas
+        from sourmash_tpu.ops.sketch import _pick_slots
+
+        ksize, scaled = 31, 1000
+        rng = np.random.default_rng(5)
+        alph = np.frombuffer(b"ACGT", dtype=np.uint8)
+        piece = rng.choice(alph, size=(1 << 15) + ksize - 1)
+        mh = np.uint64(_get_max_hash_for_scaled(scaled))
+
+        sh, sl, cnt = sketch_survivor_slots_pallas(
+            piece[None], mh, ksize=ksize, seed=42, slots=_pick_slots(int(mh)),
+            interpret=True,
+        )
+        sh, sl = np.asarray(sh)[0], np.asarray(sl)[0]
+        n_slots = np.asarray(cnt)[0]
+        vals = []
+        for b in range(sh.shape[0]):
+            k = int(n_slots[b])
+            if k:
+                vals.append(
+                    (sh[b, :k].astype(np.uint64) << np.uint64(32))
+                    | sl[b, :k].astype(np.uint64)
+                )
+        got = np.unique(np.concatenate(vals)) if vals else np.zeros(0, np.uint64)
+
+        hh, vv = dna_hashes(UPPER[piece], ksize, 42)
+        expect = np.unique(hh[vv & (hh <= mh)])
+        assert np.array_equal(got, expect)
