@@ -173,9 +173,10 @@ def main():
 
     dvals = device_values(arr)
     if native.available():
-        hvals = np.unique(
-            native.sketch_hashes(arr, ksize, 42, int(max_hash), n_threads=1)
+        host_surv, _first_bad = native.sketch_hashes(
+            arr, ksize, 42, int(max_hash), n_threads=1
         )
+        hvals = np.unique(host_surv)
     else:
         hh, valid = enc.dna_hashes(arr, ksize, 42)
         hvals = np.unique(hh[valid & (hh <= max_hash)])

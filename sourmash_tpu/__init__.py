@@ -32,8 +32,12 @@ except Exception:  # pragma: no cover - older jax
     pass
 
 # explicit platform override (the environment's sitecustomize may force a
-# TPU plugin platform list; a config.update after import takes precedence).
-_platform = _os.environ.get("SOURMASH_PLATFORM")
+# TPU plugin platform regardless of env vars; a config.update after import
+# takes precedence). Honoring JAX_PLATFORMS here means `JAX_PLATFORMS=cpu`
+# alone reliably keeps library use off the accelerator.
+_platform = _os.environ.get("SOURMASH_PLATFORM") or _os.environ.get(
+    "JAX_PLATFORMS"
+)
 if _platform:
     jax.config.update("jax_platforms", _platform)
 
