@@ -553,13 +553,6 @@ class SqliteCollectionManifest(BaseCollectionManifest):
             return bool(self._num_rows)
         return next(iter(self.rows), None) is not None
 
-    def __eq__(self, other):
-        for a, b in itertools.zip_longest(self.rows, other.rows):
-            for k in self.required_keys:
-                if a[k] != b[k]:
-                    return False
-        return True
-
     def __len__(self):
         if self._num_rows is None:
             self._num_rows = sum(1 for _ in self.rows)

@@ -101,20 +101,21 @@ class BaseCollectionManifest:
         return None
 
     def write_to_filename(self, filename, *, database_format="csv", ok_if_exists=False):
-        if database_format == "csv":
-            from .sourmash_args import FileOutputCSV
-
-            if ok_if_exists or not os.path.exists(filename):
-                with FileOutputCSV(filename) as fp:
-                    return self.write_to_csv(fp, write_header=True)
-            elif os.path.exists(filename) and not ok_if_exists:
-                raise Exception("output manifest already exists")
-        elif database_format == "sql":
+        if database_format == "sql":
             from .index.sqlite_index import SqliteCollectionManifest
 
             SqliteCollectionManifest.load_from_manifest(
                 self, dbfile=filename, append=ok_if_exists
             )
+            return None
+
+        assert database_format == "csv"
+        from .sourmash_args import FileOutputCSV
+
+        if os.path.exists(filename) and not ok_if_exists:
+            raise Exception("output manifest already exists")
+        with FileOutputCSV(filename) as fp:
+            return self.write_to_csv(fp, write_header=True)
 
     @classmethod
     def write_csv_header(cls, fp):
@@ -176,9 +177,15 @@ class BaseCollectionManifest:
     def __len__(self):
         "Number of entries."
 
-    @abstractmethod
     def __eq__(self, other):
-        "Row-wise equality."
+        "Row-wise equality over the required columns."
+        for a, b in itertools.zip_longest(self.rows, other.rows):
+            if a is None or b is None:
+                return False
+            for k in self.required_keys:
+                if a[k] != b[k]:
+                    return False
+        return True
 
     @abstractmethod
     def select_to_manifest(self, **kwargs):
@@ -254,15 +261,6 @@ class CollectionManifest(BaseCollectionManifest):
 
     def __len__(self):
         return len(self.rows)
-
-    def __eq__(self, other):
-        for a, b in itertools.zip_longest(self.rows, other.rows):
-            if a is None or b is None:
-                return False
-            for k in self.required_keys:
-                if a[k] != b[k]:
-                    return False
-        return True
 
     def _select(
         self,
