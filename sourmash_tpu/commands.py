@@ -1057,6 +1057,11 @@ def multigather(args):
             for db in databases:
                 sweep.sweep_one(db)
 
+            if len(sweep.counters) == 1 and hasattr(
+                sweep.counters[0], "enable_device_schedule"
+            ):
+                sweep.counters[0].enable_device_schedule()
+
             is_abundance = query.minhash.track_abundance and not args.ignore_abundance
             orig_query_mh = query.minhash
             gather_iter = GatherDatabases(
