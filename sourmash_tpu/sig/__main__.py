@@ -1031,11 +1031,124 @@ def _merged_query_for_kmers(stream):
     return query_mh
 
 
+class _KmerScan:
+    """Streaming scan of sequence files against a merged query sketch:
+    per record, sketch it, keep it when it intersects the query, and
+    optionally emit matching sequences (FASTA) and k-mer/hash rows (CSV).
+    Progress prints every ~1 Mbp."""
+
+    def __init__(self, args, query_mh):
+        from .. import sourmash_args
+
+        self.args = args
+        self.query_mh = query_mh
+        self.query_hash_set = set(query_mh.hashes)
+        self.found_mh = query_mh.copy_and_clear()
+        self.is_protein = query_mh.moltype != "DNA" and not args.translate
+
+        self.save_kmers = None
+        self.kmer_w = None
+        if args.save_kmers:
+            self.save_kmers = sourmash_args.FileOutputCSV(args.save_kmers)
+            self.save_kmers.open()
+            self.kmer_w = csv.DictWriter(
+                self.save_kmers.fp,
+                fieldnames=["sequence_file", "sequence_name", "kmer", "hashval"],
+            )
+            self.kmer_w.writeheader()
+
+        self.save_seqs = None
+        if args.save_sequences:
+            self.save_seqs = sourmash_args.FileOutput(args.save_sequences)
+            self.save_seqs.open()
+
+        self.n_files_searched = 0
+        self.n_sequences_searched = 0
+        self.n_bp_searched = 0
+        self.n_kmers_found = 0
+        self.n_sequences_found = 0
+        self.n_bp_saved = 0
+        self._progress_threshold = 1e6
+
+    def close(self):
+        if self.save_kmers:
+            self.save_kmers.close()
+        if self.save_seqs:
+            self.save_seqs.close()
+
+    def found_hashes(self):
+        return self.query_hash_set.intersection(self.found_mh.hashes)
+
+    def _sketch_record(self, name, sequence, filename):
+        "One record -> sketch; None aborts/skips on invalid input."
+        seq_mh = self.query_mh.copy_and_clear()
+        if self.is_protein:
+            seq_mh.add_protein(sequence)
+            return seq_mh
+        try:
+            seq_mh.add_sequence(sequence, not self.args.check_sequence)
+        except ValueError as exc:
+            seqname = name if len(name) <= 40 else name[:37] + "..."
+            notify(f"ERROR in sequence '{seqname}', file '{filename}'")
+            notify(str(exc))
+            if not self.args.force:
+                sys.exit(-1)
+            notify("(continuing)")
+            return None
+        return seq_mh
+
+    def _record_matched(self, name, sequence, seq_mh, filename):
+        if self.save_seqs:
+            self.save_seqs.fp.write(f">{name}\n{sequence}\n")
+            self.n_sequences_found += 1
+            self.n_bp_saved += len(sequence)
+
+        if self.kmer_w:
+            for kmer, hashval in seq_mh.kmers_and_hashes(
+                sequence, force=False, is_protein=self.is_protein
+            ):
+                if hashval in self.query_hash_set:
+                    self.found_mh.add_hash(hashval)
+                    self.n_kmers_found += 1
+                    self.kmer_w.writerow(
+                        dict(
+                            sequence_file=filename,
+                            sequence_name=name,
+                            kmer=kmer,
+                            hashval=hashval,
+                        )
+                    )
+
+        self.found_mh += seq_mh.intersection(self.query_mh)
+
+    def scan_file(self, filename):
+        from .. import sequence_io
+
+        self.n_files_searched += 1
+        for name, seq_bytes in sequence_io.iter_records_bytes(filename):
+            sequence = seq_bytes.decode("ascii")
+            seq_mh = self._sketch_record(name, sequence, filename)
+            if seq_mh is None:
+                continue
+
+            if seq_mh.intersection(self.query_mh):
+                self._record_matched(name, sequence, seq_mh, filename)
+
+            self.n_sequences_searched += 1
+            self.n_bp_searched += len(sequence)
+
+            if self.n_bp_searched >= self._progress_threshold:
+                notify(
+                    f"... searched {self.n_bp_searched} from {self.n_files_searched} files so far"
+                )
+                while self.n_bp_searched >= self._progress_threshold:
+                    self._progress_threshold += 1e6
+
+
 def kmers(args):
     """Retrieve k-mers/sequences matching the hashes of given sketches
     (reference `sig/__main__.py:1087-1340`)."""
     from ..search import format_bp
-    from .. import sequence_io
 
     set_quiet(args.quiet)
     stream = _SigStream(args)
@@ -1059,121 +1172,34 @@ def kmers(args):
     notify("")
     notify("now processing sequence files for matches!")
 
-    found_mh = query_mh.copy_and_clear()
+    scan = _KmerScan(args, query_mh)
+    try:
+        for filename in args.sequences:
+            notify(f"opening sequence file '{filename}'")
+            scan.scan_file(filename)
+    finally:
+        scan.close()
 
-    save_kmers = None
-    kmer_w = None
-    if args.save_kmers:
-        save_kmers = sourmash_args.FileOutputCSV(args.save_kmers)
-        save_kmers.open()
-        kmer_w = csv.DictWriter(
-            save_kmers.fp,
-            fieldnames=["sequence_file", "sequence_name", "kmer", "hashval"],
-        )
-        kmer_w.writeheader()
-
-    save_seqs = None
-    if args.save_sequences:
-        save_seqs = sourmash_args.FileOutput(args.save_sequences)
-        save_seqs.open()
-
-    is_protein = query_mh.moltype != "DNA" and not args.translate
-
-    n_files_searched = 0
-    n_sequences_searched = 0
-    n_bp_searched = 0
-    n_kmers_found = 0
-    n_sequences_found = 0
-    n_bp_saved = 0
-
-    progress_threshold = 1e6
-    progress_interval = 1e6
-    query_hash_set = set(query_mh.hashes)
-    for filename in args.sequences:
-        notify(f"opening sequence file '{filename}'")
-        n_files_searched += 1
-
-        for name, seq_bytes in sequence_io.iter_records_bytes(filename):
-            sequence = seq_bytes.decode("ascii")
-            seq_mh = query_mh.copy_and_clear()
-
-            if is_protein:
-                seq_mh.add_protein(sequence)
-            else:
-                try:
-                    seq_mh.add_sequence(sequence, not args.check_sequence)
-                except ValueError as exc:
-                    seqname = name
-                    if len(seqname) > 40:
-                        seqname = seqname[:37] + "..."
-                    notify(f"ERROR in sequence '{seqname}', file '{filename}'")
-                    notify(str(exc))
-                    if args.force:
-                        notify("(continuing)")
-                        continue
-                    else:
-                        sys.exit(-1)
-
-            if seq_mh.intersection(query_mh):
-                if save_seqs:
-                    save_seqs.fp.write(f">{name}\n{sequence}\n")
-                    n_sequences_found += 1
-                    n_bp_saved += len(sequence)
-
-                if kmer_w:
-                    kh_iter = seq_mh.kmers_and_hashes(
-                        sequence, force=False, is_protein=is_protein
-                    )
-                    for kmer, hashval in kh_iter:
-                        if hashval in query_hash_set:
-                            found_mh.add_hash(hashval)
-                            n_kmers_found += 1
-                            kmer_w.writerow(
-                                dict(
-                                    sequence_file=filename,
-                                    sequence_name=name,
-                                    kmer=kmer,
-                                    hashval=hashval,
-                                )
-                            )
-
-                found_mh += seq_mh.intersection(query_mh)
-
-            n_sequences_searched += 1
-            n_bp_searched += len(sequence)
-
-            if n_bp_searched >= progress_threshold:
-                notify(
-                    f"... searched {n_bp_searched} from {n_files_searched} files so far"
-                )
-                while n_bp_searched >= progress_threshold:
-                    progress_threshold += progress_interval
-
-    if save_kmers:
-        save_kmers.close()
-    if save_seqs:
-        save_seqs.close()
-
-    if not n_sequences_searched:
+    if not scan.n_sequences_searched:
         notify("ERROR: no sequences searched!?")
         sys.exit(-1)
 
     notify("DONE.")
     notify(
-        f"searched {n_sequences_searched} sequences from {n_files_searched} files, containing a total of {format_bp(n_bp_searched)}."
+        f"searched {scan.n_sequences_searched} sequences from {scan.n_files_searched} files, containing a total of {format_bp(scan.n_bp_searched)}."
     )
 
-    if save_seqs:
+    if scan.save_seqs:
         notify(
-            f"matched and saved a total of {n_sequences_found} sequences with {format_bp(n_bp_saved)}."
+            f"matched and saved a total of {scan.n_sequences_found} sequences with {format_bp(scan.n_bp_saved)}."
         )
-    if kmer_w:
-        notify(f"matched and saved a total of {n_kmers_found} k-mers.")
+    if scan.kmer_w:
+        notify(f"matched and saved a total of {scan.n_kmers_found} k-mers.")
 
-    cont = len(query_hash_set.intersection(found_mh.hashes)) / len(query_hash_set)
-    notify(f"found {len(found_mh)} distinct matching hashes ({cont * 100:.1f}%)")
+    cont = len(scan.found_hashes()) / len(scan.query_hash_set)
+    notify(f"found {len(scan.found_mh)} distinct matching hashes ({cont * 100:.1f}%)")
 
-    if not kmer_w and not save_seqs:
+    if not scan.kmer_w and not scan.save_seqs:
         notify("NOTE: see --save-kmers or --save-sequences for output options.")
 
 
