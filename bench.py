@@ -285,12 +285,13 @@ def query_engine_metrics():
 
     out = {}
 
-    # config 2: all-pairs compare, 500 sketches x ~5k hashes
+    # config 2: all-pairs compare, 500 sketches x ~5k hashes.
+    # best-of-3 steady-state windows (tunnel dispatch latency is noisy).
     cmp_mins = [rand_mins(5000) for _ in range(500)]
     pairwise_intersection_counts(cmp_mins)  # warm/compile
-    t0 = time.perf_counter()
-    pairwise_intersection_counts(cmp_mins)
-    dt = time.perf_counter() - t0
+    dt = min(
+        _timed(lambda: pairwise_intersection_counts(cmp_mins)) for _ in range(3)
+    )
     out["compare_pairs_per_sec"] = round(500 * 500 / dt, 1)
     print(f"bench: compare 500x500 in {dt:.3f}s", file=sys.stderr)
 
@@ -301,15 +302,23 @@ def query_engine_metrics():
     db = FlatIndex(sigs)
     query = make_sig(genomes[17], "query")
     db._build()
-    db.counts_for(genomes[17])  # warm/compile
 
-    t0 = time.perf_counter()
-    res = db.search(query, threshold=0.05)
-    out["search_latency_ms"] = round((time.perf_counter() - t0) * 1000, 2)
+    db.search(query, threshold=0.05)  # warm/compile the cutoff kernel
+    out["search_latency_ms"] = round(
+        min(_timed(lambda: db.search(query, threshold=0.05)) for _ in range(3))
+        * 1000,
+        2,
+    )
 
-    t0 = time.perf_counter()
-    _ = list(db.prefetch(query, threshold_bp=50000))
-    out["prefetch_latency_ms"] = round((time.perf_counter() - t0) * 1000, 2)
+    list(db.prefetch(query, threshold_bp=50000))  # warm
+    out["prefetch_latency_ms"] = round(
+        min(
+            _timed(lambda: list(db.prefetch(query, threshold_bp=50000)))
+            for _ in range(3)
+        )
+        * 1000,
+        2,
+    )
 
     true_ids = rng.choice(n_db, size=20, replace=False)
     meta = np.unique(
@@ -317,20 +326,26 @@ def query_engine_metrics():
     )
     mquery = make_sig(meta, "metagenome")
 
+    def run_gather():
+        "counter build + scheduled rounds; returns (found, round times)."
+        counter = db.counter_gather(mquery, 50000)
+        counter.enable_device_schedule()  # the CLI single-database path
+        gd = GatherDatabases(mquery, [counter], threshold_bp=50000)
+        rounds = []
+        found = 0
+        while True:
+            tr = time.perf_counter()
+            try:
+                next(gd)
+            except StopIteration:
+                break
+            rounds.append(time.perf_counter() - tr)
+            found += 1
+        return found, rounds
+
+    run_gather()  # warm/compile (membership + schedule scan kernels)
     t0 = time.perf_counter()
-    counter = db.counter_gather(mquery, 50000)
-    counter.enable_device_schedule()  # the CLI single-database path
-    gd = GatherDatabases(mquery, [counter], threshold_bp=50000)
-    rounds = []
-    found = 0
-    while True:
-        tr = time.perf_counter()
-        try:
-            next(gd)
-        except StopIteration:
-            break
-        rounds.append(time.perf_counter() - tr)
-        found += 1
+    found, rounds = run_gather()
     out["gather_total_s"] = round(time.perf_counter() - t0, 3)
     out["gather_round_p50_ms"] = round(
         float(np.median(rounds)) * 1000 if rounds else 0.0, 2
@@ -338,10 +353,16 @@ def query_engine_metrics():
     out["gather_db_size"] = n_db
     out["gather_found"] = found
     print(
-        f"bench: gather {found}/20 vs {n_db} sigs in {out['gather_total_s']}s",
+        f"bench: gather {found}/20 vs {n_db} sigs in {out['gather_total_s']}s warm",
         file=sys.stderr,
     )
     return out
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
