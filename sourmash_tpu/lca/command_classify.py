@@ -1,5 +1,8 @@
-"""`sourmash lca classify`: classify signatures to deepest taxonomic node
-(behavior parity: reference `src/sourmash/lca/command_classify.py`)."""
+"""`sourmash lca classify`: assign each query signature the deepest
+taxonomic lineage its hash content supports, by LCA voting across one or
+more LCA databases (behavior parity: reference
+`src/sourmash/lca/command_classify.py`).
+"""
 
 from __future__ import annotations
 
@@ -7,66 +10,67 @@ import csv
 import sys
 
 from .. import sourmash_args
+from ..logging import debug, error, notify, set_quiet
 from ..sourmash_args import load_file_as_signatures
-from ..logging import notify, error, debug, set_quiet
 from . import lca_utils
-from .lca_utils import check_files_exist
+from ._cmdutil import flatten, gather_query_paths, open_databases
 
-DEFAULT_THRESHOLD = 5
+DEFAULT_THRESHOLD = 5  # min per-lineage vote count
+
+
+def _vote_tree(counts, threshold, majority):
+    """Build the LCA prefix tree over the "significant" lineage votes.
+
+    Default: every lineage with at least `threshold` votes participates.
+    With `majority`, only the single top vote participates (and only if it
+    clears the threshold strictly).
+    """
+    tree = {}
+    ranked = counts.most_common()
+    if majority:
+        if ranked:
+            winner, votes = ranked[0]
+            if votes > threshold:
+                lca_utils.build_tree([winner], tree)
+    else:
+        for lineage, votes in ranked:
+            if votes < threshold:
+                break
+            lca_utils.build_tree([lineage], tree)
+    return tree
 
 
 def classify_signature(query_sig, dblist, threshold, majority):
-    """Classify query_sig against the databases; returns (lineage, status)
-    with status in {'nomatch', 'found', 'disagree'}."""
-    assignments = lca_utils.gather_assignments(query_sig.minhash.hashes, dblist)
+    """Classify one signature; returns (lineage, status).
 
+    Status is 'nomatch' (no significant votes), 'found' (votes agree on a
+    single path), or 'disagree' (the tree forks).
+    """
+    assignments = lca_utils.gather_assignments(query_sig.minhash.hashes, dblist)
     counts = lca_utils.count_lca_for_assignments(assignments)
     debug(counts.most_common())
 
-    # gather the above-threshold LCAs into one tree: all of them by
-    # default, or just the top vote with --majority
-    tree = {}
-    if counts and majority:
-        majority_vote, count = counts.most_common()[0]
-        if count > threshold:
-            lca_utils.build_tree([majority_vote], tree)
-    else:
-        for lca, count in counts.most_common():
-            if count < threshold:
-                break
-            lca_utils.build_tree([lca], tree)
-
+    tree = _vote_tree(counts, threshold, majority)
     if not tree:
         return [], "nomatch"
 
-    lca, n_children = lca_utils.find_lca(tree)
-    if n_children == 0:
-        debug("END", lca)
-        status = "found"
-    else:
-        debug("MULTI", lca)
+    lineage, forks = lca_utils.find_lca(tree)
+    if forks:
+        debug("MULTI", lineage)
         status = "disagree"
+    else:
+        debug("END", lineage)
+        status = "found"
+    debug("lineage is:", lineage)
+    return lineage, status
 
-    debug("lineage is:", lca)
-    return lca, status
 
-
-def _collect_query_files(args):
-    "Positional queries + --query-from-file, existence-checked."
-    notify("finding query signatures...")
-    inp_files = list(args.query)
-    if args.query_from_file:
-        inp_files.extend(sourmash_args.load_pathlist_from_file(args.query_from_file))
-
-    if not check_files_exist(*inp_files):
-        sys.exit(-1)
-
-    if not inp_files:
-        error(
-            "Error! must specify at least one query signature with --query or --query-from-file"
-        )
-        sys.exit(-1)
-    return inp_files
+def _at_db_scaled(query_sig, scaled):
+    "Downsample the query in place if it disagrees with the database scaled."
+    if query_sig.minhash.scaled != scaled:
+        with query_sig.update() as query_sig:
+            query_sig.minhash = query_sig.minhash.downsample(scaled=scaled)
+    return query_sig
 
 
 def classify(args):
@@ -76,44 +80,45 @@ def classify(args):
         sys.exit(-1)
 
     set_quiet(args.quiet, args.debug)
+    args.query = flatten(args.query)
 
-    args.db = [item for sublist in args.db for item in sublist]
-    args.query = [item for sublist in args.query for item in sublist]
-
-    if not check_files_exist(*args.db):
-        sys.exit(-1)
-
-    dblist, ksize, scaled = lca_utils.load_databases(args.db, args.scaled)
-
-    inp_files = _collect_query_files(args)
+    dblist, ksize, scaled = open_databases(args)
+    query_paths = gather_query_paths(
+        args,
+        empty_check_first=False,
+        missing_flag_msg=(
+            "Error! must specify at least one query signature with"
+            " --query or --query-from-file"
+        ),
+    )
 
     notify(f"outputting classifications to {args.output}")
     with sourmash_args.FileOutputCSV(args.output) as outfp:
-        csvfp = csv.writer(outfp)
+        out = csv.writer(outfp)
+        out.writerow(["ID", "status"] + list(lca_utils.taxlist()))
 
-        csvfp.writerow(["ID", "status"] + list(lca_utils.taxlist()))
-
-        total_count = 0
-        total_n = len(inp_files)
-        for n, query_filename in enumerate(inp_files, 1):
-            for query_sig in load_file_as_signatures(query_filename, ksize=ksize):
+        n_classified = 0
+        for file_no, path in enumerate(query_paths, 1):
+            for query_sig in load_file_as_signatures(path, ksize=ksize):
                 notify("\r\033[K", end="")
-                notify(f"... classifying {query_sig} (file {n} of {total_n})", end="\r")
+                notify(
+                    f"... classifying {query_sig} (file {file_no} of {len(query_paths)})",
+                    end="\r",
+                )
                 debug("classifying", query_sig)
-                total_count += 1
+                n_classified += 1
 
-                if query_sig.minhash.scaled != scaled:
-                    with query_sig.update() as query_sig:
-                        query_sig.minhash = query_sig.minhash.downsample(scaled=scaled)
-
+                query_sig = _at_db_scaled(query_sig, scaled)
                 lineage, status = classify_signature(
                     query_sig, dblist, args.threshold, args.majority
                 )
                 debug(lineage)
 
-                if not args.output:
+                if not args.output:  # keep stdout rows intelligible
                     notify("\r\033[K", end="")
-                csvfp.writerow([str(query_sig), status] + lca_utils.zip_lineage(lineage))
+                out.writerow(
+                    [str(query_sig), status] + lca_utils.zip_lineage(lineage)
+                )
 
         notify("\r\033[K", end="")
-        notify(f"classified {total_count} signatures total")
+        notify(f"classified {n_classified} signatures total")

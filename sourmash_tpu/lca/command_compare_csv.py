@@ -1,15 +1,23 @@
-"""`sourmash lca compare_csv`: compare two taxonomy spreadsheets
-(behavior parity: reference `src/sourmash/lca/command_compare_csv.py`)."""
+"""`sourmash lca compare_csv`: diff two taxonomy spreadsheets.
+
+For every identifier present in both sheets, the two lineages are folded
+into one LCA tree: a clean leaf means one lineage nests inside the other
+(compatible); a fork means a genuine disagreement, tallied by the rank it
+occurs at (behavior parity: reference
+`src/sourmash/lca/command_compare_csv.py`).
+"""
 
 from __future__ import annotations
 
 import sys
-from collections import defaultdict
+from collections import Counter
 
-from ..logging import notify, error, print_results, set_quiet
+from ..logging import error, notify, print_results, set_quiet
 from . import lca_utils
-from .lca_utils import zip_lineage
 from .command_index import load_taxonomy_assignments
+from .lca_utils import zip_lineage
+
+_AGREE, _COMPATIBLE, _INCOMPATIBLE = range(3)
 
 
 def _load_and_report(label, **load_kwargs):
@@ -22,18 +30,26 @@ def _load_and_report(label, **load_kwargs):
     return assignments
 
 
-def _report_missing(assignments0, assignments):
+def _report_missing(in_classify, in_custom):
     "Note identifiers present in only one of the two spreadsheets."
-    only_in_classify = set(assignments0) - set(assignments)
-    only_in_custom = set(assignments) - set(assignments0)
-    if only_in_custom:
-        notify(f"missing {len(only_in_custom)} assignments in classify spreadsheet.")
-    if only_in_classify:
-        notify(f"missing {len(only_in_classify)} assignments in custom spreadsheet.")
-    if only_in_classify or only_in_custom:
+    classify_only = in_classify - in_custom
+    custom_only = in_custom - in_classify
+    if custom_only:
+        notify(f"missing {len(custom_only)} assignments in classify spreadsheet.")
+    if classify_only:
+        notify(f"missing {len(classify_only)} assignments in custom spreadsheet.")
+    if classify_only or custom_only:
         notify("(these will not be evaluated any further)")
     else:
         notify("note: all IDs are in both spreadsheets!")
+
+
+def _judge_pair(lin_a, lin_b):
+    "Merge two differing lineages; return (_COMPATIBLE/_INCOMPATIBLE, lca)."
+    tree = lca_utils.build_tree([lin_a])
+    lca_utils.build_tree([lin_b], tree)
+    lca, forks = lca_utils.find_lca(tree)
+    return (_INCOMPATIBLE if forks else _COMPATIBLE), lca
 
 
 def compare_csv(args):
@@ -43,15 +59,14 @@ def compare_csv(args):
 
     set_quiet(args.quiet, args.debug)
 
-    assignments0 = _load_and_report(
+    classify_assign = _load_and_report(
         f"classify output from: {args.csv1}",
         filename=args.csv1,
         start_column=3,
         force=args.force,
     )
     notify("----")
-
-    assignments = _load_and_report(
+    custom_assign = _load_and_report(
         f"custom spreadsheet from: {args.csv2}",
         filename=args.csv2,
         delimiter="\t" if args.tabs else ",",
@@ -60,43 +75,32 @@ def compare_csv(args):
         force=args.force,
     )
 
-    _report_missing(assignments0, assignments)
+    _report_missing(set(classify_assign), set(custom_assign))
+    shared = set(classify_assign) & set(custom_assign)
 
-    common = set(assignments0.keys())
-    common.intersection_update(assignments.keys())
+    verdicts = Counter()
+    incompat_rank = Counter()
+    top_rank = next(iter(lca_utils.taxlist()))
 
-    # for each shared identifier, decide whether the two lineages agree,
-    # nest (compatible), or genuinely conflict (incompatible)
-    n_total = 0
-    n_different = 0
-    n_compat = 0
-    n_incompat = 0
-    incompat_rank = defaultdict(int)
-    for ident in common:
-        n_total += 1
-        lin_classify = assignments0[ident]
-        lin_custom = assignments[ident]
-        if lin_classify == lin_custom:
+    for ident in shared:
+        a, b = classify_assign[ident], custom_assign[ident]
+        if a == b:
+            verdicts[_AGREE] += 1
             continue
-        n_different += 1
 
-        tree = lca_utils.build_tree([lin_classify])
-        lca_utils.build_tree([lin_custom], tree)
-        lca, n_children = lca_utils.find_lca(tree)
-
-        if n_children == 0:
-            n_compat += 1
+        verdict, lca = _judge_pair(a, b)
+        verdicts[verdict] += 1
+        if verdict == _COMPATIBLE:
             print_results("{},compatible,{}", ident, ";".join(zip_lineage(lca)))
         else:
-            n_incompat += 1
             print_results("{},incompatible,{}", ident, ";".join(zip_lineage(lca)))
-            rank = lca[-1].rank if lca else next(iter(lca_utils.taxlist()))
-            incompat_rank[rank] += 1
+            incompat_rank[lca[-1].rank if lca else top_rank] += 1
 
-    notify(f"{n_total} total assignments, {n_different} differ between spreadsheets.")
-    notify(f"{n_compat} are compatible (one lineage is ancestor of another.")
-    notify(f"{n_incompat} are incompatible (there is a disagreement in the trees).")
+    n_differ = verdicts[_COMPATIBLE] + verdicts[_INCOMPATIBLE]
+    notify(f"{len(shared)} total assignments, {n_differ} differ between spreadsheets.")
+    notify(f"{verdicts[_COMPATIBLE]} are compatible (one lineage is ancestor of another.")
+    notify(f"{verdicts[_INCOMPATIBLE]} are incompatible (there is a disagreement in the trees).")
 
-    if n_incompat:
+    if verdicts[_INCOMPATIBLE]:
         for rank in lca_utils.taxlist():
             notify(f"{incompat_rank[rank]} incompatible at rank {rank}")

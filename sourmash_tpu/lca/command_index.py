@@ -1,5 +1,7 @@
-"""`sourmash lca index`: build an LCA database from taxonomy + signatures
-(behavior parity: reference `src/sourmash/lca/command_index.py`)."""
+"""`sourmash lca index`: build an LCA database from a taxonomy
+spreadsheet plus signature collections (behavior parity: reference
+`src/sourmash/lca/command_index.py`).
+"""
 
 from __future__ import annotations
 
@@ -8,56 +10,61 @@ import os
 import sys
 
 from .. import sourmash_args
-from ..sourmash_args import load_file_as_signatures, DEFAULT_LOAD_K
-from ..logging import notify, error, debug, set_quiet
+from ..logging import debug, error, notify, set_quiet
+from ..sourmash_args import DEFAULT_LOAD_K, load_file_as_signatures
 from . import lca_utils
 from .lca_db import LCA_Database
 
 
+# ----------------------------------------------------------------------
+# taxonomy-spreadsheet parsing
+
 def _spreadsheet_columns(start_column):
     "Expected column layout: identifier, skipped cols, then the rank list."
-    return (
-        ["identifiers"]
-        + ["_skip_"] * (start_column - 2)
-        + list(lca_utils.taxlist())
-    )
+    skipped = ["_skip_"] * (start_column - 2)
+    return ["identifiers"] + skipped + list(lca_utils.taxlist())
 
 
 def _check_headers(first_row, row_headers, force):
     "Warn/abort when the spreadsheet headers disagree with expectations."
     n_disagree = 0
     for column, value in zip(row_headers, first_row):
-        if column == "_skip_":
+        if column == "_skip_" or column.lower() == value.lower():
             continue
-        if column.lower() != value.lower():
-            notify(f"** assuming column '{value}' is {column} in spreadsheet")
-            n_disagree += 1
-            if n_disagree > 2:
-                error("whoa, too many assumptions. are the headers right?")
-                error("expecting {}", ",".join(row_headers))
-                if not force:
-                    sys.exit(-1)
-                notify("...continue, because --force was specified.")
+        notify(f"** assuming column '{value}' is {column} in spreadsheet")
+        n_disagree += 1
+        if n_disagree > 2:
+            error("whoa, too many assumptions. are the headers right?")
+            error("expecting {}", ",".join(row_headers))
+            if not force:
+                sys.exit(-1)
+            notify("...continue, because --force was specified.")
 
 
-def _row_to_ident_lineage(row_headers, row, *, split_identifiers, keep_identifier_versions):
-    "Parse one spreadsheet row into (ident, trimmed lineage tuple)."
-    from ..tax.tax_utils import LineagePair
-
-    cells = [x for x in zip(row_headers, row) if x[0] != "_skip_"]
-
-    ident = cells[0][1]
+def _shorten_ident(ident, split_identifiers, keep_identifier_versions):
+    "Optionally strip description + version suffix from an identifier."
     if split_identifiers:
         ident = ident.split(" ")[0]
         if not keep_identifier_versions:
             ident = ident.split(".")[0]
+    return ident
+
+
+def _row_to_ident_lineage(row_headers, row, *, keep_identifier_versions,
+                          split_identifiers):
+    "Parse one spreadsheet row into (ident, trimmed lineage tuple)."
+    from ..tax.tax_utils import LineagePair
+
+    cells = [x for x in zip(row_headers, row) if x[0] != "_skip_"]
+    ident = _shorten_ident(
+        cells[0][1], split_identifiers, keep_identifier_versions
+    )
 
     lineage = [
-        LineagePair(rank, lca_utils.filter_null(name)) for (rank, name) in cells[1:]
+        LineagePair(rank, lca_utils.filter_null(name)) for rank, name in cells[1:]
     ]
     while lineage and lineage[-1].name == "unassigned":
-        lineage = lineage[:-1]
-
+        del lineage[-1]
     return ident, tuple(lineage)
 
 
@@ -71,21 +78,18 @@ def load_taxonomy_assignments(
     split_identifiers=False,
     keep_identifier_versions=False,
 ):
-    """Load a taxonomy assignment spreadsheet into {ident: lineage tuple}."""
+    """Load a taxonomy spreadsheet into ({ident: lineage tuple}, n_rows)."""
     row_headers = _spreadsheet_columns(start_column)
-
     assignments = {}
-    num_rows = 0
-    n_species = 0
+    num_rows = n_species = 0
 
     with open(filename, newline="") as fp:
-        r = csv.reader(fp, delimiter=delimiter)
-
+        reader = csv.reader(fp, delimiter=delimiter)
         if use_headers:
             notify("examining spreadsheet headers...")
-            _check_headers(next(iter(r)), row_headers, force)
+            _check_headers(next(iter(reader)), row_headers, force)
 
-        for row in r:
+        for row in reader:
             if not (row and row[0].strip()):
                 continue
             num_rows += 1
@@ -99,16 +103,17 @@ def load_taxonomy_assignments(
             if not lineage:
                 continue
 
-            if ident in assignments:
-                if assignments[ident] != lineage and not force:
+            known = assignments.get(ident)
+            if known is not None:
+                if known != lineage and not force:
                     raise Exception(f"multiple lineages for identifier {ident}")
             else:
                 assignments[ident] = lineage
-                if lineage[-1].rank in ("species", "strain"):
-                    n_species += 1
+                n_species += lineage[-1].rank in ("species", "strain")
 
     # sanity check: taxonomy spreadsheets should mostly resolve to species
-    if len(assignments) * 0.2 > n_species and len(assignments) > 50 and not force:
+    enough_rows = len(assignments) > 50
+    if enough_rows and n_species < len(assignments) * 0.2 and not force:
         error("")
         error("ERROR: fewer than 20% of lineages have species-level resolution!?")
         error(
@@ -121,6 +126,9 @@ def load_taxonomy_assignments(
 
     return assignments, num_rows
 
+
+# ----------------------------------------------------------------------
+# database building
 
 class _BuildLog:
     "Anomaly bookkeeping while inserting signatures into the LCA database."
@@ -169,21 +177,163 @@ def generate_report(log, unused_lineages, unused_identifiers, filename):
 
 def _resolve_db_outfile(args):
     "Apply the format-specific filename suffix; refuse overwrites."
-    db_outfile = args.lca_db_out
+    out = args.lca_db_out
     if args.database_format == "json":
-        if not (
-            db_outfile.endswith(".lca.json") or db_outfile.endswith(".lca.json.gz")
-        ):
-            db_outfile += ".lca.json"
+        if not out.endswith((".lca.json", ".lca.json.gz")):
+            out += ".lca.json"
     else:
         assert args.database_format == "sql"
-        if not db_outfile.endswith(".lca.sql"):
-            db_outfile += ".lca.sql"
+        if not out.endswith(".lca.sql"):
+            out += ".lca.sql"
 
-    if os.path.exists(db_outfile):
-        error(f"ERROR: output file {db_outfile} already exists. Not overwriting.")
+    if os.path.exists(out):
+        error(f"ERROR: output file {out} already exists. Not overwriting.")
         sys.exit(-1)
-    return db_outfile
+    return out
+
+
+class _DatabaseBuilder:
+    "Insert signatures into a fresh LCA_Database, tracking anomalies."
+
+    def __init__(self, args, assignments, moltype, picklist):
+        self.args = args
+        self.assignments = assignments
+        self.picklist = picklist
+        self.moltype = moltype
+        self.db = LCA_Database(args.ksize, args.scaled, moltype)
+        self.log = _BuildLog(assignments)
+        self.md5_to_name = {}
+        self.n_files = 0
+        self.n_skipped = 0
+
+    def _load_one_file(self, filename, file_no, total):
+        args = self.args
+        sigs = load_file_as_signatures(
+            filename,
+            ksize=args.ksize,
+            select_moltype=self.moltype,
+            picklist=self.picklist,
+            yield_all_files=args.force,
+        )
+        for sig in sigs:
+            notify("\r\033[K", end="")
+            progress = (
+                f"\r... loading signature {str(sig)[:30]}"
+                f" ({file_no} of {total}); skipped {self.n_skipped} so far"
+            )
+            notify(progress, end="")
+            debug(filename, sig)
+            self._insert(sig, filename)
+
+    def _insert(self, sig, filename):
+        args, log = self.args, self.log
+        md5 = sig.md5sum()
+        if md5 in self.md5_to_name:
+            debug(
+                "WARNING: in file {}, duplicate md5sum: {}; skipping",
+                filename,
+                md5,
+            )
+            log.duplicates.add(sig.name)
+            return
+        self.md5_to_name[md5] = str(sig)
+
+        orig_ident = sig.name or sig.filename
+        ident = _shorten_ident(
+            orig_ident, args.split_identifiers, args.keep_identifier_versions
+        )
+        lineage = self.assignments.get(ident)
+
+        if lineage is None and args.require_taxonomy:
+            if args.fail_on_missing_taxonomy:
+                notify(f"ERROR: no taxonomy found for identifier '{ident}'")
+                if args.split_identifiers:
+                    notify(f"(Identifier extracted from name: '{orig_ident})')")
+                sys.exit(-1)
+            debug("(skipping, because --require-taxonomy was specified)")
+            self.n_skipped += 1
+            return
+
+        try:
+            self.db.insert(sig, ident=ident, lineage=lineage)
+        except ValueError as e:
+            error(
+                "ERROR: cannot insert signature '{}' (md5 {}, loaded from '{}') into database.",
+                sig,
+                md5[:8],
+                filename,
+            )
+            error("ERROR: {}", str(e))
+            sys.exit(-1)
+
+        log.note_inserted(ident, lineage)
+
+    def run(self, inp_files):
+        total = len(inp_files)
+        for file_no, filename in enumerate(inp_files, 1):
+            self.n_files = file_no
+            self._load_one_file(filename, file_no, total)
+
+        if self.n_skipped:
+            notify(
+                f"... loaded {total} signatures; skipped {self.n_skipped} because of --require-taxonomy."
+            )
+        else:
+            notify(f"... loaded {total} signatures.")
+
+        if self.n_files == 0:
+            error("ERROR: no signatures found. ??")
+            sys.exit(1)
+
+        if not self.db.hashvals:
+            error("ERROR: no hash values found - are there any signatures?")
+            sys.exit(1)
+        notify(
+            f"loaded {len(self.db.hashvals)} hashes at ksize={self.args.ksize} scaled={self.args.scaled}"
+        )
+
+
+def _summarize_build(args, builder, db_outfile):
+    "Post-build accounting: unused lineages/idents, warnings, report file."
+    log = builder.log
+    all_lineages = set(builder.assignments.values())
+    all_idents = set(builder.assignments)
+
+    notify(
+        f"{len(log.used_lineages)} assigned lineages out of {len(all_lineages)} distinct lineages in spreadsheet."
+    )
+    unused_lineages = all_lineages - log.used_lineages
+
+    notify(
+        f"{len(log.used_idents)} identifiers used out of {len(all_idents)} distinct identifiers in spreadsheet."
+    )
+    assert log.used_idents <= all_idents
+    unused_identifiers = all_idents - log.used_idents
+
+    builder.db.save(db_outfile, format=args.database_format)
+
+    anomalies = (
+        log.duplicates or log.no_lineage or log.remnants or unused_lineages
+    )
+    if not anomalies:
+        return
+
+    warnings = [
+        (len(log.duplicates), "WARNING: {} duplicate signatures."),
+        (len(log.no_lineage), "WARNING: no lineage provided for {} signatures."),
+        (len(log.remnants), "WARNING: no signatures for {} spreadsheet rows."),
+        (len(unused_lineages), "WARNING: {} unused lineages."),
+        (len(unused_identifiers), "WARNING: {} unused identifiers."),
+    ]
+    for count, template in warnings:
+        if count:
+            notify(template.format(count))
+
+    if args.report:
+        notify(f"generating a report and saving in '{args.report}'")
+        generate_report(log, unused_lineages, unused_identifiers, args.report)
+    else:
+        notify("(You can use --report to generate a detailed report.)")
 
 
 def index(args):
@@ -193,9 +343,7 @@ def index(args):
         sys.exit(-1)
 
     set_quiet(args.quiet, args.debug)
-
     args.scaled = int(args.scaled)
-
     if args.ksize is None:
         args.ksize = DEFAULT_LOAD_K
 
@@ -204,7 +352,6 @@ def index(args):
 
     db_outfile = _resolve_db_outfile(args)
     notify(f"saving to LCA DB: {format(db_outfile)}")
-
     notify(
         f"Building LCA database with ksize={args.ksize} scaled={args.scaled} moltype={moltype}."
     )
@@ -226,129 +373,14 @@ def index(args):
         f"{len(set(assignments.values()))} distinct lineages in spreadsheet out of {num_rows} rows."
     )
 
-    db = LCA_Database(args.ksize, args.scaled, moltype)
-
     inp_files = list(args.signatures)
     if args.from_file:
-        inp_files.extend(sourmash_args.load_pathlist_from_file(args.from_file))
+        inp_files += sourmash_args.load_pathlist_from_file(args.from_file)
 
-    md5_to_name = {}
-    log = _BuildLog(assignments)
-
-    n = 0
-    total_n = len(inp_files)
-    n_skipped = 0
-    for filename in inp_files:
-        n += 1
-        for sig in load_file_as_signatures(
-            filename,
-            ksize=args.ksize,
-            select_moltype=moltype,
-            picklist=picklist,
-            yield_all_files=args.force,
-        ):
-            notify("\r\033[K", end="")
-            notify(
-                f"\r... loading signature {str(sig)[:30]} ({n} of {total_n}); skipped {n_skipped} so far",
-                end="",
-            )
-            debug(filename, sig)
-
-            if sig.md5sum() in md5_to_name:
-                debug(
-                    "WARNING: in file {}, duplicate md5sum: {}; skipping",
-                    filename,
-                    sig.md5sum(),
-                )
-                log.duplicates.add(sig.name)
-                continue
-
-            md5_to_name[sig.md5sum()] = str(sig)
-
-            orig_ident = sig.name or sig.filename
-            ident = orig_ident
-            if args.split_identifiers:
-                ident = ident.split(" ")[0]
-                if not args.keep_identifier_versions:
-                    ident = ident.split(".")[0]
-
-            lineage = assignments.get(ident)
-
-            if lineage is None and args.require_taxonomy:
-                if args.fail_on_missing_taxonomy:
-                    notify(f"ERROR: no taxonomy found for identifier '{ident}'")
-                    if args.split_identifiers:
-                        notify(f"(Identifier extracted from name: '{orig_ident})')")
-                    sys.exit(-1)
-                debug("(skipping, because --require-taxonomy was specified)")
-                n_skipped += 1
-                continue
-
-            try:
-                db.insert(sig, ident=ident, lineage=lineage)
-            except ValueError as e:
-                error(
-                    "ERROR: cannot insert signature '{}' (md5 {}, loaded from '{}') into database.",
-                    sig,
-                    sig.md5sum()[:8],
-                    filename,
-                )
-                error("ERROR: {}", str(e))
-                sys.exit(-1)
-
-            log.note_inserted(ident, lineage)
-
-    if n_skipped:
-        notify(
-            f"... loaded {total_n} signatures; skipped {n_skipped} because of --require-taxonomy."
-        )
-    else:
-        notify(f"... loaded {total_n} signatures.")
-
-    if n == 0:
-        error("ERROR: no signatures found. ??")
-        sys.exit(1)
-
-    if not db.hashvals:
-        error("ERROR: no hash values found - are there any signatures?")
-        sys.exit(1)
-    notify(
-        f"loaded {len(db.hashvals)} hashes at ksize={args.ksize} scaled={args.scaled}"
-    )
+    builder = _DatabaseBuilder(args, assignments, moltype, picklist)
+    builder.run(inp_files)
 
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
-    all_lineages = set(assignments.values())
-    notify(
-        f"{len(log.used_lineages)} assigned lineages out of {len(all_lineages)} distinct lineages in spreadsheet."
-    )
-    unused_lineages = all_lineages - log.used_lineages
-
-    notify(
-        f"{len(log.used_idents)} identifiers used out of {len(set(assignments))} distinct identifiers in spreadsheet."
-    )
-
-    assert log.used_idents.issubset(set(assignments))
-    unused_identifiers = set(assignments) - log.used_idents
-
-    db.save(db_outfile, format=args.database_format)
-
-    if log.duplicates or log.no_lineage or log.remnants or unused_lineages:
-        if log.duplicates:
-            notify(f"WARNING: {len(log.duplicates)} duplicate signatures.")
-        if log.no_lineage:
-            notify(f"WARNING: no lineage provided for {len(log.no_lineage)} signatures.")
-        if log.remnants:
-            notify(f"WARNING: no signatures for {len(log.remnants)} spreadsheet rows.")
-        if unused_lineages:
-            notify(f"WARNING: {len(unused_lineages)} unused lineages.")
-
-        if unused_identifiers:
-            notify(f"WARNING: {len(unused_identifiers)} unused identifiers.")
-
-        if args.report:
-            notify(f"generating a report and saving in '{args.report}'")
-            generate_report(log, unused_lineages, unused_identifiers, args.report)
-        else:
-            notify("(You can use --report to generate a detailed report.)")
+    _summarize_build(args, builder, db_outfile)

@@ -1,33 +1,45 @@
-"""`sourmash lca rankinfo`: rank-specific LCA summary across databases
-(behavior parity: reference `src/sourmash/lca/command_rankinfo.py`)."""
+"""`sourmash lca rankinfo`: report, for each taxonomic rank, how many
+hash values across the given LCA databases resolve their LCA at that rank
+(behavior parity: reference `src/sourmash/lca/command_rankinfo.py`).
+"""
 
 from __future__ import annotations
 
 import sys
-from collections import defaultdict
+from collections import Counter, defaultdict
 
-from ..logging import error, debug, set_quiet, notify
+from ..logging import debug, error, notify, set_quiet
 from . import lca_utils
 
 
-def make_lca_counts(dblist, min_num=0):
-    "Collect counts of all LCAs in the list of databases."
-    # union the lineage assignments of every hashval across databases
-    assignments = defaultdict(set)
-    for lca_db in dblist:
-        for hashval in lca_db.hashvals:
-            lineages = lca_db.get_lineage_assignments(hashval, min_num=min_num)
+def _pooled_assignments(dblist, min_num):
+    "Union every database's lineage assignments, keyed by hashval."
+    pooled = defaultdict(set)
+    for db in dblist:
+        for hashval in db.hashvals:
+            lineages = db.get_lineage_assignments(hashval, min_num=min_num)
             if lineages:
-                assignments[hashval].update(lineages)
+                pooled[hashval] |= set(lineages)
+    return pooled
 
-    # resolve each hashval's assignment set to its LCA
-    counts = defaultdict(int)
-    for lineages in assignments.values():
+
+def make_lca_counts(dblist, min_num=0):
+    "Tally, per LCA lineage, how many hashvals resolve to it."
+    counts = Counter()
+    for lineages in _pooled_assignments(dblist, min_num).values():
         debug(lineages)
-        lca, _ = lca_utils.find_lca(lca_utils.build_tree(lineages))
+        lca, _n = lca_utils.find_lca(lca_utils.build_tree(lineages))
         counts[lca] += 1
-
     return counts
+
+
+def _rank_histogram(lineage_counts):
+    "Collapse per-lineage counts into per-rank counts (keyed by last rank)."
+    by_rank = Counter()
+    for lineage, n in lineage_counts.items():
+        if lineage:
+            by_rank[lineage[-1].rank] += n
+    return by_rank
 
 
 def rankinfo_main(args):
@@ -37,25 +49,17 @@ def rankinfo_main(args):
         sys.exit(-1)
 
     set_quiet(args.quiet, args.debug)
-
     if args.scaled:
         args.scaled = int(args.scaled)
 
-    dblist, ksize, scaled = lca_utils.load_databases(args.db, args.scaled)
+    dblist, _ksize, _scaled = lca_utils.load_databases(args.db, args.scaled)
+    by_rank = _rank_histogram(make_lca_counts(dblist, args.minimum_num))
 
-    counts = make_lca_counts(dblist, args.minimum_num)
-
-    # fold LCA counts by the rank they resolved to
-    counts_by_rank = defaultdict(int)
-    for lineage, count in counts.items():
-        if lineage:
-            counts_by_rank[lineage[-1].rank] += count
-
-    total = float(sum(counts_by_rank.values()))
-    if total == 0:
+    denom = float(sum(by_rank.values()))
+    if not denom:
         notify("(no hashvals with lineages found)")
         return
 
     for rank in lca_utils.taxlist():
-        count = counts_by_rank.get(rank, 0)
-        print(f"{rank}: {count} ({count / total * 100.0:.1f}%)")
+        n = by_rank.get(rank, 0)
+        print(f"{rank}: {n} ({n / denom * 100.0:.1f}%)")

@@ -1,45 +1,22 @@
-"""`sourmash lca summarize`: taxonomic content summary of signatures
-(behavior parity: reference `src/sourmash/lca/command_summarize.py`)."""
+"""`sourmash lca summarize`: per-signature taxonomic breakdown.
+
+Each query sketch's hashes are voted across the LCA databases; each
+hash's LCA count is then propagated up to the root so every prefix of a
+lineage reports the total weight beneath it (behavior parity: reference
+`src/sourmash/lca/command_summarize.py`).
+"""
 
 from __future__ import annotations
 
 import csv
-import sys
 from collections import defaultdict
 
+from ..logging import debug, notify, print_results, set_quiet
 from .. import sourmash_args
-from ..logging import notify, error, print_results, set_quiet, debug
 from . import lca_utils
-from .lca_utils import check_files_exist
+from ._cmdutil import flatten, gather_query_paths, open_databases
 
 DEFAULT_THRESHOLD = 5
-
-
-def summarize(hashvals, dblist, threshold, ignore_abundance):
-    """Classify hashvals against the databases; returns aggregated counts
-    {lineage: count} climbing each LCA to the root."""
-    assignments = lca_utils.gather_assignments(hashvals, dblist)
-
-    weights = None if ignore_abundance else hashvals
-    counts = lca_utils.count_lca_for_assignments(assignments, weights)
-    debug(counts.most_common())
-
-    # propagate each above-threshold LCA's count up to the root
-    aggregated_counts = defaultdict(int)
-    for lca, count in counts.most_common():
-        if count < threshold:
-            break
-
-        if not lca:
-            aggregated_counts[lca] += count
-
-        prefix = lca
-        while prefix:
-            aggregated_counts[prefix] += count
-            prefix = prefix[:-1]
-
-    debug(aggregated_counts)
-    return aggregated_counts
 
 
 def _hashval_weights(sig, scaled):
@@ -62,22 +39,46 @@ def count_signature(sig, scaled, hashvals):
         hashvals[hashval] += count
 
 
-def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
-    "Load signatures one by one and count hashvals individually."
-    total_count = 0
-    n = 0
+def summarize(hashvals, dblist, threshold, ignore_abundance):
+    """Vote each hashval's LCA, then roll counts up the lineage prefixes.
 
-    total_n = len(filenames)
-    for filename in filenames:
-        n += 1
+    Returns {lineage_prefix: aggregated_count} for every prefix under
+    which at least `threshold` weight landed.
+    """
+    assignments = lca_utils.gather_assignments(hashvals, dblist)
+    weights = None if ignore_abundance else hashvals
+    counts = lca_utils.count_lca_for_assignments(assignments, weights)
+    debug(counts.most_common())
+
+    rollup = defaultdict(int)
+    for lca, count in counts.most_common():
+        if count < threshold:
+            break
+        if not lca:
+            rollup[lca] += count
+        prefix = lca
+        while prefix:
+            rollup[prefix] += count
+            prefix = prefix[:-1]
+
+    debug(rollup)
+    return rollup
+
+
+def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
+    "Stream (filename, sig, hash-weights) for every sig in the inputs."
+    n_sigs = 0
+    for file_no, filename in enumerate(filenames, 1):
         idx = sourmash_args.load_file_as_index(filename).select(ksize=ksize)
 
         for query_sig, query_filename in idx.signatures_with_location():
             notify("\r\033[K", end="")
             notify(
-                f"... loading {query_sig} (file {n} of {total_n})", total_n, end="\r"
+                f"... loading {query_sig} (file {file_no} of {len(filenames)})",
+                len(filenames),
+                end="\r",
             )
-            total_count += 1
+            n_sigs += 1
 
             if ignore_abundance and query_sig.minhash.track_abundance:
                 notify("NOTE: discarding abundances in query, since --ignore-abundance")
@@ -85,7 +86,7 @@ def load_singletons_and_count(filenames, ksize, scaled, ignore_abundance):
             yield query_filename, query_sig, _hashval_weights(query_sig, scaled)
 
     notify("\r\033[K", end="")
-    notify(f"loaded {total_count} signatures from {n} files total.")
+    notify(f"loaded {n_sigs} signatures from {len(filenames)} files total.")
 
 
 class _SummaryReporter:
@@ -129,57 +130,36 @@ class _SummaryReporter:
 
 def summarize_main(args):
     "Main summarization function."
-    if not args.db:
-        error("Error! must specify at least one LCA database with --db")
-        sys.exit(-1)
-
     set_quiet(args.quiet, args.debug)
+    args.query = flatten(args.query)
 
-    if args.scaled:
-        args.scaled = int(args.scaled)
-
-    ignore_abundance = args.ignore_abundance
-
-    args.db = [item for sublist in args.db for item in sublist]
-    args.query = [item for sublist in args.query for item in sublist]
-
-    if not check_files_exist(*args.db):
-        sys.exit(-1)
-
-    dblist, ksize, scaled = lca_utils.load_databases(args.db, args.scaled)
-    if ignore_abundance:
+    dblist, ksize, scaled = open_databases(args, coerce_scaled=True)
+    if args.ignore_abundance:
         notify(
             "Ignoring any k-mer abundances in query, since --ignore-abundance given."
         )
 
-    notify("finding query signatures...")
-    inp_files = args.query
-
-    if args.query_from_file:
-        inp_files.extend(sourmash_args.load_pathlist_from_file(args.query_from_file))
-
-    if not inp_files:
-        error("Error! must specify at least one query signature with --query")
-        sys.exit(-1)
-
-    if not check_files_exist(*inp_files):
-        sys.exit(-1)
+    query_paths = gather_query_paths(
+        args,
+        empty_check_first=True,
+        missing_flag_msg="Error! must specify at least one query signature with --query",
+    )
 
     csv_fp = open(args.output, "w", newline="") if args.output else None
     reporter = _SummaryReporter(csv_fp)
 
     try:
-        for filename, sig, hashvals in load_singletons_and_count(
-            inp_files, ksize, scaled, ignore_abundance
-        ):
+        singletons = load_singletons_and_count(
+            query_paths, ksize, scaled, args.ignore_abundance
+        )
+        for filename, sig, hashvals in singletons:
             lineage_counts = summarize(
-                hashvals, dblist, args.threshold, ignore_abundance
+                hashvals, dblist, args.threshold, args.ignore_abundance
             )
-            if ignore_abundance:
+            if args.ignore_abundance:
                 total = float(len(hashvals))
             else:
                 total = float(sum(hashvals.values()))
-
             reporter.emit(lineage_counts, total, filename, sig)
     finally:
         if csv_fp:

@@ -108,21 +108,25 @@ class LCA_Database(Index):
     is_database = True
     manifest = None
 
+    # per-instance tables, reset by _reset_tables
+    _TABLE_NAMES = (
+        "_ident_to_name", "_ident_to_idx", "_idx_to_lid",
+        "_lineage_to_lid", "_lid_to_lineage",
+    )
+
     def __init__(self, ksize, scaled, moltype="DNA"):
         self.ksize = int(ksize)
         self.scaled = int(scaled)
-        self.filename = None
         self.moltype = moltype
-
-        self._next_index = 0
-        self._next_lid = 0
-        self._ident_to_name = {}
-        self._ident_to_idx = {}
-        self._idx_to_lid = {}
-        self._lineage_to_lid = {}
-        self._lid_to_lineage = {}
-        self._hashval_to_idx = defaultdict(set)
+        self.filename = None
         self.picklists = []
+        self._reset_tables()
+
+    def _reset_tables(self):
+        for name in self._TABLE_NAMES:
+            setattr(self, name, {})
+        self._hashval_to_idx = defaultdict(set)
+        self._next_index = self._next_lid = 0
 
     @property
     def location(self):
@@ -161,42 +165,40 @@ class LCA_Database(Index):
 
     # -- insertion -------------------------------------------------------------
 
-    def insert(self, sig, ident=None, lineage=None):
-        "Add a signature (with optional ident/lineage) to the database."
-        minhash = sig.minhash
-
-        if minhash.ksize != self.ksize:
-            raise ValueError(
-                f"cannot insert signature with ksize {minhash.ksize} into DB (ksize {self.ksize})"
-            )
-
-        if minhash.moltype != self.moltype:
-            raise ValueError(
-                f"cannot insert signature with moltype {minhash.moltype} into DB (moltype {self.moltype})"
-            )
-
+    def _admissible_sketch(self, minhash):
+        "Validate ksize/moltype and downsample to the DB scaled, or raise."
+        mismatches = (
+            ("ksize", minhash.ksize, self.ksize),
+            ("moltype", minhash.moltype, self.moltype),
+        )
+        for param, got, want in mismatches:
+            if got != want:
+                raise ValueError(
+                    f"cannot insert signature with {param} {got} into DB ({param} {want})"
+                )
         try:
-            minhash = minhash.downsample(scaled=self.scaled)
+            return minhash.downsample(scaled=self.scaled)
         except ValueError:
             raise ValueError("cannot downsample signature; is it a scaled signature?")
 
-        if not ident:
-            ident = str(sig)
+    def insert(self, sig, ident=None, lineage=None):
+        "Add a signature (with optional ident/lineage) to the database."
+        minhash = self._admissible_sketch(sig.minhash)
+        ident = ident or str(sig)
 
         if ident in self._ident_to_name:
-            raise ValueError(f"signature '{ident}' is already in this LCA db.")
+            msg = f"signature '{ident}' is already in this LCA db."
+            raise ValueError(msg)
 
         self._invalidate_cache()
-
         self._ident_to_name[ident] = sig.name
-
         idx = self._get_ident_index(ident, fail_on_duplicate=True)
+
         if lineage:
             try:
-                lid = self._get_lineage_id(tuple(lineage))
+                self._idx_to_lid[idx] = self._get_lineage_id(tuple(lineage))
             except TypeError:
                 raise ValueError("lineage cannot be used as a key?!")
-            self._idx_to_lid[idx] = lid
 
         for hashval in minhash.hashes:
             self._hashval_to_idx[hashval].add(idx)
@@ -207,61 +209,50 @@ class LCA_Database(Index):
 
     def signatures(self):
         "Yield all signatures (rebuilt from the inverted index)."
+        survivors = self._signatures.values()
         if self.picklists:
-            pl = self.picklists
-            for v in self._signatures.values():
-                if passes_all_picklists(v, pl):
-                    yield v
-        else:
-            yield from self._signatures.values()
+            survivors = (
+                v for v in survivors if passes_all_picklists(v, self.picklists)
+            )
+        yield from survivors
 
     def _signatures_with_internal(self):
-        for idx, ss in self._signatures.items():
-            yield ss, idx
+        yield from ((ss, idx) for idx, ss in self._signatures.items())
 
-    def select(
-        self,
-        ksize=None,
-        moltype=None,
-        num=0,
-        scaled=0,
-        abund=None,
-        containment=False,
-        picklist=None,
-        **kwargs,
-    ):
+    def select(self, ksize=None, moltype=None, num=0, scaled=0, abund=None,
+               containment=False, picklist=None, **kwargs):
         "Check requirements; raise ValueError if unmet."
-        requested = dict(
+        _check_select_parameters(
             ksize=ksize, num=num, moltype=moltype, scaled=scaled,
-            containment=containment, abund=abund, picklist=picklist,
+            containment=containment, abund=abund, picklist=picklist, **kwargs,
         )
-        _check_select_parameters(**requested, **kwargs)
 
-        if num:
-            raise ValueError("cannot use 'num' MinHashes to search LCA database")
-
-        if scaled > self.scaled and not containment:
-            raise ValueError(
-                f"cannot use scaled={scaled} on this database (scaled={self.scaled})"
-            )
-
-        if ksize is not None and self.ksize != ksize:
-            raise ValueError(
-                f"ksize on this database is {self.ksize}; this is different from requested ksize of {ksize}"
-            )
-        if moltype is not None and moltype != self.moltype:
-            raise ValueError(
-                f"moltype on this database is {self.moltype}; this is different from requested moltype of {moltype}"
-            )
-        if abund:
-            raise ValueError("LCA databases do not support sketches with abund=True")
+        # (failure condition, message) pairs, checked in reference order
+        rejections = (
+            (num, "cannot use 'num' MinHashes to search LCA database"),
+            (
+                scaled > self.scaled and not containment,
+                f"cannot use scaled={scaled} on this database (scaled={self.scaled})",
+            ),
+            (
+                ksize is not None and self.ksize != ksize,
+                f"ksize on this database is {self.ksize}; this is different from requested ksize of {ksize}",
+            ),
+            (
+                moltype is not None and moltype != self.moltype,
+                f"moltype on this database is {self.moltype}; this is different from requested moltype of {moltype}",
+            ),
+            (abund, "LCA databases do not support sketches with abund=True"),
+        )
+        for failed, message in rejections:
+            if failed:
+                raise ValueError(message)
 
         if picklist is not None:
             self.picklists.append(picklist)
             if len(self.picklists) > 1:
-                raise ValueError(
-                    "we do not (yet) support multiple picklists for LCA databases"
-                )
+                msg = "we do not (yet) support multiple picklists for LCA databases"
+                raise ValueError(msg)
 
         return self
 
@@ -271,9 +262,8 @@ class LCA_Database(Index):
     def load(cls, db_name):
         "Load LCA_Database from a JSON(.gz) file (v2.x format)."
         if not os.path.isfile(db_name):
-            raise ValueError(
-                f"'{db_name}' is not a file and cannot be loaded as an LCA database"
-            )
+            msg = f"'{db_name}' is not a file and cannot be loaded as an LCA database"
+            raise ValueError(msg)
 
         # sqlite-backed LCA databases take priority if the file is one
         try:
@@ -314,17 +304,14 @@ class LCA_Database(Index):
         return db
 
     def save(self, db_name, *, format="json"):
-        if format == "sql":
-            self.save_to_sql(db_name)
-        else:
-            assert format == "json"
-            self.save_to_json(db_name)
+        assert format in ("json", "sql")
+        writer = self.save_to_sql if format == "sql" else self.save_to_json
+        writer(db_name)
 
     def _refuse_overwrite(self, db_name):
         if os.path.exists(db_name):
-            raise ValueError(
-                f"LCA database {db_name} already exists; not overwriting or appending"
-            )
+            msg = f"LCA database {db_name} already exists; not overwriting or appending"
+            raise ValueError(msg)
 
     def save_to_json(self, db_name):
         "Save LCA_Database to a JSON(.gz) file."
@@ -368,9 +355,10 @@ class LCA_Database(Index):
         available_ranks = set()
         for ident, idx in self._ident_to_idx.items():
             lid = self._idx_to_lid.get(idx)
-            if lid is not None:
-                lineage = self._lid_to_lineage[lid]
-                assignments[ident] = lineage
+            if lid is None:
+                continue
+            lineage = self._lid_to_lineage[lid]
+            assignments[ident] = lineage
                 available_ranks.update(pair.rank for pair in lineage)
 
         ldb = LineageDB(assignments, available_ranks)
@@ -419,12 +407,11 @@ class LCA_Database(Index):
 
     # -- derived caches ------------------------------------------------------
 
-    @cached_property
-    def _signatures(self):
-        "Rebuild {idx: FrozenSourmashSignature} from the inverted index."
-        from .. import MinHash, SourmashSignature
+    def _template_minhash(self):
+        "An empty MinHash matching this database's sketch parameters."
+        from .. import MinHash
 
-        minhash = MinHash(
+        return MinHash(
             n=0,
             ksize=self.ksize,
             scaled=self.scaled,
@@ -433,8 +420,14 @@ class LCA_Database(Index):
             dayhoff=self.moltype == "dayhoff",
         )
 
+    @cached_property
+    def _signatures(self):
+        "Rebuild {idx: FrozenSourmashSignature} from the inverted index."
+        from .. import SourmashSignature
+
         debug("creating signatures for LCA DB...")
-        mhd = defaultdict(minhash.copy_and_clear)
+        template = self._template_minhash()
+        mhd = defaultdict(template.copy_and_clear)
         pending = defaultdict(list)
 
         # invert hash→idx into per-idx hash batches, flushing every 50
@@ -445,14 +438,12 @@ class LCA_Database(Index):
                 if len(batch) > 50:
                     mhd[idx].add_many(batch)
                     del pending[idx]
-
         for idx, batch in pending.items():
             mhd[idx].add_many(batch)
 
         sigd = {}
         for idx, mh in mhd.items():
-            ident = self._idx_to_ident[idx]
-            name = self._ident_to_name[ident]
+            name = self._ident_to_name[self._idx_to_ident[idx]]
             ss = SourmashSignature(mh, name=name)
             ss.into_frozen()
             if passes_all_picklists(ss, self.picklists):
@@ -463,18 +454,16 @@ class LCA_Database(Index):
 
     @cached_property
     def _lid_to_idx(self):
-        d = defaultdict(set)
+        grouped = defaultdict(set)
         for idx, lid in self._idx_to_lid.items():
-            d[lid].add(idx)
-        return d
+            grouped[lid].add(idx)
+        return grouped
 
     @cached_property
     def _idx_to_ident(self):
-        d = defaultdict(set)
-        for ident, idx in self._ident_to_idx.items():
-            assert idx not in d
-            d[idx] = ident
-        return d
+        inverted = {idx: ident for ident, idx in self._ident_to_idx.items()}
+        assert len(inverted) == len(self._ident_to_idx)
+        return inverted
 
     # -- search ---------------------------------------------------------------
 
@@ -514,16 +503,15 @@ class LCA_Database(Index):
                 len(query_mh + subj_mh),
             )
 
-            if search_fn.passes(score):
-                if search_fn.collect(score, subj):
-                    if passes_all_picklists(subj, self.picklists):
-                        yield IndexSearchResult(score, subj, self.location)
+            keep = search_fn.passes(score) and search_fn.collect(score, subj)
+            if keep and passes_all_picklists(subj, self.picklists):
+                yield IndexSearchResult(score, subj, self.location)
 
 
 def load_single_database(filename, verbose=False):
     "Load a single LCA database; return (db, ksize, scaled)."
-    dblist, ksize, scaled = load_databases([filename], verbose=verbose)
-    return dblist[0], ksize, scaled
+    (db,), ksize, scaled = load_databases([filename], verbose=verbose)
+    return db, ksize, scaled
 
 
 def load_databases(filenames, scaled=None, verbose=True):
@@ -539,8 +527,8 @@ def load_databases(filenames, scaled=None, verbose=True):
     for db_name in filenames:
         if verbose:
             notify("\r\033[K", end="")
-            notify(f"... loading database {format(db_name)}", end="\r")
-
+            progress = f"... loading database {format(db_name)}"
+            notify(progress, end="\r")
         lca_db = LCA_Database.load(db_name)
 
         _note("ksize", lca_db.ksize, unique=True)
@@ -559,8 +547,7 @@ def load_databases(filenames, scaled=None, verbose=True):
 
     if verbose:
         notify("\r\033[K", end="")
-        notify(
-            f"loaded {len(dblist)} LCA databases. ksize={ksize}, scaled={scaled} moltype={moltype}"
-        )
+        summary = f"loaded {len(dblist)} LCA databases. ksize={ksize}, scaled={scaled} moltype={moltype}"
+        notify(summary)
 
     return dblist, ksize, scaled

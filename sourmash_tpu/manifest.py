@@ -1,7 +1,14 @@
-"""Collection manifests: CSV v1.0 metadata for signature collections
-(API + format parity: reference `src/sourmash/manifest.py` —
-BaseCollectionManifest:15, CollectionManifest:242; 11 required columns and
-the `# SOURMASH-MANIFEST-VERSION: 1.0` header line).
+"""Collection manifests: tabular metadata describing every sketch in a
+collection, enabling selection and lazy loading without deserializing
+signatures.
+
+Design: one column-spec table (`_COLUMNS`) drives CSV decode, encode, and
+row construction, so the v1.0 wire format lives in exactly one place.  The
+in-memory manifest is a list of plain row dicts plus an md5 membership set.
+
+Format/API parity surface: reference `src/sourmash/manifest.py` — the
+eleven required columns, the `# SOURMASH-MANIFEST-VERSION: 1.0` header
+line, and the BaseCollectionManifest / CollectionManifest class split.
 """
 
 from __future__ import annotations
@@ -15,23 +22,58 @@ from abc import abstractmethod
 
 from . import picklist as picklist_mod
 
+_HEADER_TAG = "# SOURMASH-MANIFEST-VERSION: "
+_FORMAT_VERSION = 1.0
+
+
+def _as_bool(cell):
+    "Decode a CSV truth cell ('0'/'1'/'True'/'False') to a real bool."
+    return bool(ast.literal_eval(str(cell)))
+
+
+# Wire schema: (column name, CSV-decode coercion or None for identity),
+# in on-disk column order.
+_COLUMNS = (
+    ("internal_location", None),
+    ("md5", None),
+    ("md5short", None),
+    ("ksize", int),
+    ("moltype", None),
+    ("num", int),
+    ("scaled", int),
+    ("n_hashes", int),
+    ("with_abundance", _as_bool),
+    ("name", None),
+    ("filename", None),
+)
+
+_DECODERS = tuple((name, fn) for name, fn in _COLUMNS if fn is not None)
+
+
+def _decode_row_inplace(row):
+    "Apply per-column type coercions to one freshly-read CSV row."
+    for name, decode in _DECODERS:
+        row[name] = decode(row[name])
+    row["signature"] = None
+    return row
+
 
 class BaseCollectionManifest:
-    "Signature metadata for a collection; supports select + fast lookup."
+    """Signature metadata for a collection of signatures.
 
-    required_keys = (
-        "internal_location",
-        "md5",
-        "md5short",
-        "ksize",
-        "moltype",
-        "num",
-        "scaled",
-        "n_hashes",
-        "with_abundance",
-        "name",
-        "filename",
-    )
+    Subclasses store rows however they like (list of dicts here; SQLite
+    in `index.sqlite_index`), but all expose:
+
+    * `rows` — iterable of row dicts
+    * `select_to_manifest(...)` — the Index selector protocol
+    * `locations()` — distinct storage locations, for lazy loading
+    * `ss in manifest` — md5-based membership
+    """
+
+    required_keys = tuple(name for name, _ in _COLUMNS)
+
+    # ------------------------------------------------------------------
+    # loading
 
     @classmethod
     @abstractmethod
@@ -40,65 +82,61 @@ class BaseCollectionManifest:
 
     @classmethod
     def load_from_filename(cls, filename):
-        db = cls.load_from_sql(filename)
-        if db is not None:
-            return db
+        "Load from a path: SQLite databases first, then (gzipped) CSV."
+        from_sql = cls.load_from_sql(filename)
+        if from_sql is not None:
+            return from_sql
 
-        xopen = gzip.open if filename.endswith(".gz") else open
-        with xopen(filename, "rt", newline="") as fp:
+        opener = gzip.open if filename.endswith(".gz") else open
+        with opener(filename, "rt", newline="") as fp:
             return cls.load_from_csv(fp)
-
-    # CSV cell coercions applied on load
-    _int_columns = ("num", "scaled", "ksize", "n_hashes")
-    _bool_columns = ("with_abundance",)
-    _version_prefix = "# SOURMASH-MANIFEST-VERSION: "
-
-    @classmethod
-    def _check_version_header(cls, fp):
-        firstline = fp.readline().rstrip()
-        if not firstline.startswith(cls._version_prefix):
-            raise ValueError("manifest is missing version header")
-
-        version = firstline[len(cls._version_prefix):]
-        if float(version) != 1.0:
-            raise ValueError(f"unknown manifest version number {version}")
-
-    @classmethod
-    def _typed_row(cls, row):
-        "Coerce one CSV row's cells to their manifest types."
-        for k in cls._int_columns:
-            row[k] = int(row[k])
-        for k in cls._bool_columns:
-            row[k] = bool(ast.literal_eval(str(row[k])))
-        row["signature"] = None
-        return row
-
-    @classmethod
-    def load_from_csv(cls, fp):
-        "Load a manifest from a CSV file with the v1.0 header line."
-        cls._check_version_header(fp)
-
-        r = csv.DictReader(fp)
-        if not r.fieldnames:
-            raise ValueError("missing column headers in manifest")
-
-        for k in cls.required_keys:
-            if k not in r.fieldnames:
-                raise ValueError(f"missing column '{k}' in manifest.")
-
-        return CollectionManifest(cls._typed_row(row) for row in r)
 
     @classmethod
     def load_from_sql(cls, filename):
-        try:
-            from .index.sqlite_index import load_sqlite_index
-        except ImportError:
-            return None
+        from .index.sqlite_index import load_sqlite_index
 
         db = load_sqlite_index(filename, request_manifest=True)
-        if db is not None:
-            return db.manifest
-        return None
+        return db.manifest if db is not None else None
+
+    @classmethod
+    def load_from_csv(cls, fp):
+        "Load a manifest from an open CSV file with the version header."
+        header = fp.readline().rstrip()
+        if not header.startswith(_HEADER_TAG):
+            raise ValueError("manifest is missing version header")
+        version = header[len(_HEADER_TAG):]
+        if float(version) != _FORMAT_VERSION:
+            raise ValueError(f"unknown manifest version number {version}")
+
+        reader = csv.DictReader(fp)
+        available = reader.fieldnames
+        if not available:
+            raise ValueError("missing column headers in manifest")
+        for name in cls.required_keys:
+            if name not in available:
+                raise ValueError(f"missing column '{name}' in manifest.")
+
+        return CollectionManifest(map(_decode_row_inplace, reader))
+
+    # ------------------------------------------------------------------
+    # writing
+
+    @classmethod
+    def write_csv_header(cls, fp):
+        "Write the version line + column-name row."
+        fp.write(f"{_HEADER_TAG}{_FORMAT_VERSION}\n")
+        csv.DictWriter(fp, fieldnames=cls.required_keys).writeheader()
+
+    def write_to_csv(self, fp, write_header=False):
+        "Write manifest rows as CSV to an open file handle."
+        if write_header:
+            self.write_csv_header(fp)
+        writer = csv.DictWriter(
+            fp, fieldnames=self.required_keys, extrasaction="ignore"
+        )
+        for row in self.rows:
+            row.pop("signature", None)  # never serialize the payload
+            writer.writerow(row)
 
     def write_to_filename(self, filename, *, database_format="csv", ok_if_exists=False):
         if database_format == "sql":
@@ -110,113 +148,57 @@ class BaseCollectionManifest:
             return None
 
         assert database_format == "csv"
-        from .sourmash_args import FileOutputCSV
-
         if os.path.exists(filename) and not ok_if_exists:
             raise Exception("output manifest already exists")
+
+        from .sourmash_args import FileOutputCSV
+
         with FileOutputCSV(filename) as fp:
             return self.write_to_csv(fp, write_header=True)
 
-    @classmethod
-    def write_csv_header(cls, fp):
-        "Write the manifest CSV header."
-        fp.write(cls._version_prefix + "1.0\n")
-        w = csv.DictWriter(fp, fieldnames=cls.required_keys)
-        w.writeheader()
-
-    def write_to_csv(self, fp, write_header=False):
-        "Write manifest CSV to file handle."
-        w = csv.DictWriter(fp, fieldnames=self.required_keys, extrasaction="ignore")
-        if write_header:
-            self.write_csv_header(fp)
-        for row in self.rows:
-            if "signature" in row:
-                del row["signature"]
-            w.writerow(row)
+    # ------------------------------------------------------------------
+    # row construction
 
     @classmethod
     def make_manifest_row(cls, ss, location, *, include_signature=True):
-        "Build a manifest row dict for one signature."
+        "Summarize one signature into a manifest row dict."
         mh = ss.minhash
-        row = {
-            "md5": ss.md5sum(),
-            "ksize": int(mh.ksize),
-            "moltype": mh.moltype,
-            "num": int(mh.num),
-            "scaled": int(mh.scaled),
-            "n_hashes": len(mh),
-            "with_abundance": mh.track_abundance,
-            "name": ss.name,
-            "filename": ss.filename,
-            "internal_location": location,
-        }
-        row["md5short"] = row["md5"][:8]
-        assert set(row.keys()) == set(cls.required_keys)
+        md5 = ss.md5sum()
+        row = dict(
+            internal_location=location,
+            md5=md5,
+            md5short=md5[:8],
+            ksize=int(mh.ksize),
+            moltype=mh.moltype,
+            num=int(mh.num),
+            scaled=int(mh.scaled),
+            n_hashes=len(mh),
+            with_abundance=mh.track_abundance,
+            name=ss.name,
+            filename=ss.filename,
+        )
+        assert set(row) == set(cls.required_keys)
         if include_signature:
             row["signature"] = ss
         return row
 
     @classmethod
     def create_manifest(cls, locations_iter, *, include_signature=True):
-        "Create a manifest from an iterator yielding (ss, location)."
-        manifest_list = [
-            cls.make_manifest_row(ss, location, include_signature=include_signature)
-            for ss, location in locations_iter
-        ]
-        return cls(manifest_list)
+        """Build a manifest from an iterator of (signature, location) pairs.
 
-    @abstractmethod
-    def __add__(self, other):
-        "Add two manifests."
-
-    @abstractmethod
-    def __bool__(self):
-        "Test if manifest is empty."
-
-    @abstractmethod
-    def __len__(self):
-        "Number of entries."
-
-    def __eq__(self, other):
-        "Row-wise equality over the required columns."
-        for a, b in itertools.zip_longest(self.rows, other.rows):
-            if a is None or b is None:
-                return False
-            for k in self.required_keys:
-                if a[k] != b[k]:
-                    return False
-        return True
-
-    @abstractmethod
-    def select_to_manifest(self, **kwargs):
-        "Select compatible signatures."
-
-    @abstractmethod
-    def filter_rows(self, row_filter_fn):
-        "Filter rows by predicate."
-
-    @abstractmethod
-    def filter_on_columns(self, col_filter_fn, col_names):
-        "Filter on column values."
-
-    @abstractmethod
-    def locations(self):
-        "Distinct locations."
-
-    @abstractmethod
-    def __contains__(self, ss):
-        "Is this signature in the manifest?"
-
-    @abstractmethod
-    def to_picklist(self):
-        "Convert to a picklist."
+        Load exceptions from the iterator propagate to the caller.
+        """
+        return cls(
+            cls.make_manifest_row(ss, loc, include_signature=include_signature)
+            for ss, loc in locations_iter
+        )
 
     def _check_row_values(self):
-        "Check that manifest rows have legit types/values (reference `manifest.py:230-239`)."
-        from . import index as index_mod
+        "Validate row types/values via the Index selector checker."
+        from .index import _check_select_parameters
 
         for row in self.rows:
-            index_mod._check_select_parameters(
+            _check_select_parameters(
                 num=row["num"],
                 ksize=row["ksize"],
                 moltype=row["moltype"],
@@ -224,11 +206,88 @@ class BaseCollectionManifest:
                 abund=row["with_abundance"],
             )
 
+    # ------------------------------------------------------------------
+    # shared behavior + subclass contract
+
+    def __eq__(self, other):
+        "Row-wise equality over the required columns (order-sensitive)."
+        pairs = itertools.zip_longest(self.rows, other.rows)
+        return all(
+            a is not None
+            and b is not None
+            and all(a[k] == b[k] for k in self.required_keys)
+            for a, b in pairs
+        )
+
+    @abstractmethod
+    def __add__(self, other):
+        "Concatenate two manifests."
+
+    @abstractmethod
+    def __bool__(self):
+        "False iff the manifest is empty."
+
+    @abstractmethod
+    def __len__(self):
+        "Number of rows."
+
+    @abstractmethod
+    def select_to_manifest(self, **kwargs):
+        "Restrict to rows compatible with the selector kwargs."
+
+    @abstractmethod
+    def filter_rows(self, row_filter_fn):
+        "Restrict to rows passing a predicate."
+
+    @abstractmethod
+    def filter_on_columns(self, col_filter_fn, col_names):
+        "Restrict via a predicate over selected column values."
+
+    @abstractmethod
+    def locations(self):
+        "Distinct internal locations."
+
+    @abstractmethod
+    def __contains__(self, ss):
+        "md5-based signature membership."
+
+    @abstractmethod
+    def to_picklist(self):
+        "Convert to a picklist."
+
+
+def _selector_predicates(
+    *, ksize=None, moltype=None, scaled=0, num=0, containment=False,
+    abund=None, picklist=None,
+):
+    "Translate Index-selector kwargs into a list of row predicates."
+    from .index import _check_select_parameters
+
+    _check_select_parameters(
+        ksize=ksize, num=num, abund=abund, moltype=moltype, scaled=scaled
+    )
+
+    tests = []
+    if ksize:
+        tests.append(lambda row: row["ksize"] == ksize)
+    if moltype:
+        tests.append(lambda row: row["moltype"] == moltype)
+    if scaled or containment:
+        tests.append(lambda row: row["scaled"] and not row["num"])
+    if num:
+        tests.append(lambda row: row["num"] and not row["scaled"])
+    if abund:
+        # only constrains when abundance is *required*
+        tests.append(lambda row: row["with_abundance"])
+    if picklist:
+        tests.append(picklist.matches_manifest_row)
+    return tests
+
 
 class CollectionManifest(BaseCollectionManifest):
-    "In-memory manifest: a list of row dicts + md5 set."
+    "In-memory manifest: ordered row dicts plus an md5 membership set."
 
-    def __init__(self, rows=[]):
+    def __init__(self, rows=()):
         self.rows = []
         self._md5_set = set()
         self._add_rows(rows)
@@ -237,13 +296,15 @@ class CollectionManifest(BaseCollectionManifest):
     def load_from_manifest(cls, manifest, **kwargs):
         return cls(manifest.rows)
 
-    def add_row(self, row):
-        self._add_rows([row])
-
     def _add_rows(self, rows):
+        # single pass: `rows` may be a generator
+        append, md5s = self.rows.append, self._md5_set
         for row in rows:
-            self.rows.append(row)
-            self._md5_set.add(row["md5"])
+            append(row)
+            md5s.add(row["md5"])
+
+    def add_row(self, row):
+        self._add_rows((row,))
 
     def __iadd__(self, other):
         if self is other:
@@ -252,9 +313,9 @@ class CollectionManifest(BaseCollectionManifest):
         return self
 
     def __add__(self, other):
-        mf = CollectionManifest(self.rows)
-        mf._add_rows(other.rows)
-        return mf
+        combined = CollectionManifest(self.rows)
+        combined._add_rows(other.rows)
+        return combined
 
     def __bool__(self):
         return bool(self.rows)
@@ -262,67 +323,30 @@ class CollectionManifest(BaseCollectionManifest):
     def __len__(self):
         return len(self.rows)
 
-    def _select(
-        self,
-        *,
-        ksize=None,
-        moltype=None,
-        scaled=0,
-        num=0,
-        containment=False,
-        abund=None,
-        picklist=None,
-    ):
-        "Yield manifest rows matching the requirements."
-        from .index import _check_select_parameters
+    def __contains__(self, ss):
+        return ss.md5sum() in self._md5_set
 
-        _check_select_parameters(
-            ksize=ksize, num=num, abund=abund, moltype=moltype, scaled=scaled
-        )
-
-        # stack one predicate per active requirement
-        predicates = []
-        if ksize:
-            predicates.append(lambda row: row["ksize"] == ksize)
-        if moltype:
-            predicates.append(lambda row: row["moltype"] == moltype)
-        if scaled or containment:
-            predicates.append(lambda row: row["scaled"] and not row["num"])
-        if num:
-            predicates.append(lambda row: row["num"] and not row["scaled"])
-        if abund:
-            predicates.append(lambda row: row["with_abundance"])
-        if picklist:
-            predicates.append(picklist.matches_manifest_row)
-
-        for row in self.rows:
-            if all(pred(row) for pred in predicates):
-                yield row
+    def _select(self, **kwargs):
+        "Yield rows passing every selector predicate; see select_to_manifest."
+        tests = _selector_predicates(**kwargs)
+        return (row for row in self.rows if all(t(row) for t in tests))
 
     def select_to_manifest(self, **kwargs):
         return CollectionManifest(self._select(**kwargs))
 
     def filter_rows(self, row_filter_fn):
-        return CollectionManifest(row for row in self.rows if row_filter_fn(row))
+        return CollectionManifest(filter(row_filter_fn, self.rows))
 
     def filter_on_columns(self, col_filter_fn, col_names):
-        def row_filter_fn(row):
-            x = [row[col] for col in col_names if row[col] is not None]
-            return col_filter_fn(x)
+        def over_columns(row):
+            cells = [row[c] for c in col_names if row[c] is not None]
+            return col_filter_fn(cells)
 
-        return self.filter_rows(row_filter_fn)
+        return self.filter_rows(over_columns)
 
     def locations(self):
-        "Distinct internal locations, in first-seen order."
-        seen = set()
-        for row in self.rows:
-            loc = row["internal_location"]
-            if loc not in seen:
-                seen.add(loc)
-                yield loc
-
-    def __contains__(self, ss):
-        return ss.md5sum() in self._md5_set
+        "Distinct internal locations, first-seen order."
+        return iter(dict.fromkeys(row["internal_location"] for row in self.rows))
 
     def to_picklist(self):
         pl = picklist_mod.SignaturePicklist("manifest")
