@@ -359,7 +359,7 @@ class LCA_Database(Index):
                 continue
             lineage = self._lid_to_lineage[lid]
             assignments[ident] = lineage
-                available_ranks.update(pair.rank for pair in lineage)
+            available_ranks.update(pair.rank for pair in lineage)
 
         ldb = LineageDB(assignments, available_ranks)
         LCA_SqliteDatabase.create(dbname, self, ldb)
