@@ -1,6 +1,11 @@
-"""Picklists: include/exclude subsetting of signature collections by CSV
-column values (API parity: reference `src/sourmash/picklist.py`,
+"""Picklists: include/exclude subsetting of signature collections keyed on
+CSV column values (API parity: reference `src/sourmash/picklist.py`,
 SignaturePicklist:54).
+
+A picklist is a set of preprocessed values plus a column type that says
+how to derive the comparison value from a signature, a manifest row, or a
+CSV row.  Meta-coltypes (manifest/gather/prefetch/search) compare on
+(ident, md5short) tuples pulled from sourmash's own output CSVs.
 """
 
 from __future__ import annotations
@@ -9,12 +14,16 @@ import os
 from enum import Enum
 
 
-def _ident(x):
+class PickStyle(Enum):
+    INCLUDE, EXCLUDE = 1, 2
+
+
+def _first_word(x):
     return x.split(" ")[0]
 
 
-def _identprefix(x):
-    return x.split(" ")[0].split(".")[0]
+def _first_word_unversioned(x):
+    return _first_word(x).split(".")[0]
 
 
 def _md5short(x):
@@ -23,73 +32,67 @@ def _md5short(x):
 
 def _ident_md5short(tup):
     name, md5 = tup
-    return (name.split(" ")[0], md5[:8])
+    return (_first_word(name), md5[:8])
 
+
+_META_COLTYPES = ("manifest", "gather", "prefetch", "search")
+_SIMPLE_COLTYPES = ("md5", "md5prefix8", "md5short", "name", "ident", "identprefix")
 
 # per-coltype value preprocessing
-preprocess = {
-    "name": lambda x: x,
-    "md5": lambda x: x,
-    "identprefix": _identprefix,
-    "ident": _ident,
-    "md5prefix8": _md5short,
-    "md5short": _md5short,
-    "manifest": _ident_md5short,
-    "prefetch": _ident_md5short,
-    "gather": _ident_md5short,
-    "search": _ident_md5short,
+preprocess = {coltype: _ident_md5short for coltype in _META_COLTYPES}
+preprocess.update(
+    name=lambda x: x,
+    md5=lambda x: x,
+    identprefix=_first_word_unversioned,
+    ident=_first_word,
+    md5prefix8=_md5short,
+    md5short=_md5short,
+)
+
+# (manifest column, signature accessor) per simple coltype
+_SIMPLE_SOURCES = {
+    "md5": "md5",
+    "md5prefix8": "md5short",
+    "md5short": "md5short",
+    "name": "name",
+    "ident": "name",
+    "identprefix": "name",
 }
 
-
-class PickStyle(Enum):
-    INCLUDE = 1
-    EXCLUDE = 2
+_STYLE_BY_NAME = {"include": PickStyle.INCLUDE, "exclude": PickStyle.EXCLUDE}
 
 
 class SignaturePicklist:
     """Subset collections by CSV column: 'pickfile:column:coltype[:style]'.
 
-    coltypes: name / md5 / md5prefix8 / md5short / ident / identprefix, plus
-    meta-coltypes manifest / gather / prefetch / search which select on
-    (ident, md5short) tuples from sourmash output CSVs.
+    coltypes: name / md5 / md5prefix8 / md5short / ident / identprefix,
+    plus the meta-coltypes manifest / gather / prefetch / search, which
+    select on (ident, md5short) tuples from sourmash output CSVs.
     """
 
-    meta_coltypes = ("manifest", "gather", "prefetch", "search")
-    supported_coltypes = (
-        "md5",
-        "md5prefix8",
-        "md5short",
-        "name",
-        "ident",
-        "identprefix",
-    )
+    meta_coltypes = _META_COLTYPES
+    supported_coltypes = _SIMPLE_COLTYPES
 
-    def __init__(
-        self, coltype, *, pickfile=None, column_name=None, pickstyle=PickStyle.INCLUDE
-    ):
-        valid_coltypes = set(self.meta_coltypes) | set(self.supported_coltypes)
-        if coltype not in valid_coltypes:
+    def __init__(self, coltype, *, pickfile=None, column_name=None,
+                 pickstyle=PickStyle.INCLUDE):
+        if coltype not in _META_COLTYPES and coltype not in _SIMPLE_COLTYPES:
             raise ValueError(f"invalid picklist column type '{coltype}'")
-        self.orig_coltype = coltype
-        self.orig_colname = column_name
 
-        if coltype in self.meta_coltypes:
+        self.orig_coltype, self.orig_colname = coltype, column_name
+
+        if coltype in _META_COLTYPES:
             if column_name:
                 raise ValueError(f"no column name allowed for coltype '{coltype}'")
-            if coltype == "prefetch":
-                column_name = "(match_name, match_md5)"
-            else:
-                column_name = "(name, md5)"
+            column_name = (
+                "(match_name, match_md5)" if coltype == "prefetch" else "(name, md5)"
+            )
 
-        self.coltype = coltype
-        self.pickfile = pickfile
-        self.column_name = column_name
-        self.pickstyle = pickstyle
-
+        self.coltype, self.column_name = coltype, column_name
+        self.pickfile, self.pickstyle = pickfile, pickstyle
         self.preprocess_fn = preprocess[coltype]
+
         self.pickset = None
-        self.found = set()
-        self.n_queries = 0
+        self.found, self.n_queries = set(), 0
 
     @classmethod
     def from_picklist_args(cls, argstr):
@@ -98,14 +101,11 @@ class SignaturePicklist:
         pickstyle = PickStyle.INCLUDE
 
         if len(parts) == 4:
-            style = parts.pop()
-            if style == "include":
-                pickstyle = PickStyle.INCLUDE
-            elif style == "exclude":
-                pickstyle = PickStyle.EXCLUDE
-            else:
+            style_name = parts.pop()
+            pickstyle = _STYLE_BY_NAME.get(style_name)
+            if pickstyle is None:
                 raise ValueError(
-                    f"invalid picklist 'pickstyle' argument 4: '{style}' must be 'include' or 'exclude'"
+                    f"invalid picklist 'pickstyle' argument 4: '{style_name}' must be 'include' or 'exclude'"
                 )
 
         if len(parts) != 3:
@@ -114,31 +114,25 @@ class SignaturePicklist:
         pickfile, column, coltype = parts
         return cls(coltype, pickfile=pickfile, column_name=column, pickstyle=pickstyle)
 
-    def _get_sig_attribute(self, ss):
-        coltype = self.coltype
-        if coltype in self.meta_coltypes:
-            return (ss.name, ss.md5sum())
-        if coltype in ("md5", "md5prefix8", "md5short"):
-            return ss.md5sum()
-        if coltype in ("name", "ident", "identprefix"):
-            return ss.name
-        raise ValueError(f"picklist get_sig_attribute {coltype} has unhandled branch")
+    # -- comparison-value extraction -----------------------------------
 
-    # manifest column each simple coltype reads from
-    _manifest_colkey = {
-        "md5": "md5",
-        "md5prefix8": "md5short",
-        "md5short": "md5short",
-        "name": "name",
-        "ident": "name",
-        "identprefix": "name",
-    }
+    def _get_sig_attribute(self, ss):
+        if self.coltype in _META_COLTYPES:
+            return (ss.name, ss.md5sum())
+        source = _SIMPLE_SOURCES.get(self.coltype)
+        if source == "md5" or source == "md5short":
+            return ss.md5sum()
+        if source == "name":
+            return ss.name
+        raise ValueError(
+            f"picklist get_sig_attribute {self.coltype} has unhandled branch"
+        )
 
     def _get_value_for_manifest_row(self, row):
-        if self.coltype in self.meta_coltypes:
+        if self.coltype in _META_COLTYPES:
             q = (row["name"], row["md5"])
         else:
-            colkey = self._manifest_colkey.get(self.coltype)
+            colkey = _SIMPLE_SOURCES.get(self.coltype)
             if colkey is None:
                 raise ValueError(
                     f"picklist get_value_for_row {self.coltype} has unhandled branch"
@@ -148,23 +142,24 @@ class SignaturePicklist:
         return self.preprocess_fn(q)
 
     def _get_value_for_csv_row(self, row):
-        if self.coltype == "manifest":
-            q = (row["name"], row["md5"])
-        elif self.coltype == "prefetch":
+        if self.coltype == "prefetch":
             q = (row["match_name"], row["match_md5"])
-        elif self.coltype in ("gather", "search"):
+        elif self.coltype in _META_COLTYPES:
             q = (row["name"], row["md5"])
         else:
             q = row[self.column_name]
-        if q:
-            q = self.preprocess_fn(q)
-        return q
+        return self.preprocess_fn(q) if q else q
+
+    # -- pickset management --------------------------------------------
 
     def init(self, values=[]):
         if self.pickset is not None:
             raise ValueError("already initialized?")
-        self.pickset = set(values)
-        return self.pickset
+        pickset = self.pickset = set(values)
+        return pickset
+
+    def add(self, value):
+        self.pickset.add(value)
 
     def load(self, *, allow_empty=False):
         "Load the pickfile; return (num empty values, set of dup values)."
@@ -172,48 +167,45 @@ class SignaturePicklist:
 
         pickset = self.init()
         pickfile = self.pickfile
-
-        if not os.path.exists(pickfile) or not os.path.isfile(pickfile):
+        if not (os.path.exists(pickfile) and os.path.isfile(pickfile)):
             raise ValueError(f"pickfile '{pickfile}' must exist and be a regular file")
 
-        n_empty_val = 0
-        dup_vals = set()
-
-        with sourmash_args.FileInputCSV(pickfile) as r:
+        n_empty_val, dup_vals = 0, set()
+        with sourmash_args.FileInputCSV(pickfile) as reader:
             self.pickfile = pickfile
-            if not r.fieldnames:
+            if not reader.fieldnames:
                 if not allow_empty:
-                    raise ValueError(
-                        f"empty or improperly formatted pickfile '{pickfile}'"
-                    )
+                    msg = f"empty or improperly formatted pickfile '{pickfile}'"
+                    raise ValueError(msg)
                 return 0, 0
 
-            if not (
-                self.column_name in r.fieldnames or self.coltype in self.meta_coltypes
-            ):
+            column_known = (
+                self.column_name in reader.fieldnames
+                or self.coltype in _META_COLTYPES
+            )
+            if not column_known:
                 raise ValueError(
                     f"column '{self.column_name}' not in pickfile '{pickfile}'"
                 )
 
-            for row in r:
-                col = self._get_value_for_csv_row(row)
-                if not col:
+            for row in reader:
+                value = self._get_value_for_csv_row(row)
+                if not value:
                     n_empty_val += 1
-                    continue
-                if col in pickset:
-                    dup_vals.add(col)
+                elif value in pickset:
+                    dup_vals.add(value)
                 else:
-                    self.add(col)
+                    self.add(value)
 
         return n_empty_val, dup_vals
 
-    def add(self, value):
-        self.pickset.add(value)
+    # -- membership ----------------------------------------------------
 
     def _check(self, q):
+        "Apply include/exclude semantics to one preprocessed value."
         self.n_queries += 1
-        in_pickset = q in self.pickset
-        if in_pickset == (self.pickstyle == PickStyle.INCLUDE):
+        hit = q in self.pickset
+        if hit == (self.pickstyle == PickStyle.INCLUDE):
             self.found.add(q)
             return True
         return False
@@ -225,14 +217,13 @@ class SignaturePicklist:
         return self._check(self._get_value_for_manifest_row(row))
 
     def matched_csv_row(self, row):
+        "Was this (pickfile) CSV row's value among the matched values?"
         q = self._get_value_for_csv_row(row)
         self.n_queries += 1
         return q in self.found
 
     def filter(self, it):
-        for ss in it:
-            if self.__contains__(ss):
-                yield ss
+        return (ss for ss in it if ss in self)
 
 
 def passes_all_picklists(ss, picklists):

@@ -1,7 +1,7 @@
 """Entry-point plugin support (API parity: reference
 `src/sourmash/plugins.py` — groups 'sourmash.load_from', 'sourmash.save_to',
-'sourmash.cli_script'). Plugin group names are kept identical so existing
-sourmash plugins can register against this framework.
+'sourmash.cli_script'). Group names are kept identical so existing
+sourmash plugins register against this framework unchanged.
 
 Entry points are collected once at import into module-level lists
 (`_plugin_load_from` / `_plugin_save_to` / `_plugin_cli`), which tests and
@@ -22,6 +22,11 @@ except ImportError:  # pragma: no cover
 
 DEFAULT_LOAD_FROM_PRIORITY = 99
 DEFAULT_SAVE_TO_PRIORITY = 99
+
+_COMMON_FLAGS = (
+    (("-q", "--quiet"), "suppress non-error output"),
+    (("-d", "--debug"), "provide debugging output"),
+)
 
 
 def _get_entry_points(group):
@@ -62,10 +67,8 @@ def get_load_from_functions():
 
 def get_save_to_functions():
     "Load the 'save_to' plugins and yield tuples (priority, class)."
-    for priority, _, save_cls in _resolve_plugins(
-        _plugin_save_to, "save_to", DEFAULT_SAVE_TO_PRIORITY
-    ):
-        yield priority, save_cls
+    resolved = _resolve_plugins(_plugin_save_to, "save_to", DEFAULT_SAVE_TO_PRIORITY)
+    yield from ((priority, cls) for priority, _, cls in resolved)
 
 
 class CommandLinePlugin:
@@ -79,15 +82,27 @@ class CommandLinePlugin:
     description = None
 
     def __init__(self, parser):
-        parser.add_argument(
-            "-q", "--quiet", action="store_true", help="suppress non-error output"
-        )
-        parser.add_argument(
-            "-d", "--debug", action="store_true", help="provide debugging output"
-        )
+        for flags, helptext in _COMMON_FLAGS:
+            parser.add_argument(*flags, action="store_true", help=helptext)
 
     def main(self, args):
         set_quiet(args.quiet, args.debug)
+
+
+def _first_load_failure(plugin):
+    "Load a cli_script plugin; returns (cls_or_None, error message or None)."
+    try:
+        cls = plugin.load()
+    except (ModuleNotFoundError, AttributeError):
+        return None, (
+            f"ERROR: cannot find or load module for cli_script plugin '{plugin.name}'"
+        )
+    if getattr(cls, "command", None) is None:
+        return None, (
+            f"ERROR: no command provided by cli_script plugin '{plugin.name}'"
+            f" from {plugin.module}; skipping"
+        )
+    return cls, None
 
 
 def get_cli_script_plugins():
@@ -96,22 +111,11 @@ def get_cli_script_plugins():
 
     usable = []
     for plugin in _plugin_cli:
-        try:
-            script_cls = plugin.load()
-        except (ModuleNotFoundError, AttributeError):
-            if _plugin_cli_once is False:
-                error(
-                    f"ERROR: cannot find or load module for cli_script plugin '{plugin.name}'"
-                )
-            continue
-
-        if getattr(script_cls, "command", None) is None:
-            if _plugin_cli_once is False:
-                error(
-                    f"ERROR: no command provided by cli_script plugin '{plugin.name}' from {plugin.module}; skipping"
-                )
-            continue
-        usable.append(plugin)
+        cls, problem = _first_load_failure(plugin)
+        if cls is not None:
+            usable.append(plugin)
+        elif not _plugin_cli_once:  # report each problem once per process
+            error(problem)
 
     _plugin_cli_once = True
     return usable
@@ -121,33 +125,29 @@ def get_cli_scripts_descriptions():
     "Yield one-line descriptions of CLI script plugins."
     for plugin in get_cli_script_plugins():
         script_cls = plugin.load()
+        command = script_cls.command
+        description = (script_cls.description or "").splitlines()
+        summary = description[0] if description and description[0] else (
+            f"(no description provided by plugin '{plugin.name}')"
+        )
+        yield f"sourmash scripts {command:16s} - {summary}"
 
-        command = getattr(script_cls, "command")
-        description = getattr(script_cls, "description", "")
-        if description:
-            description = description.splitlines()[0]
-        if not description:
-            description = f"(no description provided by plugin '{plugin.name}')"
 
-        yield f"sourmash scripts {command:16s} - {description}"
+# optional class attributes forwarded to add_parser()
+_SUBPARSER_ATTRS = ("usage", "description", "epilog")
 
 
 def add_cli_scripts(parser):
     "Create a subparser per CLI script plugin and instantiate the plugin."
     commands = {}
-
     for plugin in get_cli_script_plugins():
         script_cls = plugin.load()
 
-        subparser = parser.add_parser(
-            script_cls.command,
-            usage=getattr(script_cls, "usage", None),
-            description=getattr(script_cls, "description", None),
-            epilog=getattr(script_cls, "epilog", None),
-            formatter_class=getattr(
-                script_cls, "formatter_class", argparse.HelpFormatter
-            ),
+        kwargs = {a: getattr(script_cls, a, None) for a in _SUBPARSER_ATTRS}
+        kwargs["formatter_class"] = getattr(
+            script_cls, "formatter_class", argparse.HelpFormatter
         )
+        subparser = parser.add_parser(script_cls.command, **kwargs)
         debug_literal(
             f"cls_script plugin '{plugin.name}' adding command '{script_cls.command}'"
         )
@@ -162,25 +162,19 @@ _PLUGIN_ROW = "{:<20s} {:<30s} {:<5s} {:<20s}"
 def list_all_plugins():
     "Print a table of installed plugins (reference plugins.py:188-209)."
     plugins = list(itertools.chain(_plugin_load_from, _plugin_save_to, _plugin_cli))
-
     if not plugins:
         notify("\n(no plugins detected)\n")
 
-    notify("")
-    notify("the following plugins are installed:")
-    notify("")
-    notify(
-        _PLUGIN_ROW.format(
-            "plugin type", "from python module", "v", "entry point name"
-        )
+    header = _PLUGIN_ROW.format(
+        "plugin type", "from python module", "v", "entry point name"
     )
-    notify(_PLUGIN_ROW.format("-" * 20, "-" * 30, "-" * 5, "-" * 20))
+    rule = _PLUGIN_ROW.format("-" * 20, "-" * 30, "-" * 5, "-" * 20)
+    for line in ("", "the following plugins are installed:", "", header, rule):
+        notify(line)
 
     for plugin in plugins:
         try:
             version = plugin.dist.version
         except Exception:
             version = "?"
-        notify(
-            _PLUGIN_ROW.format(plugin.group, plugin.module, version, plugin.name)
-        )
+        notify(_PLUGIN_ROW.format(plugin.group, plugin.module, version, plugin.name))

@@ -1,11 +1,17 @@
 """Index loading chain + bulk signature saving.
 
-API parity: reference `src/sourmash/save_load.py`
-(load_file_as_index:51, SaveSignaturesToLocation:69, loader chain :94-253,
-saver classes :256-549). Loader priorities and location-matching rules are
-identical so every reference-compatible location works: stdin, standalone
-manifest CSV, pathlist, path/dir, SBT, LCA json, sqlite, zip, and a trailing
-FASTA/FASTQ error check.
+Loading: a priority-ordered chain of loader functions, each probing one
+on-disk shape (stdin, sqlite, standalone manifest, path/dir, pathlist,
+SBT, revindex/LCA, zipfile, trailing FASTA/FASTQ error check).  Plugins
+join the chain via the 'sourmash.load_from' entry point.
+
+Saving: `SaveSignaturesToLocation(location)` picks a saver class by
+location shape (None, 'dir/', '.zip', '.sqldb', '.sig[.gz]', '-').
+
+API parity: reference `src/sourmash/save_load.py` (load_file_as_index:51,
+SaveSignaturesToLocation:69, loader chain :94-253, savers :256-549).
+Priorities and location-matching rules are identical so every
+reference-compatible location works.
 """
 
 from __future__ import annotations
@@ -30,24 +36,20 @@ class IndexNotLoaded(SourmashError):
     pass
 
 
-def load_file_as_index(filename, *, yield_all_files=False):
-    "Load 'filename' as a database via the generic loader chain."
-    return _load_database(filename, yield_all_files)
+# ----------------------------------------------------------------------
+# loader chain
+
+_loader_functions = []
 
 
-def SaveSignaturesToLocation(location):
-    """Context manager that saves signatures in the output format matching
-    `location` (None, dir/, .zip, .sqldb, .sig[.gz], '-')."""
-    save_list = itertools.chain(_save_classes, sourmash_plugins.get_save_to_functions())
-    for priority, cls in sorted(save_list, key=lambda x: x[0]):
-        debug_literal(f"trying to match save function {cls}, priority={priority}")
-        if cls.matches(location):
-            debug_literal(f"{cls} is a match!")
-            return cls(location)
+def add_loader(name, priority):
+    "Decorator registering a loader function at a given priority."
 
-    raise Exception(
-        f"cannot determine how to open location {location} for saving; this should never happen!?"
-    )
+    def register(func):
+        _loader_functions.append((priority, name, func))
+        return func
+
+    return register
 
 
 def _iter_loaders():
@@ -63,9 +65,8 @@ def _load_database(filename, traverse_yield_all, *, cache_size=None):
             f"_load_databases: trying loader fn - priority {priority} - '{desc}'"
         )
         try:
-            db = load_fn(
-                filename, traverse_yield_all=traverse_yield_all, cache_size=cache_size
-            )
+            db = load_fn(filename, traverse_yield_all=traverse_yield_all,
+                         cache_size=cache_size)
         except (ValueError, IndexNotLoaded):
             debug_literal(f"_load_databases: FAIL with ValueError: on fn {desc}.")
             debug_literal(traceback.format_exc())
@@ -78,27 +79,53 @@ def _load_database(filename, traverse_yield_all, *, cache_size=None):
     raise ValueError(f"Error while reading signatures from '{filename}'.")
 
 
-_loader_functions = []
-
-
-def add_loader(name, priority):
-    "Decorator registering a loader function at a given priority."
-
-    def dec_priority(func):
-        _loader_functions.append((priority, name, func))
-        return func
-
-    return dec_priority
+def load_file_as_index(filename, *, yield_all_files=False):
+    "Load 'filename' as a database via the generic loader chain."
+    return _load_database(filename, yield_all_files)
 
 
 @add_loader("load from stdin", 10)
 def _load_stdin(filename, **kwargs):
     "Load collection from .sig file streamed in via stdin."
-    db = None
-    if filename == "-":
-        lidx = LinearIndex.load(sys.stdin, filename="-")
-        db = MultiIndex.load((lidx,), (None,), parent="-")
-    return db
+    if filename != "-":
+        return None
+    lidx = LinearIndex.load(sys.stdin, filename="-")
+    return MultiIndex.load((lidx,), (None,), parent="-")
+
+
+@add_loader("load from path (file or directory)", 40)
+def _multiindex_load_from_path(filename, **kwargs):
+    "Load collection from a directory or .sig file."
+    return MultiIndex.load_from_path(filename, kwargs["traverse_yield_all"])
+
+
+@add_loader("load from list of paths", 50)
+def _multiindex_load_from_pathlist(filename, **kwargs):
+    "Load collection from a text file listing signature/database files."
+    return MultiIndex.load_from_pathlist(filename)
+
+
+@add_loader("load collection from zipfile", 80)
+def _load_zipfile(filename, **kwargs):
+    "Load collection from a .zip file."
+    if not filename.endswith(".zip"):
+        return None
+    try:
+        return ZipFileLinearIndex.load(
+            filename, traverse_yield_all=kwargs["traverse_yield_all"]
+        )
+    except FileNotFoundError as exc:
+        raise IndexNotLoaded(str(exc))
+
+
+@add_loader("load from standalone manifest", 30)
+def _load_standalone_manifest(filename, **kwargs):
+    from .index import StandaloneManifestIndex
+
+    try:
+        return StandaloneManifestIndex.load(filename)
+    except gzip.BadGzipFile as exc:
+        raise IndexNotLoaded(str(exc))
 
 
 @add_loader("load collection from sqlitedb", 20)
@@ -111,30 +138,6 @@ def _load_sqlite_db(filename, **kwargs):
     return load_sqlite_index(filename)
 
 
-@add_loader("load from standalone manifest", 30)
-def _load_standalone_manifest(filename, **kwargs):
-    from .index import StandaloneManifestIndex
-
-    try:
-        idx = StandaloneManifestIndex.load(filename)
-    except gzip.BadGzipFile as exc:
-        raise IndexNotLoaded(str(exc))
-    return idx
-
-
-@add_loader("load from path (file or directory)", 40)
-def _multiindex_load_from_path(filename, **kwargs):
-    "Load collection from a directory or .sig file."
-    traverse_yield_all = kwargs["traverse_yield_all"]
-    return MultiIndex.load_from_path(filename, traverse_yield_all)
-
-
-@add_loader("load from list of paths", 50)
-def _multiindex_load_from_pathlist(filename, **kwargs):
-    "Load collection from a text file listing signature/database files."
-    return MultiIndex.load_from_pathlist(filename)
-
-
 @add_loader("load SBT", 60)
 def _load_sbt(filename, **kwargs):
     "Load collection from an SBT (.sbt.zip / .sbt.json)."
@@ -144,10 +147,9 @@ def _load_sbt(filename, **kwargs):
         raise IndexNotLoaded(str(exc))
 
     try:
-        db = load_sbt_index(filename, cache_size=kwargs.get("cache_size"))
+        return load_sbt_index(filename, cache_size=kwargs.get("cache_size"))
     except (FileNotFoundError, TypeError) as exc:
         raise IndexNotLoaded(str(exc))
-    return db
 
 
 @add_loader("load revindex", 70)
@@ -163,85 +165,29 @@ def _load_revindex(filename, **kwargs):
     except ImportError as exc:
         raise IndexNotLoaded(str(exc))
 
-    db, _, _ = load_single_database(filename)
-    return db
-
-
-@add_loader("load collection from zipfile", 80)
-def _load_zipfile(filename, **kwargs):
-    "Load collection from a .zip file."
-    db = None
-    if filename.endswith(".zip"):
-        traverse_yield_all = kwargs["traverse_yield_all"]
-        try:
-            db = ZipFileLinearIndex.load(
-                filename, traverse_yield_all=traverse_yield_all
-            )
-        except FileNotFoundError as exc:
-            raise IndexNotLoaded(str(exc))
+    db, _ksize, _scaled = load_single_database(filename)
     return db
 
 
 @add_loader("catch FASTA/FASTQ files and error", 1000)
 def _error_on_fastaq(filename, **kwargs):
     "Tail-end loader: FASTA/FASTQ input to a signature loader is an error."
-    success = False
     try:
         from .sequence_io import iter_records_bytes
 
-        _ = next(iter(iter_records_bytes(filename)))
-        success = True
+        next(iter(iter_records_bytes(filename)))
     except Exception:
-        pass
+        return None
 
-    if success:
-        raise Exception(
-            f"Error while reading signatures from '{filename}' - got sequences instead! Is this a FASTA/FASTQ file?"
-        )
-
-
-### savers
+    raise Exception(
+        f"Error while reading signatures from '{filename}' - got sequences instead! Is this a FASTA/FASTQ file?"
+    )
 
 
-class Base_SaveSignaturesToLocation:
-    "Base signature saving class; tracks location and count."
+# ----------------------------------------------------------------------
+# savers
 
-    def __init__(self, location):
-        self.location = location
-        self.count = 0
-
-    @classmethod
-    def matches(cls, location):
-        raise NotImplementedError
-
-    def __repr__(self):
-        raise NotImplementedError
-
-    def __len__(self):
-        return self.count
-
-    def open(self):
-        pass
-
-    def close(self):
-        pass
-
-    def __enter__(self):
-        self.open()
-        return self
-
-    def __exit__(self, type, value, traceback):
-        self.close()
-
-    def add(self, ss):
-        self.count += 1
-
-    def add_many(self, sslist):
-        for ss in sslist:
-            self.add(ss)
-
-
-def _one_minhash_per_sig(siglist):
+def _expand_to_single_sketches(siglist):
     "Normalize to one minhash per signature (md5-keyed outputs need this)."
     from .signature import expand_signatures
 
@@ -249,49 +195,88 @@ def _one_minhash_per_sig(siglist):
         yield from expand_signatures(ss)
 
 
+# kept under the reference helper's name for API familiarity
+_one_minhash_per_sig = _expand_to_single_sketches
+
+
+class Base_SaveSignaturesToLocation:
+    """Base signature saver: context manager tracking location + count.
+
+    Subclasses set `location_suffix` (or override `matches`) to claim a
+    location shape, and override open/close/add as needed.
+    """
+
+    location_suffix = None
+
+    def __init__(self, location):
+        self.location, self.count = location, 0
+
+    @classmethod
+    def matches(cls, location):
+        if cls.location_suffix is None:
+            raise NotImplementedError
+        if location:
+            return location.endswith(cls.location_suffix)
+
+    def __repr__(self):
+        return f"{type(self).__name__}('{self.location}')"
+
+    def __len__(self):
+        return self.count
+
+    def open(self):  # optional setup hook
+        pass
+
+    def close(self):  # optional teardown hook
+        pass
+
+    def __enter__(self):
+        self.open()
+        return self
+
+    def __exit__(self, _exc_type, _exc, _tb):
+        self.close()
+
+    def add(self, ss):
+        self.count += 1
+
+    def add_many(self, sslist):
+        any(self.add(ss) for ss in sslist)
+
+
 class SaveSignatures_NoOutput(Base_SaveSignaturesToLocation):
-    "Do not save signatures."
+    "Discard everything (location is None)."
 
     def __repr__(self):
         return "SaveSignatures_NoOutput()"
 
-    @classmethod
-    def matches(cls, location):
-        return location is None
+    matches = classmethod(lambda cls, location: location is None)
 
 
 class SaveSignatures_Directory(Base_SaveSignaturesToLocation):
     "Save signatures within a directory, using md5sum names."
 
-    def __repr__(self):
-        return f"SaveSignatures_Directory('{self.location}')"
-
-    @classmethod
-    def matches(cls, location):
-        if location:
-            return location.endswith("/")
+    location_suffix = "/"
 
     def open(self):
         try:
             os.mkdir(self.location)
         except FileExistsError:
-            pass
+            pass  # adding to an existing directory is fine
         except Exception:
             notify(f"ERROR: cannot create signature output directory '{self.location}'")
             sys.exit(-1)
 
     def _fresh_path(self, md5):
         "First non-existing '<md5>[_N].sig.gz' path under the directory."
-        outname = os.path.join(self.location, f"{md5}.sig.gz")
-        i = 0
-        while os.path.exists(outname):
-            outname = os.path.join(self.location, f"{md5}_{i}.sig.gz")
-            i += 1
-        return outname
+        candidate = os.path.join(self.location, f"{md5}.sig.gz")
+        for i in itertools.count():
+            if not os.path.exists(candidate):
+                return candidate
+            candidate = os.path.join(self.location, f"{md5}_{i}.sig.gz")
 
     def add(self, ss):
         super().add(ss)
-
         with open(self._fresh_path(ss.md5sum()), "wb") as fp:
             sigmod.save_signatures_to_json([ss], fp, compression=1)
 
@@ -299,23 +284,13 @@ class SaveSignatures_Directory(Base_SaveSignaturesToLocation):
 class SaveSignatures_SqliteIndex(Base_SaveSignaturesToLocation):
     "Save signatures into a sqlite database (.sqldb)."
 
+    location_suffix = ".sqldb"
+    _COMMIT_EVERY = 1000
+
     def __init__(self, location):
         super().__init__(location)
         self.idx = None
         self.cursor = None
-
-    @classmethod
-    def matches(cls, location):
-        if location:
-            return location.endswith(".sqldb")
-
-    def __repr__(self):
-        return f"SaveSignatures_SqliteIndex('{self.location}')"
-
-    def close(self):
-        self.idx.commit()
-        self.cursor.execute("VACUUM")
-        self.idx.close()
 
     def open(self):
         from .index.sqlite_index import SqliteIndex
@@ -323,11 +298,16 @@ class SaveSignatures_SqliteIndex(Base_SaveSignaturesToLocation):
         self.idx = SqliteIndex.create(self.location, append=True)
         self.cursor = self.idx.cursor()
 
+    def close(self):
+        self.idx.commit()
+        self.cursor.execute("VACUUM")  # compact before handing the file over
+        self.idx.close()
+
     def add(self, add_sig):
-        for ss in _one_minhash_per_sig([add_sig]):
+        for ss in _expand_to_single_sketches([add_sig]):
             super().add(ss)
             self.idx.insert(ss, cursor=self.cursor, commit=False)
-            if self.count % 1000 == 0:
+            if self.count % self._COMMIT_EVERY == 0:
                 self.idx.commit()
 
 
@@ -341,104 +321,93 @@ class SaveSignatures_SigFile(Base_SaveSignaturesToLocation):
 
     @classmethod
     def matches(cls, location):
-        return bool(location)
-
-    def __repr__(self):
-        return f"SaveSignatures_SigFile('{self.location}')"
+        return bool(location)  # the catch-all fallback
 
     def close(self):
         if self.location == "-":
             sigmod.save_signatures_to_json(self.keep, sys.stdout)
             return
         if self.compress:
-            open_args = dict(mode="wb", encoding=None)
+            fp = open(self.location, "wb")
         else:
-            open_args = dict(mode="w", encoding="utf-8")
-        with open(self.location, **open_args) as fp:
+            fp = open(self.location, "w", encoding="utf-8")
+        with fp:
             sigmod.save_signatures_to_json(self.keep, fp, compression=self.compress)
 
     def add(self, ss):
         super().add(ss)
-        self.keep.append(ss)
+        self.keep.append(ss)  # serialized in one batch at close()
 
 
 class SaveSignatures_ZipFile(Base_SaveSignaturesToLocation):
     "Save gzip-compressed signatures into an uncompressed zip collection."
 
+    location_suffix = ".zip"
+    _MANIFEST_NAME = "SOURMASH-MANIFEST.csv"
+
     def __init__(self, location):
         super().__init__(location)
         self.storage = None
 
-    @classmethod
-    def matches(cls, location):
-        if location:
-            return location.endswith(".zip")
-
-    def __repr__(self):
-        return f"SaveSignatures_ZipFile('{self.location}')"
-
-    def close(self):
-        manifest = CollectionManifest(self.manifest_rows)
-        manifest_fp = StringIO()
-        manifest.write_to_csv(manifest_fp, write_header=True)
-        manifest_data = manifest_fp.getvalue().encode("utf-8")
-
-        self.storage.save(
-            "SOURMASH-MANIFEST.csv", manifest_data, overwrite=True, compress=True
-        )
-        self.storage.flush()
-        self.storage.close()
-
-    def open(self):
+    def _open_storage(self):
         from .sbt_storage import ZipStorage
 
-        do_create = not os.path.exists(self.location)
-
-        storage = None
         try:
             # "w" on an existing path opens read+buffer, so a non-zip file
             # raises BadZipFile here (reference save_load.py:486-489)
-            storage = ZipStorage(self.location, mode="w")
+            return ZipStorage(self.location, mode="w")
         except zipfile.BadZipFile:
-            pass
-
-        if storage is None:
             raise ValueError(f"File '{self.location}' cannot be opened as a zip file.")
 
-        if not storage.subdir:
-            storage.subdir = "signatures"
-
+    def _prior_manifest_rows(self, storage, fresh_file):
+        "Rows of an existing archive's manifest ([] for a fresh archive)."
         try:
-            manifest_data = storage.load("SOURMASH-MANIFEST.csv")
+            data = storage.load(self._MANIFEST_NAME)
         except (FileNotFoundError, KeyError):
-            if not do_create:
+            if not fresh_file:
                 raise ValueError(
                     f"Cannot add to existing zipfile '{self.location}' without a manifest"
                 )
-            self.manifest_rows = []
-        else:
-            manifest = CollectionManifest.load_from_csv(
-                StringIO(manifest_data.decode("utf-8"))
-            )
-            self.manifest_rows = list(manifest._select())
+            return []
+        manifest = CollectionManifest.load_from_csv(StringIO(data.decode("utf-8")))
+        return list(manifest._select())
 
+    def open(self):
+        fresh_file = not os.path.exists(self.location)
+        storage = self._open_storage()
+        if not storage.subdir:
+            storage.subdir = "signatures"
+        self.manifest_rows = self._prior_manifest_rows(storage, fresh_file)
         self.storage = storage
+
+    def close(self):
+        manifest_fp = StringIO()
+        CollectionManifest(self.manifest_rows).write_to_csv(
+            manifest_fp, write_header=True
+        )
+        self.storage.save(
+            self._MANIFEST_NAME,
+            manifest_fp.getvalue().encode("utf-8"),
+            overwrite=True,
+            compress=True,
+        )
+        self.storage.flush()
+        self.storage.close()
 
     def add(self, add_sig):
         if not self.storage:
             raise ValueError("this output is not open")
 
-        for ss in _one_minhash_per_sig([add_sig]):
+        for ss in _expand_to_single_sketches([add_sig]):
             buf = sigmod.save_signatures_to_json([ss], compression=1)
-            md5 = ss.md5sum()
-
-            path = f"{self.storage.subdir}/{md5}.sig.gz"
+            path = f"{self.storage.subdir}/{ss.md5sum()}.sig.gz"
             location = self.storage.save(path, buf)
 
-            row = CollectionManifest.make_manifest_row(
-                ss, location, include_signature=False
+            self.manifest_rows.append(
+                CollectionManifest.make_manifest_row(
+                    ss, location, include_signature=False
+                )
             )
-            self.manifest_rows.append(row)
             super().add(ss)
 
 
@@ -447,14 +416,29 @@ _save_classes = [
     (20, SaveSignatures_Directory),
     (30, SaveSignatures_ZipFile),
     (40, SaveSignatures_SqliteIndex),
-    (1000, SaveSignatures_SigFile),
+    (1000, SaveSignatures_SigFile),  # catch-all: any other non-empty location
 ]
+
+
+def SaveSignaturesToLocation(location):
+    """Context manager that saves signatures in the output format matching
+    `location` (None, dir/, .zip, .sqldb, .sig[.gz], '-')."""
+    candidates = itertools.chain(
+        _save_classes, sourmash_plugins.get_save_to_functions()
+    )
+    for priority, cls in sorted(candidates, key=lambda x: x[0]):
+        debug_literal(f"trying to match save function {cls}, priority={priority}")
+        if cls.matches(location):
+            debug_literal(f"{cls} is a match!")
+            return cls(location)
+
+    raise Exception(
+        f"cannot determine how to open location {location} for saving; this should never happen!?"
+    )
 
 
 def _get_signatures_from_rust(siglist):
     """Split multi-sketch signature records into one-minhash signatures by
     JSON roundtrip (reference `save_load.py:297-304`)."""
-    from . import signature as sigmod
-
     json_str = sigmod.save_signatures_to_json(siglist)
     yield from sigmod.load_signatures_from_json(json_str)
