@@ -87,53 +87,6 @@ def _versioned_flag(internal_d, key, what):
     return True
 
 
-def load_sqlite_index(filename, *, request_manifest=False):
-    """Load a SqliteIndex, standalone sqlite manifest, or LCA_SqliteDatabase
-    from filename, depending on which tables are present."""
-    conn = sqlite_utils.open_sqlite_db(filename)
-
-    if conn is None:
-        debug_literal("load_sqlite_index: conn is None.")
-        return
-
-    c = conn.cursor()
-    try:
-        internal_d = sqlite_utils.get_sourmash_internal(c)
-    except (sqlite3.OperationalError, sqlite3.DatabaseError):
-        internal_d = {}
-
-    is_index = _versioned_flag(internal_d, "SqliteIndex", "SqliteIndex")
-    if is_index:
-        debug_literal("load_sqlite_index: it's an index!")
-
-    is_lca_db = is_index and _versioned_flag(
-        internal_d, "SqliteLineage", "SqliteLineage"
-    )
-    if is_lca_db:
-        debug_literal("load_sqlite_index: it's got a lineage table!")
-
-    is_manifest = _versioned_flag(internal_d, "SqliteManifest", "SqliteManifest")
-
-    if is_index or is_lca_db:
-        assert is_manifest
-
-    if is_index and not request_manifest:
-        conn.close()
-        if is_lca_db:
-            debug_literal("load_sqlite_index: returning LCA_SqliteDatabase")
-            return LCA_SqliteDatabase.load(filename)
-        debug_literal("load_sqlite_index: returning SqliteIndex")
-        return SqliteIndex(filename)
-
-    if is_manifest:
-        mf = SqliteCollectionManifest(conn, managed_by_index=is_index)
-        prefix = os.path.dirname(filename)
-        debug_literal("load_sqlite_index: returning StandaloneManifestIndex")
-        return StandaloneManifestIndex(mf, filename, prefix=prefix)
-
-    return None
-
-
 class SqliteIndex(Index):
     "Scaled signatures reverse-indexed by hash in a sqlite database."
 
@@ -152,13 +105,18 @@ class SqliteIndex(Index):
 
         c = self.conn.cursor()
         c.execute("SELECT DISTINCT scaled FROM sourmash_sketches")
-        scaled_vals = c.fetchall()
+        scaled_vals = [v for (v,) in c.fetchall()]
         if len(scaled_vals) > 1:
-            raise ValueError(
-                "this database has multiple scaled values, which is not currently allowed"
-            )
+            msg = "this database has multiple scaled values, which is not currently allowed"
+            raise ValueError(msg)
+        self.scaled = scaled_vals[0] if scaled_vals else None
 
-        self.scaled = scaled_vals[0][0] if scaled_vals else None
+    _PRAGMAS = (
+        "PRAGMA cache_size=10000000",
+        "PRAGMA synchronous = OFF",
+        "PRAGMA journal_mode = MEMORY",
+        "PRAGMA temp_store = MEMORY",
+    )
 
     @classmethod
     def _open(cls, dbfile, *, empty_ok=True):
@@ -166,18 +124,13 @@ class SqliteIndex(Index):
         try:
             conn = sqlite3.connect(dbfile)
             c = conn.cursor()
-
-            c.execute("PRAGMA cache_size=10000000")
-            c.execute("PRAGMA synchronous = OFF")
-            c.execute("PRAGMA journal_mode = MEMORY")
-            c.execute("PRAGMA temp_store = MEMORY")
-
+            for pragma in cls._PRAGMAS:
+                c.execute(pragma)
             if not empty_ok:
                 c.execute("SELECT * FROM sourmash_hashes LIMIT 1")
                 c.fetchone()
         except (sqlite3.OperationalError, sqlite3.DatabaseError):
             raise ValueError(f"cannot open '{dbfile}' as SqliteIndex database")
-
         return conn
 
     @classmethod
@@ -191,151 +144,46 @@ class SqliteIndex(Index):
         conn.commit()
         return cls(dbfile, conn=conn)
 
+    _HASH_TABLE_DDL = (
+        "CREATE TABLE IF NOT EXISTS sourmash_hashes ("
+        " hashval INTEGER NOT NULL,"
+        " sketch_id INTEGER NOT NULL,"
+        " FOREIGN KEY (sketch_id) REFERENCES sourmash_sketches (id) )",
+        "CREATE INDEX IF NOT EXISTS sourmash_hashval_idx"
+        " ON sourmash_hashes ( hashval, sketch_id )",
+        "CREATE INDEX IF NOT EXISTS sourmash_hashval_idx2 ON sourmash_hashes (hashval)",
+        "CREATE INDEX IF NOT EXISTS sourmash_sketch_idx ON sourmash_hashes (sketch_id)",
+    )
+
     @classmethod
     def _create_tables(cls, c, *, ignore_exists=False):
         "Create the index + manifest tables."
         try:
             sqlite_utils.add_sourmash_internal(c, "SqliteIndex", "1.0")
             SqliteCollectionManifest._create_tables(c)
-
-            c.execute(
-                """
-            CREATE TABLE IF NOT EXISTS sourmash_hashes (
-               hashval INTEGER NOT NULL,
-               sketch_id INTEGER NOT NULL,
-               FOREIGN KEY (sketch_id) REFERENCES sourmash_sketches (id)
-            )
-            """
-            )
-            c.execute(
-                """
-            CREATE INDEX IF NOT EXISTS sourmash_hashval_idx ON sourmash_hashes (
-               hashval, sketch_id
-            )
-            """
-            )
-            c.execute(
-                "CREATE INDEX IF NOT EXISTS sourmash_hashval_idx2 ON sourmash_hashes (hashval)"
-            )
-            c.execute(
-                "CREATE INDEX IF NOT EXISTS sourmash_sketch_idx ON sourmash_hashes (sketch_id)"
-            )
+            for statement in cls._HASH_TABLE_DDL:
+                c.execute(statement)
         except (sqlite3.OperationalError, sqlite3.DatabaseError):
             if not ignore_exists:
                 raise ValueError("cannot create SqliteIndex tables")
-
         return c
 
+    # thin connection passthroughs
     def cursor(self):
         return self.conn.cursor()
-
-    def close(self):
-        self.conn.close()
 
     def commit(self):
         self.conn.commit()
 
-    def __len__(self):
-        return len(self.manifest)
+    def close(self):
+        self.conn.close()
 
     @property
     def location(self):
         return self.dbfile
 
-    def insert(self, ss, *, cursor=None, commit=True):
-        "Insert a signature; hashes go into the reverse index."
-        c = cursor if cursor else self.conn.cursor()
-
-        if ss.minhash.num:
-            raise ValueError("cannot store 'num' signatures in SqliteIndex")
-        if ss.minhash.track_abundance:
-            raise ValueError("cannot store signatures with abundance in SqliteIndex")
-
-        if self.scaled is not None and self.scaled != ss.minhash.scaled:
-            raise ValueError(
-                f"this database can only store scaled values={self.scaled}"
-            )
-        elif self.scaled is None:
-            self.scaled = ss.minhash.scaled
-
-        row = BaseCollectionManifest.make_manifest_row(
-            ss, None, include_signature=False
-        )
-        self.manifest._insert_row(c, row, call_is_from_index=True)
-
-        c.execute("SELECT last_insert_rowid()")
-        (sketch_id,) = c.fetchone()
-
-        c.executemany(
-            "INSERT INTO sourmash_hashes (hashval, sketch_id) VALUES (?, ?)",
-            [(convert_hash_to(h), sketch_id) for h in ss.minhash.hashes],
-        )
-
-        if commit:
-            self.conn.commit()
-
-    def signatures(self):
-        for ss, loc in self.signatures_with_location():
-            yield ss
-
-    def signatures_with_location(self):
-        c = self.conn.cursor()
-        for ss, loc, iloc in self._load_sketches(c):
-            yield ss, loc
-
-    def save(self, *args, **kwargs):
-        raise NotImplementedError
-
-    def find(self, search_fn, query, **kwargs):
-        "Search via SQL: reverse-index overlap counts drive scoring."
-        search_fn.check_is_compatible(query)
-
-        query_mh = query.minhash
-        if self.scaled > query_mh.scaled:
-            query_mh = query_mh.downsample(scaled=self.scaled)
-
-        picklist = None
-        if self.manifest.selection_dict:
-            picklist = self.manifest.selection_dict.get("picklist")
-
-        c1 = self.conn.cursor()
-        c2 = self.conn.cursor()
-
-        query_size = len(query_mh)
-        for sketch_id, n_matching_hashes in self._get_matching_sketches(
-            c1, query_mh.hashes, query_mh._max_hash
-        ):
-            subj_size = self._load_sketch_size(c2, sketch_id, query_mh._max_hash)
-            shared_size = n_matching_hashes
-            total_size = query_size + subj_size - shared_size
-
-            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
-
-            if search_fn.passes(score):
-                subj = self._load_sketch(c2, sketch_id)
-                if search_fn.collect(score, subj):
-                    if picklist is None or subj in picklist:
-                        yield IndexSearchResult(score, subj, self.location)
-
-    def _select(self, *, num=0, track_abundance=False, **kwargs):
-        _check_select_parameters(**kwargs)
-
-        if num:
-            raise ValueError("cannot select on 'num' in SqliteIndex")
-        if track_abundance:
-            raise ValueError("cannot store or search signatures with abundance")
-
-        manifest = self.manifest
-        if manifest is None:
-            manifest = SqliteCollectionManifest(self.conn, managed_by_index=True)
-
-        return manifest.select_to_manifest(**kwargs)
-
-    def select(self, *args, **kwargs):
-        sqlite_manifest = self._select(*args, **kwargs)
-        return SqliteIndex(self.dbfile, sqlite_manifest=sqlite_manifest, conn=self.conn)
-
-    # -- SQL helpers -------------------------------------------------------
+    def __len__(self):
+        return len(self.manifest)
 
     def _load_sketch_size(self, c1, sketch_id, max_hash):
         "Number of a sketch's hashes within [0, max_hash]."
@@ -351,9 +199,8 @@ class SqliteIndex(Index):
     def _load_sketch(self, c, sketch_id, *, match_scaled=None):
         "Load one sketch as a signature, optionally downsampled."
         c.execute(
-            """
-        SELECT id, name, scaled, ksize, filename, moltype, seed
-        FROM sourmash_sketches WHERE id=?""",
+            "SELECT id, name, scaled, ksize, filename, moltype, seed"
+            " FROM sourmash_sketches WHERE id=?",
             (sketch_id,),
         )
 
@@ -398,29 +245,120 @@ class SqliteIndex(Index):
         """All sketches overlapping the given hashes, with overlap counts,
         ordered by count descending."""
         c.execute("DROP TABLE IF EXISTS sourmash_hash_query")
-        c.execute(
-            "CREATE TEMPORARY TABLE sourmash_hash_query (hashval INTEGER PRIMARY KEY)"
-        )
+        c.execute("CREATE TEMPORARY TABLE sourmash_hash_query"
+                  " (hashval INTEGER PRIMARY KEY)")
+        wrapped = [(convert_hash_to(h),) for h in hashes]
         c.executemany(
             "INSERT OR IGNORE INTO sourmash_hash_query (hashval) VALUES (?)",
-            [(convert_hash_to(h),) for h in hashes],
+            wrapped,
         )
 
         conditions, template_values = _hash_window(min(max_hash, max(hashes)))
         conditions.append("sourmash_hashes.hashval=sourmash_hash_query.hashval")
 
-        c.execute(
-            f"""
-        SELECT DISTINCT sourmash_hashes.sketch_id,COUNT(sourmash_hashes.hashval) as CNT
-        FROM sourmash_hashes, sourmash_hash_query
-        WHERE {" AND ".join(conditions)}
-        GROUP BY sourmash_hashes.sketch_id ORDER BY CNT DESC
-        """,
-            template_values,
+        overlap_query = (
+            "SELECT DISTINCT sourmash_hashes.sketch_id,"
+            "COUNT(sourmash_hashes.hashval) as CNT"
+            " FROM sourmash_hashes, sourmash_hash_query"
+            f" WHERE {' AND '.join(conditions)}"
+            " GROUP BY sourmash_hashes.sketch_id ORDER BY CNT DESC"
         )
-
+        c.execute(overlap_query, template_values)
         return c
 
+
+    def insert(self, ss, *, cursor=None, commit=True):
+        "Insert a signature; hashes go into the reverse index."
+        c = cursor if cursor else self.conn.cursor()
+        mh = ss.minhash
+
+        if mh.num:
+            raise ValueError("cannot store 'num' signatures in SqliteIndex")
+        if mh.track_abundance:
+            raise ValueError("cannot store signatures with abundance in SqliteIndex")
+
+        if self.scaled is None:
+            self.scaled = mh.scaled
+        elif self.scaled != mh.scaled:
+            msg = f"this database can only store scaled values={self.scaled}"
+            raise ValueError(msg)
+
+        row = BaseCollectionManifest.make_manifest_row(
+            ss, None, include_signature=False
+        )
+        self.manifest._insert_row(c, row, call_is_from_index=True)
+
+        c.execute("SELECT last_insert_rowid()")
+        (sketch_id,) = c.fetchone()
+
+        c.executemany(
+            "INSERT INTO sourmash_hashes (hashval, sketch_id) VALUES (?, ?)",
+            [(convert_hash_to(h), sketch_id) for h in ss.minhash.hashes],
+        )
+
+        if commit:
+            self.conn.commit()
+
+    def signatures(self):
+        for ss, loc in self.signatures_with_location():
+            yield ss
+
+    def signatures_with_location(self):
+        c = self.conn.cursor()
+        yield from ((ss, loc) for ss, loc, _iloc in self._load_sketches(c))
+
+    def save(self, *args, **kwargs):
+        raise NotImplementedError  # insert() writes through immediately
+
+    def find(self, search_fn, query, **kwargs):
+        "Search via SQL: reverse-index overlap counts drive scoring."
+        search_fn.check_is_compatible(query)
+
+        query_mh = query.minhash
+        if self.scaled > query_mh.scaled:
+            query_mh = query_mh.downsample(scaled=self.scaled)
+
+        selection = self.manifest.selection_dict or {}
+        picklist = selection.get("picklist")
+
+        c1, c2 = self.conn.cursor(), self.conn.cursor()
+
+        query_size = len(query_mh)
+        for sketch_id, n_matching_hashes in self._get_matching_sketches(
+            c1, query_mh.hashes, query_mh._max_hash
+        ):
+            subj_size = self._load_sketch_size(c2, sketch_id, query_mh._max_hash)
+            shared_size = n_matching_hashes
+            total_size = query_size + subj_size - shared_size
+
+            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
+            if not search_fn.passes(score):
+                continue
+
+            subj = self._load_sketch(c2, sketch_id)
+            if search_fn.collect(score, subj):
+                if picklist is None or subj in picklist:
+                    yield IndexSearchResult(score, subj, self.location)
+
+    def _select(self, *, num=0, track_abundance=False, **kwargs):
+        _check_select_parameters(**kwargs)
+
+        if num:
+            raise ValueError("cannot select on 'num' in SqliteIndex")
+        if track_abundance:
+            raise ValueError("cannot store or search signatures with abundance")
+
+        manifest = self.manifest
+        if manifest is None:
+            manifest = SqliteCollectionManifest(self.conn, managed_by_index=True)
+
+        return manifest.select_to_manifest(**kwargs)
+
+    def select(self, *args, **kwargs):
+        sqlite_manifest = self._select(*args, **kwargs)
+        return SqliteIndex(self.dbfile, sqlite_manifest=sqlite_manifest, conn=self.conn)
+
+    # -- SQL helpers -------------------------------------------------------
 
 # column order of the sourmash_sketches SELECTs used by `rows`
 _SKETCH_COLUMNS = (
@@ -443,10 +381,9 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
     def __init__(self, conn, *, selection_dict=None, managed_by_index=False):
         assert conn is not None
-        self.conn = conn
-        self.selection_dict = selection_dict
+        self.conn, self.selection_dict = conn, selection_dict
         self.managed_by_index = managed_by_index
-        self._num_rows = None
+        self._num_rows = None  # lazily-computed row count
 
     # -- construction ------------------------------------------------------
 
@@ -467,9 +404,8 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
     @classmethod
     def load_from_manifest(cls, manifest, *, dbfile=":memory:", append=False):
-        return cls._create_manifest_from_rows(
-            manifest.rows, location=dbfile, append=append
-        )
+        return cls._create_manifest_from_rows(manifest.rows, location=dbfile,
+                                              append=append)
 
     @classmethod
     def create_manifest(cls, locations_iter, *, include_signature=False):
@@ -485,41 +421,37 @@ class SqliteCollectionManifest(BaseCollectionManifest):
             mf = cls.create(location)
         except (sqlite3.OperationalError, sqlite3.DatabaseError) as exc:
             if not append:
-                raise Exception(
-                    f"cannot create sqlite3 db at '{location}'; exception: {str(exc)}"
-                )
-            db = load_sqlite_index(location, request_manifest=True)
-            mf = db.manifest
+                msg = f"cannot create sqlite3 db at '{location}'; exception: {str(exc)}"
+                raise Exception(msg)
+            mf = load_sqlite_index(location, request_manifest=True).manifest
 
         cursor = mf.conn.cursor()
         for row in rows_iter:
             mf._insert_row(cursor, row)
-
         mf.conn.commit()
         return mf
+
+    _SKETCH_TABLE_DDL = (
+        "CREATE TABLE sourmash_sketches"
+        " (id INTEGER PRIMARY KEY,"
+        " name TEXT,"
+        " num INTEGER NOT NULL,"
+        " scaled INTEGER NOT NULL,"
+        " ksize INTEGER NOT NULL,"
+        " filename TEXT,"
+        " moltype TEXT NOT NULL,"
+        " with_abundance BOOLEAN NOT NULL,"
+        " md5sum TEXT NOT NULL,"
+        " seed INTEGER NOT NULL,"
+        " n_hashes INTEGER NOT NULL,"
+        " internal_location TEXT,"
+        " UNIQUE(internal_location, md5sum) )"
+    )
 
     @classmethod
     def _create_tables(cls, cursor):
         sqlite_utils.add_sourmash_internal(cursor, "SqliteManifest", "1.0")
-        cursor.execute(
-            """
-        CREATE TABLE sourmash_sketches
-          (id INTEGER PRIMARY KEY,
-           name TEXT,
-           num INTEGER NOT NULL,
-           scaled INTEGER NOT NULL,
-           ksize INTEGER NOT NULL,
-           filename TEXT,
-           moltype TEXT NOT NULL,
-           with_abundance BOOLEAN NOT NULL,
-           md5sum TEXT NOT NULL,
-           seed INTEGER NOT NULL,
-           n_hashes INTEGER NOT NULL,
-           internal_location TEXT,
-        UNIQUE(internal_location, md5sum)
-        )
-        """
-        )
+        cursor.execute(cls._SKETCH_TABLE_DDL)
 
     # -- row insertion -------------------------------------------------------
 
@@ -534,24 +466,21 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         row.setdefault("seed", 42)
 
         cursor.execute(
-            """
-        INSERT OR IGNORE INTO sourmash_sketches
-          (name, num, scaled, ksize, filename, md5sum, moltype,
-           seed, n_hashes, with_abundance, internal_location)
-        VALUES (:name, :num, :scaled, :ksize, :filename, :md5,
-                :moltype, :seed, :n_hashes, :with_abundance,
-                :internal_location)""",
+            "INSERT OR IGNORE INTO sourmash_sketches"
+            " (name, num, scaled, ksize, filename, md5sum, moltype,"
+            "  seed, n_hashes, with_abundance, internal_location)"
+            " VALUES (:name, :num, :scaled, :ksize, :filename, :md5,"
+            "  :moltype, :seed, :n_hashes, :with_abundance, :internal_location)",
             row,
         )
-
-        self._num_rows = None
+        self._num_rows = None  # invalidate the cached count
 
     # -- container protocol --------------------------------------------------
 
     def __bool__(self):
         if self._num_rows is not None:
             return bool(self._num_rows)
-        return next(iter(self.rows), None) is not None
+        return any(True for _ in self.rows)
 
     def __len__(self):
         if self._num_rows is None:
@@ -562,25 +491,23 @@ class SqliteCollectionManifest(BaseCollectionManifest):
         c = self.conn.cursor()
         for row in other.rows:
             self._insert_row(c, row)
-        return self
+        return self  # rows appended in place
 
     def __add__(self, other):
-        new_mf = self.create(":memory:")
-        new_mf += self
-        new_mf += other
-        return new_mf
+        merged = self.create(":memory:")
+        merged += self
+        merged += other
+        return merged
 
     def __contains__(self, ss):
         c = self.conn.cursor()
         c.execute(
             "SELECT COUNT(*) FROM sourmash_sketches WHERE md5sum=?", (ss.md5sum(),)
         )
-        (val,) = c.fetchone()
-
-        if bool(val):
-            picklist = self.picklist
-            return picklist is None or ss in self.picklist
-        return False
+        (n_stored,) = c.fetchone()
+        if not n_stored:
+            return False
+        return self.picklist is None or ss in self.picklist
 
     def close(self):
         self.conn.commit()
@@ -601,8 +528,8 @@ class SqliteCollectionManifest(BaseCollectionManifest):
                 conditions.append("sourmash_sketches.num > 0")
             if (select_d.get("scaled") or 0) > 0 or select_d.get("containment"):
                 conditions.append("sourmash_sketches.scaled > 0")
-            if select_d.get("moltype") is not None:
-                moltype = select_d["moltype"]
+            moltype = select_d.get("moltype")
+            if moltype is not None:
                 assert moltype in ("DNA", "protein", "dayhoff", "hp"), moltype
                 conditions.append(f"sourmash_sketches.moltype = '{moltype}'")
 
@@ -610,15 +537,19 @@ class SqliteCollectionManifest(BaseCollectionManifest):
 
         return conditions, values, picklist
 
+    def _merged_selection(self, kwargs):
+        "Layer new selector kwargs over the existing ones; reject conflicts."
+        merged = dict(self.selection_dict)
+        for key, value in kwargs.items():
+            prior = merged.get(key)
+            if key in merged and prior is not None and prior != value:
+                raise ValueError(f"incompatible select on '{key}'")
+            merged[key] = value
+        return merged
+
     def select_to_manifest(self, **kwargs):
         if self.selection_dict:
-            d = dict(self.selection_dict)
-            for k, v in kwargs.items():
-                if k in d:
-                    if d[k] is not None and d[k] != v:
-                        raise ValueError(f"incompatible select on '{k}'")
-                d[k] = v
-            kwargs = d
+            kwargs = self._merged_selection(kwargs)
 
         new_mf = SqliteCollectionManifest(self.conn, selection_dict=kwargs)
 
@@ -697,17 +628,15 @@ class LCA_SqliteDatabase(SqliteIndex):
         super().__init__(dbfile, sqlite_manifest=sqlite_manifest)
 
         c = self.conn.cursor()
-
         c.execute("SELECT DISTINCT ksize, moltype FROM sourmash_sketches")
-        res = list(c)
-        if len(res) > 1:
+        params = list(c)
+        if not params:
+            raise ValueError("cannot load an LCA_SqliteDatabase")
+        if len(params) > 1:
             raise TypeError(
                 "can only have one ksize & moltype in an LCA_SqliteDatabase"
             )
-        if len(res) == 0:
-            raise ValueError("cannot load an LCA_SqliteDatabase")
-
-        self.ksize, self.moltype = res[0]
+        (self.ksize, self.moltype), = params
 
         if lineage_db is not None:
             self.lineage_db = lineage_db
@@ -724,7 +653,6 @@ class LCA_SqliteDatabase(SqliteIndex):
 
         obj.lineage_db = LineageDB_Sqlite(obj.conn)
         obj._build_index()
-
         return obj
 
     @classmethod
@@ -745,11 +673,9 @@ class LCA_SqliteDatabase(SqliteIndex):
 
     def _build_index(self):
         "Build identifier <-> lineage mappings from manifest + lineage db."
-        ident_to_idx = {}
+        ident_to_idx, idx_to_lid = {}, {}
+        lineage_to_lid, lid_to_lineage = {}, {}
         next_lid = 0
-        idx_to_lid = {}
-        lineage_to_lid = {}
-        lid_to_lineage = {}
 
         for row in self.manifest.rows:
             name = row["name"]
@@ -783,10 +709,9 @@ class LCA_SqliteDatabase(SqliteIndex):
         raise NotImplementedError
 
     def select(self, *args, **kwargs):
-        sqlite_manifest = self._select(*args, **kwargs)
-        return LCA_SqliteDatabase(
-            self.dbfile, sqlite_manifest=sqlite_manifest, lineage_db=self.lineage_db
-        )
+        narrowed = self._select(*args, **kwargs)
+        return LCA_SqliteDatabase(self.dbfile, sqlite_manifest=narrowed,
+                                  lineage_db=self.lineage_db)
 
     ### LCA_Database API/protocol.
 
@@ -809,11 +734,9 @@ class LCA_SqliteDatabase(SqliteIndex):
 
     @cached_property
     def idx_to_ident(self):
-        d = defaultdict(set)
-        for ident, idx in self.ident_to_idx.items():
-            assert idx not in d
-            d[idx] = ident
-        return d
+        inverted = {idx: ident for ident, idx in self.ident_to_idx.items()}
+        assert len(inverted) == len(self.ident_to_idx)
+        return inverted
 
     @property
     def hashval_to_idx(self):
@@ -854,3 +777,50 @@ class _SqliteIndexHashvalToIndex:
         if v is None:
             raise KeyError(key)
         return v
+
+
+def load_sqlite_index(filename, *, request_manifest=False):
+    """Load a SqliteIndex, standalone sqlite manifest, or LCA_SqliteDatabase
+    from filename, depending on which tables are present."""
+    conn = sqlite_utils.open_sqlite_db(filename)
+    if conn is None:
+        debug_literal("load_sqlite_index: conn is None.")
+        return None
+
+    c = conn.cursor()
+    try:
+        internal_d = sqlite_utils.get_sourmash_internal(c)
+    except (sqlite3.OperationalError, sqlite3.DatabaseError):
+        internal_d = {}
+
+    is_index = _versioned_flag(internal_d, "SqliteIndex", "SqliteIndex")
+    if is_index:
+        debug_literal("load_sqlite_index: it's an index!")
+
+    is_lca_db = is_index and _versioned_flag(
+        internal_d, "SqliteLineage", "SqliteLineage"
+    )
+    if is_lca_db:
+        debug_literal("load_sqlite_index: it's got a lineage table!")
+
+    is_manifest = _versioned_flag(internal_d, "SqliteManifest", "SqliteManifest")
+
+    if is_index or is_lca_db:
+        assert is_manifest
+
+    if is_index and not request_manifest:
+        conn.close()
+        if is_lca_db:
+            debug_literal("load_sqlite_index: returning LCA_SqliteDatabase")
+            return LCA_SqliteDatabase.load(filename)
+        debug_literal("load_sqlite_index: returning SqliteIndex")
+        return SqliteIndex(filename)
+
+    if is_manifest:
+        mf = SqliteCollectionManifest(conn, managed_by_index=is_index)
+        prefix = os.path.dirname(filename)
+        debug_literal("load_sqlite_index: returning StandaloneManifestIndex")
+        return StandaloneManifestIndex(mf, filename, prefix=prefix)
+
+    return None
+

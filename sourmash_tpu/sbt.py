@@ -33,10 +33,8 @@ from .picklist import passes_all_picklists
 from .sbt_storage import FSStorage, ZipStorage, IPFSStorage, RedisStorage
 
 STORAGES = {
-    "FSStorage": FSStorage,
-    "IPFSStorage": IPFSStorage,
-    "RedisStorage": RedisStorage,
-    "ZipStorage": ZipStorage,
+    cls.__name__: cls
+    for cls in (FSStorage, IPFSStorage, RedisStorage, ZipStorage)
 }
 
 NodePos = namedtuple("NodePos", ["pos", "node"])
@@ -45,13 +43,14 @@ NodePos = namedtuple("NodePos", ["pos", "node"])
 class GraphFactory:
     "Build new nodegraphs (Bloom filters) of a fixed configuration."
 
+    __slots__ = ("ksize", "starting_size", "n_tables")
+
     def __init__(self, ksize, starting_size, n_tables):
-        self.ksize = ksize
-        self.starting_size = starting_size
+        self.ksize, self.starting_size = ksize, starting_size
         self.n_tables = n_tables
 
     def __call__(self):
-        return Nodegraph(self.ksize, self.starting_size, self.n_tables)
+        return Nodegraph(*self.init_args())
 
     def init_args(self):
         return (self.ksize, self.starting_size, self.n_tables)
@@ -116,14 +115,11 @@ class SBT(Index):
     is_database = True
 
     def __init__(self, factory, *, d=2, storage=None, cache_size=None):
-        self.factory = factory
-        self._nodes = {}
+        self.factory, self.d = factory, d
+        self._nodes, self._leaves = {}, {}
         self._missing_nodes = set()
-        self._leaves = {}
-        self.d = d
         self.next_node = 0
-        self.storage = storage
-        self._location = None
+        self.storage, self._location = storage, None
         self.picklists = []
         self.manifest = None
         if cache_size is None:
@@ -154,57 +150,56 @@ class SBT(Index):
         for k in self.leaves():
             yield k.data, k._path
 
-    def select(
-        self,
-        ksize=None,
-        moltype=None,
-        num=0,
-        scaled=0,
-        containment=False,
-        abund=None,
-        picklist=None,
-        **kwargs,
-    ):
+    def select(self, ksize=None, moltype=None, num=0, scaled=0,
+               containment=False, abund=None, picklist=None, **kwargs):
         "Check this database against requirements; raise ValueError if unmet."
-        requested = dict(
+        _check_select_parameters(
             ksize=ksize, num=num, moltype=moltype, scaled=scaled,
-            containment=containment, abund=abund, picklist=picklist,
+            containment=containment, abund=abund, picklist=picklist, **kwargs,
         )
-        _check_select_parameters(**requested, **kwargs)
 
-        first_sig = next(iter(self.signatures()))
-        db_mh = first_sig.minhash
+        db_mh = next(iter(self.signatures())).minhash
 
-        if ksize is not None and db_mh.ksize != ksize:
-            raise ValueError(
-                f"search ksize {ksize} is different from database ksize {db_mh.ksize}"
-            )
-        if moltype is not None and db_mh.moltype != moltype:
-            raise ValueError(
-                f"search moltype {moltype} is different from database moltype {db_mh.moltype}"
-            )
-        if containment and not db_mh.scaled:
-            raise ValueError(
-                "cannot search this SBT for containment; signatures are not calculated with scaled"
-            )
+        # (failure condition, message) pairs, checked in reference order
+        rejections = [
+            (
+                ksize is not None and db_mh.ksize != ksize,
+                f"search ksize {ksize} is different from database ksize {db_mh.ksize}",
+            ),
+            (
+                moltype is not None and db_mh.moltype != moltype,
+                f"search moltype {moltype} is different from database moltype {db_mh.moltype}",
+            ),
+            (
+                containment and not db_mh.scaled,
+                "cannot search this SBT for containment; signatures are not calculated with scaled",
+            ),
+        ]
         if num:
-            if not db_mh.num:
-                raise ValueError(
-                    "this database was created with 'scaled' MinHash sketches, not 'num'"
-                )
-            if num != db_mh.num:
-                raise ValueError(f"num mismatch for SBT: num={num}, {db_mh.num}")
+            rejections += [
+                (
+                    not db_mh.num,
+                    "this database was created with 'scaled' MinHash sketches, not 'num'",
+                ),
+                (num != db_mh.num, f"num mismatch for SBT: num={num}, {db_mh.num}"),
+            ]
         if scaled:
-            if not db_mh.scaled:
-                raise ValueError(
-                    "this database was created with 'num' MinHash sketches, not 'scaled'"
-                )
-            if scaled > db_mh.scaled and not containment:
-                raise ValueError(
-                    f"search scaled value {scaled} is less than database scaled value of {db_mh.scaled}"
-                )
-        if abund:
-            raise ValueError("SBT indices do not support sketches with abund=True")
+            rejections += [
+                (
+                    not db_mh.scaled,
+                    "this database was created with 'num' MinHash sketches, not 'scaled'",
+                ),
+                (
+                    scaled > db_mh.scaled and not containment,
+                    f"search scaled value {scaled} is less than database scaled value of {db_mh.scaled}",
+                ),
+            ]
+        rejections.append(
+            (abund, "SBT indices do not support sketches with abund=True")
+        )
+        for failed, message in rejections:
+            if failed:
+                raise ValueError(message)
 
         if picklist is not None:
             self.picklists.append(picklist)
@@ -219,7 +214,6 @@ class SBT(Index):
         if not self._nodes:
             self.next_node = 1
             return 0
-
         if not self._leaves:
             self.next_node = 2
             return 1
@@ -227,22 +221,12 @@ class SBT(Index):
         min_leaf = min(self._leaves.keys())
 
         # reuse a gap below the first leaf when one exists
-        next_internal_node = None
+        gap = None
         if self.next_node <= min_leaf:
-            for i in range(min_leaf):
-                if (
-                    i not in self._nodes
-                    and i not in self._leaves
-                    and i not in self._missing_nodes
-                ):
-                    next_internal_node = i
-                    break
+            occupied = self._nodes.keys() | self._leaves.keys() | self._missing_nodes
+            gap = next((i for i in range(min_leaf) if i not in occupied), None)
 
-        if next_internal_node is None:
-            self.next_node = max(self._leaves.keys()) + 1
-        else:
-            self.next_node = next_internal_node
-
+        self.next_node = max(self._leaves.keys()) + 1 if gap is None else gap
         return self.next_node
 
     def insert(self, signature):
@@ -268,13 +252,10 @@ class SBT(Index):
             # split: the occupied slot becomes an internal node with the
             # old leaf and the new node as its first two children
             n = self._new_internal(p.pos)
-
             c1, c2 = self.children(p.pos)[:2]
 
-            self._leaves[c1.pos] = p.node
-            self._leaves[c2.pos] = node
+            self._leaves[c1.pos], self._leaves[c2.pos] = p.node, node
             del self._leaves[p.pos]
-
             for child in (p.node, node):
                 child.update(n)
         elif isinstance(p.node, Node):
@@ -422,15 +403,15 @@ class SBT(Index):
         if self._nodes.get(pos) is not None:
             return
 
-        node = Node(self.factory, name=f"internal.{pos}")
-        self._nodes[pos] = node
+        node = self._nodes[pos] = Node(self.factory, name=f"internal.{pos}")
         for c in self.children(pos):
-            if c.pos in self._missing_nodes or isinstance(c.node, Leaf):
-                cnode = c.node
-                if cnode is None:
-                    self._rebuild_node(c.pos)
-                    cnode = self._nodes[c.pos]
-                cnode.update(node)
+            if c.pos not in self._missing_nodes and not isinstance(c.node, Leaf):
+                continue
+            cnode = c.node
+            if cnode is None:
+                self._rebuild_node(c.pos)
+                cnode = self._nodes[c.pos]
+            cnode.update(node)
 
     def _resolve_pos(self, pos):
         if pos in self._leaves:
@@ -520,12 +501,9 @@ class SBT(Index):
             },
         }
 
-        nodes = {}
-        leaves = {}
-
-        internal_nodes = set(self._nodes).union(self._missing_nodes)
+        nodes, leaves = {}, {}
+        internal_nodes = self._nodes.keys() | self._missing_nodes
         total_nodes = len(self) + len(internal_nodes)
-
         manifest_rows = []
         for n, (i, node) in enumerate(self):
             if node is None:
@@ -535,26 +513,21 @@ class SBT(Index):
             if isinstance(node, Node) and random() - sparseness <= 0:
                 continue
 
-            data = {
-                "filename": os.path.basename(node.name),
-                "name": node.name,
-            }
+            data = {"filename": os.path.basename(node.name), "name": node.name}
 
             try:
                 node.metadata.pop("max_n_below")
             except (AttributeError, KeyError):
                 pass
-
             data["metadata"] = node.metadata
 
             if structure_only is False:
-                node.data
+                node.data  # force the load before re-targeting storage
                 node.storage = storage
-
                 if kind == "Zip":
-                    new_name = node.save(os.path.join(subdir, data["filename"]))
-                    assert new_name.startswith(subdir + "/")
-                    data["filename"] = new_name[len(subdir) + 1 :]
+                    stored_at = node.save(os.path.join(subdir, data["filename"]))
+                    assert stored_at.startswith(subdir + "/")
+                    data["filename"] = stored_at[len(subdir) + 1:]
                 else:
                     data["filename"] = node.save(data["filename"])
 
@@ -605,37 +578,31 @@ class SBT(Index):
 
     # -- loading -----------------------------------------------------------
 
+    @staticmethod
+    def _probe_zip_storage(location):
+        "Open `location` (or `location`.sbt.zip) as ZipStorage if possible."
+        if ZipStorage.can_open(location):
+            return ZipStorage(location)
+        if not location.endswith(".sbt.zip"):
+            zip_location = location + ".sbt.zip"
+            if os.path.exists(zip_location) and ZipStorage.can_open(zip_location):
+                return ZipStorage(zip_location)
+        return None
+
     @classmethod
-    def load(
-        cls,
-        location,
-        *,
-        leaf_loader=None,
-        storage=None,
-        print_version_warning=True,
-        cache_size=None,
-    ):
+    def load(cls, location, *, leaf_loader=None, storage=None,
+             print_version_warning=True, cache_size=None):
         "Load an SBT description (any version v1-v6, zip or FS layout)."
-        tempfile = None
-        sbt_name = None
+        storage = storage or cls._probe_zip_storage(location)
 
-        if storage is None:
-            if ZipStorage.can_open(location):
-                storage = ZipStorage(location)
-            elif not location.endswith(".sbt.zip"):
-                location2 = location + ".sbt.zip"
-                if os.path.exists(location2) and ZipStorage.can_open(location2):
-                    storage = ZipStorage(location2)
-
+        tempfile = sbt_name = None
         if storage:
             sbts = storage.list_sbts()
             if len(sbts) == 1:
-                tree_data = storage.load(sbts[0])
-
+                # spool the description out of the archive for json.load
                 tempfile = NamedTemporaryFile()
-                tempfile.write(tree_data)
+                tempfile.write(storage.load(sbts[0]))
                 tempfile.flush()
-
                 dirname = os.path.dirname(tempfile.name)
                 sbt_name = os.path.basename(tempfile.name)
 
@@ -643,10 +610,10 @@ class SBT(Index):
             dirname = os.path.dirname(os.path.abspath(location))
             sbt_name = os.path.basename(location)
             if sbt_name.endswith(".sbt.json"):
-                sbt_name = sbt_name[:-9]
+                sbt_name = sbt_name[: -len(".sbt.json")]
 
         sbt_fn = os.path.join(dirname, sbt_name)
-        if not sbt_fn.endswith(".sbt.json") and tempfile is None:
+        if tempfile is None and not sbt_fn.endswith(".sbt.json"):
             sbt_fn += ".sbt.json"
 
         try:
@@ -654,13 +621,11 @@ class SBT(Index):
                 jnodes = json.load(fp)
         except NotADirectoryError as exc:
             raise ValueError(str(exc))
+        finally:
+            if tempfile is not None:
+                tempfile.close()
 
-        if tempfile is not None:
-            tempfile.close()
-
-        version = 1
-        if isinstance(jnodes, Mapping):
-            version = jnodes["version"]
+        version = jnodes["version"] if isinstance(jnodes, Mapping) else 1
 
         if leaf_loader is None:
             leaf_loader = Leaf.load
@@ -801,63 +766,50 @@ class SBT(Index):
                     child_n = child.node.metadata.get("min_n_below", sys.maxsize)
                     min_n_below = min(child_n, min_n_below)
 
-            if min_n_below == 0:
-                min_n_below = 1
-
-            node.metadata["min_n_below"] = min_n_below
-            return original_min_n_below != min_n_below
+            node.metadata["min_n_below"] = min_n_below or 1
+            return original_min_n_below != (min_n_below or 1)
 
         self._fill_up(fill_min_n_below)
 
     def _fill_up(self, search_fn, *args, **kwargs):
         "Apply search_fn to all internal nodes, deepest first."
-        visited, queue = set(), list(reversed(sorted(self._leaves.keys())))
         debug("started filling up")
+        queue = sorted(self._leaves.keys(), reverse=True)
+        visited = set()
         processed = 0
+
         while queue:
             node_p = queue.pop(0)
-
             parent = self.parent(node_p)
             if parent is None:
                 continue
 
-            was_missing = False
-            if parent.node is None:
+            was_missing = parent.node is None
+            if was_missing:
                 if parent.pos not in self._missing_nodes:
                     continue
                 self._rebuild_node(parent.pos)
                 parent = self.parent(node_p)
-                was_missing = True
 
             siblings = self.children(parent.pos)
-
             if node_p not in visited:
                 visited.add(node_p)
                 for sibling in siblings:
                     visited.add(sibling.pos)
-                    try:
+                    if sibling.pos in queue:
                         queue.remove(sibling.pos)
-                    except ValueError:
-                        pass
 
                 if search_fn(parent.node, children=siblings, *args) or was_missing:
                     queue.append(parent.pos)
 
             processed += 1
-            if processed % 100 == 0:
+            if not processed % 100:
                 debug("processed {}, in queue {}", processed, len(queue), sep="\r")
 
     def print_dot(self):  # pragma: no cover
-        print(
-            """
-        digraph G {
-        nodesep=0.3;
-        ranksep=0.2;
-        margin=0.1;
-        node [shape=ellipse];
-        edge [arrowsize=0.8];
-        """
-        )
+        preamble = ("digraph G {", "nodesep=0.3;", "ranksep=0.2;", "margin=0.1;",
+                    "node [shape=ellipse];", "edge [arrowsize=0.8];")
+        print("\n" + "\n".join("        " + line for line in preamble) + "\n")
         for i, node in self._nodes.items():
             if isinstance(node, Node):
                 print(f'"{i}" [shape=box fillcolor=gray style=filled] // node')
@@ -920,18 +872,14 @@ class Node(_StoredGraph):
     _save_overwrite = True
 
     def __init__(self, factory, name=None, path=None, storage=None):
-        self.name = name
-        self.storage = storage
+        self.name, self.storage = name, storage
         self._factory = factory
-        self._data = None
-        self._path = path
+        self._data, self._path = None, path
         self.metadata = {}
 
     def __str__(self):
-        return (
-            f"*Node:{self.name} [occupied: {self.data.n_occupied()}, "
-            f"fpr: {calc_expected_collisions(self.data, True, 1.1):.2}]"
-        )
+        fpr = calc_expected_collisions(self.data, True, 1.1)
+        return f"*Node:{self.name} [occupied: {self.data.n_occupied()}, fpr: {fpr:.2}]"
 
     def _materialize(self):
         if self._path is None:
@@ -940,22 +888,17 @@ class Node(_StoredGraph):
 
     @staticmethod
     def load(info, storage=None):
-        new_node = Node(
-            info["factory"], name=info["name"], path=info["filename"], storage=storage
-        )
-        new_node.metadata = info.get("metadata", {})
-        return new_node
+        loaded = Node(info["factory"], name=info["name"],
+                      path=info["filename"], storage=storage)
+        loaded.metadata = info.get("metadata", {})
+        return loaded
 
     def update(self, parent):
         super().update(parent)
-        if "min_n_below" in self.metadata:
-            min_n_below = min(
-                parent.metadata.get("min_n_below", sys.maxsize),
-                self.metadata.get("min_n_below"),
-            )
-            if min_n_below == 0:
-                min_n_below = 1
-            parent.metadata["min_n_below"] = min_n_below
+        mine = self.metadata.get("min_n_below")
+        if mine is not None:
+            floor = min(parent.metadata.get("min_n_below", sys.maxsize), mine)
+            parent.metadata["min_n_below"] = floor or 1
 
 
 class Leaf(_StoredGraph):
@@ -963,30 +906,22 @@ class Leaf(_StoredGraph):
 
     def __init__(self, metadata, data=None, name=None, storage=None, path=None):
         self.metadata = metadata
-
-        if name is None:
-            name = metadata
-        self.name = name
-
+        self.name = metadata if name is None else name
         self.storage = storage
-
-        self._data = data
-        self._path = path
+        self._data, self._path = data, path
 
     def __str__(self):
-        return (
-            f"**Leaf:{self.name} [occupied: {self.data.n_occupied()}, "
-            f"fpr: {calc_expected_collisions(self.data, True, 1.1):.2}] -> {self.metadata}"
-        )
+        fpr = calc_expected_collisions(self.data, True, 1.1)
+        return (f"**Leaf:{self.name} [occupied: {self.data.n_occupied()},"
+                f" fpr: {fpr:.2}] -> {self.metadata}")
 
     def make_manifest_row(self, location):
         return None
 
     @classmethod
     def load(cls, info, storage=None):
-        return cls(
-            info["metadata"], name=info["name"], path=info["filename"], storage=storage
-        )
+        return cls(info["metadata"], name=info["name"],
+                   path=info["filename"], storage=storage)
 
 
 # per-class wrappers kept for reference API familiarity
