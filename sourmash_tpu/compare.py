@@ -102,13 +102,45 @@ def _angular_matrix_batched(mhs, similarities):
     return similarities
 
 
+class _AniTracker:
+    """Accumulate ANI warnings across an all-pairs loop.
+
+    `take(result)` records the flags on one ANIResult and returns its ani
+    as a float (None -> 0.0); `warn()` emits each triggered warning once.
+    """
+
+    _FN_WARNING = (
+        "WARNING: Some of these sketches may have no hashes in common based"
+        " on chance alone (false negatives). Consider decreasing your scaled"
+        " value to prevent this."
+    )
+    _JE_WARNING = (
+        "WARNING: Jaccard estimation for at least one of these comparisons"
+        " is likely inaccurate. Could not estimate ANI for these comparisons."
+    )
+
+    def __init__(self):
+        self.false_negatives = False
+        self.untrustworthy = False
+
+    def take(self, result):
+        self.false_negatives |= bool(result.p_exceeds_threshold)
+        self.untrustworthy |= bool(getattr(result, "je_exceeds_threshold", False))
+        return 0.0 if result.ani is None else result.ani
+
+    def warn(self):
+        if self.untrustworthy:
+            notify(self._JE_WARNING)
+        if self.false_negatives:
+            notify(self._FN_WARNING)
+
+
 def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=False):
     """All-pairs similarity matrix (Jaccard, or angular if both sketches
     track abundance and ignore_abundance is False)."""
     n = len(siglist)
     similarities = np.ones((n, n))
-    jaccard_ani_untrustworthy = False
-    potential_false_negatives = False
+    tracker = _AniTracker()
 
     mhs = [s.minhash for s in siglist]
     use_batch = _can_batch(mhs) and (
@@ -137,51 +169,23 @@ def compare_serial(siglist, ignore_abundance, *, downsample=False, return_ani=Fa
             if return_ani:
                 # the expensive set op is batched above; the closed-form
                 # ANI conversion runs per pair with the precomputed jaccard
-                ani_result = siglist[i].jaccard_ani(siglist[j], jaccard=jaccard)
-                if not potential_false_negatives and ani_result.p_exceeds_threshold:
-                    potential_false_negatives = True
-                if not jaccard_ani_untrustworthy and ani_result.je_exceeds_threshold:
-                    jaccard_ani_untrustworthy = True
-                ani = ani_result.ani
-                similarities[i][j] = similarities[j][i] = (
-                    0.0 if ani is None else ani
-                )
+                ani = tracker.take(siglist[i].jaccard_ani(siglist[j], jaccard=jaccard))
+                similarities[i][j] = similarities[j][i] = ani
             else:
                 similarities[i][j] = similarities[j][i] = jaccard
-        if jaccard_ani_untrustworthy:
-            notify(
-                "WARNING: Jaccard estimation for at least one of these comparisons is likely inaccurate. Could not estimate ANI for these comparisons."
-            )
-        if potential_false_negatives:
-            notify(
-                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-            )
+        tracker.warn()
         return similarities
 
     for i, j in itertools.combinations(range(n), 2):
         if return_ani:
-            ani_result = siglist[i].jaccard_ani(siglist[j], downsample=downsample)
-            if not potential_false_negatives and ani_result.p_exceeds_threshold:
-                potential_false_negatives = True
-            if not jaccard_ani_untrustworthy and ani_result.je_exceeds_threshold:
-                jaccard_ani_untrustworthy = True
-            ani = ani_result.ani
-            if ani is None:
-                ani = 0.0
-            similarities[i][j] = similarities[j][i] = ani
+            result = siglist[i].jaccard_ani(siglist[j], downsample=downsample)
+            similarities[i][j] = similarities[j][i] = tracker.take(result)
         else:
             similarities[i][j] = similarities[j][i] = siglist[i].similarity(
                 siglist[j], ignore_abundance=ignore_abundance, downsample=downsample
             )
 
-    if jaccard_ani_untrustworthy:
-        notify(
-            "WARNING: Jaccard estimation for at least one of these comparisons is likely inaccurate. Could not estimate ANI for these comparisons."
-        )
-    if potential_false_negatives:
-        notify(
-            "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-        )
+    tracker.warn()
     return similarities
 
 
@@ -189,7 +193,7 @@ def compare_serial_containment(siglist, *, downsample=False, return_ani=False):
     "All-pairs containment matrix: C[i][j] = containment of j in i."
     n = len(siglist)
     containments = np.ones((n, n))
-    potential_false_negatives = False
+    tracker = _AniTracker()
 
     mhs = [s.minhash for s in siglist]
     if _can_batch(mhs):
@@ -200,26 +204,13 @@ def compare_serial_containment(siglist, *, downsample=False, return_ani=False):
             for j in range(n):
                 if i == j:
                     continue
-                c = _containment_from_counts(
-                    int(counts[i, j]), int(lens[j]), scaled
-                )
+                c = _containment_from_counts(int(counts[i, j]), int(lens[j]), scaled)
                 if return_ani:
-                    ani_result = siglist[j].containment_ani(
-                        siglist[i], containment=c
-                    )
-                    if (
-                        not potential_false_negatives
-                        and ani_result.p_exceeds_threshold
-                    ):
-                        potential_false_negatives = True
-                    ani = ani_result.ani
-                    containments[i][j] = 0.0 if ani is None else ani
+                    result = siglist[j].containment_ani(siglist[i], containment=c)
+                    containments[i][j] = tracker.take(result)
                 else:
                     containments[i][j] = c
-        if potential_false_negatives:
-            notify(
-                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-            )
+        tracker.warn()
         return containments
 
     for i in range(n):
@@ -227,23 +218,13 @@ def compare_serial_containment(siglist, *, downsample=False, return_ani=False):
             if i == j:
                 containments[i][j] = 1
             elif return_ani:
-                ani_result = siglist[j].containment_ani(
-                    siglist[i], downsample=downsample
-                )
-                ani = ani_result.ani
-                if not potential_false_negatives and ani_result.p_exceeds_threshold:
-                    potential_false_negatives = True
-                if ani is None:
-                    ani = 0.0
-                containments[i][j] = ani
+                result = siglist[j].containment_ani(siglist[i], downsample=downsample)
+                containments[i][j] = tracker.take(result)
             else:
                 containments[i][j] = siglist[j].contained_by(
                     siglist[i], downsample=downsample
                 )
-    if potential_false_negatives:
-        notify(
-            "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-        )
+    tracker.warn()
     return containments
 
 
@@ -251,7 +232,7 @@ def compare_serial_max_containment(siglist, *, downsample=False, return_ani=Fals
     "All-pairs max-containment matrix."
     n = len(siglist)
     containments = np.ones((n, n))
-    potential_false_negatives = False
+    tracker = _AniTracker()
 
     mhs = [s.minhash for s in siglist]
     if _can_batch(mhs):
@@ -262,42 +243,21 @@ def compare_serial_max_containment(siglist, *, downsample=False, return_ani=Fals
             md = int(min(lens[i], lens[j]))
             v = _containment_from_counts(int(counts[i, j]), md, scaled)
             if return_ani:
-                ani_result = siglist[j].max_containment_ani(
-                    siglist[i], max_containment=v
-                )
-                if (
-                    not potential_false_negatives
-                    and ani_result.p_exceeds_threshold
-                ):
-                    potential_false_negatives = True
-                ani = ani_result.ani
-                v = 0.0 if ani is None else ani
+                result = siglist[j].max_containment_ani(siglist[i], max_containment=v)
+                v = tracker.take(result)
             containments[i][j] = containments[j][i] = v
-        if potential_false_negatives:
-            notify(
-                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-            )
+        tracker.warn()
         return containments
 
     for i, j in itertools.combinations(range(n), 2):
         if return_ani:
-            ani_result = siglist[j].max_containment_ani(
-                siglist[i], downsample=downsample
-            )
-            ani = ani_result.ani
-            if not potential_false_negatives and ani_result.p_exceeds_threshold:
-                potential_false_negatives = True
-            if ani is None:
-                ani = 0.0
-            containments[i][j] = containments[j][i] = ani
+            result = siglist[j].max_containment_ani(siglist[i], downsample=downsample)
+            containments[i][j] = containments[j][i] = tracker.take(result)
         else:
             containments[i][j] = containments[j][i] = siglist[j].max_containment(
                 siglist[i], downsample=downsample
             )
-    if potential_false_negatives:
-        notify(
-            "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-        )
+    tracker.warn()
     return containments
 
 

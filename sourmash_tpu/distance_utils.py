@@ -157,9 +157,9 @@ class ANIResult:
 
     def check_dist_and_p_threshold(self):
         self.dist = check_distance(self.dist)
-        self.p_nothing_in_common, self.p_exceeds_threshold = check_prob_threshold(
-            self.p_nothing_in_common, self.p_threshold
-        )
+        p, exceeded = check_prob_threshold(self.p_nothing_in_common,
+                                           self.p_threshold)
+        self.p_nothing_in_common, self.p_exceeds_threshold = p, exceeded
 
     def __post_init__(self):
         self.check_dist_and_p_threshold()
@@ -180,15 +180,13 @@ class jaccardANIResult(ANIResult):
         self.check_dist_and_p_threshold()
         if self.jaccard_error is None:
             raise ValueError("Error: jaccard_error cannot be None.")
-        self.jaccard_error, self.je_exceeds_threshold = check_jaccard_error(
-            self.jaccard_error, self.je_threshold
-        )
+        je, exceeded = check_jaccard_error(self.jaccard_error, self.je_threshold)
+        self.jaccard_error, self.je_exceeds_threshold = je, exceeded
 
     @property
     def ani(self):
-        if self.je_exceeds_threshold or self.size_is_inaccurate:
-            return None
-        return 1 - self.dist
+        untrusted = self.je_exceeds_threshold or self.size_is_inaccurate
+        return None if untrusted else 1 - self.dist
 
 
 @dataclass
@@ -204,17 +202,19 @@ class ciANIResult(ANIResult):
             self.dist_low = check_distance(self.dist_low)
             self.dist_high = check_distance(self.dist_high)
 
+    def _inverted_bound(self, bound):
+        "ANI bound from the opposite distance bound (dist high => ani low)."
+        if bound is None or self.size_is_inaccurate:
+            return None
+        return 1 - bound
+
     @property
     def ani_low(self):
-        if self.dist_high is None or self.size_is_inaccurate:
-            return None
-        return 1 - self.dist_high
+        return self._inverted_bound(self.dist_high)
 
     @property
     def ani_high(self):
-        if self.dist_low is None or self.size_is_inaccurate:
-            return None
-        return 1 - self.dist_low
+        return self._inverted_bound(self.dist_low)
 
 
 # ---------------------------------------------------------------------------
@@ -259,17 +259,9 @@ def _containment_ci(containment, ksize, scaled, n_kmers, confidence):
     return hi_sol, lo_sol
 
 
-def containment_to_distance(
-    containment,
-    ksize,
-    scaled,
-    *,
-    n_unique_kmers=None,
-    sequence_len_bp=None,
-    confidence=0.95,
-    estimate_ci=False,
-    prob_threshold=1e-3,
-):
+def containment_to_distance(containment, ksize, scaled, *, n_unique_kmers=None,
+                            sequence_len_bp=None, confidence=0.95,
+                            estimate_ci=False, prob_threshold=1e-3):
     "Observed containment → ciANIResult (point estimate, optional CI)."
     n_unique_kmers = handle_seqlen_nkmers(
         ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers
@@ -295,16 +287,9 @@ def containment_to_distance(
     )
 
 
-def jaccard_to_distance(
-    jaccard,
-    ksize,
-    scaled,
-    *,
-    n_unique_kmers=None,
-    sequence_len_bp=None,
-    prob_threshold=1e-3,
-    err_threshold=1e-4,
-):
+def jaccard_to_distance(jaccard, ksize, scaled, *, n_unique_kmers=None,
+                        sequence_len_bp=None, prob_threshold=1e-3,
+                        err_threshold=1e-4):
     "Observed jaccard → jaccardANIResult, with approximation-error bound."
     n_unique_kmers = handle_seqlen_nkmers(
         ksize, sequence_len_bp=sequence_len_bp, n_unique_kmers=n_unique_kmers

@@ -68,8 +68,7 @@ class SourmashSignature:
         return self._display_name()
 
     def __repr__(self):
-        name = self.name
-        md5pref = self.md5sum()[:8]
+        name, md5pref = self.name, self.md5sum()[:8]
         if name == md5pref:
             return f"SourmashSignature({md5pref})"
         return f"SourmashSignature('{name}', {md5pref})"
@@ -111,77 +110,64 @@ class SourmashSignature:
         return self._license
 
     def _display_name(self, max_length=0):
-        name = self._name
-        filename = self._filename
+        "Best display label: name, else filename, else md5 prefix."
+        name, filename = self._name, self._filename
         if name:
             if max_length and len(name) > max_length:
                 name = name[: max_length - 3] + "..."
         elif filename:
             name = filename
             if max_length and len(name) > max_length:
-                name = "..." + name[-max_length + 3 :]
+                name = "..." + name[3 - max_length:]
         else:
             name = self.md5sum()[:8]
         assert not max_length or len(name) <= max_length
         return name
 
-    # comparisons delegate to minhash
-    def similarity(self, other, ignore_abundance=False, downsample=False):
-        "Compute similarity with the other signature."
-        return self.minhash.similarity(
-            other.minhash, ignore_abundance=ignore_abundance, downsample=downsample
-        )
+    # Every pairwise comparison delegates to the MinHash method of the
+    # same name, applied to the two signatures' sketches; defaults live on
+    # MinHash, so the wrappers forward arguments verbatim.
+
+    def _via_minhash(method, doc):  # noqa: N805 - class-body factory
+        def fn(self, other, *args, **kwargs):
+            return getattr(self.minhash, method)(other.minhash, *args, **kwargs)
+
+        fn.__name__, fn.__doc__ = method, doc
+        return fn
+
+    similarity = _via_minhash(
+        "similarity", "Compute similarity with the other signature."
+    )
+    jaccard_ani = _via_minhash(
+        "jaccard_ani", "Use Jaccard to estimate ANI between two FracMinHash signatures."
+    )
+    contained_by = _via_minhash(
+        "contained_by",
+        "Compute containment by the other signature. Note: ignores abundance.",
+    )
+    containment_ani = _via_minhash(
+        "containment_ani",
+        "Use containment to estimate ANI between two FracMinHash signatures.",
+    )
+    max_containment = _via_minhash(
+        "max_containment",
+        "Compute max containment w/other signature. Note: ignores abundance.",
+    )
+    max_containment_ani = _via_minhash(
+        "max_containment_ani",
+        "Use max containment to estimate ANI between two FracMinHash signatures.",
+    )
+    avg_containment = _via_minhash(
+        "avg_containment",
+        "Compute average containment with other signature. Ignores abundance.",
+    )
+
+    del _via_minhash
 
     def jaccard(self, other):
         "Compute Jaccard similarity with the other signature."
-        return self.minhash.similarity(
-            other.minhash, ignore_abundance=True, downsample=False
-        )
-
-    def jaccard_ani(self, other, *, downsample=False, jaccard=None, prob_threshold=1e-3,
-                    err_threshold=1e-4):
-        "Use Jaccard to estimate ANI between two FracMinHash signatures."
-        return self.minhash.jaccard_ani(
-            other.minhash,
-            downsample=downsample,
-            jaccard=jaccard,
-            prob_threshold=prob_threshold,
-            err_threshold=err_threshold,
-        )
-
-    def contained_by(self, other, downsample=False):
-        "Compute containment by the other signature. Note: ignores abundance."
-        return self.minhash.contained_by(other.minhash, downsample)
-
-    def containment_ani(self, other, *, downsample=False, containment=None,
-                        confidence=0.95, estimate_ci=False):
-        "Use containment to estimate ANI between two FracMinHash signatures."
-        return self.minhash.containment_ani(
-            other.minhash,
-            downsample=downsample,
-            containment=containment,
-            confidence=confidence,
-            estimate_ci=estimate_ci,
-        )
-
-    def max_containment(self, other, downsample=False):
-        "Compute max containment w/other signature. Note: ignores abundance."
-        return self.minhash.max_containment(other.minhash, downsample)
-
-    def max_containment_ani(self, other, *, downsample=False, max_containment=None,
-                            confidence=0.95, estimate_ci=False):
-        "Use max containment to estimate ANI between two FracMinHash signatures."
-        return self.minhash.max_containment_ani(
-            other.minhash,
-            downsample=downsample,
-            max_containment=max_containment,
-            confidence=confidence,
-            estimate_ci=estimate_ci,
-        )
-
-    def avg_containment(self, other, downsample=False):
-        "Compute average containment with other signature. Ignores abundance."
-        return self.minhash.avg_containment(other.minhash, downsample=downsample)
+        return self.minhash.similarity(other.minhash, ignore_abundance=True,
+                                       downsample=False)
 
     def avg_containment_ani(self, other, *, downsample=False):
         "Use avg_containment to estimate ANI between two FracMinHash signatures."

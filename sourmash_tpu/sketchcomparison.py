@@ -18,6 +18,18 @@ from dataclasses import dataclass
 
 from .minhash import MinHash
 
+def _pairwise(method, reverse=False):
+    "Build a property delegating to a MinHash pairwise method on the cmp views."
+
+    def get(self):
+        a, b = self.mh1_cmp, self.mh2_cmp
+        if reverse:
+            a, b = b, a
+        return getattr(a, method)(b)
+
+    get.__name__ = method
+    return property(get)
+
 
 @dataclass
 class BaseMinHashComparison:
@@ -49,32 +61,23 @@ class BaseMinHashComparison:
         if not (both_num or both_scaled):
             raise TypeError("Error: Both sketches must be 'num' or 'scaled'.")
 
-        self.downsample_and_handle_ignore_abundance(
-            cmp_num=cmp_num, cmp_scaled=cmp_scaled
-        )
+        self.downsample_and_handle_ignore_abundance(cmp_num=cmp_num,
+                                                    cmp_scaled=cmp_scaled)
         if not self.mh1_cmp.is_compatible(self.mh2_cmp):
             raise TypeError("Error: Cannot compare incompatible sketches.")
-        self.ksize = self.mh1.ksize
-        self.moltype = self.mh1.moltype
+        self.ksize, self.moltype = self.mh1.ksize, self.mh1.moltype
 
     # -- lazily-derived statistics -----------------------------------------
 
     @property
     def intersect_mh(self):
         "Flat MinHash holding the hashes common to both cmp sketches."
-        return self.mh1_cmp.flatten().intersection(self.mh2_cmp.flatten())
+        flat1, flat2 = self.mh1_cmp.flatten(), self.mh2_cmp.flatten()
+        return flat1.intersection(flat2)
 
-    @property
-    def jaccard(self):
-        return self.mh1_cmp.jaccard(self.mh2_cmp)
-
-    @property
-    def angular_similarity(self):
-        return self.mh1_cmp.angular_similarity(self.mh2_cmp)
-
-    @property
-    def cosine_similarity(self):
-        return self.angular_similarity
+    jaccard = _pairwise("jaccard")
+    angular_similarity = _pairwise("angular_similarity")
+    cosine_similarity = _pairwise("angular_similarity")
 
     def estimate_jaccard_ani(self, jaccard=None):
         info = self.mh1_cmp.jaccard_ani(self.mh2_cmp, jaccard=jaccard)
@@ -95,6 +98,7 @@ class FracMinHashComparison(BaseMinHashComparison):
 
     def __post_init__(self):
         if self.cmp_scaled is None:
+            # compare at the coarser of the two resolutions
             self.cmp_scaled = max(self.mh1.scaled, self.mh2.scaled)
         self.check_compatibility_and_downsample(cmp_scaled=self.cmp_scaled)
         self.potential_false_negative = False
@@ -106,8 +110,9 @@ class FracMinHashComparison(BaseMinHashComparison):
     @property
     def size_may_be_inaccurate(self):
         "True when either sketch fails the Chernoff size-accuracy bound."
-        ok = self.mh1_cmp.size_is_accurate() and self.mh2_cmp.size_is_accurate()
-        return not ok
+        accurate = (self.mh1_cmp.size_is_accurate()
+                    and self.mh2_cmp.size_is_accurate())
+        return not accurate
 
     @property
     def total_unique_intersect_hashes(self):
@@ -131,21 +136,10 @@ class FracMinHashComparison(BaseMinHashComparison):
     def _ani_opts(self):
         return dict(confidence=self.ani_confidence, estimate_ci=self.estimate_ani_ci)
 
-    @property
-    def mh1_containment_in_mh2(self):
-        return self.mh1_cmp.contained_by(self.mh2_cmp)
-
-    @property
-    def mh2_containment_in_mh1(self):
-        return self.mh2_cmp.contained_by(self.mh1_cmp)
-
-    @property
-    def max_containment(self):
-        return self.mh1_cmp.max_containment(self.mh2_cmp)
-
-    @property
-    def avg_containment(self):
-        return self.mh1_cmp.avg_containment(self.mh2_cmp)
+    mh1_containment_in_mh2 = _pairwise("contained_by")
+    mh2_containment_in_mh1 = _pairwise("contained_by", reverse=True)
+    max_containment = _pairwise("max_containment")
+    avg_containment = _pairwise("avg_containment")
 
     def estimate_ani_from_mh1_containment_in_mh2(self, containment=None):
         info = self.mh1_cmp.containment_ani(
