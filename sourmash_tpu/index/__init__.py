@@ -115,40 +115,43 @@ class Index(ABC):
     is_database = False
     manifest = None
 
-    @abstractmethod
-    def __len__(self):
-        "Return the number of signatures in this Index object."
-
     @property
     def location(self):
         "Return a resolvable location for this index, if possible."
         return None
 
+    # -- subclass contract ---------------------------------------------
+
+    @abstractmethod
+    def __len__(self):
+        "Return the number of signatures in this Index object."
+
     @abstractmethod
     def signatures(self):
         "Return an iterator over all signatures in the Index object."
 
-    def signatures_with_location(self):
-        "Return an iterator over tuples (signature, location) in the Index."
-        for ss in self.signatures():
-            yield ss, self.location
-
-    def _signatures_with_internal(self):
-        "Iterator of (ss, internal_location) over ALL signatures (pre-select)."
-        raise NotImplementedError
-
     @abstractmethod
     def insert(self, signature):
-        """ """
+        "Add a signature (mutable indexes only)."
 
     @abstractmethod
     def save(self, path, storage=None, sparseness=0.0, structure_only=False):
-        """ """
+        "Persist this index to `path`."
 
     @classmethod
     @abstractmethod
     def load(cls, location, leaf_loader=None, storage=None, print_version_warning=True):
-        """ """
+        "Load an index of this type from `location`."
+
+    # -- shared behavior -----------------------------------------------
+
+    def signatures_with_location(self):
+        "Return an iterator over tuples (signature, location) in the Index."
+        yield from ((ss, self.location) for ss in self.signatures())
+
+    def _signatures_with_internal(self):
+        "Iterator of (ss, internal_location) over ALL signatures (pre-select)."
+        raise NotImplementedError
 
     @abstractmethod
     def select(
@@ -268,16 +271,8 @@ class Index(ABC):
 
     # -- public search entry points ------------------------------------------
 
-    def search(
-        self,
-        query,
-        *,
-        threshold=None,
-        do_containment=False,
-        do_max_containment=False,
-        best_only=False,
-        **kwargs,
-    ):
+    def search(self, query, *, threshold=None, do_containment=False,
+               do_max_containment=False, best_only=False, **kwargs):
         "Flat search; returns list of IndexSearchResult sorted by score."
         if threshold is None:
             raise TypeError("'search' requires 'threshold'")
@@ -373,9 +368,7 @@ class LinearIndex(Index):
         self._signatures = list(_signatures) if _signatures else []
         self.filename = filename
 
-    @property
-    def location(self):
-        return self.filename
+    location = property(lambda self: self.filename)
 
     def signatures(self):
         return iter(self._signatures)
@@ -432,13 +425,12 @@ class LazyLinearIndex(Index):
         yield from self._resolve().signatures_with_location()
 
     def __bool__(self):
-        for _ in self.signatures():
-            return True
-        return False
+        return any(True for _ in self.signatures())
 
     def __len__(self):
         return len(self._resolve())
 
+    # immutable view: no insert/save
     def insert(self, node):
         raise NotImplementedError
 

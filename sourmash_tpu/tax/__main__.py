@@ -31,18 +31,19 @@ from .tax_utils import (
     AnnotateTaxResult,
 )
 
-_output_type_to_ext = {
-    "csv_summary": ".summarized.csv",
-    "classification": ".classifications.csv",
-    "krona": ".krona.tsv",
-    "lineage_summary": ".lineage_summary.tsv",
-    "annotate": ".with-lineages.csv",
-    "human": ".human.txt",
-    "lineage_csv": ".lineage.csv",
-    "kreport": ".kreport.txt",
-    "lingroup": ".lingroup.tsv",
-    "bioboxes": ".bioboxes.profile",
-}
+# filename suffix per output format
+_output_type_to_ext = dict(
+    csv_summary=".summarized.csv",
+    classification=".classifications.csv",
+    krona=".krona.tsv",
+    lineage_summary=".lineage_summary.tsv",
+    annotate=".with-lineages.csv",
+    human=".human.txt",
+    lineage_csv=".lineage.csv",
+    kreport=".kreport.txt",
+    lingroup=".lingroup.tsv",
+    bioboxes=".bioboxes.profile",
+)
 
 
 def make_outfile(base, output_type, *, output_dir=""):
@@ -116,19 +117,19 @@ def _require_rank_available(args, available_ranks, action):
 
 def _load_gather_results(args, tax_assign, *, empty_msg):
     "Collect + parse every gather CSV against the taxonomy."
-    gather_csvs = tax_utils.collect_gather_csvs(
-        args.gather_csv, from_file=args.from_file
+    gather_csvs = tax_utils.collect_gather_csvs(args.gather_csv,
+                                                from_file=args.from_file)
+    load_opts = dict(
+        force=args.force,
+        fail_on_missing_taxonomy=args.fail_on_missing_taxonomy,
+        keep_full_identifiers=args.keep_full_identifiers,
+        keep_identifier_versions=args.keep_identifier_versions,
+        lins=args.lins,
+        ictv=args.ictv,
     )
     try:
         query_gather_results = tax_utils.check_and_load_gather_csvs(
-            gather_csvs,
-            tax_assign,
-            force=args.force,
-            fail_on_missing_taxonomy=args.fail_on_missing_taxonomy,
-            keep_full_identifiers=args.keep_full_identifiers,
-            keep_identifier_versions=args.keep_identifier_versions,
-            lins=args.lins,
-            ictv=args.ictv,
+            gather_csvs, tax_assign, **load_opts
         )
     except ValueError as exc:
         _die(exc)
@@ -363,17 +364,18 @@ def genome(args):
     )
 
     n_total = len(query_gather_results)
+    classify_opts = dict(
+        rank=args.rank,
+        ani_threshold=args.ani_threshold,
+        containment_threshold=args.containment_threshold,
+        lingroup_ranks=lg_ranks,
+        lingroups=all_lgs,
+    )
     classified_results = []
     found_error = False
     for queryResult in query_gather_results:
         try:
-            queryResult.build_classification_result(
-                rank=args.rank,
-                ani_threshold=args.ani_threshold,
-                containment_threshold=args.containment_threshold,
-                lingroup_ranks=lg_ranks,
-                lingroups=all_lgs,
-            )
+            queryResult.build_classification_result(**classify_opts)
             classified_results.append(queryResult)
         except ValueError as exc:
             found_error = True
@@ -518,12 +520,10 @@ def prepare(args):
 
 def grep(args):
     "Grep taxonomies for a pattern; output a matching-ident picklist CSV."
-    term = args.pattern
     tax_assign = MultiLineageDB.load(args.taxonomy_csv, force=args.force)
-
     silent = args.silent or args.count
 
-    notify(f"searching {len(args.taxonomy_csv)} taxonomy files for '{term}'")
+    notify(f"searching {len(args.taxonomy_csv)} taxonomy files for '{args.pattern}'")
     if args.invert_match:
         notify(
             "-v/--invert-match specified; returning only lineages that do not match."
@@ -532,26 +532,18 @@ def grep(args):
         notify(f"limiting matches to {args.rank} level")
 
     matcher = re.compile(args.pattern, re.IGNORECASE if args.ignore_case else 0)
+    want = not args.invert_match
 
-    def find_pattern(lineage, select_rank):
-        return any(
+    def hit(lineage):
+        found = any(
             matcher.search(lp.name)
             for lp in lineage
-            if select_rank is None or lp.rank == select_rank
+            if args.rank is None or lp.rank == args.rank
         )
-
-    if args.invert_match:
-
-        def search_pattern(lineage, rank):
-            return not find_pattern(lineage, rank)
-
-    else:
-        search_pattern = find_pattern
+        return found == want
 
     match_ident = [
-        (ident, lineage)
-        for ident, lineage in tax_assign.items()
-        if search_pattern(lineage, args.rank)
+        (ident, lineage) for ident, lineage in tax_assign.items() if hit(lineage)
     ]
 
     if silent:

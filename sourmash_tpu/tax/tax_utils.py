@@ -772,20 +772,21 @@ class LineageDB_Sqlite(_LineageMapping):
         if not conn:
             raise ValueError("not a sqlite taxonomy database")
 
-        table_name = None
         c = conn.cursor()
         try:
             info = sqlite_utils.get_sourmash_internal(c)
         except sqlite3.OperationalError:
             info = {}
 
-        if "SqliteLineage" in info:
-            if info["SqliteLineage"] != "1.0":
+        table_name = None
+        version = info.get("SqliteLineage")
+        if version is not None:
+            if version != "1.0":
                 from ..exceptions import IndexNotSupported
 
                 raise IndexNotSupported("unsupported SqliteLineage version")
             table_name = "sourmash_taxonomy"
-        else:
+        else:  # legacy layout: a bare 'taxonomy' table
             try:
                 c.execute("SELECT * FROM taxonomy LIMIT 1")
                 table_name = "taxonomy"
@@ -868,14 +869,10 @@ class MultiLineageDB(_LineageMapping):
         return seen
 
     def __iter__(self):
-        seen = set()
-        for db in self.lineage_dbs:
-            for k in db:
-                if k not in seen:
-                    seen.add(k)
-                    yield k
+        yield from (k for k, _v in self.items())
 
     def items(self):
+        "Yield (ident, lineage), first database wins on duplicates."
         seen = set()
         for db in self.lineage_dbs:
             for k, v in db.items():
@@ -960,22 +957,13 @@ class MultiLineageDB(_LineageMapping):
         except sqlite3.OperationalError:
             raise ValueError("attempt to write a readonly database")
 
-        try:
-            cursor.execute(
-                """
-        CREATE TABLE sourmash_taxonomy (
-            ident TEXT NOT NULL,
-            superkingdom TEXT,
-            phylum TEXT,
-            class TEXT,
-            order_ TEXT,
-            family TEXT,
-            genus TEXT,
-            species TEXT,
-            strain TEXT
+        # 'order' is a SQL keyword, hence the trailing underscore
+        columns = ", ".join(
+            ["ident TEXT NOT NULL"]
+            + [f"{r if r != 'order' else 'order_'} TEXT" for r in RANKS]
         )
-        """
-            )
+        try:
+            cursor.execute(f"CREATE TABLE sourmash_taxonomy ( {columns} )")
         except sqlite3.OperationalError:
             raise ValueError(f"taxonomy table already exists in '{filename}'")
 
@@ -1120,13 +1108,12 @@ class QueryInfo:
     total_weighted_hashes: int = 0
 
     def __post_init__(self):
-        self.query_bp = int(self.query_bp)
-        self.ksize = int(self.ksize)
-        self.scaled = int(self.scaled)
-        self.query_n_hashes = int(self.query_n_hashes) if self.query_n_hashes else 0
-        self.total_weighted_hashes = (
-            int(self.total_weighted_hashes) if self.total_weighted_hashes else 0
-        )
+        # CSV cells arrive as strings; coerce the numeric fields
+        for intfield in ("query_bp", "ksize", "scaled"):
+            setattr(self, intfield, int(getattr(self, intfield)))
+        for optfield in ("query_n_hashes", "total_weighted_hashes"):
+            value = getattr(self, optfield)
+            setattr(self, optfield, int(value) if value else 0)
 
     @property
     def total_weighted_bp(self):
@@ -1152,20 +1139,17 @@ class BaseTaxResult:
 
     def get_ident(self, id_col=None):
         "Hack and slash identifiers."
-        if id_col:
-            self.match_ident = self.raw[id_col]
-        else:
-            self.match_ident = self.raw.name
-        if not self.keep_full_identifiers:
-            self.match_ident = self.match_ident.split(" ")[0]
-        else:
+        ident = self.raw[id_col] if id_col else self.raw.name
+        if self.keep_full_identifiers:
             self.keep_identifier_versions = True
+        else:
+            ident = ident.split(" ")[0]
         if not self.keep_identifier_versions:
-            self.match_ident = self.match_ident.split(".")[0]
+            ident = ident.split(".")[0]
+        self.match_ident = ident
 
-    def get_match_lineage(
-        self, tax_assignments, skip_idents=None, fail_on_missing_taxonomy=False
-    ):
+    def get_match_lineage(self, tax_assignments, skip_idents=None,
+                          fail_on_missing_taxonomy=False):
         if skip_idents and self.match_ident in skip_idents:
             self.skipped_ident = True
         else:
@@ -1177,9 +1161,10 @@ class BaseTaxResult:
                 self.missed_ident = True
         self.match_lineage_attempted = True
         if self.missed_ident and fail_on_missing_taxonomy:
-            raise ValueError(
-                f"Error: ident '{self.match_ident}' is not in the taxonomy database. Failing, as requested via --fail-on-missing-taxonomy"
-            )
+            msg = (f"Error: ident '{self.match_ident}' is not in the taxonomy"
+                   " database. Failing, as requested via"
+                   " --fail-on-missing-taxonomy")
+            raise ValueError(msg)
 
 
 @dataclass
@@ -1274,20 +1259,20 @@ class SummarizedGatherResult:
 
     def as_summary_dict(self, query_info, limit_float=False, lingroups=None):
         sD = asdict(self)
-        sD["lineage"] = self.lineage.display_lineage(null_as_unclassified=True)
-        if lingroups is not None and sD["lineage"] in lingroups.keys():
-            sD["lineage"] = lingroups[sD["lineage"]]
-        elif (
-            lingroups
-            and sD["lineage"] != "unclassified"
-            and sD["lineage"] not in lingroups.keys()
-        ):
-            return None
-        sD["query_name"] = query_info.query_name
-        sD["query_md5"] = query_info.query_md5
-        sD["query_filename"] = query_info.query_filename
-        sD["total_weighted_hashes"] = str(query_info.total_weighted_hashes)
-        sD["bp_match_at_rank"] = str(self.bp_match_at_rank)
+        display = self.lineage.display_lineage(null_as_unclassified=True)
+        if lingroups is not None and display in lingroups:
+            display = lingroups[display]
+        elif lingroups and display != "unclassified":
+            return None  # lingroup mode drops unlisted lineages
+        sD["lineage"] = display
+
+        sD.update(
+            query_name=query_info.query_name,
+            query_md5=query_info.query_md5,
+            query_filename=query_info.query_filename,
+            total_weighted_hashes=str(query_info.total_weighted_hashes),
+            bp_match_at_rank=str(self.bp_match_at_rank),
+        )
         if limit_float:
             sD["fraction"] = f"{self.fraction:.3f}"
             sD["f_weighted_at_rank"] = f"{self.f_weighted_at_rank:.3f}"
@@ -1296,16 +1281,13 @@ class SummarizedGatherResult:
         else:
             sD["fraction"] = str(self.fraction)
             sD["f_weighted_at_rank"] = str(self.f_weighted_at_rank)
-
         return sD
 
     def as_human_friendly_dict(self, query_info):
         sD = self.as_summary_dict(query_info=query_info, limit_float=True)
         sD["f_weighted_at_rank"] = f"{self.f_weighted_at_rank*100:>4.1f}%"
-        if self.query_ani_at_rank is not None:
-            sD["query_ani_at_rank"] = f"{self.query_ani_at_rank*100:>3.1f}%"
-        else:
-            sD["query_ani_at_rank"] = "-    "
+        ani = self.query_ani_at_rank
+        sD["query_ani_at_rank"] = "-    " if ani is None else f"{ani*100:>3.1f}%"
         return sD
 
     def as_kreport_dict(self, query_info):
@@ -1411,17 +1393,16 @@ class QueryTaxResult:
         self._init_classification_results()
 
     def _init_taxresult_vars(self):
-        self.ranks = []
-        self.raw_taxresults = []
-        self.skipped_idents = set()
-        self.missed_idents = set()
-        self.n_missed = 0
-        self.n_skipped = 0
+        self.ranks, self.raw_taxresults = [], []
+        self.skipped_idents, self.missed_idents = set(), set()
+        self.n_missed = self.n_skipped = 0
         self.perfect_match = set()
 
     def _init_summarization_vars(self):
-        self.sum_uniq_weighted = defaultdict(lambda: defaultdict(float))
-        self.sum_uniq_to_query = defaultdict(lambda: defaultdict(float))
+        # rank -> lineage -> accumulated weight/fraction/bp
+        nested_float = lambda: defaultdict(float)  # noqa: E731
+        self.sum_uniq_weighted = defaultdict(nested_float)
+        self.sum_uniq_to_query = defaultdict(nested_float)
         self.sum_uniq_bp = defaultdict(lambda: defaultdict(int))
         self.summarized_ranks = []
         self._init_summarization_results()
