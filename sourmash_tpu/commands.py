@@ -272,30 +272,28 @@ def compare(args):
         error("ERROR: cannot specify --scaled with non-scaled signatures.")
         sys.exit(-1)
 
-    if len(siglist) == 0:
+    if not siglist:
         error("no signatures!")
         sys.exit(-1)
-
     notify("")
     numpy.set_printoptions(precision=3, suppress=True)
 
     labeltext = [str(ss) for ss, _ in siglist]
     sigsonly = [ss for ss, _ in siglist]
 
-    # the device-batched all-pairs engines
+    # pick the device-batched all-pairs engine for the requested metric
     if args.containment:
-        similarity = compare_serial_containment(sigsonly, return_ani=return_ani)
+        engine = lambda: compare_serial_containment(sigsonly, return_ani=return_ani)  # noqa: E731
     elif args.max_containment:
-        similarity = compare_serial_max_containment(sigsonly, return_ani=return_ani)
+        engine = lambda: compare_serial_max_containment(sigsonly, return_ani=return_ani)  # noqa: E731
     elif args.avg_containment:
-        similarity = compare_serial_avg_containment(sigsonly, return_ani=return_ani)
+        engine = lambda: compare_serial_avg_containment(sigsonly, return_ani=return_ani)  # noqa: E731
     else:
-        similarity = compare_all_pairs(
-            sigsonly,
-            args.ignore_abundance,
-            n_jobs=args.processes,
-            return_ani=return_ani,
+        engine = lambda: compare_all_pairs(  # noqa: E731
+            sigsonly, args.ignore_abundance,
+            n_jobs=args.processes, return_ani=return_ani,
         )
+    similarity = engine()
 
     matrix = 1 - similarity if args.distance_matrix else similarity
 
@@ -306,10 +304,12 @@ def compare(args):
                 name_num = name_num[:17] + "..."
             print_results("{:20s}\t{}".format(name_num, matrix[i, :]))
 
-    if args.distance_matrix:
-        print_results("max distance in matrix: {:.3f}", numpy.max(matrix))
-    else:
-        print_results("min similarity in matrix: {:.3f}", numpy.min(matrix))
+    summary_stat = (
+        ("max distance in matrix: {:.3f}", numpy.max)
+        if args.distance_matrix
+        else ("min similarity in matrix: {:.3f}", numpy.min)
+    )
+    print_results(summary_stat[0], summary_stat[1](matrix))
 
     _write_compare_outputs(args, matrix, siglist, labeltext)
 
@@ -329,8 +329,8 @@ def _write_compare_outputs(args, matrix, siglist, labeltext):
             fp.write("\n".join(labeltext))
 
         notify(f"saving comparison matrix to: {args.output}")
-        with open(args.output, "wb") as fp:
-            numpy.save(fp, matrix)
+        with open(args.output, "wb") as matrix_fp:
+            numpy.save(matrix_fp, matrix)
 
     if args.labels_to:
         notify(f"saving labels to: {args.labels_to}")
@@ -455,13 +455,9 @@ def plot(args):
     notify(f"wrote dendrogram to: {outnames['dendro']}")
 
     # dendrogram + matrix composite
-    (fig, rlabels, rmat) = sourmash_fig.plot_composite_matrix(
-        D,
-        labeltext,
-        show_labels=display_labels,
-        vmin=args.vmin,
-        vmax=args.vmax,
-        force=args.force,
+    fig, rlabels, rmat = sourmash_fig.plot_composite_matrix(
+        D, labeltext, show_labels=display_labels,
+        vmin=args.vmin, vmax=args.vmax, force=args.force,
     )
     fig.savefig(outnames["matrix"])
     notify(f"wrote numpy distance matrix to: {outnames['matrix']}")
@@ -595,9 +591,8 @@ def search(args):
     if size_may_be_inaccurate:
         notify(_SIZE_WARN)
     if jaccard_ani_untrustworthy:
-        notify(
-            "WARNING: Jaccard estimation for at least one of these comparisons is likely inaccurate. Could not estimate ANI for these comparisons."
-        )
+        notify("WARNING: Jaccard estimation for at least one of these comparisons"
+               " is likely inaccurate. Could not estimate ANI for these comparisons.")
 
 
 def categorize(args):
@@ -606,7 +601,7 @@ def categorize(args):
     from .search import make_jaccard_search_query
 
     set_quiet(args.quiet)
-    moltype = sourmash_args.calculate_moltype(args)
+    moltype = sourmash_args.calculate_moltype(args)  # from --dna/--protein/...
 
     # skip any queries already present in --load-csv
     already_names = set()
@@ -846,16 +841,13 @@ def gather(args):
             if prefetch_csvout_fp:
                 for found_sig in counter.signatures():
                     prefetch_result = PrefetchResult(
-                        sweep.query,
-                        found_sig,
-                        cmp_scaled=scaled,
+                        sweep.query, found_sig, cmp_scaled=scaled,
                         threshold_bp=args.threshold_bp,
                         estimate_ani_ci=args.estimate_ani_ci,
                     )
                     if prefetch_csvout_w is None:
-                        prefetch_csvout_w = prefetch_result.init_dictwriter(
-                            prefetch_csvout_fp
-                        )
+                        prefetch_csvout_w = \
+                            prefetch_result.init_dictwriter(prefetch_csvout_fp)
                     prefetch_result.write(prefetch_csvout_w)
                 prefetch_csvout_fp.flush()
 
@@ -891,25 +883,21 @@ def gather(args):
         size_may_be_inaccurate = True
 
     gather_iter = GatherDatabases(
-        query,
-        counters,
+        query, counters,
         threshold_bp=args.threshold_bp,
         ignore_abundance=args.ignore_abundance,
-        noident_mh=noident_mh,
-        ident_mh=ident_mh,
+        noident_mh=noident_mh, ident_mh=ident_mh,
         estimate_ani_ci=args.estimate_ani_ci,
     )
 
     csv_buffer = io.StringIO()
     report = _GatherReport(is_abundance, csv_fp=csv_buffer if args.output else None)
 
+    save_sig_obj = save_sig = None
     if args.save_matches:
         notify(f"saving all matches to '{args.save_matches}'")
         save_sig_obj = SaveSignaturesToLocation(args.save_matches)
         save_sig = save_sig_obj.__enter__()
-    else:
-        save_sig_obj = None
-        save_sig = None
 
     try:
         for result in gather_iter:
@@ -1006,13 +994,17 @@ def multigather(args):
     set_quiet(args.quiet)
     moltype = sourmash_args.calculate_moltype(args)
 
-    if not args.db:
-        error("Error! must specify at least one database with --db")
-        sys.exit(-1)
-
-    if not args.query and not args.query_from_file:
-        error("Error! must specify at least one query signature with --query")
-        sys.exit(-1)
+    required = (
+        (args.db, "Error! must specify at least one database with --db"),
+        (
+            args.query or args.query_from_file,
+            "Error! must specify at least one query signature with --query",
+        ),
+    )
+    for present, message in required:
+        if not present:
+            error(message)
+            sys.exit(-1)
 
     args.db = [item for sublist in args.db for item in sublist]
     inp_files = [item for sublist in args.query for item in sublist]
@@ -1120,10 +1112,10 @@ def multigather(args):
                 downsample_noident=True,
             )
 
-            if not remaining_query:
-                notify("no unassigned hashes! not saving.")
-            else:
+            if remaining_query:
                 notify(f'saving unassigned hashes to "{output_unassigned}"')
+            else:
+                notify("no unassigned hashes! not saving.")
 
             with SaveSignaturesToLocation(output_unassigned) as save_sig:
                 save_sig.add(remaining_query)
@@ -1173,12 +1165,9 @@ def prefetch(args):
         notify("ERROR: no databases or signatures to search!?")
         sys.exit(-1)
 
-    if not (
-        args.save_unmatched_hashes
-        or args.save_matching_hashes
-        or args.save_matches
-        or args.output
-    ):
+    any_output = (args.save_unmatched_hashes or args.save_matching_hashes
+                  or args.save_matches or args.output)
+    if not any_output:
         notify(
             "WARNING: no output(s) specified! Nothing will be saved from this prefetch!"
         )
@@ -1193,19 +1182,15 @@ def prefetch(args):
 
     # flatten + optionally downsample the working query sketch
     orig_query_mh = query.minhash
-    query_mh = orig_query_mh
-    if query_mh.track_abundance:
-        query_mh = query_mh.flatten()
+    query_mh = orig_query_mh.flatten() if orig_query_mh.track_abundance else orig_query_mh
 
     if args.scaled and args.scaled != query_mh.scaled:
-        notify(
-            f"downsampling query from scaled={query_mh.scaled} to {int(args.scaled)}"
-        )
+        notify(f"downsampling query from scaled={query_mh.scaled}"
+               f" to {int(args.scaled)}")
         query_mh = query_mh.downsample(scaled=args.scaled)
 
-    notify(
-        f"query sketch has scaled={query_mh.scaled}; will be dynamically downsampled as needed."
-    )
+    notify(f"query sketch has scaled={query_mh.scaled};"
+           " will be dynamically downsampled as needed.")
 
     if not len(query_mh):
         error("no query hashes!? exiting.")
@@ -1227,10 +1212,8 @@ def prefetch(args):
 
     part = _RatchetedPartition(query_mh)
 
-    did_a_search = False
-    size_may_be_inaccurate = False
-    total_signatures_loaded = 0
-    sum_signatures_after_select = 0
+    did_a_search = size_may_be_inaccurate = False
+    total_signatures_loaded = sum_signatures_after_select = 0
     for dbfilename in args.databases:
         notify(f"loading signatures from '{dbfilename}'", end="\r")
 
@@ -1249,9 +1232,9 @@ def prefetch(args):
             notify(f"...no compatible signatures in '{dbfilename}'; skipping")
             continue
 
-        for result in prefetch_database(
-            query, db, args.threshold_bp, estimate_ani_ci=args.estimate_ani_ci
-        ):
+        hits = prefetch_database(query, db, args.threshold_bp,
+                                 estimate_ani_ci=args.estimate_ani_ci)
+        for result in hits:
             match = result.match
             query_mh = part.absorb_match(query, match)
 
@@ -1261,35 +1244,30 @@ def prefetch(args):
                 result.write(csvout_w)
 
             matches_out.add(match)
-
             if matches_out.count % 10 == 0:
-                notify(
-                    f"total of {matches_out.count} matching signatures so far.",
-                    end="\r",
-                )
+                notify(f"total of {matches_out.count} matching signatures so far.",
+                       end="\r")
 
             if not size_may_be_inaccurate and result.size_may_be_inaccurate:
                 size_may_be_inaccurate = True
 
         did_a_search = True
-
         if csvout_fp:
             csvout_fp.flush()
-
         del db
 
     notify("--")
-    notify(
-        f"loaded {total_signatures_loaded} total signatures from {len(args.databases)} locations."
+    loaded_line = (
+        f"loaded {total_signatures_loaded} total signatures"
+        f" from {len(args.databases)} locations."
     )
-    notify(
-        f"after selecting signatures compatible with search, {sum_signatures_after_select} remain."
-    )
+    notify(loaded_line)
+    notify(f"after selecting signatures compatible with search,"
+           f" {sum_signatures_after_select} remain.")
 
     if not did_a_search:
-        notify(
-            "ERROR in prefetch: after picklists and patterns, no signatures to search!?"
-        )
+        notify("ERROR in prefetch: after picklists and patterns,"
+               " no signatures to search!?")
         sys.exit(-1)
 
     notify("--")

@@ -411,19 +411,16 @@ def manifest(args):
     set_quiet(args.quiet, args.debug)
 
     try:
-        loader = sourmash_args.load_file_as_index(
-            args.location, yield_all_files=args.force
-        )
+        loader = sourmash_args.load_file_as_index(args.location,
+                                                  yield_all_files=args.force)
     except ValueError:
         error(f"Cannot open '{args.location}' as a sourmash signature collection.")
         error("Use -d/--debug for details.")
         sys.exit(-1)
 
     rebuild = not args.no_rebuild_manifest
-    if rebuild:
-        debug("sig manifest: forcing rebuild.")
-    else:
-        debug("sig manifest: not forcing rebuild.")
+    debug("sig manifest: forcing rebuild." if rebuild
+          else "sig manifest: not forcing rebuild.")
 
     mf = sourmash_args.get_manifest(loader, require=True, rebuild=rebuild)
     mf._check_row_values()
@@ -438,16 +435,13 @@ def manifest(args):
 def overlap(args):
     "Provide detailed comparison of two signatures."
     set_quiet(args.quiet)
-
     moltype = sourmash_args.calculate_moltype(args)
 
-    sig1 = sourmash_args.load_one_signature(
-        args.signature1, ksize=args.ksize, select_moltype=moltype
-    )
-    sig2 = sourmash_args.load_one_signature(
-        args.signature2, ksize=args.ksize, select_moltype=moltype
-    )
+    def one_sig(path):
+        return sourmash_args.load_one_signature(path, ksize=args.ksize,
+                                                select_moltype=moltype)
 
+    sig1, sig2 = one_sig(args.signature1), one_sig(args.signature2)
     notify(f"loaded one signature each from {args.signature1} and {args.signature2}")
 
     hashes_1 = set(sig1.minhash.hashes)
@@ -475,33 +469,33 @@ def overlap(args):
         num_union=len(hashes_1 | hashes_2),
     )
 
-    print(
-        """\
-first signature:
-  signature filename: {sig1_file}
-  signature: {name1}
-  md5: {md5_1}
-  k={ksize} molecule={moltype} num={num} scaled={scaled}
-
-second signature:
-  signature filename: {sig2_file}
-  signature: {name2}
-  md5: {md5_2}
-  k={ksize} molecule={moltype} num={num} scaled={scaled}
-
-similarity:                  {similarity:.5f}
-first contained in second:   {cont1:.5f}
-second contained in first:   {cont2:.5f}
-
-number of hashes in first:   {size1}
-number of hashes in second:  {size2}
-
-number of hashes in common:  {num_common}
-only in first:               {disjoint_1}
-only in second:              {disjoint_2}
-total (union):               {num_union}
-""".format(**fields)
+    report_lines = (
+        "first signature:",
+        "  signature filename: {sig1_file}",
+        "  signature: {name1}",
+        "  md5: {md5_1}",
+        "  k={ksize} molecule={moltype} num={num} scaled={scaled}",
+        "",
+        "second signature:",
+        "  signature filename: {sig2_file}",
+        "  signature: {name2}",
+        "  md5: {md5_2}",
+        "  k={ksize} molecule={moltype} num={num} scaled={scaled}",
+        "",
+        "similarity:                  {similarity:.5f}",
+        "first contained in second:   {cont1:.5f}",
+        "second contained in first:   {cont2:.5f}",
+        "",
+        "number of hashes in first:   {size1}",
+        "number of hashes in second:  {size2}",
+        "",
+        "number of hashes in common:  {num_common}",
+        "only in first:               {disjoint_1}",
+        "only in second:              {disjoint_2}",
+        "total (union):               {num_union}",
+        "",
     )
+    print("\n".join(report_lines).format(**fields))
 
 
 # ---------------------------------------------------------------------------
@@ -610,13 +604,13 @@ def subtract(args):
     progress = sourmash_args.SignatureLoadingProgress()
 
     for sigfile in args.subtraction_sigs:
-        for sigobj in sourmash_args.load_file_as_signatures(
+        subtrahends = sourmash_args.load_file_as_signatures(
             sigfile, ksize=args.ksize, select_moltype=moltype, progress=progress
-        ):
+        )
+        for sigobj in subtrahends:
             if not sigobj.minhash.is_compatible(from_mh):
                 error("incompatible minhashes; specify -k and/or molecule type.")
                 sys.exit(-1)
-
             if sigobj.minhash.track_abundance and not args.flatten:
                 error(
                     "Cannot use subtract on signatures with abundance tracking, sorry!"
@@ -624,7 +618,6 @@ def subtract(args):
                 sys.exit(1)
 
             remaining -= set(sigobj.minhash.hashes)
-
             notify(f"loaded and subtracted signatures from {sigfile}...", end="\r")
 
     if not len(progress):
@@ -781,10 +774,13 @@ def filter(args):
             )
         )
 
-        if args.md5 is not None:
-            siglist = [ss for ss in siglist if args.md5 in ss.md5sum()]
-        if args.name is not None:
-            siglist = [ss for ss in siglist if args.name in str(ss)]
+        narrowers = (
+            (args.md5, lambda ss: args.md5 in ss.md5sum()),
+            (args.name, lambda ss: args.name in str(ss)),
+        )
+        for wanted, keep in narrowers:
+            if wanted is not None:
+                siglist = [ss for ss in siglist if keep(ss)]
 
         for ss in siglist:
             mh = ss.minhash
@@ -1231,19 +1227,24 @@ def check(args):
     sourmash_args.load_include_exclude_db_patterns(args)
     _extend_signatures_with_from_file(args)
 
-    if not picklist:
-        error("** No picklist provided?! Exiting.")
-        sys.exit(-1)
-
-    if picklist.pickstyle == PickStyle.EXCLUDE and args.output_missing:
-        error("** ERROR: Cannot use an 'exclude' picklist with '-o/--output-missing'")
-        sys.exit(-1)
+    fatal = (
+        (not picklist, "** No picklist provided?! Exiting."),
+        (
+            picklist and picklist.pickstyle == PickStyle.EXCLUDE
+            and args.output_missing,
+            "** ERROR: Cannot use an 'exclude' picklist with '-o/--output-missing'",
+        ),
+        (
+            args.abspath and args.relpath,
+            "** Cannot specify both --abspath and --relpath; pick one!",
+        ),
+    )
+    for failed, message in fatal:
+        if failed:
+            error(message)
+            sys.exit(-1)
 
     require_manifest = not args.no_require_manifest
-
-    if args.abspath and args.relpath:
-        error("** Cannot specify both --abspath and --relpath; pick one!")
-        sys.exit(-1)
 
     if args.relpath or (args.abspath and not args.save_manifest_matching):
         notify(
@@ -1271,13 +1272,11 @@ def check(args):
             sys.exit(-1)
 
         new_manifest = sourmash_args.get_manifest(idx, require=True)
-        sub_manifest = new_manifest.select_to_manifest(picklist=picklist)
         total_rows_examined += len(new_manifest)
 
-        for row in sub_manifest.rows:
-            row = dict(row)
-            row["internal_location"] = new_iloc
-            total_manifest_rows.add_row(row)
+        for row in new_manifest.select_to_manifest(picklist=picklist).rows:
+            relocated_row = dict(row, internal_location=new_iloc)
+            total_manifest_rows.add_row(relocated_row)
 
     notify(f"loaded {total_rows_examined} signatures.")
 
@@ -1285,37 +1284,33 @@ def check(args):
 
     n_missing = len(picklist.pickset - picklist.found)
     if args.output_missing and n_missing:
-        n_input = 0
-        n_output = 0
-        with sourmash_args.FileInputCSV(picklist.pickfile) as r:
-            with open(args.output_missing, "w", newline="") as outfp:
-                w = csv.DictWriter(outfp, fieldnames=r.fieldnames)
-                w.writeheader()
-                for row in r:
-                    n_input += 1
-                    if not picklist.matched_csv_row(row):
-                        n_output += 1
-                        w.writerow(row)
-        notify(
-            f"saved {n_output} non-matching rows of {n_input} picklist rows to '{args.output_missing}'"
-        )
+        n_input = n_output = 0
+        with sourmash_args.FileInputCSV(picklist.pickfile) as r, \
+             open(args.output_missing, "w", newline="") as outfp:
+            w = csv.DictWriter(outfp, fieldnames=r.fieldnames)
+            w.writeheader()
+            for row in r:
+                n_input += 1
+                if not picklist.matched_csv_row(row):
+                    n_output += 1
+                    w.writerow(row)
+        notify(f"saved {n_output} non-matching rows of {n_input}"
+               f" picklist rows to '{args.output_missing}'")
     elif args.output_missing:
         notify(
             f"(no remaining picklist entries; not saving to '{args.output_missing}')"
         )
 
-    if args.save_manifest_matching and total_manifest_rows:
+    if args.save_manifest_matching:
         mf = total_manifest_rows
-        mf.write_to_filename(
-            args.save_manifest_matching, database_format=args.manifest_format
-        )
-        notify(
-            f"wrote {len(mf)} matching manifest rows to '{args.save_manifest_matching}'"
-        )
-    elif args.save_manifest_matching:
-        notify(
-            f"(not saving matching manifest to '{args.save_manifest_matching}' because no matches)"
-        )
+        if mf:
+            mf.write_to_filename(args.save_manifest_matching,
+                                 database_format=args.manifest_format)
+            notify(f"wrote {len(mf)} matching manifest rows"
+                   f" to '{args.save_manifest_matching}'")
+        else:
+            notify(f"(not saving matching manifest to"
+                   f" '{args.save_manifest_matching}' because no matches)")
 
     if args.fail_if_missing and n_missing:
         error("** ERROR: missing values, and --fail-if-missing requested. Exiting.")
