@@ -534,7 +534,9 @@ class MinHash:
             if mode == "auto":
                 import jax
 
-                use_device = jax.default_backend() != "cpu"
+                from .ops import default_backend
+
+                use_device = default_backend() != "cpu"
             if use_device:
                 all_valid = bool(enc.VALID_DNA[seq].all())
                 if not all_valid and not force:

@@ -156,7 +156,9 @@ def _use_bucketed() -> bool:
         return True
     if mode == "sorted":
         return False
-    return jax.default_backend() != "cpu"
+    from sourmash_tpu.ops import default_backend
+
+    return default_backend() != "cpu"
 
 
 def query_vs_many_cutoff_counts(query_mins, mins_list, pair_cutoffs):
@@ -210,11 +212,28 @@ def query_vs_many_cutoff_counts(query_mins, mins_list, pair_cutoffs):
     )
 
 
+# Below this much total merge work, host np.intersect1d beats any device
+# dispatch (a tunneled chip costs ~40 ms RTT + compile per new shape).
+_HOST_WORK_CUTOFF = 2_000_000
+
+
+def _host_pairwise_counts(mins_list, n):
+    counts = np.zeros((n, n), dtype=np.int64)
+    for i in range(n):
+        counts[i, i] = len(mins_list[i])
+        for j in range(i + 1, n):
+            c = len(np.intersect1d(mins_list[i], mins_list[j], assume_unique=True))
+            counts[i, j] = counts[j, i] = c
+    return counts
+
+
 def pairwise_intersection_counts(mins_list) -> np.ndarray:
     "Host wrapper: list of sorted uint64 arrays -> [n, n] count matrix."
     n = len(mins_list)
     if not n:
         return np.zeros((0, 0), dtype=np.int64)
+    if n * sum(len(m) for m in mins_list) < _HOST_WORK_CUTOFF:
+        return _host_pairwise_counts(mins_list, n)
     if _use_bucketed():
         from . import bucketed
 
@@ -229,6 +248,13 @@ def query_intersection_counts(query_mins, mins_list) -> np.ndarray:
     n = len(mins_list)
     if not n:
         return np.zeros(0, dtype=np.int64)
+    total = len(query_mins) * n + sum(len(m) for m in mins_list)
+    if total < _HOST_WORK_CUTOFF:
+        q = np.asarray(query_mins, dtype=np.uint64)
+        return np.array(
+            [len(np.intersect1d(q, m, assume_unique=True)) for m in mins_list],
+            dtype=np.int64,
+        )
     if _use_bucketed():
         from . import bucketed
 

@@ -26,6 +26,7 @@ import functools
 import numpy as np
 
 import jax
+from sourmash_tpu.ops import default_backend as _ops_default_backend
 import jax.numpy as jnp
 from jax import lax
 
@@ -184,7 +185,9 @@ def _use_pallas_default():
     if env is not None:
         return env not in ("0", "false", "no")
     try:
-        return jax.default_backend() not in ("cpu",)
+        from sourmash_tpu.ops import default_backend
+
+        return default_backend() not in ("cpu",)
     except Exception:
         return False
 
@@ -241,7 +244,7 @@ def _seq_to_compact_hashes(
     if use_pallas:
         from .pallas_sketch import window_hash_pairs_pallas
 
-        interp = jax.default_backend() == "cpu"
+        interp = _ops_default_backend() == "cpu"
         h_hi, h_lo, validu = window_hash_pairs_pallas(
             seq, ksize=ksize, seed=seed, interpret=interp
         )
@@ -284,7 +287,7 @@ def _seq_batch_to_compact_hashes(
 
     B, S = seqs.shape
     n = S - ksize + 1
-    interp = jax.default_backend() == "cpu"
+    interp = _ops_default_backend() == "cpu"
     h_hi, h_lo, validu = window_hash_pairs_pallas(
         seqs, ksize=ksize, seed=seed, interpret=interp
     )
@@ -420,7 +423,7 @@ def seq_chunks_to_hashes(
         if slot_path:
             from .pallas_sketch import sketch_survivor_slots_pallas
 
-            interp = jax.default_backend() == "cpu"
+            interp = _ops_default_backend() == "cpu"
             sh, sl, cnt = sketch_survivor_slots_pallas(
                 jnp.asarray(batch), jnp.asarray(mh), ksize=ksize, seed=seed,
                 slots=_pick_slots(mh), interpret=interp,
