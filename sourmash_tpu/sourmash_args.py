@@ -451,23 +451,27 @@ def FileInputCSV(filename, *, encoding="utf-8", default_csv_name=None,
     if zipfile_obj and not default_csv_name:
         raise ValueError("must provide default_csv_name with a zipfile_obj")
 
+    @contextlib.contextmanager
     def from_zip_member(zf):
+        # keep the member open for the caller's whole with-block
         zi = zf.getinfo(default_csv_name)
         with zf.open(zi) as fp:
             textfp = TextIOWrapper(fp, encoding=encoding, newline="")
-            return _DictReader_with_version(textfp, delimiter=delimiter)
+            yield _DictReader_with_version(textfp, delimiter=delimiter)
 
     # a zip member named default_csv_name takes priority when applicable
     if default_csv_name:
         if zipfile_obj:
             try:
-                yield from_zip_member(zipfile_obj)
+                with from_zip_member(zipfile_obj) as reader:
+                    yield reader
             except (zipfile.BadZipFile, KeyError):
                 pass
             return
         try:
             with zipfile.ZipFile(filename, "r") as zip_fp:
-                yield from_zip_member(zip_fp)
+                with from_zip_member(zip_fp) as reader:
+                    yield reader
             return
         except (zipfile.BadZipFile, KeyError):
             pass
