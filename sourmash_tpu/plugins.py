@@ -125,8 +125,8 @@ def get_cli_scripts_descriptions():
     "Yield one-line descriptions of CLI script plugins."
     for plugin in get_cli_script_plugins():
         script_cls = plugin.load()
-        command = script_cls.command
-        description = (script_cls.description or "").splitlines()
+        command = getattr(script_cls, "command")
+        description = (getattr(script_cls, "description", "") or "").splitlines()
         summary = description[0] if description and description[0] else (
             f"(no description provided by plugin '{plugin.name}')"
         )
