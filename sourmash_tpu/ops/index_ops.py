@@ -47,6 +47,35 @@ class Bank:
         self.B = B
 
 
+# Collections whose packed planes exceed this stay host-resident (numpy /
+# mmap); each chunk is streamed to the device per query pass instead of
+# living in HBM. Override with SOURMASH_TPU_HBM_BUDGET_BYTES.
+def _hbm_budget_bytes() -> int:
+    import os
+
+    return int(float(os.environ.get("SOURMASH_TPU_HBM_BUDGET_BYTES", 12e9)))
+
+
+def _planes_nbytes(banks) -> int:
+    total = 0
+    for bank in banks:
+        for chunk in bank.chunks:
+            total += chunk.hi.nbytes + chunk.lo.nbytes + chunk.cnt.nbytes
+    return total
+
+
+def _to_device_resident(banks) -> None:
+    "Upload every chunk's planes, one chunk at a time (bounds peak host RSS)."
+    from .bucketed import BucketedRows
+
+    for bank in banks:
+        for i, c in enumerate(bank.chunks):
+            bank.chunks[i] = BucketedRows(
+                jnp.asarray(c.hi), jnp.asarray(c.lo), jnp.asarray(c.cnt),
+                c.spills, c.n, c.d, c.B, c.n_spilled,
+            )
+
+
 def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     """Bucket per-dataset sorted hash arrays by padded length class and
     pack each class into bucketed-plane chunks.
@@ -54,6 +83,10 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     Length classes are powers of two >= 128 so HBM waste from bucket
     padding stays bounded for skewed collections; rows are chunked at
     _CHUNK_ROWS so kernels compile once per (B, rows) size class.
+
+    Packing is host-side; planes are made device-resident only when the
+    whole collection fits the HBM budget, otherwise they stream per query
+    (the multi-pass path for GTDB-scale collections on one chip).
     """
     buckets: dict[int, list[int]] = {}
     for i, m in enumerate(mins_list):
@@ -67,9 +100,14 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
         ids = []
         for s in range(0, len(idxs), _CHUNK_ROWS):
             part = idxs[s : s + _CHUNK_ROWS]
-            chunks.append(pack_rows_bucketed([mins_list[i] for i in part], B))
+            chunks.append(
+                pack_rows_bucketed([mins_list[i] for i in part], B, device=False)
+            )
             ids.append(np.asarray(part, dtype=np.int32))
         banks.append(Bank(chunks, ids, B))
+
+    if _planes_nbytes(banks) <= _hbm_budget_bytes():
+        _to_device_resident(banks)
     return banks
 
 
@@ -116,7 +154,11 @@ def save_banks(banks, dirpath) -> None:
 
 
 def load_banks(dirpath) -> list[Bank]:
-    "Load banks saved by save_banks; planes are uploaded to device once."
+    """Load banks saved by save_banks.
+
+    Planes are uploaded to the device once when the collection fits the
+    HBM budget; above it they stay mmap-backed on host and stream to the
+    device per query pass."""
     import json
     import os
 
@@ -145,18 +187,15 @@ def load_banks(dirpath) -> list[Bank]:
                     n_spilled += int(ln)
             chunks.append(
                 BucketedRows(
-                    jnp.asarray(hi),
-                    jnp.asarray(lo),
-                    jnp.asarray(cnt),
-                    spills,
-                    cm["n"],
-                    cm["d"],
-                    bmeta["B"],
-                    n_spilled,
+                    hi, lo, cnt, spills,
+                    cm["n"], cm["d"], bmeta["B"], n_spilled,
                 )
             )
             ids.append(np.asarray(cm["ids"], dtype=np.int32))
         banks.append(Bank(chunks, ids, bmeta["B"]))
+
+    if _planes_nbytes(banks) <= _hbm_budget_bytes():
+        _to_device_resident(banks)
     return banks
 
 
