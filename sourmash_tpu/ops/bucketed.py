@@ -142,6 +142,13 @@ def pack_rows_bucketed(mins_list, B: int, d: int = _D, device=True) -> BucketedR
         ro = row[order]
         bo = b[order]
         N2 = len(ks)
+        if N2 == 0:
+            # every hash was the PAD sentinel and spilled — planes stay empty
+            empty = np.zeros(0, dtype=np.uint64)
+            spill_list = [spills.get(i, empty) for i in range(rows)]
+            if device:
+                hi, lo, cnt = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+            return BucketedRows(hi, lo, cnt, spill_list, n, d, B, n_spilled)
         pos = np.arange(N2, dtype=np.int64)
         is_start = np.empty(N2, dtype=bool)
         is_start[0] = True
