@@ -262,10 +262,25 @@ def main():
     )
 
 
+def _measure_rtt_ms():
+    "Round-trip cost of one tiny dispatch+readback (the tunnel floor)."
+    import jax.numpy as jnp
+
+    x = jnp.zeros(8, jnp.int32)
+    np.asarray(x + 1)  # warm/compile
+    return round(min(_timed(lambda: np.asarray(x + 1)) for _ in range(5)) * 1e3, 2)
+
+
 def query_engine_metrics():
-    """BASELINE configs 2-4 on the same chip: all-pairs compare throughput,
-    search/prefetch latency and the scheduled device gather against an
-    n-signature index (n = SOURMASH_TPU_BENCH_N, default 10000)."""
+    """BASELINE configs 2-4 on the same chip: all-pairs compare throughput
+    (device-time and wall split; unordered pairs), search/prefetch latency,
+    the scheduled device gather vs an n-signature index
+    (n = SOURMASH_TPU_BENCH_N, default 10000), and the at-scale legs:
+    a >=40k-sketch gather (SOURMASH_TPU_BENCH_BIG_N, config 4) plus a
+    forced beyond-HBM streaming-banks pass (SOURMASH_TPU_BENCH_STREAM_N)."""
+    import jax
+    import jax.numpy as jnp
+
     import sourmash_tpu as sm
     from sourmash_tpu.index.flat import FlatIndex
     from sourmash_tpu.search import GatherDatabases
@@ -284,16 +299,52 @@ def query_engine_metrics():
         return sm.SourmashSignature(mh, name=name)
 
     out = {}
+    out["tunnel_rtt_ms"] = _measure_rtt_ms()
+    print(f"bench: tunnel rtt {out['tunnel_rtt_ms']} ms", file=sys.stderr)
 
-    # config 2: all-pairs compare, 500 sketches x ~5k hashes.
-    # best-of-3 steady-state windows (tunnel dispatch latency is noisy).
-    cmp_mins = [rand_mins(5000) for _ in range(500)]
+    # config 2: all-pairs compare, 500 sketches x ~5k hashes; throughput in
+    # UNORDERED pairs (n*(n-1)/2 distinct comparisons — the number `sourmash
+    # compare` performs). Wall includes host pack; device time is the packed
+    # planes' compare passes alone (one block at the end).
+    n_cmp = 500
+    cmp_mins = [rand_mins(5000) for _ in range(n_cmp)]
     pairwise_intersection_counts(cmp_mins)  # warm/compile
-    dt = min(
+    wall = min(
         _timed(lambda: pairwise_intersection_counts(cmp_mins)) for _ in range(3)
     )
-    out["compare_pairs_per_sec"] = round(500 * 500 / dt, 1)
-    print(f"bench: compare 500x500 in {dt:.3f}s", file=sys.stderr)
+
+    from sourmash_tpu.ops.bucketed import (
+        _counts_block,
+        choose_buckets,
+        pack_rows_bucketed,
+    )
+
+    B = choose_buckets(max(len(m) for m in cmp_mins))
+    bank = pack_rows_bucketed(cmp_mins, B)
+    rows = bank.hi.shape[0]
+
+    def device_pass():
+        outs = []
+        for i in range(0, rows, 8):
+            Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, i, 8, 0)
+            Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, i, 8, 0)
+            Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, 8, 0)
+            outs.append(
+                _counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt)
+            )
+        jnp.concatenate(outs, axis=0).block_until_ready()
+
+    device_pass()  # warm
+    dev = min(_timed(device_pass) for _ in range(3))
+    n_unordered = n_cmp * (n_cmp - 1) // 2
+    out["compare_unordered_pairs_per_sec"] = round(n_unordered / wall, 1)
+    out["compare_wall_s"] = round(wall, 3)
+    out["compare_device_s"] = round(dev, 3)
+    print(
+        f"bench: compare {n_cmp}x{n_cmp} ({n_unordered} unordered pairs) "
+        f"wall {wall:.3f}s, device {dev:.3f}s",
+        file=sys.stderr,
+    )
 
     # configs 3-4: search / prefetch / gather vs an n-signature index
     n_db = int(os.environ.get("SOURMASH_TPU_BENCH_N", "10000"))
@@ -356,7 +407,120 @@ def query_engine_metrics():
         f"bench: gather {found}/20 vs {n_db} sigs in {out['gather_total_s']}s warm",
         file=sys.stderr,
     )
+
+    at_scale_metrics(out, rand_mins, make_sig)
     return out
+
+
+def at_scale_metrics(out, rand_mins, make_sig):
+    """Config-4-scale legs, run on whatever chip the driver provides:
+
+    1. a forced beyond-HBM STREAMING pass — packed planes stay host-resident
+       (SOURMASH_TPU_HBM_BUDGET_BYTES=1) and stream to the device per
+       counter query, value-checked against host np.intersect1d;
+    2. a >=40k-sketch device-resident scheduled gather (GTDB-rs214-scale
+       stand-in: ~2500-hash sketches, 30 planted genomes), full
+       GatherDatabases stat rounds.
+
+    SOURMASH_TPU_BENCH_STREAM_N / SOURMASH_TPU_BENCH_BIG_N rescale; 0
+    disables a leg."""
+    import sourmash_tpu as sm
+    from sourmash_tpu.index.flat import FlatIndex
+    from sourmash_tpu.search import GatherDatabases
+    from sourmash_tpu.ops import index_ops
+
+    # -- streaming-banks leg ------------------------------------------------
+    n_stream = int(os.environ.get("SOURMASH_TPU_BENCH_STREAM_N", "5000"))
+    if n_stream:
+        genomes = [rand_mins(2500) for _ in range(n_stream)]
+        old = os.environ.get("SOURMASH_TPU_HBM_BUDGET_BYTES")
+        os.environ["SOURMASH_TPU_HBM_BUDGET_BYTES"] = "1"
+        try:
+            banks = index_ops.build_banks(genomes)
+            assert not any(
+                hasattr(c.hi, "devices") for b in banks for c in b.chunks
+            ), "planes unexpectedly device-resident"
+            q = np.unique(np.concatenate([genomes[3], genomes[7], rand_mins(2000)]))
+            counts = index_ops.counts_for_banks(banks, q, n_stream)  # warm
+            t0 = time.perf_counter()
+            counts = index_ops.counts_for_banks(banks, q, n_stream)
+            dt = time.perf_counter() - t0
+            for i in (3, 7, 11, n_stream - 1):
+                want = len(np.intersect1d(q, genomes[i], assume_unique=True))
+                assert counts[i] == want, (i, counts[i], want)
+            out["streaming_mode"] = True
+            out["streaming_db_size"] = n_stream
+            out["streaming_pass_s"] = round(dt, 3)
+            plane_bytes = index_ops._planes_nbytes(banks)
+            out["streaming_plane_gb"] = round(plane_bytes / 1e9, 2)
+            print(
+                f"bench: streaming pass {n_stream} sigs "
+                f"({out['streaming_plane_gb']} GB host planes) in {dt:.3f}s, "
+                "counts exact",
+                file=sys.stderr,
+            )
+            del banks
+        finally:
+            if old is None:
+                os.environ.pop("SOURMASH_TPU_HBM_BUDGET_BYTES", None)
+            else:
+                os.environ["SOURMASH_TPU_HBM_BUDGET_BYTES"] = old
+
+    # -- >=40k device-resident scheduled gather -----------------------------
+    n_big = int(os.environ.get("SOURMASH_TPU_BENCH_BIG_N", "40000"))
+    if not n_big:
+        return
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    genomes = [rand_mins(2500) for _ in range(n_big)]
+    sigs = [make_sig(m, f"big{i}") for i, m in enumerate(genomes)]
+    true_ids = rng.choice(n_big, size=30, replace=False)
+    meta = np.unique(
+        np.concatenate([genomes[i] for i in true_ids] + [rand_mins(30000)])
+    )
+    mquery = make_sig(meta, "bigmeta")
+    gen_s = time.perf_counter() - t0
+
+    db = FlatIndex(sigs)
+    t0 = time.perf_counter()
+    db._build()  # host pack + device upload
+    build_s = time.perf_counter() - t0
+    print(
+        f"bench: big index {n_big} sigs generated in {gen_s:.1f}s, "
+        f"packed+uploaded in {build_s:.1f}s",
+        file=sys.stderr,
+    )
+
+    def run_big():
+        counter = db.counter_gather(mquery, 50000)
+        counter.enable_device_schedule()
+        gd = GatherDatabases(mquery, [counter], threshold_bp=50000)
+        rounds = []
+        while True:
+            tr = time.perf_counter()
+            try:
+                next(gd)
+            except StopIteration:
+                break
+            rounds.append(time.perf_counter() - tr)
+        return rounds
+
+    run_big()  # warm/compile
+    t0 = time.perf_counter()
+    rounds = run_big()
+    out["gather_big_db_size"] = n_big
+    out["gather_big_total_s"] = round(time.perf_counter() - t0, 3)
+    out["gather_big_round_p50_ms"] = round(
+        float(np.median(rounds)) * 1000 if rounds else 0.0, 2
+    )
+    out["gather_big_found"] = len(rounds)
+    out["gather_big_build_s"] = round(build_s, 1)
+    print(
+        f"bench: big gather {len(rounds)}/30 vs {n_big} sigs in "
+        f"{out['gather_big_total_s']}s warm "
+        f"(p50 round {out['gather_big_round_p50_ms']} ms)",
+        file=sys.stderr,
+    )
 
 
 def _timed(fn):

@@ -1,4 +1,10 @@
-"""Shared argparse helpers (parity: reference `src/sourmash/cli/utils.py`)."""
+"""Shared argparse flag groups, expressed as data.
+
+Flag/help text is the CLI parity surface (reference
+`src/sourmash/cli/utils.py` defines the same options), but the mechanics
+here are table-driven: each moltype is one row of `_MOLTYPE_FLAGS` rendered
+by `_bool_pair`, and the tax output/rank rules live in small rule tables.
+"""
 
 from __future__ import annotations
 
@@ -7,48 +13,39 @@ import argparse
 from ..sourmash_args import check_scaled_bounds, check_num_bounds
 
 
+def _bool_pair(parser, names, dest, on_help, off_help, default):
+    "One on/off argparse flag pair sharing a dest (e.g. --hp / --no-hp)."
+    parser.add_argument(
+        *[f"--{n}" for n in names], dest=dest, action="store_true",
+        default=None, help=on_help,
+    )
+    parser.add_argument(
+        *[f"--no-{n}" for n in names], dest=dest, action="store_false",
+        help=off_help,
+    )
+    parser.set_defaults(**{dest: default})
+
+
+# (flag aliases, dest, on-help, off-help, default)
+_MOLTYPE_FLAGS = (
+    (("protein",), "protein",
+     "choose a protein signature; by default, a nucleotide signature is used",
+     "do not choose a protein signature", False),
+    (("dayhoff",), "dayhoff",
+     "choose Dayhoff-encoded amino acid signatures",
+     "do not choose Dayhoff-encoded amino acid signatures", False),
+    (("hp", "hydrophobic-polar"), "hp",
+     "choose hydrophobic-polar-encoded amino acid signatures",
+     "do not choose hydrophobic-polar-encoded amino acid signatures", False),
+    (("dna", "rna", "nucleotide"), "dna",
+     "choose a nucleotide signature (default: True)",
+     "do not choose a nucleotide signature", None),
+)
+
+
 def add_moltype_args(parser):
-    parser.add_argument(
-        "--protein", dest="protein", action="store_true",
-        help="choose a protein signature; by default, a nucleotide signature is used",
-    )
-    parser.add_argument(
-        "--no-protein", dest="protein", action="store_false",
-        help="do not choose a protein signature",
-    )
-    parser.set_defaults(protein=False)
-
-    parser.add_argument(
-        "--dayhoff", dest="dayhoff", action="store_true",
-        help="choose Dayhoff-encoded amino acid signatures",
-    )
-    parser.add_argument(
-        "--no-dayhoff", dest="dayhoff", action="store_false",
-        help="do not choose Dayhoff-encoded amino acid signatures",
-    )
-    parser.set_defaults(dayhoff=False)
-
-    parser.add_argument(
-        "--hp", "--hydrophobic-polar", dest="hp", action="store_true",
-        help="choose hydrophobic-polar-encoded amino acid signatures",
-    )
-    parser.add_argument(
-        "--no-hp", "--no-hydrophobic-polar", dest="hp", action="store_false",
-        help="do not choose hydrophobic-polar-encoded amino acid signatures",
-    )
-    parser.set_defaults(hp=False)
-
-    parser.add_argument(
-        "--dna", "--rna", "--nucleotide", dest="dna", default=None,
-        action="store_true",
-        help="choose a nucleotide signature (default: True)",
-    )
-    parser.add_argument(
-        "--no-dna", "--no-rna", "--no-nucleotide", dest="dna",
-        action="store_false",
-        help="do not choose a nucleotide signature",
-    )
-    parser.set_defaults(dna=None)
+    for names, dest, on_h, off_h, default in _MOLTYPE_FLAGS:
+        _bool_pair(parser, names, dest, on_h, off_h, default)
 
 
 def add_construct_moltype_args(parser):
@@ -58,12 +55,10 @@ def add_construct_moltype_args(parser):
 
 def add_ksize_arg(parser, *, default=None):
     "Add -k/--ksize with the given default."
-    if default:
-        message = f"k-mer size to select; default={default}"
-    else:
-        message = "k-mer size to select; no default."
+    tail = f"default={default}" if default else "no default."
     parser.add_argument(
-        "-k", "--ksize", metavar="K", default=default, type=int, help=message
+        "-k", "--ksize", metavar="K", default=default, type=int,
+        help=f"k-mer size to select; {tail}",
     )
 
 
@@ -72,26 +67,28 @@ def range_limited_float_type(arg):
     try:
         f = float(arg)
     except ValueError:
-        raise argparse.ArgumentTypeError("\n\tERROR: Must be a floating point number.")
-    if f < 0 or f > 1:
-        raise argparse.ArgumentTypeError("\n\tERROR: Argument must be >0 and <1.")
+        raise argparse.ArgumentTypeError(
+            "\n\tERROR: Must be a floating point number."
+        )
+    if not 0 <= f <= 1:
+        raise argparse.ArgumentTypeError(
+            "\n\tERROR: Argument must be >0 and <1."
+        )
     return f
 
 
 def add_tax_threshold_arg(parser, containment_default=0.1, ani_default=None):
-    parser.add_argument(
-        "--containment-threshold",
-        default=containment_default,
-        type=range_limited_float_type,
-        help=f"minimum containment threshold for classification; default={containment_default}",
-    )
-    parser.add_argument(
-        "--ani-threshold",
-        "--aai-threshold",
-        default=ani_default,
-        type=range_limited_float_type,
-        help=f"minimum ANI threshold (nucleotide gather) or AAI threshold (protein gather) for classification; default={ani_default}",
-    )
+    for flags, dflt, what in (
+        (("--containment-threshold",), containment_default,
+         "minimum containment threshold for classification"),
+        (("--ani-threshold", "--aai-threshold"), ani_default,
+         "minimum ANI threshold (nucleotide gather) or AAI threshold "
+         "(protein gather) for classification"),
+    ):
+        parser.add_argument(
+            *flags, default=dflt, type=range_limited_float_type,
+            help=f"{what}; default={dflt}",
+        )
 
 
 def add_picklist_args(parser):
@@ -106,14 +103,14 @@ def add_picklist_args(parser):
 
 
 def add_pattern_args(parser):
-    parser.add_argument(
-        "--include-db-pattern", default=None,
-        help="search only signatures that match this pattern in name, filename, or md5",
-    )
-    parser.add_argument(
-        "--exclude-db-pattern", default=None,
-        help="search only signatures that do not match this pattern in name, filename, or md5",
-    )
+    for flag, what in (
+        ("--include-db-pattern", "search only signatures that match"),
+        ("--exclude-db-pattern", "search only signatures that do not match"),
+    ):
+        parser.add_argument(
+            flag, default=None,
+            help=f"{what} this pattern in name, filename, or md5",
+        )
 
 
 def add_scaled_arg(parser, default=None):
@@ -131,6 +128,12 @@ def add_num_arg(parser, default=0):
     )
 
 
+_STANDARD_RANKS = (
+    "strain", "species", "genus", "family", "order", "class",
+    "phylum", "superkingdom",
+)
+
+
 def add_rank_arg(parser):
     parser.add_argument(
         "-r", "--rank", "--position", "--lin-position",
@@ -142,23 +145,18 @@ def add_rank_arg(parser):
 
 
 def check_rank(args):
-    "Check that --rank matches the selected taxonomy."
-    standard_ranks = [
-        "strain", "species", "genus", "family", "order", "class",
-        "phylum", "superkingdom",
-    ]
+    "Check that --rank matches the selected taxonomy (LIN => integer position)."
     if getattr(args, "lins", False):
         if args.rank.isdigit():
             return str(args.rank)
         raise argparse.ArgumentTypeError(
             f"Invalid '--rank'/'--position' input: '{args.rank}'. '--lins' is specified. Rank must be an integer corresponding to a LIN position."
         )
-    elif args.rank in standard_ranks:
+    if args.rank in _STANDARD_RANKS:
         return args.rank
-    else:
-        raise argparse.ArgumentTypeError(
-            f"Invalid '--rank'/'--position' input: '{args.rank}'. Please choose: 'strain', 'species', 'genus', 'family', 'order', 'class', 'phylum', 'superkingdom'"
-        )
+    raise argparse.ArgumentTypeError(
+        f"Invalid '--rank'/'--position' input: '{args.rank}'. Please choose: 'strain', 'species', 'genus', 'family', 'order', 'class', 'phylum', 'superkingdom'"
+    )
 
 
 def check_tax_outputs(
@@ -168,38 +166,46 @@ def check_tax_outputs(
     use_lingroup_format=False,
 ):
     """Validate/normalize tax output-format combinations (reference
-    `cli/utils.py:227-271`): krona needs --rank, lingroup needs --lins,
-    multiple formats need an output base, and the default is csv_summary."""
-    if not args.rank:
-        if any(x in rank_required for x in args.output_format):
-            raise ValueError(
-                f"Rank (--rank) is required for {', '.join(rank_required)} output formats."
-            )
+    `cli/utils.py:227-271`). Rules, applied in order:
+
+    1. formats in `rank_required` demand --rank;
+    2. under --lins: no `incompatible_with_lins` formats, and a --lingroup
+       CSV turns on the lingroup format (where supported) — while the
+       lingroup format without --lingroup, or any lingroup use without
+       --lins, is an error;
+    3. several formats can't share stdout;
+    4. no format at all means csv_summary.
+    """
+    fmts = args.output_format
+    lingroup_csv = getattr(args, "lingroup", None)
+
+    if not args.rank and any(f in rank_required for f in fmts):
+        raise ValueError(
+            f"Rank (--rank) is required for {', '.join(rank_required)} output formats."
+        )
 
     if args.lins:
-        if incompatible_with_lins:
-            if any(x in args.output_format for x in incompatible_with_lins):
-                raise ValueError(
-                    f"The following outputs are incompatible with '--lins': : {', '.join(incompatible_with_lins)}"
-                )
-        if getattr(args, "lingroup", None):
-            if use_lingroup_format and "lingroup" not in args.output_format:
-                args.output_format.append("lingroup")
-        elif "lingroup" in args.output_format:
+        bad = [f for f in (incompatible_with_lins or ()) if f in fmts]
+        if bad:
+            raise ValueError(
+                f"The following outputs are incompatible with '--lins': : {', '.join(incompatible_with_lins)}"
+            )
+        if lingroup_csv:
+            if use_lingroup_format and "lingroup" not in fmts:
+                fmts.append("lingroup")
+        elif "lingroup" in fmts:
             raise ValueError(
                 "Must provide lingroup csv via '--lingroup' in order to output a lingroup report."
             )
-    elif getattr(args, "lingroup", None) or "lingroup" in args.output_format:
+    elif lingroup_csv or "lingroup" in fmts:
         raise ValueError(
             "Must enable LIN taxonomy via '--lins' in order to use lingroups."
         )
 
-    if len(args.output_format) > 1:
-        if args.output_base == "-":
-            raise ValueError(
-                f"Writing to stdout is incompatible with multiple output formats {args.output_format}"
-            )
-    elif not args.output_format:
-        args.output_format = ["csv_summary"]
-
-    return args.output_format
+    if len(fmts) > 1 and args.output_base == "-":
+        raise ValueError(
+            f"Writing to stdout is incompatible with multiple output formats {fmts}"
+        )
+    if not fmts:
+        fmts = args.output_format = ["csv_summary"]
+    return fmts

@@ -243,39 +243,40 @@ class _signatures_for_sketch_factory:
     "Build signature templates on demand, per 'sketch' CLI configuration."
 
     def __init__(self, params_str_list, default_moltype):
-        defaults = {}
-        for moltype, pstr in DEFAULTS.items():
-            mt, d = _parse_params_str(pstr)
-            assert mt is None
-            defaults[moltype] = d
-        self.defaults = defaults
-
-        self.params_list = []
+        # per-moltype defaults come from parsing the DEFAULTS param strings
+        # themselves (they carry no moltype token by construction)
+        self.defaults = {
+            moltype: _parse_params_str(pstr)[1]
+            for moltype, pstr in DEFAULTS.items()
+        }
         self.mult_ksize_by_3 = True
+        self.params_list = [
+            (self._resolve_moltype(mt, default_moltype, pstr), params)
+            for mt, params, pstr in (
+                (*_parse_params_str(p), p) for p in params_str_list or ()
+            )
+        ] or [(self._resolve_moltype(None, default_moltype, ""), {})]
 
-        if params_str_list:
-            for params_str in params_str_list:
-                moltype, params = _parse_params_str(params_str)
-                if moltype and moltype != "dna" and default_moltype == "dna":
-                    raise ValueError(
-                        f"Incompatible sketch type ({default_moltype}) and parameter override ({moltype}) in '{params_str}'; maybe use 'sketch translate'?"
-                    )
-                elif moltype == "dna" and default_moltype and default_moltype != "dna":
-                    raise ValueError(
-                        f"Incompatible sketch type ({default_moltype}) and parameter override ({moltype}) in '{params_str}'"
-                    )
-                elif moltype is None:
-                    if default_moltype is None:
-                        raise ValueError(
-                            "No default moltype and none specified in param string"
-                        )
-                    moltype = default_moltype
-
-                self.params_list.append((moltype, params))
-        else:
-            if default_moltype is None:
-                raise ValueError("No default moltype and none specified in param string")
-            self.params_list.append((default_moltype, {}))
+    @staticmethod
+    def _resolve_moltype(override, default, params_str):
+        """Reconcile a param string's moltype token with the command's
+        moltype: a dna command rejects protein-family overrides (and vice
+        versa), and SOME moltype must come from one of the two."""
+        if override and override != "dna" and default == "dna":
+            raise ValueError(
+                f"Incompatible sketch type ({default}) and parameter override ({override}) in '{params_str}'; maybe use 'sketch translate'?"
+            )
+        if override == "dna" and default and default != "dna":
+            raise ValueError(
+                f"Incompatible sketch type ({default}) and parameter override ({override}) in '{params_str}'"
+            )
+        if override is None:
+            if default is None:
+                raise ValueError(
+                    "No default moltype and none specified in param string"
+                )
+            return default
+        return override
 
     def get_compute_params(self, *, split_ksizes=False):
         for moltype, params_d in self.params_list:

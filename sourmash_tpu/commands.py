@@ -865,11 +865,15 @@ def gather(args):
         noident_mh = sweep.noident_mh
         ident_mh = sweep.ident_mh
 
-        if len(counters) == 1 and hasattr(counters[0], "enable_device_schedule"):
-            # single-database at-scale path (device-resident flat index /
-            # revindex): replay every greedy round in one device dispatch
-            # instead of one peek/consume round-trip per match
-            counters[0].enable_device_schedule()
+        # at-scale device path (flat index / revindex databases): replay
+        # every greedy round in one device dispatch instead of one
+        # peek/consume round-trip per match; with several databases one
+        # schedule spans them all, and with >1 device the round scan runs
+        # sharded over the mesh (index/flat.py DeviceGatherSchedule)
+        if counters:
+            from .index.flat import schedule_device_gather
+
+            schedule_device_gather(counters)
     else:
         counters = databases
         noident_mh = None
@@ -1049,10 +1053,10 @@ def multigather(args):
             for db in databases:
                 sweep.sweep_one(db)
 
-            if len(sweep.counters) == 1 and hasattr(
-                sweep.counters[0], "enable_device_schedule"
-            ):
-                sweep.counters[0].enable_device_schedule()
+            if sweep.counters:
+                from .index.flat import schedule_device_gather
+
+                schedule_device_gather(sweep.counters)
 
             is_abundance = query.minhash.track_abundance and not args.ignore_abundance
             orig_query_mh = query.minhash
@@ -1593,55 +1597,78 @@ def watch(args):
         leaf = next(iter(tree.leaves()))
         ksize = leaf.data.minhash.ksize
 
-    E = MinHash(
-        ksize=ksize, n=args.num_hashes, is_protein=is_protein, dayhoff=dayhoff, hp=hp
-    )
-
     notify(f"Computing signature for k={ksize}, {moltype} from stdin")
 
-    def do_search():
-        results = []
-        streamsig = sig.SourmashSignature(E, filename="stdin", name=args.name)
-        for similarity, match, _ in tree.search(
-            streamsig,
-            threshold=args.threshold,
-            best_only=True,
-            ignore_abundance=True,
-            do_containment=False,
-        ):
-            results.append((similarity, match))
-        return results
+    clf = _StreamClassifier(
+        tree,
+        MinHash(
+            ksize=ksize, n=args.num_hashes, is_protein=is_protein,
+            dayhoff=dayhoff, hp=hp,
+        ),
+        name=args.name,
+        threshold=args.threshold,
+        add=(
+            (lambda mh, s: mh.add_protein(s))
+            if args.input_is_protein
+            else (lambda mh, s: mh.add_sequence(s, False))
+        ),
+    )
 
     notify("reading sequences from stdin")
-    watermark = WATERMARK_SIZE
+    n_read = clf.feed(iter_records(args.inp_file), check_every=WATERMARK_SIZE)
 
-    n = 0
-    for n, record in enumerate(iter_records(args.inp_file)):
-        if n >= watermark:
-            notify(f"\r... read {n} sequences", end="")
-            watermark += WATERMARK_SIZE
-
-            if do_search():
-                break
-
-        if args.input_is_protein:
-            E.add_protein(record.sequence)
-        else:
-            E.add_sequence(record.sequence, False)
-
-    results = do_search()
-    if not results:
-        notify(f"... read {n} sequences, no matches found.")
-    else:
-        results.sort(key=lambda x: -x[0])
-        similarity, found_sig = results[0]
+    hits = clf.matches()
+    if hits:
+        similarity, found_sig = max(hits, key=lambda x: x[0])
         print_results("FOUND: {}, at {:.3f}", found_sig, similarity)
+    else:
+        notify(f"... read {n_read} sequences, no matches found.")
 
     if args.output:
         notify(f"saving signature to '{args.output}'")
-        streamsig = sig.SourmashSignature(E, filename="stdin", name=args.name)
         with SaveSignaturesToLocation(args.output) as save_sig:
-            save_sig.add(streamsig)
+            save_sig.add(clf.signature())
+
+
+class _StreamClassifier:
+    """Incremental classify-against-SBT state for `watch`: accumulate
+    records into a growing MinHash, re-search the tree every
+    `check_every` records, stop at the first hit (reference semantics,
+    `src/sourmash/commands.py:1389-1483`)."""
+
+    def __init__(self, tree, mh, *, name, threshold, add):
+        self.tree = tree
+        self.mh = mh
+        self.name = name
+        self.threshold = threshold
+        self._add = add
+
+    def signature(self):
+        return sig.SourmashSignature(self.mh, filename="stdin", name=self.name)
+
+    def matches(self):
+        "(similarity, match) pairs for the current accumulated sketch."
+        found = self.tree.search(
+            self.signature(),
+            threshold=self.threshold,
+            best_only=True,
+            ignore_abundance=True,
+            do_containment=False,
+        )
+        return [(similarity, match) for similarity, match, _ in found]
+
+    def feed(self, records, *, check_every):
+        "Consume records until a periodic check hits; return records read."
+        n = 0
+        next_check = check_every
+        for n, record in enumerate(records):
+            if n >= next_check:
+                notify(f"\r... read {n} sequences", end="")
+                next_check += check_every
+                if self.matches():
+                    break
+            self._add(self.mh, record.sequence)
+        return n
 
 
 def info(args):

@@ -297,8 +297,8 @@ class FlatCounterGather:
         self.query_started = 0
         self._q_mins = q
         self._use_schedule = False
-        self._sched = None
-        self._sched_pos = 0
+        self._coord = None  # DeviceGatherSchedule when scheduled
+        self._coord_idx = 0
 
         # one-time membership extraction for matched datasets
         from ..ops.index_ops import membership_for_banks
@@ -349,33 +349,20 @@ class FlatCounterGather:
             )
         return self.scaled
 
-    # -- scheduled device gather (the two-dispatch at-scale path) ---------
+    # -- scheduled device gather (the at-scale product path) --------------
 
     def enable_device_schedule(self):
         """Precompute the whole greedy round sequence on device instead of
-        one peek/consume round-trip per match.
+        one peek/consume round-trip per match (single-counter form; the CLI
+        uses `schedule_device_gather` to coordinate several databases)."""
+        schedule_device_gather([self])
 
-        One lax.scan over a bitset membership matrix (bit j of row k = query
-        hash j present in matched dataset k) replays every round — argmax,
-        winner-bit removal, AND+popcount decrements — in a single dispatch,
-        the single-chip analog of `parallel.make_sharded_gather_program`.
-        Valid when this counter is the only database in the gather (the CLI
-        enables it then): with one counter, consume() removals are exactly
-        the winner intersections the scan already applied. Equivalent to the
-        reference's device-side greedy loop over RocksDB posting lists
-        (`disk_revindex.rs:362-466`); argmax tie-breaking (lowest dataset
-        id) and the threshold cut match peek()/consume() bit for bit."""
-        self._use_schedule = True
-
-    def _compute_schedule(self, threshold_bp):
-        "Run the round scan; returns [(dataset id, overlap at pick time)]."
+    def _membership_bitsets(self, W):
+        """Matched datasets' intersections with the query as flat bitsets:
+        (matched ids [k], M [k, W] u32 — bit j of word w in row r =
+        (query hash 32w+j) ∈ matched dataset r), built by sorted join."""
         q = self._q_mins
         matched = np.nonzero(self.counts > 0)[0]
-        if not len(matched) or not len(q):
-            return []
-
-        W = -(-len(q) // 32)
-        # membership bitsets over query-element indices, built by sorted join
         bits = np.zeros((len(matched), W * 32), dtype=bool)
         for row, i in enumerate(matched):
             ds = self.index._ds_mins[int(i)]
@@ -387,44 +374,29 @@ class FlatCounterGather:
             bits.reshape(len(matched), W, 32).astype(np.uint32)
             << np.arange(32, dtype=np.uint32)
         ).sum(-1, dtype=np.uint32)
+        return matched, M
 
-        try:
-            _, n_th = calc_threshold_from_bp(threshold_bp, self.scaled, len(q))
-        except ValueError:
-            return []
-        thresh = np.int32(max(n_th, 1))
-
-        counts_c = self.counts[matched].astype(np.int32)
-        alive = np.full(W * 32, False)
-        alive[: len(q)] = True
-        alive_p = (
-            alive.reshape(W, 32).astype(np.uint32)
-            << np.arange(32, dtype=np.uint32)
-        ).sum(-1, dtype=np.uint32)
-
-        schedule = []
-        carry = (jnp.asarray(alive_p), jnp.asarray(counts_c))
-        Mj = jnp.asarray(M)
-        chunk = int(min(len(matched), 256))
-        while True:
-            carry, (bests, bcs) = _schedule_scan(Mj, carry, thresh, chunk)
-            b_np, c_np = np.asarray(bests), np.asarray(bcs)
-            done = False
-            for b, c in zip(b_np, c_np):
-                if b < 0:
-                    done = True
-                    break
-                schedule.append((int(matched[b]), int(c)))
-            if done or len(schedule) >= len(matched):
-                break
-        return schedule
+    def _fallback_recount(self, cur_query_mh):
+        """Leave scheduled mode with exact counter state: counts[i] =
+        |dataset_i ∩ current query| (the invariant the per-round decrements
+        maintain), masked by the initial prefetch-threshold cut."""
+        self._use_schedule = False
+        self._coord = None
+        scaled = max(self.scaled, cur_query_mh.scaled)
+        mins = cur_query_mh.downsample(scaled=scaled).mins_array()
+        fresh = self.index.counts_for(mins)
+        self.counts = np.where(self.counts > 0, fresh, 0).astype(np.int64)
 
     def _peek_scheduled(self, cur_query_mh, threshold_bp):
-        if self._sched is None:
-            self._sched = self._compute_schedule(threshold_bp)
-            self._sched_pos = 0
-        if self._sched_pos >= len(self._sched):
+        coord = self._coord
+        if not coord.ready:
+            coord.compute(threshold_bp)
+        cur = coord.current()
+        if cur is None:
             return []
+        owner_idx, best, match_size = cur
+        if owner_idx != self._coord_idx:
+            return []  # another database owns this round
 
         scaled = max(self.scaled, cur_query_mh.scaled)
         cur_query_mh = cur_query_mh.downsample(scaled=scaled)
@@ -440,23 +412,30 @@ class FlatCounterGather:
         except ValueError:
             return []
 
-        best, match_size = self._sched[self._sched_pos]
         if match_size < n_threshold_hashes:
             return []
 
         match = self.index._signatures[best]
-        cont = cur_query_mh.contained_by(match.minhash, downsample=True)
-        assert cont
-        assert cont >= threshold
-
         match_mh = match.minhash.downsample(scaled=scaled).flatten()
         intersect_mh = cur_query_mh & match_mh
         if len(intersect_mh) != match_size:
-            raise RuntimeError(
-                "scheduled gather diverged from counter state "
-                f"(round {self._sched_pos}: planned overlap {match_size}, "
-                f"actual {len(intersect_mh)})"
+            # the schedule disagrees with live counter state — never abort
+            # a long gather over it (the reference's loop can't diverge and
+            # never aborts, `/root/reference/src/sourmash/search.py:877-949`);
+            # drop every counter back to exact host rounds and retry
+            from ..logging import notify
+
+            notify(
+                "WARNING: scheduled device gather diverged at round "
+                f"{coord.pos} (planned overlap {match_size}, actual "
+                f"{len(intersect_mh)}); falling back to host gather rounds."
             )
+            coord.fallback(cur_query_mh)
+            return self.peek(cur_query_mh, threshold_bp=threshold_bp)
+
+        cont = cur_query_mh.contained_by(match.minhash, downsample=True)
+        assert cont
+        assert cont >= threshold
 
         return (
             IndexSearchResult(cont, match, self.index._location),
@@ -513,9 +492,10 @@ class FlatCounterGather:
         intersect_mh: one fused AND+popcount pass over the membership
         matrix per bank group — no index re-scan."""
         self.query_started = 1
-        if self._use_schedule and self._sched is not None:
-            # scheduled rounds already applied every removal in-scan
-            self._sched_pos += 1
+        if self._use_schedule:
+            # scheduled rounds already applied every removal in-scan; the
+            # coordinator advances once all counters have consumed
+            self._coord.note_consume()
             return
         if not intersect_mh:
             return
@@ -542,3 +522,163 @@ class FlatCounterGather:
                 dec[i] += 1
         self.counts = np.where(active, self.counts - dec, self.counts)
         np.maximum(self.counts, 0, out=self.counts)
+
+
+class DeviceGatherSchedule:
+    """Coordinator for the device-scheduled gather over one or more
+    FlatCounterGather counters sharing the same query and scaled.
+
+    Every counter's matched-dataset membership bitsets (over the shared
+    query's element indices) concatenate counter-major into one [k, W] u32
+    matrix; ONE scan replays every greedy round — argmax, winner-bit
+    removal, AND+popcount decrements. A global argmax over the
+    concatenated rows reproduces the cross-database selection of
+    GatherDatabases._select_best exactly (reference
+    `src/sourmash/search.py:782-949`): score ties go to the
+    earliest-listed database (strict `>`), in-database ties to the lowest
+    dataset id (Counter.most_common insertion order) — both are what
+    "first index wins" argmax gives at uniform scaled.
+
+    With more than one visible jax device the scan runs SHARDED over all
+    of them (`parallel.make_sharded_bitset_scan`): rows split across the
+    mesh, winners agreed by pmax over (count, -id) keys, removals
+    psum-OR'd — `sourmash gather` rides the mesh whenever hardware is
+    present, with the full 25-column GatherResult machinery downstream.
+    """
+
+    def __init__(self, counters):
+        self.counters = list(counters)
+        self._sched = None  # [(counter_idx, dataset_id, count)]
+        self.pos = 0
+        self._consumed = 0
+        self.ready = False
+
+    def current(self):
+        "The (counter_idx, dataset_id, count) of the current round, or None."
+        if self._sched is None or self.pos >= len(self._sched):
+            return None
+        return self._sched[self.pos]
+
+    def note_consume(self):
+        "Advance one round once every participating counter has consumed."
+        self._consumed += 1
+        if self._consumed >= len(self.counters):
+            self._consumed = 0
+            self.pos += 1
+
+    def fallback(self, cur_query_mh):
+        "Drop every counter back to exact host peek/consume rounds."
+        self.ready = True
+        self._sched = []
+        for c in self.counters:
+            c._fallback_recount(cur_query_mh)
+
+    def compute(self, threshold_bp):
+        "Build the concatenated membership matrix and run the round scan."
+        self.ready = True
+        c0 = self.counters[0]
+        q = c0._q_mins
+        scaled = c0.scaled
+        if not len(q):
+            self._sched = []
+            return
+
+        W = -(-len(q) // 32)
+        rows = []  # global row -> (counter_idx, dataset_id)
+        mats = []
+        for ci, c in enumerate(self.counters):
+            assert c.scaled == scaled, "schedule requires uniform scaled"
+            matched, M = c._membership_bitsets(W)
+            mats.append(M)
+            rows.extend((ci, int(i)) for i in matched)
+        if not rows:
+            self._sched = []
+            return
+        M = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+        counts = np.concatenate(
+            [c.counts[np.nonzero(c.counts > 0)[0]] for c in self.counters]
+        ).astype(np.int32)
+
+        try:
+            _, n_th = calc_threshold_from_bp(threshold_bp, scaled, len(q))
+        except ValueError:
+            self._sched = []
+            return
+        thresh = np.int32(max(n_th, 1))
+
+        alive = np.zeros(W * 32, dtype=bool)
+        alive[: len(q)] = True
+        alive_p = (
+            alive.reshape(W, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)
+        ).sum(-1, dtype=np.uint32)
+
+        k = len(rows)
+        devices = jax.devices()
+        if len(devices) > 1:
+            # product multi-device path: rows sharded over every device
+            from ..parallel import make_sharded_bitset_scan
+
+            n_dev = len(devices)
+            k_pad = -(-k // n_dev) * n_dev
+            if k_pad != k:
+                M = np.concatenate(
+                    [M, np.zeros((k_pad - k, W), np.uint32)], axis=0
+                )
+                counts = np.concatenate(
+                    [counts, np.zeros(k_pad - k, np.int32)]
+                )
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(devices), ("shards",))
+            chunk = int(min(k, 256))
+            scan = make_sharded_bitset_scan(mesh, chunk)
+            carry = (jnp.asarray(alive_p), jnp.asarray(counts))
+            run = lambda c: scan(jnp.asarray(M), c[0], c[1], jnp.int32(thresh))
+        else:
+            chunk = int(min(k, 256))
+            Mj = jnp.asarray(M)
+            carry = (jnp.asarray(alive_p), jnp.asarray(counts))
+            run = lambda c: _schedule_scan(Mj, c, thresh, chunk)
+
+        schedule = []
+        while True:
+            carry, (bests, bcs) = run(carry)
+            b_np, c_np = np.asarray(bests), np.asarray(bcs)
+            done = False
+            for b, c in zip(b_np, c_np):
+                if b < 0:
+                    done = True
+                    break
+                ci, ds = rows[int(b)]
+                schedule.append((ci, ds, int(c)))
+            if done or len(schedule) >= k:
+                break
+        self._sched = schedule
+
+
+def schedule_device_gather(counters):
+    """Put a group of FlatCounterGather counters (one per database, same
+    query, uniform scaled) under one device-round schedule. Returns the
+    coordinator, or None if the group is ineligible (mixed counter types
+    or non-uniform scaled) — callers then keep the host peek/consume path.
+    Set SOURMASH_TPU_NO_SCHEDULE=1 to force host rounds."""
+    import os
+
+    if os.environ.get("SOURMASH_TPU_NO_SCHEDULE"):
+        return None
+    if not counters:
+        return None
+    if not all(isinstance(c, FlatCounterGather) for c in counters):
+        return None
+    if len({c.scaled for c in counters}) != 1:
+        return None
+    q0 = counters[0]._q_mins
+    if not all(np.array_equal(c._q_mins, q0) for c in counters[1:]):
+        return None
+    coord = DeviceGatherSchedule(counters)
+    for i, c in enumerate(counters):
+        c._use_schedule = True
+        c._coord = coord
+        c._coord_idx = i
+    return coord

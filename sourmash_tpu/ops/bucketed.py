@@ -357,6 +357,26 @@ def _spill_counts_qvm(q_full: np.ndarray, bank: BucketedRows, counts, cutoffs=No
     np.add.at(counts, sp_rows[hit], 1)
 
 
+def query_counts_device(bank: BucketedRows, q_packed):
+    """Async form of query_counts_bucketed: dispatch only, returning the
+    [padded rows] device counts (no spill correction, no readback) so
+    callers can fan out many chunks and sync once."""
+    qhi, qlo, qcnt, dq, tail = q_packed
+    return _counts_qvm(qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt)
+
+
+def query_cutoff_counts_device(bank: BucketedRows, cutoffs, q_packed):
+    "Async form of query_cutoff_counts_bucketed (stored-element counts only)."
+    cut = np.zeros(len(bank.cnt), dtype=np.uint64)
+    cut[: bank.n] = cutoffs
+    qhi, qlo, qcnt, dq, tail = q_packed
+    return _counts_qvm_cutoff(
+        qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt,
+        jnp.asarray((cut >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((cut & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+
+
 def query_counts_bucketed(q_full: np.ndarray, bank: BucketedRows, q_packed=None):
     """Sorted query u64 array vs a packed bank -> [n] exact counts.
 

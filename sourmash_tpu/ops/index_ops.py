@@ -199,17 +199,45 @@ def load_banks(dirpath) -> list[Bank]:
     return banks
 
 
+def _drain_chunk_counts(parts, q, counts, spill_cutoffs=None):
+    """Read every chunk's device counts back in ONE transfer (device-side
+    concatenation), then apply the exact host-side spill corrections.
+    parts: [(device counts [rows], chunk, ids)]. Over a tunneled chip each
+    blocking readback costs a full RTT, so per-chunk np.asarray calls —
+    not compute — dominated warm single-query latency."""
+    import jax.numpy as jnp
+
+    from .bucketed import _spill_counts_qvm
+
+    if not parts:
+        return
+    if len(parts) == 1:
+        host = np.asarray(parts[0][0])
+        offs = [0]
+    else:
+        host = np.asarray(jnp.concatenate([p[0] for p in parts]))
+        offs = np.cumsum([0] + [int(p[0].shape[0]) for p in parts[:-1]])
+    for (out, chunk, ids), off in zip(parts, offs):
+        c = host[off : off + len(ids)].astype(np.int64)
+        cuts = None if spill_cutoffs is None else spill_cutoffs[ids]
+        _spill_counts_qvm(q, chunk, c, cutoffs=cuts)
+        counts[ids] = c
+
+
 def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarray:
     "Per-dataset overlap counts of the sorted query with every bank row."
     counts = np.zeros(n_datasets, dtype=np.int64)
     if not len(query_mins):
         return counts
     q = np.asarray(query_mins, dtype=np.uint64)
+    from .bucketed import query_counts_device
+
+    parts = []
     for bank in banks:
         q_packed = pack_query_bucketed(q, bank.B)
         for chunk, ids in zip(bank.chunks, bank.ids):
-            out = query_counts_bucketed(q, chunk, q_packed=q_packed)
-            counts[ids] = out[: len(ids)]
+            parts.append((query_counts_device(chunk, q_packed), chunk, ids))
+    _drain_chunk_counts(parts, q, counts)
     return counts
 
 
@@ -222,13 +250,17 @@ def cutoff_counts_for_banks(
     if not len(query_mins):
         return counts
     q = np.asarray(query_mins, dtype=np.uint64)
+    from .bucketed import query_cutoff_counts_device
+
+    parts = []
     for bank in banks:
         q_packed = pack_query_bucketed(q, bank.B)
         for chunk, ids in zip(bank.chunks, bank.ids):
-            out = query_cutoff_counts_bucketed(
-                q, chunk, cutoffs[ids], q_packed=q_packed
+            parts.append(
+                (query_cutoff_counts_device(chunk, cutoffs[ids], q_packed),
+                 chunk, ids)
             )
-            counts[ids] = out[: len(ids)]
+    _drain_chunk_counts(parts, q, counts, spill_cutoffs=cutoffs)
     return counts
 
 

@@ -450,6 +450,74 @@ def make_sharded_gather_program(mesh: Mesh, n_datasets: int, max_rounds: int):
     return fn
 
 
+def make_sharded_bitset_scan(mesh: Mesh, length: int):
+    """Greedy gather rounds over a flat [k, W] u32 bitset membership
+    matrix with rows sharded across every device (the PRODUCT multi-device
+    gather path: `FlatCounterGather` feeds this when >1 device is present,
+    so `sourmash gather` rides the mesh with full GatherResult stat parity
+    downstream).
+
+    Bit j of word w in row k = (query hash 32w+j) ∈ dataset k. Per round:
+    each shard takes a local argmax, shards agree on the global winner via
+    a pmax over lexicographic (count, -global id) keys — identical
+    tie-breaking to single-device argmax (lowest id wins) and therefore to
+    Counter.most_common insertion order; the owner shard contributes the
+    winner's live bits (psum-OR), every shard decrements its local rows by
+    AND+popcount. Matches the semantics of the reference's greedy loop over
+    RocksDB posting lists
+    (`/root/reference/src/core/src/index/revindex/disk_revindex.rs:362-466`).
+
+    Returns jit(fn)(M [k,W] u32 sharded on rows, alive_p [W] u32,
+    counts [k] i32 sharded, thresh i32 scalar) ->
+    ((alive_p, counts), (best [length] i32, best_count [length] i32))
+    — same contract as `index.flat._schedule_scan`, chunk-drivable.
+    """
+
+    def _local(M, alive_p, cnt, thresh):
+        per = M.shape[0]
+        my0 = jax.lax.axis_index("shards").astype(jnp.int32) * per
+
+        def body(c, _):
+            al, cn = c
+            lb = jnp.argmax(cn).astype(jnp.int32)
+            lc = cn[lb]
+            gid = my0 + lb
+            # lexicographic max on (count, -gid): highest count, lowest id
+            key = (lc.astype(jnp.int64) << 32) | (
+                jnp.int64(0x7FFFFFFF) - gid.astype(jnp.int64)
+            )
+            gkey = jax.lax.pmax(key, "shards")
+            bc = (gkey >> 32).astype(jnp.int32)
+            best = (jnp.int64(0x7FFFFFFF) - (gkey & 0x7FFFFFFF)).astype(
+                jnp.int32
+            )
+            active = bc >= thresh
+            owner = (best >= my0) & (best < my0 + per)
+            local_ix = jnp.clip(best - my0, 0, per - 1)
+            rm = jnp.where(owner & active, M[local_ix], jnp.uint32(0)) & al
+            rm = jax.lax.psum(rm, "shards")  # one shard contributes: OR
+            dec = jnp.sum(
+                _popcount_u32(M & rm[None]).astype(jnp.int32),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            new_cn = jnp.where(active, jnp.maximum(cn - dec, 0), cn)
+            return (al & ~rm, new_cn), (
+                jnp.where(active, best, -1),
+                jnp.where(active, bc, 0),
+            )
+
+        return jax.lax.scan(body, (alive_p, cnt), None, length=length)
+
+    f = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P("shards", None), P(), P("shards"), P()),
+        out_specs=((P(), P("shards")), (P(), P())),
+    )
+    return jax.jit(f)
+
+
 def make_sharded_sketch(mesh: Mesh, ksize: int, cap: int, seed: int = 42):
     """Data-parallel sketching: sequence rows shard across 'data'; each
     device runs the fused sketch pipeline on its rows (no collectives —

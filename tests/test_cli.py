@@ -334,3 +334,62 @@ def test_sig_rename_zip_dedup(runtmp):
     names = [ss.name for ss in idx.signatures()]
     assert all(n == "NOSHEW" for n in names)
     assert len(names) == 6
+
+
+def test_cli_gather_two_revindex_scheduled_csv_identical(runtmp, monkeypatch):
+    """`gather` against TWO revindex databases takes the device-scheduled
+    path (one schedule spanning both; on this test mesh the round scan is
+    sharded over 8 virtual devices) and its 25-column CSV is byte-identical
+    to the host peek/consume rounds (SOURMASH_TPU_NO_SCHEDULE=1)."""
+    runtmp.sourmash(
+        "index", "-F", "revindex", "db47", utils_test_data("47.fa.sig"),
+        "-k", "31",
+    )
+    runtmp.sourmash(
+        "index", "-F", "revindex", "db63", utils_test_data("63.fa.sig"),
+        "-k", "31",
+    )
+
+    import sourmash_tpu.index.flat as flat
+
+    seen = {}
+    orig = flat.DeviceGatherSchedule.compute
+
+    def spy(self, threshold_bp):
+        seen["counters"] = len(self.counters)
+        return orig(self, threshold_bp)
+
+    monkeypatch.setattr(flat.DeviceGatherSchedule, "compute", spy)
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"), "db47", "db63",
+        "-o", "sched.csv",
+    )
+    assert seen.get("counters") == 2, "device schedule did not span both dbs"
+    assert "found 2 matches total" in runtmp.out
+
+    monkeypatch.setenv("SOURMASH_TPU_NO_SCHEDULE", "1")
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"), "db47", "db63",
+        "-o", "host.csv",
+    )
+
+    with open(runtmp.output("sched.csv"), "rb") as f1, open(
+        runtmp.output("host.csv"), "rb"
+    ) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_gather_abund_revindex_scheduled_csv_identical(runtmp, monkeypatch):
+    "Abundance-weighted gather through the scheduled revindex path."
+    against = [
+        utils_test_data(f"gather-abund/genome-s1{i}.fa.gz.sig") for i in "012"
+    ]
+    runtmp.sourmash("index", "-F", "revindex", "dbab", *against, "-k", "21")
+    q = utils_test_data("gather-abund/reads-s10x10-s11.sig")
+    runtmp.sourmash("gather", q, "dbab", "-o", "sched.csv")
+    monkeypatch.setenv("SOURMASH_TPU_NO_SCHEDULE", "1")
+    runtmp.sourmash("gather", q, "dbab", "-o", "host.csv")
+    with open(runtmp.output("sched.csv"), "rb") as f1, open(
+        runtmp.output("host.csv"), "rb"
+    ) as f2:
+        assert f1.read() == f2.read()

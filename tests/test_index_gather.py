@@ -327,3 +327,142 @@ def test_scheduled_gather_matches_per_round():
         return order
 
     assert run(True) == run(False)
+
+
+def _run_rounds(counters, qmh, threshold_bp=0):
+    "Drive GatherDatabases-style rounds; return [(name, overlap)] winners."
+    gd = GatherDatabases(
+        SourmashSignature(qmh, name="meta").to_frozen(),
+        counters,
+        threshold_bp=threshold_bp,
+    )
+    return [(r.match.name, r.intersect_bp) for r in gd]
+
+
+def test_multi_counter_scheduled_matches_host():
+    """One device schedule spanning several databases reproduces the host
+    cross-counter rounds: same winners from the same databases, same
+    overlaps, same stopping point (reference GatherDatabases semantics,
+    `/root/reference/src/sourmash/search.py:782-949`)."""
+    from sourmash_tpu.index.flat import schedule_device_gather
+
+    rng = np.random.default_rng(23)
+    n = 40
+    genomes = [
+        np.unique(rng.integers(1, 2**63, size=300, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    ids = rng.choice(n, size=12, replace=False)
+    meta = np.unique(
+        np.concatenate(
+            [genomes[i] for i in ids]
+            + [np.unique(rng.integers(1, 2**63, size=500, dtype=np.uint64))]
+        )
+    )
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+    query = SourmashSignature(qmh, name="meta").to_frozen()
+
+    # three databases of different sizes, including duplicate coverage
+    splits = [sigs[:15], sigs[15:28], sigs[28:] + sigs[:3]]
+
+    def run(schedule):
+        counters = []
+        for part in splits:
+            fi = FlatIndex(part)
+            counters.append(fi.counter_gather(query, threshold_bp=0))
+        if schedule:
+            coord = schedule_device_gather(counters)
+            assert coord is not None
+        return _run_rounds(counters, qmh)
+
+    host = run(False)
+    dev = run(True)
+    assert host == dev
+    assert len(host) >= 12
+
+
+def test_scheduled_divergence_falls_back(capsys):
+    """A schedule that disagrees with live counter state must not abort the
+    gather: the counters drop back to exact host rounds with a warning and
+    the results still match the pure-host run (reference never aborts
+    mid-loop, `/root/reference/src/sourmash/search.py:877-949`)."""
+    rng = np.random.default_rng(31)
+    n = 25
+    genomes = [
+        np.unique(rng.integers(1, 2**63, size=200, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    meta = np.unique(np.concatenate([genomes[i] for i in range(0, n, 2)]))
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+    query = SourmashSignature(qmh, name="meta").to_frozen()
+
+    fi = FlatIndex(sigs)
+    cg = fi.counter_gather(query, threshold_bp=0)
+    host = _run_rounds([fi.counter_gather(query, threshold_bp=0)], qmh)
+
+    cg.enable_device_schedule()
+    cg._coord.compute(0)
+    assert cg._coord._sched
+    # corrupt round 2's planned overlap -> divergence at that round
+    ci, ds, cnt = cg._coord._sched[2]
+    cg._coord._sched[2] = (ci, ds, cnt + 7)
+
+    got = _run_rounds([cg], qmh)
+    assert got == host
+    assert "falling back to host gather rounds" in capsys.readouterr().err
+
+
+def test_sharded_bitset_scan_matches_single_device():
+    """The mesh round scan (pmax winner agreement + psum-OR removal) equals
+    the single-device scan bit for bit, including cross-shard count ties
+    (lowest global id wins) and threshold stops."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from sourmash_tpu.index.flat import _schedule_scan
+    from sourmash_tpu.parallel import make_sharded_bitset_scan
+
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs >1 device")
+
+    rng = np.random.default_rng(5)
+    k, W = 24, 6  # 24 rows over a 192-bit query space
+    M = rng.integers(0, 2**32, size=(k, W), dtype=np.uint64).astype(np.uint32)
+    M[3] = M[11]  # force an exact tie between rows 3 and 11
+    alive_p = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+    counts = np.array(
+        [int(c) for c in np.unpackbits(M.view(np.uint8), axis=1).sum(1)],
+        dtype=np.int32,
+    )
+    thresh = np.int32(3)
+
+    carry1, (b1, c1) = _schedule_scan(
+        jnp.asarray(M), (jnp.asarray(alive_p), jnp.asarray(counts)), thresh, 30
+    )
+
+    mesh = Mesh(np.asarray(devices), ("shards",))
+    scan = make_sharded_bitset_scan(mesh, 30)
+    k_pad = -(-k // len(devices)) * len(devices)
+    Mp = np.concatenate([M, np.zeros((k_pad - k, W), np.uint32)])
+    cp = np.concatenate([counts, np.zeros(k_pad - k, np.int32)])
+    carry2, (b2, c2) = scan(
+        jnp.asarray(Mp), jnp.asarray(alive_p), jnp.asarray(cp),
+        jnp.int32(thresh),
+    )
+
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(carry1[0]), np.asarray(carry2[0]))

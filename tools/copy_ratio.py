@@ -46,6 +46,7 @@ PAIRS = {
     "sourmash_tpu/picklist.py": "picklist.py",
     "sourmash_tpu/command_sketch.py": "command_sketch.py",
     "sourmash_tpu/command_compute.py": "command_compute.py",
+    "sourmash_tpu/cli/utils.py": "cli/utils.py",
     "sourmash_tpu/minhash.py": "minhash.py",
     "sourmash_tpu/signature.py": "signature.py",
     "sourmash_tpu/compare.py": "compare.py",
