@@ -466,8 +466,9 @@ def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
     from .minhash import MINHASH_MAX_HASH
 
     if input_is_protein:
-        # protein path: host vectorized, record by record (cheap relative
-        # to DNA-scale inputs)
+        if not check_sequence and enc._aa_device_ok():
+            return _sketch_aa_file(sigs, filename, translate=False)
+        # host fallback: vectorized record by record
         n = None
         first_name = None
         for n, (name, seq) in enumerate(sequence_io.iter_records_bytes(filename)):
@@ -478,8 +479,13 @@ def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
             return None, None
         return n + 1, first_name
 
-    # translate path (DNA input, protein-family targets): host per record
+    # translate path (DNA input, protein-family targets)
     if any(not mh.is_dna for sig in sigs for mh in sig._all_minhashes()):
+        has_dna = any(
+            mh.is_dna for sig in sigs for mh in sig._all_minhashes()
+        )
+        if not check_sequence and not has_dna and enc._aa_device_ok():
+            return _sketch_aa_file(sigs, filename, translate=True)
         n = None
         first_name = None
         for n, (name, seq) in enumerate(sequence_io.iter_records_bytes(filename)):
@@ -543,6 +549,63 @@ def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
                     mh._insert_hashes(flat)
 
     return n, first_name
+
+
+def _sketch_aa_file(sigs, filename, *, translate: bool):
+    """Batched DEVICE sketching of a protein (or translate) file: all
+    records' amino-acid streams — six frames per record when translating —
+    are moltype-remapped on host, joined with zero separators, and hashed
+    in as few chip dispatches as possible; separator-crossing windows are
+    dropped by the kernel's validity stream. Hash-multiset-identical to the
+    per-record add_protein/add_sequence loop (the reference's per-record
+    SeqToHashes, `signature.rs:307-393`)."""
+    from .ops import encodings as enc
+    from .ops.sketch import aa_chunks_to_hashes
+
+    names = []
+    raws = []
+    for name, seq in sequence_io.iter_records_bytes(filename):
+        names.append(name)
+        raws.append(seq)
+    if not raws:
+        return None, None
+
+    targets = defaultdict(list)  # (aa_ksize, seed, moltype) -> [MinHash]
+    for sig in sigs:
+        for mh in sig._all_minhashes():
+            targets[(mh.ksize, mh.seed, mh.moltype)].append(mh)
+
+    for (k, seed, moltype), mhs in targets.items():
+        streams = []
+        for seq in raws:
+            arr = enc.upper(np.frombuffer(seq, dtype=np.uint8))
+            if translate:
+                rc = enc.revcomp(arr)
+                frames = [
+                    enc.translate_frame(s)
+                    for frame in range(3)
+                    for s in (arr[frame:], rc[frame:])
+                ]
+            else:
+                frames = [arr]
+            for fr in frames:
+                if fr.shape[0] >= k:
+                    # remap BEFORE joining: the zero separator must stay
+                    # invalid (remap tables map 0 to a real class byte)
+                    streams.append(enc.remap_aa(fr, moltype))
+        if not streams:
+            continue
+        sep = np.zeros(k, dtype=np.uint8)
+        parts = []
+        for fr in streams:
+            parts.append(fr)
+            parts.append(sep)
+        joined = np.concatenate(parts[:-1])
+        hashes = aa_chunks_to_hashes(joined, k, seed, mask_invalid=True)
+        for mh in mhs:
+            mh._insert_hashes(hashes)
+
+    return len(raws), names[0]
 
 
 def _split_joined(joined: bytes, names, ksize: int):

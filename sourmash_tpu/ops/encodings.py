@@ -154,15 +154,45 @@ def protein_hashes(aa_seq: np.ndarray, aa_ksize: int, moltype: str, seed: int = 
     n = aa_seq.shape[0] - aa_ksize + 1
     if n <= 0:
         return np.zeros(0, dtype=np.uint64)
+
+    mode = os.environ.get("SOURMASH_TPU_HOST_SKETCH", "auto")
+    if n >= (1 << 16) and mode == "auto" and _aa_device_ok():
+        # large aa streams hash on the chip (the protein half of the
+        # reference's hot sketch surface, `signature.rs:362-393`)
+        from .sketch import aa_chunks_to_hashes
+
+        return aa_chunks_to_hashes(np.ascontiguousarray(aa_seq), aa_ksize, seed)
+
     from .. import native
 
-    if os.environ.get("SOURMASH_TPU_HOST_SKETCH", "auto") != "numpy":
+    if mode != "numpy":
         h = native.hash_windows(aa_seq, aa_ksize, seed)
         if h is not None:
             return h
     w = _windows_np(np.ascontiguousarray(aa_seq), aa_ksize)
     with np.errstate(over="ignore"):
         return murmur3_x64_128_first64(np.ascontiguousarray(w), aa_ksize, seed, xp=np)
+
+
+def remap_aa(aa_seq: np.ndarray, moltype: str) -> np.ndarray:
+    "Apply the moltype's residue compression (no-op for 'protein')."
+    if moltype == "dayhoff":
+        return DAYHOFF[aa_seq]
+    if moltype == "hp":
+        return HP[aa_seq]
+    if moltype != "protein":
+        raise ValueError(f"invalid protein moltype {moltype!r}")
+    return aa_seq
+
+
+def _aa_device_ok() -> bool:
+    "Device aa hashing needs a non-CPU backend with the pallas kernel."
+    try:
+        from .sketch import _use_pallas_default
+
+        return _use_pallas_default()
+    except Exception:
+        return False
 
 
 def translate_hashes(seq: np.ndarray, aa_ksize: int, moltype: str, seed: int = 42):

@@ -189,12 +189,56 @@ def _hash_streams(squ, *, ksize: int, seed: int, rows: int, interpret: bool):
     return hi, lo, valid
 
 
+def _aa_hash_streams(squ, *, ksize: int, seed: int, rows: int, interpret: bool):
+    """Amino-acid hash pipeline: (brows, LANES) byte block -> (hi, lo,
+    valid) (rows, LANES). Protein windows hash as-is — no reverse
+    complement, no canonical compare, and every residue (incl. 'X'/'*')
+    is hashable (reference `signature.rs:362-393` applies no validity
+    filter) — so validity only marks windows that run past the sequence
+    into the zero padding (aa bytes are ASCII letters/'*', never 0)."""
+    nlimbs = -(-ksize // 4)
+    rem = ksize - 4 * (nlimbs - 1)
+
+    valid1 = (squ != 0).astype(jnp.uint32)
+    valid = _valid_window_stream(valid1, ksize, interpret)[:rows]
+
+    c0 = squ[: rows + 1]
+    c1 = _shift_stream(squ[: rows + 2], 1, interpret)
+    c2 = _shift_stream(squ[: rows + 3], 2, interpret)[: rows + 1]
+    c3 = _shift_stream(squ[: rows + 4], 3, interpret)[: rows + 1]
+    L0 = (
+        c0
+        | (c1 << np.uint32(8))
+        | (c2 << np.uint32(16))
+        | (c3 << np.uint32(24))
+    )
+
+    last_mask = (
+        np.uint32(0xFFFFFFFF) if rem == 4 else np.uint32((1 << (8 * rem)) - 1)
+    )
+    flimbs = [_shift_stream(L0, 4 * b, interpret) for b in range(nlimbs)]
+    flimbs[-1] = flimbs[-1] & last_mask
+
+    zero = jnp.zeros((rows, LANES), dtype=jnp.uint32)
+    nwords = -(-ksize // 8)
+    words = []
+    for w in range(nwords):
+        lo_limb = flimbs[2 * w]
+        hi_limb = flimbs[2 * w + 1] if 2 * w + 1 < len(flimbs) else zero
+        words.append((hi_limb, lo_limb))
+    if len(words) % 2:
+        words.append((zero, zero))
+
+    hi, lo = murmur_words32(words, ksize, seed, (rows, LANES))
+    return hi, lo, valid
+
+
 def _sketch_block_kernel(
     squ_ref, hi_ref, lo_ref, valid_ref, *, ksize: int, seed: int, rows: int,
-    interpret: bool
+    interpret: bool, streams=_hash_streams
 ):
     squ = squ_ref[:].astype(jnp.uint32)
-    hi, lo, valid = _hash_streams(
+    hi, lo, valid = streams(
         squ, ksize=ksize, seed=seed, rows=rows, interpret=interpret
     )
     hi_ref[:] = hi
@@ -341,25 +385,7 @@ def sketch_survivor_slots_pallas(
     return slots_hi, slots_lo, counts
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ksize", "seed", "rows", "interpret")
-)
-def window_hash_pairs_pallas(
-    squ,
-    *,
-    ksize: int,
-    seed: int = 42,
-    rows: int = DEFAULT_ROWS,
-    interpret: bool = False,
-):
-    """Canonical murmur hashes + validity for all windows of an uppercased
-    byte array.
-
-    squ: [S] or [B, S] uint8 — uppercased sequence(s). Returns
-    (hi, lo, valid) uint32 arrays of shape [n_pad] (or [B, n_pad]) where
-    n_pad = ceil((S - ksize + 1) / (rows*128)) * rows*128; entries past the
-    real window count have valid == 0 (zero padding is non-ACGT).
-    """
+def _window_hash_pairs_impl(squ, ksize, seed, rows, interpret, streams):
     batched = squ.ndim == 2
     if not batched:
         squ = squ[None, :]
@@ -387,6 +413,7 @@ def window_hash_pairs_pallas(
         seed=seed,
         rows=rows,
         interpret=interpret,
+        streams=streams,
     )
     hi, lo, valid = pl.pallas_call(
         kernel,
@@ -414,3 +441,50 @@ def window_hash_pairs_pallas(
     if not batched:
         return hi[0], lo[0], valid[0]
     return hi, lo, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "rows", "interpret")
+)
+def window_hash_pairs_pallas(
+    squ,
+    *,
+    ksize: int,
+    seed: int = 42,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Canonical murmur hashes + validity for all windows of an uppercased
+    byte array.
+
+    squ: [S] or [B, S] uint8 — uppercased sequence(s). Returns
+    (hi, lo, valid) uint32 arrays of shape [n_pad] (or [B, n_pad]) where
+    n_pad = ceil((S - ksize + 1) / (rows*128)) * rows*128; entries past the
+    real window count have valid == 0 (zero padding is non-ACGT).
+    """
+    return _window_hash_pairs_impl(
+        squ, ksize, seed, rows, interpret, _hash_streams
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ksize", "seed", "rows", "interpret")
+)
+def aa_window_hash_pairs_pallas(
+    squ,
+    *,
+    ksize: int,
+    seed: int = 42,
+    rows: int = DEFAULT_ROWS,
+    interpret: bool = False,
+):
+    """Murmur hashes for all amino-acid windows of an uppercased (and, for
+    dayhoff/hp, pre-remapped) aa byte array — the protein half of the
+    reference's sketch surface (`signature.rs:362-393`) on the chip.
+    Same contract as window_hash_pairs_pallas; `valid` marks windows fully
+    inside the true sequence (zero padding is invalid, every real residue
+    hashes). ~2x the DNA rate: no reverse complement or canonical compare.
+    """
+    return _window_hash_pairs_impl(
+        squ, ksize, seed, rows, interpret, _aa_hash_streams
+    )

@@ -459,6 +459,61 @@ def seq_chunks_to_hashes(
     return np.concatenate(out)
 
 
+def aa_chunks_to_hashes(
+    aa_arr: np.ndarray,
+    ksize: int,
+    seed: int = 42,
+    chunk: int = 1 << 21,
+    mask_invalid: bool = False,
+):
+    """Device driver for amino-acid window hashing: uppercased (and, for
+    dayhoff/hp, pre-remapped) aa bytes -> np.uint64 hashes for ALL windows
+    in order (the protein SeqToHashes contract,
+    `/root/reference/src/core/src/signature.rs:362-393` — no residue
+    validity filtering; callers threshold downstream). Chunks batch into as
+    few dispatches as possible; the trailing-window count trims block
+    padding. With mask_invalid, windows containing a zero byte are dropped
+    (the record-separator convention of the batched CLI path — aa bytes are
+    ASCII letters/'*', never 0)."""
+    from .pallas_sketch import aa_window_hash_pairs_pallas
+
+    S = aa_arr.shape[0]
+    n_total = S - ksize + 1
+    if n_total <= 0:
+        return np.zeros(0, dtype=np.uint64)
+
+    pieces = []
+    counts = []
+    for s in range(0, n_total, chunk):
+        e = min(s + chunk + ksize - 1, S)
+        piece = aa_arr[s:e]
+        counts.append(piece.shape[0] - ksize + 1)
+        pad = (chunk + ksize - 1) - piece.shape[0]
+        if pad > 0:
+            piece = np.concatenate([piece, np.zeros(pad, dtype=np.uint8)])
+        pieces.append(piece)
+
+    interp = _ops_default_backend() == "cpu"
+    out = []
+    max_batch = 32
+    for b0 in range(0, len(pieces), max_batch):
+        batch = np.stack(pieces[b0 : b0 + max_batch])
+        hi, lo, valid = aa_window_hash_pairs_pallas(
+            jnp.asarray(batch), ksize=ksize, seed=seed, interpret=interp
+        )
+        hi = np.asarray(hi)
+        lo = np.asarray(lo)
+        valid = np.asarray(valid)
+        for i, cnt in enumerate(counts[b0 : b0 + max_batch]):
+            h = (hi[i, :cnt].astype(np.uint64) << np.uint64(32)) | lo[
+                i, :cnt
+            ].astype(np.uint64)
+            if mask_invalid:
+                h = h[valid[i, :cnt] != 0]
+            out.append(h)
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.uint64)
+
+
 def hashes_to_mins(hashes: np.ndarray, track_abundance: bool):
     "Survivor hash multiset -> (sorted unique mins, abundances|None)."
     if hashes.size == 0:

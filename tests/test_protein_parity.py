@@ -4,6 +4,8 @@ known-good signatures (computed by its independent oracle scripts)."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 import sourmash_tpu
 from sourmash_tpu import MinHash
 from sourmash_tpu.signature import load_signatures_from_json, SourmashSignature
@@ -114,3 +116,100 @@ def test_translate_codon_table():
     assert translate_codon("NNN") == "X"
     assert translate_codon("AT") == "X"  # 2-mer + N -> not in table
     assert translate_codon("A") == "X"
+
+
+class TestDeviceAAKernel:
+    """The pallas amino-acid window kernel (interpret mode on CPU) is
+    value-exact against the host numpy murmur loop — protein, dayhoff and
+    hp remaps, plus the 6-frame translate driver."""
+
+    def _host(self, aa, k, seed=42):
+        from sourmash_tpu.ops.murmur import murmur3_x64_128_first64
+
+        w = np.lib.stride_tricks.sliding_window_view(aa, k)
+        with np.errstate(over="ignore"):
+            return murmur3_x64_128_first64(np.ascontiguousarray(w), k, seed, xp=np)
+
+    @pytest.mark.parametrize("k", [7, 10, 17])
+    def test_aa_kernel_matches_host(self, k):
+        from sourmash_tpu.ops.pallas_sketch import aa_window_hash_pairs_pallas
+
+        rng = np.random.default_rng(3)
+        aa = rng.choice(
+            np.frombuffer(b"ACDEFGHIKLMNPQRSTVWYX*", dtype=np.uint8), size=4000
+        )
+        n = len(aa) - k + 1
+        hi, lo, valid = aa_window_hash_pairs_pallas(
+            jnp.asarray(aa[None, :]), ksize=k, interpret=True
+        )
+        got = (np.asarray(hi)[0, :n].astype(np.uint64) << np.uint64(32)) | (
+            np.asarray(lo)[0, :n].astype(np.uint64)
+        )
+        assert np.array_equal(got, self._host(aa, k))
+        v = np.asarray(valid)[0]
+        assert v[:n].all() and not v[n:].any()
+
+    def test_aa_chunks_driver_matches_host(self):
+        "Multi-chunk driver: ordering and chunk boundaries are exact."
+        from sourmash_tpu.ops.sketch import aa_chunks_to_hashes
+
+        rng = np.random.default_rng(5)
+        aa = rng.choice(
+            np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8),
+            size=3 * 4096 + 11,
+        )
+        got = aa_chunks_to_hashes(aa, 10, chunk=4096)
+        assert np.array_equal(got, self._host(aa, 10))
+
+    def test_protein_hashes_device_branch(self, monkeypatch):
+        """protein_hashes routes big streams through the device kernel and
+        the result equals the native/numpy loop, for all three moltypes."""
+        from sourmash_tpu.ops import encodings as enc
+
+        monkeypatch.setattr(enc, "_aa_device_ok", lambda: True)
+        rng = np.random.default_rng(7)
+        aa = rng.choice(
+            np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8),
+            size=(1 << 16) + 123,
+        )
+        for moltype in ("protein", "dayhoff", "hp"):
+            dev = enc.protein_hashes(aa, 10, moltype)
+            monkeypatch.setenv("SOURMASH_TPU_HOST_SKETCH", "numpy")
+            host = enc.protein_hashes(aa, 10, moltype)
+            monkeypatch.delenv("SOURMASH_TPU_HOST_SKETCH")
+            assert np.array_equal(dev, host), moltype
+
+
+class TestBatchedAASketchFile:
+    """The batched device path for `sketch protein`/`sketch translate`
+    (_sketch_aa_file: remap -> zero-separator join -> one chip stream) is
+    md5-identical to the per-record host loop on reference test data."""
+
+    @pytest.mark.parametrize("translate", [False, True])
+    @pytest.mark.parametrize("moltype", ["protein", "dayhoff", "hp"])
+    def test_batched_matches_per_record(self, monkeypatch, translate, moltype):
+        from sourmash_tpu.command_sketch import _sketch_whole_file
+        from sourmash_tpu.ops import encodings as enc
+
+        fn = utils_test_data("ecoli.genes.fna" if translate else "ecoli.faa")
+
+        def build(device):
+            monkeypatch.setattr(
+                enc, "_aa_device_ok", lambda: device
+            )
+            mh = MinHash(
+                0, 7, is_protein=True,
+                dayhoff=moltype == "dayhoff", hp=moltype == "hp",
+                scaled=20, track_abundance=True,
+            )
+            sig = SourmashSignature(mh)
+            n, first = _sketch_whole_file(
+                [sig], fn, input_is_protein=not translate,
+                check_sequence=False,
+            )
+            assert n
+            return mh
+
+        dev = build(True)
+        host = build(False)
+        assert dev.hashes == host.hashes  # values AND abundances
