@@ -40,6 +40,7 @@ class FlatIndex(Index):
         self._banks_dir = None  # optional on-disk packed planes (revindex v3)
         self._ds_mins = None
         self._scaled = None
+        self._cuts_cache = None  # (q_scaled, cuts, subj_sizes)
 
     @property
     def location(self):
@@ -143,23 +144,44 @@ class FlatIndex(Index):
         q_scaled = query_mh.scaled
         q_mins = query_mh.mins_array()
         n = len(self._signatures)
-        cuts = np.zeros(n, dtype=np.uint64)
-        for i, ss in enumerate(self._signatures):
-            cuts[i] = _get_max_hash_for_scaled(max(q_scaled, ss.minhash.scaled))
+        if self._cuts_cache is None or self._cuts_cache[0] != q_scaled:
+            cuts = np.zeros(n, dtype=np.uint64)
+            for i, ss in enumerate(self._signatures):
+                cuts[i] = _get_max_hash_for_scaled(
+                    max(q_scaled, ss.minhash.scaled)
+                )
+            # subject size under the pairwise cutoff: every subject hash
+            # already sits below its own max_hash, so when the cutoff is
+            # the subject's own (>= its last min) the size is just len —
+            # only coarser-than-query subjects need the searchsorted
+            subj_sizes = np.fromiter(
+                (len(m) for m in self._ds_mins), dtype=np.int64, count=n
+            )
+            for i in np.nonzero(
+                [len(m) > 0 and m[-1] > cuts[i] for i, m in enumerate(self._ds_mins)]
+            )[0]:
+                subj_sizes[i] = np.searchsorted(
+                    self._ds_mins[i], cuts[i], side="right"
+                )
+            self._cuts_cache = (q_scaled, cuts, subj_sizes)
+        _, cuts, subj_sizes = self._cuts_cache
         shared = cutoff_counts_for_banks(self._banks, q_mins, cuts, n)
         q_sizes = np.searchsorted(q_mins, cuts, side="right")
-        for i, ss in enumerate(self._signatures):
+        # a zero overlap can only score above a zero threshold; skip the
+        # Python loop over the (vast) non-matching tail when it can't pass
+        if search_fn.passes(0.0):
+            idxs = range(n)
+        else:
+            idxs = np.nonzero(shared > 0)[0]
+        for i in idxs:
             shared_size = int(shared[i])
             query_size = int(q_sizes[i])
-            subj_size = int(
-                np.searchsorted(self._ds_mins[i], cuts[i], side="right")
-            )
-            total_size = query_size + subj_size - shared_size
+            total_size = query_size + int(subj_sizes[i]) - shared_size
             score = search_fn.score_fn(
-                query_size, shared_size, subj_size, total_size
+                query_size, shared_size, int(subj_sizes[i]), total_size
             )
             if search_fn.passes(score):
-                if search_fn.collect(score, ss):
+                if search_fn.collect(score, ss := self._signatures[i]):
                     yield IndexSearchResult(score, ss, self._location)
 
     def counter_gather(self, query, threshold_bp, **kwargs):
