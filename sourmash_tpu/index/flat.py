@@ -650,13 +650,20 @@ class DeviceGatherSchedule:
                 counts = np.concatenate(
                     [counts, np.zeros(k_pad - k, np.int32)]
                 )
-            from jax.sharding import Mesh
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
 
             mesh = Mesh(np.asarray(devices), ("shards",))
             chunk = int(min(k, 256))
             scan = make_sharded_bitset_scan(mesh, chunk)
-            carry = (jnp.asarray(alive_p), jnp.asarray(counts))
-            run = lambda c: scan(jnp.asarray(M), c[0], c[1], jnp.int32(thresh))
+            # place M/counts sharded ONCE — re-passing host arrays would
+            # re-upload the (potentially GB-scale) matrix every chunk
+            Mdev = jax.device_put(M, NamedSharding(mesh, P("shards", None)))
+            carry = (
+                jnp.asarray(alive_p),
+                jax.device_put(counts, NamedSharding(mesh, P("shards"))),
+            )
+            run = lambda c: scan(Mdev, c[0], c[1], jnp.int32(thresh))
         else:
             chunk = int(min(k, 256))
             Mj = jnp.asarray(M)

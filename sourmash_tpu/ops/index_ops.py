@@ -234,11 +234,31 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
 
     parts = []
     for bank in banks:
-        q_packed = pack_query_bucketed(q, bank.B)
+        q_packed = _cached_query_pack(q, bank.B)
         for chunk, ids in zip(bank.chunks, bank.ids):
             parts.append((query_counts_device(chunk, q_packed), chunk, ids))
     _drain_chunk_counts(parts, q, counts)
     return counts
+
+
+# tiny LRU of packed+uploaded query planes: prefetch -> counter build ->
+# scheduled gather all pack the SAME query; re-packing + re-uploading costs
+# several ms + a tunnel round-trip each time
+_QPACK_CACHE: dict = {}
+
+
+def _cached_query_pack(q: np.ndarray, B: int):
+    import hashlib
+
+    key = (hashlib.md5(q.tobytes()).hexdigest(), B)
+    hit = _QPACK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    packed = pack_query_bucketed(q, B)
+    if len(_QPACK_CACHE) >= 8:
+        _QPACK_CACHE.pop(next(iter(_QPACK_CACHE)))
+    _QPACK_CACHE[key] = packed
+    return packed
 
 
 def cutoff_counts_for_banks(
@@ -254,7 +274,7 @@ def cutoff_counts_for_banks(
 
     parts = []
     for bank in banks:
-        q_packed = pack_query_bucketed(q, bank.B)
+        q_packed = _cached_query_pack(q, bank.B)
         for chunk, ids in zip(bank.chunks, bank.ids):
             parts.append(
                 (query_cutoff_counts_device(chunk, cutoffs[ids], q_packed),
