@@ -121,7 +121,6 @@ def split_sketch(squ, max_hash, *, ksize=KSIZE, rows=ROWS, slots=4):
     idx = starts[:, None] + offs[None, :]
     squ_blocks = squ32[:, idx].reshape(B * nblocks * brows, LANES)
 
-    n_streams = 2 * (-(-ksize // 8) + (-(-ksize // 8)) % 2)  # padded pairs*2
     n_words = -(-ksize // 8)
     if n_words % 2:
         n_words += 1
