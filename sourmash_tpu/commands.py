@@ -1029,102 +1029,130 @@ def multigather(args):
         args.db, first_query, False, fail_on_empty_database=args.fail_on_empty_database
     )
 
-    n = 0
-    size_may_be_inaccurate = False
-    used_output_bases = set()
+    # materialize the query list so flat/revindex databases can precompute
+    # every query's overlap counts in BATCHED device passes (the index
+    # planes stream once per query block, not once per query — decisive
+    # for beyond-HBM host-streamed collections)
+    all_queries = []
     for queryfile in inp_files:
         for query in sourmash_args.load_file_as_signatures(
             queryfile, ksize=args.ksize, select_moltype=moltype
         ):
-            _announce_query(query)
+            all_queries.append(query)
+    from .index.flat import FlatIndex
 
-            if not query.minhash.scaled:
-                error("query signature needs to be created with --scaled; skipping")
+    warm_mhs = []
+    for query in all_queries:
+        mh = query.minhash
+        if not mh.scaled:
+            continue
+        if args.scaled and args.scaled != mh.scaled:
+            try:
+                # silent twin of the loop's downsample (which notifies);
+                # only the cache key needs the downsampled mins
+                mh = mh.downsample(scaled=int(args.scaled))
+            except ValueError:
                 continue
+        if len(mh):
+            warm_mhs.append(mh.flatten())
+    if warm_mhs:
+        for db in databases:
+            if isinstance(db, FlatIndex):
+                db.warm_gather_counts(warm_mhs)
 
-            query = _downsample_query_inplace(query, args.scaled)
+    n = 0
+    size_may_be_inaccurate = False
+    used_output_bases = set()
+    for query in all_queries:
+        _announce_query(query)
 
-            if not len(query.minhash):
-                error("no query hashes!? skipping to next..")
-                continue
+        if not query.minhash.scaled:
+            error("query signature needs to be created with --scaled; skipping")
+            continue
 
-            # per-query prefetch sweep (always on for multigather)
-            sweep = _PrefetchSweep(query, args.threshold_bp)
-            for db in databases:
-                sweep.sweep_one(db)
+        query = _downsample_query_inplace(query, args.scaled)
 
-            if sweep.counters:
-                from .index.flat import schedule_device_gather
+        if not len(query.minhash):
+            error("no query hashes!? skipping to next..")
+            continue
 
-                schedule_device_gather(sweep.counters)
+        # per-query prefetch sweep (always on for multigather)
+        sweep = _PrefetchSweep(query, args.threshold_bp)
+        for db in databases:
+            sweep.sweep_one(db)
 
-            is_abundance = query.minhash.track_abundance and not args.ignore_abundance
-            orig_query_mh = query.minhash
-            gather_iter = GatherDatabases(
-                query,
-                sweep.counters,
-                threshold_bp=args.threshold_bp,
-                ignore_abundance=args.ignore_abundance,
-                noident_mh=sweep.noident_mh,
-                ident_mh=sweep.ident_mh,
+        if sweep.counters:
+            from .index.flat import schedule_device_gather
+
+            schedule_device_gather(sweep.counters)
+
+        is_abundance = query.minhash.track_abundance and not args.ignore_abundance
+        orig_query_mh = query.minhash
+        gather_iter = GatherDatabases(
+            query,
+            sweep.counters,
+            threshold_bp=args.threshold_bp,
+            ignore_abundance=args.ignore_abundance,
+            noident_mh=sweep.noident_mh,
+            ident_mh=sweep.ident_mh,
+        )
+
+        output_base = _multigather_output_base(query, args, used_output_bases)
+
+        output_matches = output_base + ".matches.sig"
+        save_sig_obj = SaveSignaturesToLocation(output_matches)
+        save_sig = save_sig_obj.__enter__()
+        notify(f"saving all matching signatures to '{output_matches}'")
+
+        output_csv = output_base + ".csv"
+        notify(f'saving all CSV matches to "{output_csv}"')
+        csv_out_obj = FileOutputCSV(output_csv)
+        csv_outfp = csv_out_obj.__enter__()
+
+        report = _GatherReport(is_abundance, csv_fp=csv_outfp)
+
+        for result in gather_iter:
+            report.row(result)
+            save_sig.add(result.match)
+            if not size_may_be_inaccurate and result.size_may_be_inaccurate:
+                size_may_be_inaccurate = True
+
+        if gather_iter.query.minhash:
+            notify(
+                f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
             )
 
-            output_base = _multigather_output_base(query, args, used_output_bases)
+        print_results("\nfound {} matches total;", report.found)
 
-            output_matches = output_base + ".matches.sig"
-            save_sig_obj = SaveSignaturesToLocation(output_matches)
-            save_sig = save_sig_obj.__enter__()
-            notify(f"saving all matching signatures to '{output_matches}'")
+        save_sig_obj.close()
+        save_sig_obj = save_sig = None
 
-            output_csv = output_base + ".csv"
-            notify(f'saving all CSV matches to "{output_csv}"')
-            csv_out_obj = FileOutputCSV(output_csv)
-            csv_outfp = csv_out_obj.__enter__()
+        csv_out_obj.close()
+        csv_out_obj = csv_outfp = None
 
-            report = _GatherReport(is_abundance, csv_fp=csv_outfp)
+        report.coverage_summary()
+        print_results("")
 
-            for result in gather_iter:
-                report.row(result)
-                save_sig.add(result.match)
-                if not size_may_be_inaccurate and result.size_may_be_inaccurate:
-                    size_may_be_inaccurate = True
+        if report.found == 0:
+            notify("nothing found... skipping.")
+            continue
 
-            if gather_iter.query.minhash:
-                notify(
-                    f"found less than {format_bp(args.threshold_bp)} in common. => exiting"
-                )
+        # save unassigned (remaining + unidentified) hashes
+        output_unassigned = output_base + f".unassigned{args.extension}"
+        remaining_query = _assemble_unassigned(
+            gather_iter, sweep.noident_mh, is_abundance, orig_query_mh,
+            downsample_noident=True,
+        )
 
-            print_results("\nfound {} matches total;", report.found)
+        if remaining_query:
+            notify(f'saving unassigned hashes to "{output_unassigned}"')
+        else:
+            notify("no unassigned hashes! not saving.")
 
-            save_sig_obj.close()
-            save_sig_obj = save_sig = None
+        with SaveSignaturesToLocation(output_unassigned) as save_sig:
+            save_sig.add(remaining_query)
 
-            csv_out_obj.close()
-            csv_out_obj = csv_outfp = None
-
-            report.coverage_summary()
-            print_results("")
-
-            if report.found == 0:
-                notify("nothing found... skipping.")
-                continue
-
-            # save unassigned (remaining + unidentified) hashes
-            output_unassigned = output_base + f".unassigned{args.extension}"
-            remaining_query = _assemble_unassigned(
-                gather_iter, sweep.noident_mh, is_abundance, orig_query_mh,
-                downsample_noident=True,
-            )
-
-            if remaining_query:
-                notify(f'saving unassigned hashes to "{output_unassigned}"')
-            else:
-                notify("no unassigned hashes! not saving.")
-
-            with SaveSignaturesToLocation(output_unassigned) as save_sig:
-                save_sig.add(remaining_query)
-
-            n += 1
+        n += 1
 
     notify(f"\nconducted gather searches on {n} signatures")
     if size_may_be_inaccurate:

@@ -41,6 +41,7 @@ class FlatIndex(Index):
         self._ds_mins = None
         self._scaled = None
         self._cuts_cache = None  # (q_scaled, cuts, subj_sizes)
+        self._counts_cache = {}  # md5(query mins) -> counts (pop on hit)
 
     @property
     def location(self):
@@ -61,6 +62,8 @@ class FlatIndex(Index):
         self._banks_dir = None  # stale on-disk planes must not be reloaded
         self._ds_mins = None
         self._scaled = None
+        self._cuts_cache = None
+        self._counts_cache = {}
 
     def save(self, path):
         "Persist as a disk revindex directory (the on-disk form of this index)."
@@ -116,10 +119,49 @@ class FlatIndex(Index):
 
     def counts_for(self, query_mins: np.ndarray) -> np.ndarray:
         "Overlap counts of the (already downsampled) query with each dataset."
+        if self._counts_cache:
+            import hashlib
+
+            key = hashlib.md5(
+                np.ascontiguousarray(query_mins).tobytes()
+            ).digest()
+            hit = self._counts_cache.pop(key, None)
+            if hit is not None:
+                return hit.copy()
         self._build()
         return counts_for_banks(
             self._banks, query_mins, n_datasets=len(self._signatures)
         )
+
+    def warm_gather_counts(self, query_mhs, block: int = 8) -> None:
+        """Precompute counter_gather overlap counts for MANY queries in
+        batched device passes (the bank planes stream once per `block`
+        queries). Each row lands in a pop-on-hit cache that the next
+        `counter_gather(query)` for that query consumes — `multigather`
+        warms all its queries up front (reference drives every query
+        through per-db prefetch separately,
+        `/root/reference/src/sourmash/commands.py:1124+`)."""
+        import hashlib
+
+        from ..ops.index_ops import counts_for_banks_batch
+
+        self._build()
+        qs = []
+        for mh in query_mhs:
+            if not mh.scaled:
+                continue
+            scaled = max(mh.scaled, self._scaled)
+            cutoff = np.uint64(_get_max_hash_for_scaled(scaled))
+            q = mh.mins_array()
+            qs.append(q[q <= cutoff])
+        if not qs:
+            return
+        rows = counts_for_banks_batch(
+            self._banks, qs, len(self._signatures), block=block
+        )
+        for q, row in zip(qs, rows):
+            key = hashlib.md5(np.ascontiguousarray(q).tobytes()).digest()
+            self._counts_cache[key] = row
 
     # -- search protocol ---------------------------------------------------
 

@@ -211,6 +211,25 @@ def pack_query_bucketed(q: np.ndarray, B: int, device=True):
     return hi, lo, cnt, dq, tail
 
 
+def pack_query_block(qs, B: int):
+    """Pack several sorted distinct u64 queries into one shared-shape block
+    (Qhi [bq, dq, B], Qlo, Qcnt [bq, B]) with dq the max bucket load over
+    the block; unused slots hold PAD (counted out via Qcnt exactly like the
+    single-query planes). 2**64-1 tails are excluded at pack time — the
+    subject-spill join covers them (it can only match a subject spill)."""
+    packs = [pack_query_bucketed(q, B, device=False) for q in qs]
+    dq = max(p[3] for p in packs)
+    bq = len(qs)
+    Qhi = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    Qlo = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
+    Qcnt = np.zeros((bq, B), dtype=np.uint8)
+    for i, (hi, lo, cnt, dqi, _tail) in enumerate(packs):
+        Qhi[i, :dqi] = hi
+        Qlo[i, :dqi] = lo
+        Qcnt[i] = cnt
+    return Qhi, Qlo, Qcnt
+
+
 def popcount_u32(x):
     "SWAR population count per u32 lane."
     x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))

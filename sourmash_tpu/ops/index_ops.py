@@ -241,6 +241,46 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
     return counts
 
 
+def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
+    """Overlap counts of MANY queries with every bank row in batched device
+    passes: [len(queries), n_datasets]. One `_counts_block` dispatch per
+    (bank chunk, query block) — the bank planes stream from HBM once per
+    `block` queries instead of once per query (the win that matters for
+    beyond-HBM host-streamed collections)."""
+    import jax.numpy as jnp
+
+    from .bucketed import _counts_block, _spill_counts_qvm, pack_query_block
+
+    qs = [np.asarray(q, dtype=np.uint64) for q in queries]
+    out = np.zeros((len(qs), n_datasets), dtype=np.int64)
+    for b0 in range(0, len(qs), block):
+        sub = qs[b0 : b0 + block]
+        for bank in banks:
+            Qhi, Qlo, Qcnt = pack_query_block(sub, bank.B)
+            Qhi, Qlo = jnp.asarray(Qhi), jnp.asarray(Qlo)
+            Qcnt = jnp.asarray(Qcnt)
+            parts = []
+            for chunk, ids in zip(bank.chunks, bank.ids):
+                parts.append(
+                    (_counts_block(Qhi, Qlo, Qcnt, chunk.hi, chunk.lo,
+                                   chunk.cnt), chunk, ids)
+                )
+            host = (
+                np.asarray(jnp.concatenate([p[0] for p in parts], axis=1))
+                if len(parts) > 1
+                else np.asarray(parts[0][0])
+            )
+            off = 0
+            for dev, chunk, ids in parts:
+                width = int(dev.shape[1])
+                for qi, q in enumerate(sub):
+                    c = host[qi, off : off + len(ids)].astype(np.int64)
+                    _spill_counts_qvm(q, chunk, c)
+                    out[b0 + qi, ids] = c
+                off += width
+    return out
+
+
 # tiny LRU of packed+uploaded query planes: prefetch -> counter build ->
 # scheduled gather all pack the SAME query; re-packing + re-uploading costs
 # several ms + a tunnel round-trip each time

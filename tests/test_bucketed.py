@@ -293,3 +293,82 @@ def test_compare_angular_batched_matches_host():
                 continue
             expect = sigs[i].minhash.angular_similarity(sigs[j].minhash)
             assert got[i, j] == expect, (i, j, got[i, j], expect)
+
+
+def test_counts_for_banks_batch_matches_single():
+    """Batched multi-query counting (one _counts_block pass per query
+    block) equals per-query counts, including subject spills and the
+    2**64-1 tail hash."""
+    from sourmash_tpu.ops import index_ops
+
+    rng = np.random.default_rng(9)
+    mins_list = [
+        np.unique(rng.integers(1, 2**63, size=n, dtype=np.uint64))
+        for n in (50, 400, 3, 1000, 256)
+    ]
+    # force a spill + the all-ones hash into one dataset
+    mins_list[1] = np.unique(
+        np.concatenate(
+            [mins_list[1],
+             np.arange(1, 33, dtype=np.uint64) * np.uint64(1 << 20),
+             [np.uint64(2**64 - 1)]]
+        )
+    )
+    banks = index_ops.build_banks(mins_list)
+
+    queries = [
+        np.unique(np.concatenate([mins_list[0][:20], mins_list[1][:37]])),
+        np.unique(
+            np.concatenate(
+                [mins_list[3][100:300], [np.uint64(2**64 - 1)]]
+            )
+        ),
+        np.arange(10**6, 10**6 + 64, dtype=np.uint64),  # zero-match
+    ]
+    got = index_ops.counts_for_banks_batch(banks, queries, len(mins_list),
+                                           block=2)
+    for qi, q in enumerate(queries):
+        want = index_ops.counts_for_banks(banks, q, len(mins_list))
+        assert np.array_equal(got[qi], want), qi
+
+
+def test_warm_gather_counts_cache_hits():
+    "warm_gather_counts rows equal what counter_gather would compute."
+    from sourmash_tpu import MinHash, SourmashSignature
+    from sourmash_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(12)
+    genomes = [
+        np.unique(rng.integers(1, 2**40, size=200, dtype=np.uint64))
+        for _ in range(10)
+    ]
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=100)
+        mh.add_many(g % np.uint64(mh._max_hash))
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+
+    def query(i, j):
+        mh = MinHash(0, 31, scaled=100)
+        mh.add_many(
+            np.unique(np.concatenate([s.minhash.mins_array()[:80]
+                                      for s in (sigs[i], sigs[j])]))
+        )
+        return SourmashSignature(mh, name=f"q{i}{j}").to_frozen()
+
+    queries = [query(0, 3), query(2, 7)]
+
+    cold = FlatIndex(sigs)
+    cold_counts = [
+        cold.counter_gather(q, threshold_bp=0).counts.copy() for q in queries
+    ]
+
+    warm = FlatIndex(sigs)
+    warm.warm_gather_counts([q.minhash for q in queries])
+    assert len(warm._counts_cache) == 2
+    warm_counts = [
+        warm.counter_gather(q, threshold_bp=0).counts.copy() for q in queries
+    ]
+    assert not warm._counts_cache  # popped on hit
+    for a, b in zip(cold_counts, warm_counts):
+        assert np.array_equal(a, b)

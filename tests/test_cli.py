@@ -393,3 +393,43 @@ def test_cli_gather_abund_revindex_scheduled_csv_identical(runtmp, monkeypatch):
         runtmp.output("host.csv"), "rb"
     ) as f2:
         assert f1.read() == f2.read()
+
+
+def test_cli_multigather_warm_batch_identical(runtmp, monkeypatch):
+    """multigather with the batched query-count warm pass produces output
+    CSVs byte-identical to the unwarmed (per-query device pass) run."""
+    runtmp.sourmash(
+        "index", "-F", "revindex", "dbz", utils_test_data("47.fa.sig"),
+        utils_test_data("63.fa.sig"), "-k", "31",
+    )
+
+    def run(tag, warm):
+        import sourmash_tpu.index.flat as flat
+
+        if not warm:
+            monkeypatch.setattr(
+                flat.FlatIndex, "warm_gather_counts",
+                lambda self, mhs, block=8: None,
+            )
+        else:
+            monkeypatch.undo()
+        d = os.path.join(runtmp.cwd, tag)
+        os.makedirs(d)
+        runtmp.sourmash(
+            "multigather",
+            "--query", utils_test_data("47+63.fa.sig"),
+            utils_test_data("47.fa.sig"),
+            "--db", "dbz", "--output-dir", tag,
+        )
+        return sorted(os.listdir(d)), d
+
+    warm_files, warm_dir = run("warm", True)
+    cold_files, cold_dir = run("cold", False)
+    assert warm_files == cold_files and any(
+        f.endswith(".csv") for f in warm_files
+    )
+    for f in warm_files:
+        with open(os.path.join(warm_dir, f), "rb") as a, open(
+            os.path.join(cold_dir, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), f
