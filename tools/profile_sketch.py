@@ -84,6 +84,12 @@ def main():
         "dense256": lambda x, mh: window_hash_pairs_pallas(
             x, ksize=KSIZE, seed=SEED, rows=256
         ),
+        "rows640": lambda x, mh: sketch_survivor_slots_pallas(
+            x, mh, ksize=KSIZE, seed=SEED, slots=4, rows=640
+        ),
+        "slots8b": lambda x, mh: sketch_survivor_slots_pallas(
+            x, mh, ksize=KSIZE, seed=SEED, slots=8
+        ),
     }
     names = sys.argv[1:] or ["slots4", "slots8", "dense"]
     for name in names:
