@@ -254,8 +254,7 @@ def pack_bits_u32(bits):
 # -- kernels ---------------------------------------------------------------
 
 
-@jax.jit
-def _counts_qvm(qhi, qlo, qcnt, Shi, Slo, Scnt):
+def _counts_qvm_impl(qhi, qlo, qcnt, Shi, Slo, Scnt):
     """[dq, B] query planes vs [ns, d, B] subject planes -> [ns] i32 exact
     stored-element intersection counts (pad-pad hits removed via the
     bf16 pad-count matmul).
@@ -278,8 +277,24 @@ def _counts_qvm(qhi, qlo, qcnt, Shi, Slo, Scnt):
     return acc - corr.astype(jnp.int32)
 
 
+_counts_qvm = jax.jit(_counts_qvm_impl)
+
+
 @jax.jit
-def _counts_qvm_cutoff(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
+def _counts_bank_fused(qhi, qlo, qcnt, *planes):
+    """All of one bank's chunks vs one query in a SINGLE dispatch — on a
+    tunneled chip each extra dispatch costs ~25 ms of issue latency, which
+    dominated warm search/prefetch. planes = (hi, lo, cnt) per chunk;
+    returns the concatenated per-row counts."""
+    outs = [
+        _counts_qvm_impl(qhi, qlo, qcnt, planes[i], planes[i + 1],
+                         planes[i + 2])
+        for i in range(0, len(planes), 3)
+    ]
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def _counts_qvm_cutoff_impl(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
     """Query-vs-many with a per-subject u64 cutoff applied to the matched
     value: hit iff equal and value <= cut[s]. Pad-pad hits pass the cutoff
     only when cut == 2**64-1; the correction is masked accordingly."""
@@ -301,6 +316,22 @@ def _counts_qvm_cutoff(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
     corr = jnp.dot(npad_s, npad_q, preferred_element_type=jnp.float32)
     pad_passes = (cut_hi == 0xFFFFFFFF) & (cut_lo == 0xFFFFFFFF)
     return acc - jnp.where(pad_passes, corr.astype(jnp.int32), 0)
+
+
+_counts_qvm_cutoff = jax.jit(_counts_qvm_cutoff_impl)
+
+
+@jax.jit
+def _cutoff_counts_bank_fused(qhi, qlo, qcnt, *planes):
+    "Single-dispatch form of the per-chunk cutoff counts (5-tuple planes)."
+    outs = [
+        _counts_qvm_cutoff_impl(
+            qhi, qlo, qcnt, planes[i], planes[i + 1], planes[i + 2],
+            planes[i + 3], planes[i + 4],
+        )
+        for i in range(0, len(planes), 5)
+    ]
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
 @jax.jit
@@ -384,15 +415,38 @@ def query_counts_device(bank: BucketedRows, q_packed):
     return _counts_qvm(qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt)
 
 
-def query_cutoff_counts_device(bank: BucketedRows, cutoffs, q_packed):
-    "Async form of query_cutoff_counts_bucketed (stored-element counts only)."
+_CUT_PLANES_CACHE: dict = {}
+
+
+def _cut_planes(bank: BucketedRows, cutoffs):
+    """Device (hi, lo) planes for per-row u64 cutoffs, cached per (chunk,
+    cutoff set) — repeated warm searches at the same query scaled re-upload
+    identical cutoff vectors otherwise (a host->device transfer per chunk
+    per call)."""
+    import hashlib
+
     cut = np.zeros(len(bank.cnt), dtype=np.uint64)
     cut[: bank.n] = cutoffs
-    qhi, qlo, qcnt, dq, tail = q_packed
-    return _counts_qvm_cutoff(
-        qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt,
+    key = (id(bank), hashlib.md5(cut.tobytes()).digest())
+    hit = _CUT_PLANES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    planes = (
         jnp.asarray((cut >> np.uint64(32)).astype(np.uint32)),
         jnp.asarray((cut & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    if len(_CUT_PLANES_CACHE) >= 64:
+        _CUT_PLANES_CACHE.pop(next(iter(_CUT_PLANES_CACHE)))
+    _CUT_PLANES_CACHE[key] = planes
+    return planes
+
+
+def query_cutoff_counts_device(bank: BucketedRows, cutoffs, q_packed):
+    "Async form of query_cutoff_counts_bucketed (stored-element counts only)."
+    qhi, qlo, qcnt, dq, tail = q_packed
+    cut_hi, cut_lo = _cut_planes(bank, cutoffs)
+    return _counts_qvm_cutoff(
+        qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt, cut_hi, cut_lo
     )
 
 

@@ -199,29 +199,39 @@ def load_banks(dirpath) -> list[Bank]:
     return banks
 
 
-def _drain_chunk_counts(parts, q, counts, spill_cutoffs=None):
-    """Read every chunk's device counts back in ONE transfer (device-side
+def _bank_device_resident(bank) -> bool:
+    import jax
+
+    return all(isinstance(c.hi, jax.Array) for c in bank.chunks)
+
+
+def _drain_chunk_counts(segs, q, counts, spill_cutoffs=None):
+    """Read every segment's device counts back in ONE transfer (device-side
     concatenation), then apply the exact host-side spill corrections.
-    parts: [(device counts [rows], chunk, ids)]. Over a tunneled chip each
-    blocking readback costs a full RTT, so per-chunk np.asarray calls —
-    not compute — dominated warm single-query latency."""
+    segs: [(device counts, [(chunk, ids), ...])] — a segment holds the
+    fused counts of one or more chunks back to back. Over a tunneled chip
+    every blocking readback costs a full RTT and every DISPATCH ~25 ms of
+    issue latency; fusing + one transfer is what keeps warm single-query
+    latency near the RTT floor."""
     import jax.numpy as jnp
 
     from .bucketed import _spill_counts_qvm
 
-    if not parts:
+    if not segs:
         return
-    if len(parts) == 1:
-        host = np.asarray(parts[0][0])
+    if len(segs) == 1:
+        host = np.asarray(segs[0][0])
         offs = [0]
     else:
-        host = np.asarray(jnp.concatenate([p[0] for p in parts]))
-        offs = np.cumsum([0] + [int(p[0].shape[0]) for p in parts[:-1]])
-    for (out, chunk, ids), off in zip(parts, offs):
-        c = host[off : off + len(ids)].astype(np.int64)
-        cuts = None if spill_cutoffs is None else spill_cutoffs[ids]
-        _spill_counts_qvm(q, chunk, c, cutoffs=cuts)
-        counts[ids] = c
+        host = np.asarray(jnp.concatenate([s[0] for s in segs]))
+        offs = np.cumsum([0] + [int(s[0].shape[0]) for s in segs[:-1]])
+    for (out, chunk_ids), off in zip(segs, offs):
+        for chunk, ids in chunk_ids:
+            c = host[off : off + len(ids)].astype(np.int64)
+            cuts = None if spill_cutoffs is None else spill_cutoffs[ids]
+            _spill_counts_qvm(q, chunk, c, cutoffs=cuts)
+            counts[ids] = c
+            off += chunk.hi.shape[0]  # chunks are padded to their row count
 
 
 def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarray:
@@ -230,14 +240,25 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
     if not len(query_mins):
         return counts
     q = np.asarray(query_mins, dtype=np.uint64)
-    from .bucketed import query_counts_device
+    from .bucketed import _counts_bank_fused, query_counts_device
 
-    parts = []
+    segs = []
     for bank in banks:
         q_packed = _cached_query_pack(q, bank.B)
-        for chunk, ids in zip(bank.chunks, bank.ids):
-            parts.append((query_counts_device(chunk, q_packed), chunk, ids))
-    _drain_chunk_counts(parts, q, counts)
+        if _bank_device_resident(bank):
+            # all chunks in ONE dispatch
+            planes = [p for c in bank.chunks for p in (c.hi, c.lo, c.cnt)]
+            fused = _counts_bank_fused(
+                q_packed[0], q_packed[1], q_packed[2], *planes
+            )
+            segs.append((fused, list(zip(bank.chunks, bank.ids))))
+        else:
+            # beyond-HBM streaming: per-chunk dispatch bounds peak HBM
+            for chunk, ids in zip(bank.chunks, bank.ids):
+                segs.append(
+                    (query_counts_device(chunk, q_packed), [(chunk, ids)])
+                )
+    _drain_chunk_counts(segs, q, counts)
     return counts
 
 
@@ -310,17 +331,31 @@ def cutoff_counts_for_banks(
     if not len(query_mins):
         return counts
     q = np.asarray(query_mins, dtype=np.uint64)
-    from .bucketed import query_cutoff_counts_device
+    from .bucketed import (
+        _cut_planes,
+        _cutoff_counts_bank_fused,
+        query_cutoff_counts_device,
+    )
 
-    parts = []
+    segs = []
     for bank in banks:
         q_packed = _cached_query_pack(q, bank.B)
-        for chunk, ids in zip(bank.chunks, bank.ids):
-            parts.append(
-                (query_cutoff_counts_device(chunk, cutoffs[ids], q_packed),
-                 chunk, ids)
+        if _bank_device_resident(bank):
+            planes = []
+            for chunk, ids in zip(bank.chunks, bank.ids):
+                hi_c, lo_c = _cut_planes(chunk, cutoffs[ids])
+                planes.extend([chunk.hi, chunk.lo, chunk.cnt, hi_c, lo_c])
+            fused = _cutoff_counts_bank_fused(
+                q_packed[0], q_packed[1], q_packed[2], *planes
             )
-    _drain_chunk_counts(parts, q, counts, spill_cutoffs=cutoffs)
+            segs.append((fused, list(zip(bank.chunks, bank.ids))))
+        else:
+            for chunk, ids in zip(bank.chunks, bank.ids):
+                segs.append(
+                    (query_cutoff_counts_device(chunk, cutoffs[ids], q_packed),
+                     [(chunk, ids)])
+                )
+    _drain_chunk_counts(segs, q, counts, spill_cutoffs=cutoffs)
     return counts
 
 
