@@ -750,6 +750,9 @@ class GatherDatabases:
                 sum(abunds[h] for h in self.orig_query_mh.hashes)
                 + self.noident_query_sum_abunds
             )
+            # a scaled ratchet invalidates the incrementally-tracked
+            # remaining-abundance sum (hash sets shrink to the new scale)
+            self._weighted_remaining = None
         return new_scaled
 
     @property
@@ -783,7 +786,7 @@ class GatherDatabases:
         if not query.minhash:
             raise StopIteration
 
-        best, _ = self._select_best()
+        best, winner_isect = self._select_best()
         if best is None:
             raise StopIteration
 
@@ -800,10 +803,30 @@ class GatherDatabases:
         next_mh = cur_mh.to_mutable()
         next_mh.remove_many(found_mh)
 
-        # weighted-found bookkeeping: total minus what remains (incl. noident)
+        # weighted-found bookkeeping: total minus what remains (incl.
+        # noident). The remaining-abundance sum is maintained
+        # INCREMENTALLY — this round's removed set is exactly the winner's
+        # peek intersection whenever scales line up (checked), so only
+        # those few hashes are looked up; a full re-sum of the remaining
+        # query every round was the single largest per-round cost at
+        # database scale. Scaled ratchets reset the tracker (rare).
         abunds = self.orig_query_abunds
-        n_weighted_missed = self.noident_query_sum_abunds + sum(
-            abunds[h] for h in set(next_mh.hashes)
+        can_increment = (
+            self._weighted_remaining is not None
+            and winner_isect is not None
+            and winner_isect.scaled == scaled
+            and len(next_mh) == len(cur_mh) - len(winner_isect)
+        )
+        if can_increment:
+            self._weighted_remaining -= sum(
+                abunds[h] for h in winner_isect.hashes
+            )
+        else:
+            self._weighted_remaining = sum(
+                abunds[h] for h in set(next_mh.hashes)
+            )
+        n_weighted_missed = (
+            self.noident_query_sum_abunds + self._weighted_remaining
         )
         sum_weighted_found = self.total_weighted_hashes - n_weighted_missed
 
