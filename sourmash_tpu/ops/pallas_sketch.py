@@ -237,9 +237,9 @@ def _sketch_block_kernel(
     squ_ref, look_ref, hi_ref, lo_ref, valid_ref, *, ksize: int, seed: int,
     rows: int, interpret: bool, streams=_hash_streams
 ):
-    squ = jnp.concatenate([squ_ref[:], look_ref[:]], axis=0).astype(
-        jnp.uint32
-    )
+    squ = jnp.concatenate(
+        [squ_ref[:], look_ref[:EXTRA_ROWS]], axis=0
+    ).astype(jnp.uint32)
     hi, lo, valid = streams(
         squ, ksize=ksize, seed=seed, rows=rows, interpret=interpret
     )
@@ -248,15 +248,20 @@ def _sketch_block_kernel(
     valid_ref[:] = valid
 
 
+LOOK_ROWS = 32  # lookahead block rows (u8 VMEM tiles are (32, 128))
+
+
 def _flat_rows_layout(squ, ksize: int, rows: int):
-    """Lay a [B, S] byte batch out as contiguous i32 lane rows with NO
+    """Lay a [B, S] byte batch out as contiguous uint8 lane rows with NO
     overlapping-block gather: each batch pads to a whole number of row
     blocks plus one spare block, and the kernel reads its (rows, 128)
-    main block plus an (EXTRA_ROWS, 128) lookahead block through two
-    BlockSpec views of the SAME array. The previous `squ[:, idx]` gather
-    materialization cost 11.8 ms/batch on v5e — 3x the kernel itself.
+    main block plus a (LOOK_ROWS, 128) lookahead block through two
+    BlockSpec views of the SAME array (only EXTRA_ROWS of the lookahead
+    are consumed; 32 satisfies the u8 sublane tile). The previous
+    `squ[:, idx]` gather materialization cost 11.8 ms/batch on v5e —
+    3x the kernel itself — and an i32 staging copy 4x the bytes.
 
-    Returns (flat [B*(nblocks+1)*rows, LANES] i32, nblocks, n_pad,
+    Returns (flat [B*(nblocks+1)*rows, LANES] u8, nblocks, n_pad,
     main_spec, look_spec) where the specs map grid step b = q*nblocks + j
     to the right row blocks."""
     B, S = squ.shape
@@ -266,12 +271,8 @@ def _flat_rows_layout(squ, ksize: int, rows: int):
     n_pad = nblocks * block
     rb = (nblocks + 1) * rows  # rows per batch incl. lookahead padding
     pad = rb * LANES - S
-    flat = (
-        jnp.pad(squ, ((0, 0), (0, pad)))
-        .astype(jnp.int32)
-        .reshape(B * rb, LANES)
-    )
-    per_look = rows // EXTRA_ROWS
+    flat = jnp.pad(squ, ((0, 0), (0, pad))).reshape(B * rb, LANES)
+    per_look = rows // LOOK_ROWS
 
     # all index math in explicit i32 lax ops: python `//` on a traced
     # index promotes through jnp floor_divide, which recurses under
@@ -287,7 +288,7 @@ def _flat_rows_layout(squ, ksize: int, rows: int):
         return ((b + q + jnp.int32(1)) * jnp.int32(per_look), np.int32(0))
 
     main_spec = pl.BlockSpec((rows, LANES), main_ix)
-    look_spec = pl.BlockSpec((EXTRA_ROWS, LANES), look_ix)
+    look_spec = pl.BlockSpec((LOOK_ROWS, LANES), look_ix)
     return flat, nblocks, n_pad, main_spec, look_spec
 
 
@@ -309,9 +310,9 @@ def _sketch_slots_kernel(
     window order), lane 2*SLOTS = the TRUE survivor count (callers detect
     count > SLOTS overflow and reroute that chunk to the dense path).
     """
-    squ = jnp.concatenate([squ_ref[:], look_ref[:]], axis=0).astype(
-        jnp.uint32
-    )
+    squ = jnp.concatenate(
+        [squ_ref[:], look_ref[:EXTRA_ROWS]], axis=0
+    ).astype(jnp.uint32)
     hi, lo, valid = _hash_streams(
         squ, ksize=ksize, seed=seed, rows=rows, interpret=interpret
     )
