@@ -551,6 +551,9 @@ def _sketch_whole_file(sigs, filename, input_is_protein, check_sequence):
     return n, first_name
 
 
+_AA_FLUSH_BYTES = 32 << 20  # aa bytes buffered per target before a device flush
+
+
 def _sketch_aa_file(sigs, filename, *, translate: bool):
     """Batched DEVICE sketching of a protein (or translate) file: all
     records' amino-acid streams — six frames per record when translating —
@@ -562,39 +565,23 @@ def _sketch_aa_file(sigs, filename, *, translate: bool):
     from .ops import encodings as enc
     from .ops.sketch import aa_chunks_to_hashes
 
-    names = []
-    raws = []
-    for name, seq in sequence_io.iter_records_bytes(filename):
-        names.append(name)
-        raws.append(seq)
-    if not raws:
-        return None, None
-
     targets = defaultdict(list)  # (aa_ksize, seed, moltype) -> [MinHash]
     for sig in sigs:
         for mh in sig._all_minhashes():
             targets[(mh.ksize, mh.seed, mh.moltype)].append(mh)
 
-    for (k, seed, moltype), mhs in targets.items():
-        streams = []
-        for seq in raws:
-            arr = enc.upper(np.frombuffer(seq, dtype=np.uint8))
-            if translate:
-                rc = enc.revcomp(arr)
-                frames = [
-                    enc.translate_frame(s)
-                    for frame in range(3)
-                    for s in (arr[frame:], rc[frame:])
-                ]
-            else:
-                frames = [arr]
-            for fr in frames:
-                if fr.shape[0] >= k:
-                    # remap BEFORE joining: the zero separator must stay
-                    # invalid (remap tables map 0 to a real class byte)
-                    streams.append(enc.remap_aa(fr, moltype))
+    # accumulate remapped frame streams per target group and flush every
+    # ~32 MB of aa bytes — insertion is incremental, so files larger than
+    # RAM stream through (mirroring the DNA path's bounded batches)
+    flush_bytes = _AA_FLUSH_BYTES
+    pending = {key: [] for key in targets}
+    pending_n = dict.fromkeys(targets, 0)
+
+    def flush(key):
+        streams = pending[key]
         if not streams:
-            continue
+            return
+        k, seed, moltype = key
         sep = np.zeros(k, dtype=np.uint8)
         parts = []
         for fr in streams:
@@ -602,10 +589,43 @@ def _sketch_aa_file(sigs, filename, *, translate: bool):
             parts.append(sep)
         joined = np.concatenate(parts[:-1])
         hashes = aa_chunks_to_hashes(joined, k, seed, mask_invalid=True)
-        for mh in mhs:
+        for mh in targets[key]:
             mh._insert_hashes(hashes)
+        pending[key] = []
+        pending_n[key] = 0
 
-    return len(raws), names[0]
+    n_records = 0
+    first_name = None
+    for name, seq in sequence_io.iter_records_bytes(filename):
+        if n_records == 0:
+            first_name = name
+        n_records += 1
+        arr = enc.upper(np.frombuffer(seq, dtype=np.uint8))
+        if translate:
+            rc = enc.revcomp(arr)
+            frames = [
+                enc.translate_frame(s)
+                for frame in range(3)
+                for s in (arr[frame:], rc[frame:])
+            ]
+        else:
+            frames = [arr]
+        for key in targets:
+            k, _seed, moltype = key
+            for fr in frames:
+                if fr.shape[0] >= k:
+                    # remap BEFORE joining: the zero separator must stay
+                    # invalid (remap tables map 0 to a real class byte)
+                    pending[key].append(enc.remap_aa(fr, moltype))
+                    pending_n[key] += fr.shape[0]
+            if pending_n[key] >= flush_bytes:
+                flush(key)
+
+    if n_records == 0:
+        return None, None
+    for key in targets:
+        flush(key)
+    return n_records, first_name
 
 
 def _split_joined(joined: bytes, names, ksize: int):

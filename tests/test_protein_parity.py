@@ -213,3 +213,27 @@ class TestBatchedAASketchFile:
         dev = build(True)
         host = build(False)
         assert dev.hashes == host.hashes  # values AND abundances
+
+
+def test_batched_aa_flush_boundaries(monkeypatch):
+    """The streaming flush path (bounded aa buffering) produces the same
+    hash multiset as one unflushed pass — records split across flush
+    boundaries must not gain or lose windows."""
+    import sourmash_tpu.command_sketch as cs
+    from sourmash_tpu.ops import encodings as enc
+
+    monkeypatch.setattr(enc, "_aa_device_ok", lambda: True)
+    fn = utils_test_data("ecoli.faa")
+
+    def build():
+        mh = MinHash(0, 7, is_protein=True, scaled=20, track_abundance=True)
+        sig = SourmashSignature(mh)
+        cs._sketch_whole_file(
+            [sig], fn, input_is_protein=True, check_sequence=False
+        )
+        return mh
+
+    big = build()
+    monkeypatch.setattr(cs, "_AA_FLUSH_BYTES", 1000)  # flush every record+
+    small = build()
+    assert big.hashes == small.hashes
