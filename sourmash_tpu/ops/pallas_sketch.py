@@ -49,6 +49,19 @@ DEFAULT_ROWS = 512  # windows per grid step = ROWS * LANES (v5e sweep optimum)
 EXTRA_ROWS = 8      # lookahead rows per block (supports shift-chain depth 8)
 
 
+def _auto_rows(ksize: int) -> int:
+    """Rows per grid step, scaled down for large k: live VMEM grows with
+    the limb-stream count (~nlimbs + fixed), and k=51 at 512 rows
+    measures 18.4M scoped VMEM against the 16M limit. 512 rows fit
+    through k<=31 (8 limbs); halve per ~doubling of limbs."""
+    nlimbs = -(-ksize // 4)
+    if nlimbs <= 8:
+        return DEFAULT_ROWS
+    if nlimbs <= 17:
+        return DEFAULT_ROWS // 2
+    return DEFAULT_ROWS // 4
+
+
 def _shift_stream(x, j: int, interpret: bool):
     """Flat left-shift by j lanes of an (R, LANES) stream -> (R-1, LANES).
 
@@ -369,10 +382,12 @@ def sketch_survivor_slots_pallas(
     *,
     ksize: int,
     seed: int = 42,
-    rows: int = DEFAULT_ROWS,
+    rows: int | None = None,
     slots: int = SLOTS,
     interpret: bool = False,
 ):
+    if rows is None:
+        rows = _auto_rows(ksize)
     """Fused sketch kernel with in-kernel compaction (scaled path).
 
     squ: [B, S] uint8 uppercased sequences; max_hash: uint64 scalar cutoff.
@@ -478,9 +493,11 @@ def window_hash_pairs_pallas(
     *,
     ksize: int,
     seed: int = 42,
-    rows: int = DEFAULT_ROWS,
+    rows: int | None = None,
     interpret: bool = False,
 ):
+    if rows is None:
+        rows = _auto_rows(ksize)
     """Canonical murmur hashes + validity for all windows of an uppercased
     byte array.
 
@@ -502,9 +519,11 @@ def aa_window_hash_pairs_pallas(
     *,
     ksize: int,
     seed: int = 42,
-    rows: int = DEFAULT_ROWS,
+    rows: int | None = None,
     interpret: bool = False,
 ):
+    if rows is None:
+        rows = _auto_rows(ksize)
     """Murmur hashes for all amino-acid windows of an uppercased (and, for
     dayhoff/hp, pre-remapped) aa byte array — the protein half of the
     reference's sketch surface (`signature.rs:362-393`) on the chip.
