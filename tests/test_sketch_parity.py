@@ -227,3 +227,45 @@ class TestSlotPath:
         hh, vv = dna_hashes(UPPER[piece], ksize, 42)
         expect = np.unique(hh[vv & (hh <= mh)])
         assert np.array_equal(got, expect)
+
+
+def test_flat_layout_boundary_fuzz():
+    """Fuzz the gather-free flat row layout (interpret mode): sequence
+    lengths at and around block multiples, tiny and multi-block inputs,
+    several batch sizes — survivors must match the host loop exactly."""
+    import jax.numpy as jnp
+
+    from sourmash_tpu.ops import encodings as enc
+    from sourmash_tpu.ops.pallas_sketch import (
+        DEFAULT_ROWS,
+        LANES,
+        sketch_survivor_slots_pallas,
+    )
+    from sourmash_tpu.ops.sketch import _slots_to_hashes
+
+    rng = np.random.default_rng(99)
+    k = 31
+    block = DEFAULT_ROWS * LANES
+    max_hash = np.uint64((2**64 - 1) // 500)
+    lengths = [
+        k, k + 1, 200, block + k - 1, block + k, block + k + 1,
+        2 * block - 7, 2 * block + k + 13,
+    ]
+    for B in (1, 3):
+        for S in lengths:
+            seqs = rng.choice(
+                np.frombuffer(b"ACGTN", dtype=np.uint8), size=(B, S),
+                p=[0.24, 0.24, 0.24, 0.24, 0.04],
+            )
+            sh, sl, cnt = sketch_survivor_slots_pallas(
+                jnp.asarray(seqs), jnp.asarray(max_hash), ksize=k,
+                slots=8, interpret=True,
+            )
+            hashes, bad = _slots_to_hashes(sh, sl, cnt)
+            assert not bad, (B, S)
+            want = []
+            for b in range(B):
+                hh, valid = enc.dna_hashes(seqs[b], k, 42)
+                want.append(hh[valid & (hh <= max_hash)])
+            want = np.sort(np.concatenate(want))
+            assert np.array_equal(np.sort(hashes), want), (B, S)

@@ -58,6 +58,12 @@ def main():
     nblocks = -(-n // block)
     need = nblocks * block + ps.EXTRA_ROWS * LANES
 
+    rows_opt = None
+    for w in which:
+        if w.startswith("rows"):
+            rows_opt = int(w[4:])
+            which = list(which) + ["full"]
+
     if "full" in which or "gatheronly" in which:
         x0 = jax.device_put(
             rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, S))
@@ -69,7 +75,8 @@ def main():
         @jax.jit
         def step_full(x):
             sh, sl, cnt = ps.sketch_survivor_slots_pallas(
-                x, max_hash, ksize=KSIZE, seed=SEED, slots=4
+                x, max_hash, ksize=KSIZE, seed=SEED, slots=4,
+                **({"rows": rows_opt} if rows_opt else {}),
             )
             # fold one output byte back into the input: breaks any cache
             perturb = (cnt[0, 0] & 3).astype(jnp.uint8)
