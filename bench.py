@@ -246,21 +246,31 @@ def main():
         file=sys.stderr,
     )
 
+    def emit(extra):
+        print(
+            json.dumps(
+                {
+                    "metric": "kmers_hashed_per_sec_per_chip",
+                    "value": round(kmers_per_sec, 1),
+                    "unit": "kmers/s",
+                    "vs_baseline": round(vs_baseline, 3),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+
+    # the at-scale legs take minutes; emit the headline line as soon as the
+    # core metrics exist, then again enriched — a driver that parses the
+    # LAST JSON line gets the fullest completed result either way
     extra = query_engine_metrics()
     extra["sketch_value_exact_on_device"] = True
     extra["aa_windows_per_sec"] = aa_throughput()
-
-    print(
-        json.dumps(
-            {
-                "metric": "kmers_hashed_per_sec_per_chip",
-                "value": round(kmers_per_sec, 1),
-                "unit": "kmers/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "extra": extra,
-            }
-        )
+    emit(extra)
+    at_scale_metrics(
+        extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
     )
+    emit(extra)
 
 
 def aa_throughput():
@@ -358,7 +368,7 @@ def query_engine_metrics():
     # UNORDERED pairs (n*(n-1)/2 distinct comparisons — the number `sourmash
     # compare` performs). Wall includes host pack; device time is the packed
     # planes' compare passes alone (one block at the end).
-    n_cmp = 500
+    n_cmp = int(os.environ.get("SOURMASH_TPU_BENCH_CMP_N", "500"))
     cmp_mins = [rand_mins(5000) for _ in range(n_cmp)]
     pairwise_intersection_counts(cmp_mins)  # warm/compile
     wall = min(
@@ -460,8 +470,14 @@ def query_engine_metrics():
         file=sys.stderr,
     )
 
-    at_scale_metrics(out, rand_mins, make_sig)
+    _RAND_MINS_HOOK["rand_mins"] = rand_mins
+    _RAND_MINS_HOOK["make_sig"] = make_sig
     return out
+
+
+# main() runs the at-scale legs AFTER emitting the core headline line;
+# query_engine_metrics parks its data helpers here for that second stage
+_RAND_MINS_HOOK: dict = {}
 
 
 def at_scale_metrics(out, rand_mins, make_sig):
