@@ -267,9 +267,13 @@ def main():
     extra["sketch_value_exact_on_device"] = True
     extra["aa_windows_per_sec"] = aa_throughput()
     emit(extra)
-    at_scale_metrics(
-        extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
-    )
+    try:
+        at_scale_metrics(
+            extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
+        )
+    except Exception as exc:  # keep the completed metrics + a clean exit
+        print(f"bench: at-scale legs failed: {exc!r}", file=sys.stderr)
+        extra["at_scale_error"] = repr(exc)
     emit(extra)
 
 
