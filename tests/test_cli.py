@@ -433,3 +433,30 @@ def test_cli_multigather_warm_batch_identical(runtmp, monkeypatch):
             os.path.join(cold_dir, f), "rb"
         ) as b:
             assert a.read() == b.read(), f
+
+
+def test_cli_gather_mixed_db_types_skips_schedule(runtmp):
+    """gather against a revindex dir AND a plain .sig database mixes
+    counter types — scheduling must be skipped (not crash) and the CSV
+    must match an all-host run."""
+    runtmp.sourmash(
+        "index", "-F", "revindex", "dbmx", utils_test_data("47.fa.sig"),
+        "-k", "31",
+    )
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"), "dbmx",
+        utils_test_data("63.fa.sig"), "-o", "mixed.csv",
+    )
+    assert "found 2 matches total" in runtmp.out
+    os.environ["SOURMASH_TPU_NO_SCHEDULE"] = "1"
+    try:
+        runtmp.sourmash(
+            "gather", utils_test_data("47+63.fa.sig"), "dbmx",
+            utils_test_data("63.fa.sig"), "-o", "mixedhost.csv",
+        )
+    finally:
+        del os.environ["SOURMASH_TPU_NO_SCHEDULE"]
+    with open(runtmp.output("mixed.csv"), "rb") as a, open(
+        runtmp.output("mixedhost.csv"), "rb"
+    ) as b:
+        assert a.read() == b.read()
