@@ -490,9 +490,9 @@ def at_scale_metrics(out, rand_mins, make_sig):
     1. a forced beyond-HBM STREAMING pass — packed planes stay host-resident
        (SOURMASH_TPU_HBM_BUDGET_BYTES=1) and stream to the device per
        counter query, value-checked against host np.intersect1d;
-    2. a >=40k-sketch device-resident scheduled gather (GTDB-rs214-scale
-       stand-in: ~2500-hash sketches, 30 planted genomes), full
-       GatherDatabases stat rounds.
+    2. a GTDB-rs214-scale (85k-sketch, ~2500 hashes each, 11.3 GB of
+       device-resident packed planes) scheduled gather with 30 planted
+       genomes and full GatherDatabases stat rounds.
 
     SOURMASH_TPU_BENCH_STREAM_N / SOURMASH_TPU_BENCH_BIG_N rescale; 0
     disables a leg."""
@@ -539,7 +539,7 @@ def at_scale_metrics(out, rand_mins, make_sig):
                 os.environ["SOURMASH_TPU_HBM_BUDGET_BYTES"] = old
 
     # -- >=40k device-resident scheduled gather -----------------------------
-    n_big = int(os.environ.get("SOURMASH_TPU_BENCH_BIG_N", "40000"))
+    n_big = int(os.environ.get("SOURMASH_TPU_BENCH_BIG_N", "85000"))
     if not n_big:
         return
     rng = np.random.default_rng(7)
