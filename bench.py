@@ -271,9 +271,11 @@ def main():
         at_scale_metrics(
             extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
         )
+        extra["at_scale_ok"] = True
     except Exception as exc:  # keep the completed metrics + a clean exit
         print(f"bench: at-scale legs failed: {exc!r}", file=sys.stderr)
         extra["at_scale_error"] = repr(exc)
+        extra["at_scale_ok"] = False  # machine-checkable: not buried in text
     emit(extra)
 
 

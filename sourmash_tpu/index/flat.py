@@ -486,8 +486,12 @@ class FlatCounterGather:
             # the schedule disagrees with live counter state — never abort
             # a long gather over it (the reference's loop can't diverge and
             # never aborts, `/root/reference/src/sourmash/search.py:877-949`);
-            # drop every counter back to exact host rounds and retry
+            # drop every counter back to exact host rounds and make the
+            # driver restart the round, so counters peeked earlier in this
+            # round (which answered [] as non-owners under the schedule)
+            # are re-consulted in host mode
             from ..logging import notify
+            from ..search import GatherRoundRestart
 
             notify(
                 "WARNING: scheduled device gather diverged at round "
@@ -495,7 +499,7 @@ class FlatCounterGather:
                 f"{len(intersect_mh)}); falling back to host gather rounds."
             )
             coord.fallback(cur_query_mh)
-            return self.peek(cur_query_mh, threshold_bp=threshold_bp)
+            raise GatherRoundRestart
 
         cont = cur_query_mh.contained_by(match.minhash, downsample=True)
         assert cont

@@ -34,6 +34,13 @@ from .bucketed import (
 
 _CHUNK_ROWS = 8192  # max rows per packed chunk (bounds compile size classes)
 
+# beyond-HBM streaming: at most this many chunks' planes may be in flight
+# (enqueued-but-undrained) at once — each streamed dispatch uploads its
+# chunk's planes, and host->device transfers run ahead of compute, so an
+# unbounded enqueue would make every chunk device-resident simultaneously
+# and defeat the point of streaming.
+_STREAM_WINDOW = 4
+
 
 class Bank:
     """One length-class bank: a list of bucketed row chunks plus the
@@ -253,11 +260,15 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
             )
             segs.append((fused, list(zip(bank.chunks, bank.ids))))
         else:
-            # beyond-HBM streaming: per-chunk dispatch bounds peak HBM
+            # beyond-HBM streaming: drain every _STREAM_WINDOW chunks so at
+            # most that many chunks' uploaded planes are device-resident
             for chunk, ids in zip(bank.chunks, bank.ids):
                 segs.append(
                     (query_counts_device(chunk, q_packed), [(chunk, ids)])
                 )
+                if len(segs) >= _STREAM_WINDOW:
+                    _drain_chunk_counts(segs, q, counts)
+                    segs = []
     _drain_chunk_counts(segs, q, counts)
     return counts
 
@@ -280,25 +291,30 @@ def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
             Qhi, Qlo, Qcnt = pack_query_block(sub, bank.B)
             Qhi, Qlo = jnp.asarray(Qhi), jnp.asarray(Qlo)
             Qcnt = jnp.asarray(Qcnt)
-            parts = []
-            for chunk, ids in zip(bank.chunks, bank.ids):
-                parts.append(
+            # device-resident banks dispatch all chunks at once; streamed
+            # (beyond-HBM) banks drain every _STREAM_WINDOW chunks so only
+            # that many uploaded planes are in flight
+            pairs = list(zip(bank.chunks, bank.ids))
+            window = len(pairs) if _bank_device_resident(bank) else _STREAM_WINDOW
+            for g0 in range(0, len(pairs), max(window, 1)):
+                parts = [
                     (_counts_block(Qhi, Qlo, Qcnt, chunk.hi, chunk.lo,
                                    chunk.cnt), chunk, ids)
+                    for chunk, ids in pairs[g0 : g0 + max(window, 1)]
+                ]
+                host = (
+                    np.asarray(jnp.concatenate([p[0] for p in parts], axis=1))
+                    if len(parts) > 1
+                    else np.asarray(parts[0][0])
                 )
-            host = (
-                np.asarray(jnp.concatenate([p[0] for p in parts], axis=1))
-                if len(parts) > 1
-                else np.asarray(parts[0][0])
-            )
-            off = 0
-            for dev, chunk, ids in parts:
-                width = int(dev.shape[1])
-                for qi, q in enumerate(sub):
-                    c = host[qi, off : off + len(ids)].astype(np.int64)
-                    _spill_counts_qvm(q, chunk, c)
-                    out[b0 + qi, ids] = c
-                off += width
+                off = 0
+                for dev, chunk, ids in parts:
+                    width = int(dev.shape[1])
+                    for qi, q in enumerate(sub):
+                        c = host[qi, off : off + len(ids)].astype(np.int64)
+                        _spill_counts_qvm(q, chunk, c)
+                        out[b0 + qi, ids] = c
+                    off += width
     return out
 
 
@@ -350,11 +366,16 @@ def cutoff_counts_for_banks(
             )
             segs.append((fused, list(zip(bank.chunks, bank.ids))))
         else:
+            # beyond-HBM streaming: bounded in-flight window (see
+            # _STREAM_WINDOW)
             for chunk, ids in zip(bank.chunks, bank.ids):
                 segs.append(
                     (query_cutoff_counts_device(chunk, cutoffs[ids], q_packed),
                      [(chunk, ids)])
                 )
+                if len(segs) >= _STREAM_WINDOW:
+                    _drain_chunk_counts(segs, q, counts, spill_cutoffs=cutoffs)
+                    segs = []
     _drain_chunk_counts(segs, q, counts, spill_cutoffs=cutoffs)
     return counts
 

@@ -386,8 +386,6 @@ def sketch_survivor_slots_pallas(
     slots: int = SLOTS,
     interpret: bool = False,
 ):
-    if rows is None:
-        rows = _auto_rows(ksize)
     """Fused sketch kernel with in-kernel compaction (scaled path).
 
     squ: [B, S] uint8 uppercased sequences; max_hash: uint64 scalar cutoff.
@@ -400,6 +398,8 @@ def sketch_survivor_slots_pallas(
     per extraction loop) and is safe when expected survivor density
     leaves P[overflow] negligible — see ops/sketch.py:_pick_slots.
     """
+    if rows is None:
+        rows = _auto_rows(ksize)
     B, S = squ.shape
     flat, nblocks, n_pad, main_spec, look_spec = _flat_rows_layout(
         squ, ksize, rows
@@ -496,8 +496,6 @@ def window_hash_pairs_pallas(
     rows: int | None = None,
     interpret: bool = False,
 ):
-    if rows is None:
-        rows = _auto_rows(ksize)
     """Canonical murmur hashes + validity for all windows of an uppercased
     byte array.
 
@@ -506,6 +504,8 @@ def window_hash_pairs_pallas(
     n_pad = ceil((S - ksize + 1) / (rows*128)) * rows*128; entries past the
     real window count have valid == 0 (zero padding is non-ACGT).
     """
+    if rows is None:
+        rows = _auto_rows(ksize)
     return _window_hash_pairs_impl(
         squ, ksize, seed, rows, interpret, _hash_streams
     )
@@ -522,8 +522,6 @@ def aa_window_hash_pairs_pallas(
     rows: int | None = None,
     interpret: bool = False,
 ):
-    if rows is None:
-        rows = _auto_rows(ksize)
     """Murmur hashes for all amino-acid windows of an uppercased (and, for
     dayhoff/hp, pre-remapped) aa byte array — the protein half of the
     reference's sketch surface (`signature.rs:362-393`) on the chip.
@@ -531,6 +529,8 @@ def aa_window_hash_pairs_pallas(
     inside the true sequence (zero padding is invalid, every real residue
     hashes). ~2x the DNA rate: no reverse complement or canonical compare.
     """
+    if rows is None:
+        rows = _auto_rows(ksize)
     return _window_hash_pairs_impl(
         squ, ksize, seed, rows, interpret, _aa_hash_streams
     )

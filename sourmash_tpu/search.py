@@ -47,6 +47,13 @@ __all__ = [
 ]
 
 
+class GatherRoundRestart(Exception):
+    """Raised by a counter's peek() when its answer mode changed mid-round
+    (e.g. a scheduled device gather fell back to host rounds) — counters
+    peeked EARLIER in the same round answered under the old mode, so the
+    round must re-peek every counter to pick the true global best."""
+
+
 def format_bp(bp):
     "Render a basepair count with a human unit (bp/kbp/Mbp/Gbp)."
     bp = float(bp)
@@ -763,14 +770,25 @@ class GatherDatabases:
 
     def _select_best(self):
         "One device round: peek all counters, consume the global winner."
-        winner = None
-        winner_isect = None
-        for counter in self.counters:
-            peeked = counter.peek(self.query.minhash, threshold_bp=self.threshold_bp)
-            if peeked:
-                sr, isect_mh = peeked
-                if winner is None or sr.score > winner.score:
-                    winner, winner_isect = sr, isect_mh
+        for _attempt in range(2):
+            winner = None
+            winner_isect = None
+            try:
+                for counter in self.counters:
+                    peeked = counter.peek(
+                        self.query.minhash, threshold_bp=self.threshold_bp
+                    )
+                    if peeked:
+                        sr, isect_mh = peeked
+                        if winner is None or sr.score > winner.score:
+                            winner, winner_isect = sr, isect_mh
+            except GatherRoundRestart:
+                # a counter switched answer modes mid-round (scheduled ->
+                # host fallback); earlier counters answered under the old
+                # mode, so restart the round and re-peek everyone (the mode
+                # switch is one-way, so this can happen at most once)
+                continue
+            break
 
         if winner is None:
             return None, None
