@@ -1039,7 +1039,6 @@ def multigather(args):
             queryfile, ksize=args.ksize, select_moltype=moltype
         ):
             all_queries.append(query)
-    from .index.flat import FlatIndex
 
     warm_mhs = []
     for query in all_queries:
@@ -1057,8 +1056,9 @@ def multigather(args):
             warm_mhs.append(mh.flatten())
     if warm_mhs:
         for db in databases:
-            if isinstance(db, FlatIndex):
-                db.warm_gather_counts(warm_mhs)
+            view = db._as_flat_view()  # FlatIndex returns itself
+            if view is not None:
+                view.warm_gather_counts(warm_mhs)
 
     n = 0
     size_may_be_inaccurate = False

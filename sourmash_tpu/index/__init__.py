@@ -53,6 +53,26 @@ _SELECT_KEYS = frozenset(
     ["ksize", "num", "moltype", "scaled", "abund", "picklist", "containment"]
 )
 
+# collections at or above this many signatures route gather through the
+# device engine (a FlatIndex view); smaller ones stay on the host path,
+# where numpy latency beats a device dispatch round-trip
+_FLAT_VIEW_DEFAULT_MIN = 512
+
+
+def _flat_view_threshold():
+    """Minimum collection size for the device-view route, or None when
+    disabled. SOURMASH_TPU_FLAT_VIEW: '0' disables, '1' forces (any
+    size), any other integer overrides the default threshold."""
+    env = os.environ.get("SOURMASH_TPU_FLAT_VIEW", "").strip()
+    if env == "0":
+        return None
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return _FLAT_VIEW_DEFAULT_MIN
+
 
 def _check_select_parameters(**kw):
     "Validate types of Index.select() keyword arguments."
@@ -352,6 +372,16 @@ class Index(ABC):
 
     def counter_gather(self, query, threshold_bp, **kwargs):
         "Prefetch all overlapping signatures into a CounterGather."
+        if not kwargs:
+            # device engine for ANY uniform-scaled collection: the
+            # reference accelerates every container through its Rust core
+            # (`/root/reference/src/core/src/index/linear.rs:52-90`
+            # rayon-maps counter_for_query over any CollectionSet); here
+            # the equivalent is a memoized FlatIndex view whose counter
+            # queries and gather rounds run on the chip.
+            view = self._as_flat_view()
+            if view is not None:
+                return view.counter_gather(query, threshold_bp)
         with query.update() as prefetch_query:
             prefetch_query.minhash = prefetch_query.minhash.flatten()
 
@@ -359,6 +389,55 @@ class Index(ABC):
         for hit in self.prefetch(prefetch_query, threshold_bp, **kwargs):
             counter.add(hit.signature, location=hit.location)
         return counter
+
+    def _as_flat_view(self):
+        """A memoized device-engine view (``index.flat.FlatIndex``) over
+        this index's signatures, or None when ineligible.
+
+        Eligible when every signature shares one nonzero scaled and the
+        collection has at least SOURMASH_TPU_FLAT_VIEW signatures
+        (default 512; set "1" to force for any size, "0" to disable).
+        This is what puts the reference's default user flow —
+        ``gather meta.sig db.zip`` / ``.sig`` lists / SBT / LCA / sqlite
+        databases — on the device gather engine instead of host numpy.
+        """
+        threshold = _flat_view_threshold()
+        if threshold is None:
+            return None
+        cached = getattr(self, "_flat_view_cache", None)
+        if cached is not None:
+            return cached or None  # False caches ineligibility
+        view = self._build_flat_view(threshold)
+        try:
+            self._flat_view_cache = view if view is not None else False
+        except AttributeError:
+            pass  # __slots__ classes simply rebuild per call
+        return view
+
+    def _build_flat_view(self, threshold):
+        from .flat import FlatIndex
+
+        try:
+            if len(self) < threshold:
+                return None
+        except (TypeError, NotImplementedError):
+            return None
+        sigs, locs, scaleds = [], [], set()
+        try:
+            for ss, loc in self.signatures_with_location():
+                scaled = ss.minhash.scaled
+                if not scaled:
+                    return None  # num sketches stay on the host path
+                scaleds.add(scaled)
+                if len(scaleds) > 1:
+                    return None  # mixed scaled: pairwise host semantics
+                sigs.append(ss)
+                locs.append(loc)
+        except Exception:
+            return None  # unreadable members: keep the lazy host path
+        if not sigs:
+            return None
+        return FlatIndex(sigs, self.location, locations=locs)
 
 
 class LinearIndex(Index):
@@ -393,6 +472,10 @@ class LinearIndex(Index):
         return LinearIndex(sigs, filename=filename or location)
 
     def find(self, search_fn, query, **kwargs):
+        view = self._as_flat_view()
+        if view is not None:  # big uniform-scaled list: cached device banks
+            yield from view.find(search_fn, query, **kwargs)
+            return
         pairs = [(ss, self.location) for ss in self._signatures]
         yield from self._find_batched(search_fn, query, pairs)
 
@@ -572,6 +655,10 @@ class ZipFileLinearIndex(Index):
                     yield ss
 
     def find(self, search_fn, query, **kwargs):
+        view = self._as_flat_view()
+        if view is not None:  # big uniform-scaled zip: cached device banks
+            yield from view.find(search_fn, query, **kwargs)
+            return
         pairs = [(ss, self.location) for ss in self.signatures()]
         yield from self._find_batched(search_fn, query, pairs)
 
@@ -765,6 +852,10 @@ class MultiIndex(Index):
         raise NotImplementedError
 
     def find(self, search_fn, query, **kwargs):
+        view = self._as_flat_view()
+        if view is not None:
+            yield from view.find(search_fn, query, **kwargs)
+            return
         pairs = list(self.signatures_with_location())
         yield from self._find_batched(search_fn, query, pairs)
 
@@ -908,6 +999,13 @@ class StandaloneManifestIndex(Index):
 
     def insert(self, *args):
         raise NotImplementedError
+
+    def find(self, search_fn, query, **kwargs):
+        view = self._as_flat_view()
+        if view is not None:  # device banks beat per-sig host scoring
+            yield from view.find(search_fn, query, **kwargs)
+            return
+        yield from super().find(search_fn, query, **kwargs)
 
     def select(self, **kwargs):
         "Selection applies directly to the manifest."

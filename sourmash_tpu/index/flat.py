@@ -33,9 +33,14 @@ class FlatIndex(Index):
 
     is_database = True
 
-    def __init__(self, siglist=None, location=None):
+    def __init__(self, siglist=None, location=None, locations=None):
         self._signatures = list(siglist) if siglist else []
         self._location = location
+        # optional per-signature locations (device views over MultiIndex /
+        # manifest collections record each signature's source file)
+        self._locations = list(locations) if locations is not None else None
+        if self._locations is not None:
+            assert len(self._locations) == len(self._signatures)
         self._banks = None  # lazy device row banks
         self._banks_dir = None  # optional on-disk packed planes (revindex v3)
         self._ds_mins = None
@@ -47,8 +52,18 @@ class FlatIndex(Index):
     def location(self):
         return self._location
 
+    def _location_for(self, i):
+        "Result location of dataset i (per-signature when recorded)."
+        if self._locations is not None:
+            return self._locations[i]
+        return self._location
+
     def signatures(self):
         return iter(self._signatures)
+
+    def signatures_with_location(self):
+        for i, ss in enumerate(self._signatures):
+            yield ss, self._location_for(i)
 
     def __bool__(self):
         return bool(self._signatures)
@@ -58,6 +73,8 @@ class FlatIndex(Index):
 
     def insert(self, ss):
         self._signatures.append(ss)
+        if self._locations is not None:
+            self._locations.append(None)
         self._banks = None
         self._banks_dir = None  # stale on-disk planes must not be reloaded
         self._ds_mins = None
@@ -78,14 +95,29 @@ class FlatIndex(Index):
 
         return load_revindex(location)
 
+    def _as_flat_view(self):
+        "A FlatIndex IS the device engine — no view indirection needed."
+        return self
+
     def select(self, **kwargs):
         _check_select_parameters(**kwargs)
         # manifest semantics for containment (reference manifest.py:324)
         containment = kwargs.pop("containment", False)
-        sigs = [ss for ss in self._signatures if select_signature(ss, **kwargs)]
+        keep = [
+            i
+            for i, ss in enumerate(self._signatures)
+            if select_signature(ss, **kwargs)
+        ]
         if containment or kwargs.get("scaled"):
-            sigs = [ss for ss in sigs if ss.minhash.scaled]
-        return FlatIndex(sigs, self._location)
+            keep = [i for i in keep if self._signatures[i].minhash.scaled]
+        locs = (
+            [self._locations[i] for i in keep]
+            if self._locations is not None
+            else None
+        )
+        return FlatIndex(
+            [self._signatures[i] for i in keep], self._location, locations=locs
+        )
 
     # -- device state ------------------------------------------------------
 
@@ -175,7 +207,7 @@ class FlatIndex(Index):
         if not query_mh.scaled or any(
             not ss.minhash.scaled for ss in self._signatures
         ):
-            sal = [(ss, self._location) for ss in self._signatures]
+            sal = list(self.signatures_with_location())
             yield from self._find_batched(search_fn, query, sal)
             return
 
@@ -224,7 +256,7 @@ class FlatIndex(Index):
             )
             if search_fn.passes(score):
                 if search_fn.collect(score, ss := self._signatures[i]):
-                    yield IndexSearchResult(score, ss, self._location)
+                    yield IndexSearchResult(score, ss, self._location_for(i))
 
     def counter_gather(self, query, threshold_bp, **kwargs):
         "Build a device-backed CounterGather over matches to the query."
@@ -357,6 +389,26 @@ class FlatCounterGather:
             n_threshold_hashes = None
         if n_threshold_hashes is not None:
             counts = np.where(counts >= max(n_threshold_hashes, 1), counts, 0)
+        # host-CounterGather parity for md5-duplicate candidates (reference
+        # index/__init__.py:777-806 keys candidates by md5): duplicates
+        # collapse to ONE candidate holding the FIRST occurrence's counter
+        # position (dict insertion order) but the LAST occurrence's
+        # signature object and location (later adds overwrite the dict
+        # values). Later duplicates' counts are zeroed; result lookups
+        # remap first -> last.
+        self._remap = {}
+        matched0 = np.nonzero(counts)[0]
+        if len(matched0) > 1:
+            first_by_md5 = {}
+            for i in matched0:
+                i = int(i)
+                md5 = index._signatures[i].md5sum()
+                first = first_by_md5.get(md5)
+                if first is None:
+                    first_by_md5[md5] = i
+                else:
+                    counts[i] = 0
+                    self._remap[first] = i
         self.counts = counts.astype(np.int64)
         self.query_started = 0
         self._q_mins = q
@@ -386,7 +438,7 @@ class FlatCounterGather:
         "Return all signatures with nonzero counters."
         for i, c in enumerate(self.counts):
             if c > 0:
-                yield self.index._signatures[i]
+                yield self.index._signatures[self._remap.get(i, i)]
 
     @property
     def union_found(self):
@@ -479,7 +531,7 @@ class FlatCounterGather:
         if match_size < n_threshold_hashes:
             return []
 
-        match = self.index._signatures[best]
+        match = self.index._signatures[self._remap.get(best, best)]
         match_mh = match.minhash.downsample(scaled=scaled).flatten()
         intersect_mh = cur_query_mh & match_mh
         if len(intersect_mh) != match_size:
@@ -506,7 +558,9 @@ class FlatCounterGather:
         assert cont >= threshold
 
         return (
-            IndexSearchResult(cont, match, self.index._location),
+            IndexSearchResult(
+                cont, match, self.index._location_for(self._remap.get(best, best))
+            ),
             intersect_mh,
         )
 
@@ -541,7 +595,7 @@ class FlatCounterGather:
         if match_size == 0 or match_size < n_threshold_hashes:
             return []
 
-        match = self.index._signatures[best]
+        match = self.index._signatures[self._remap.get(best, best)]
 
         cont = cur_query_mh.contained_by(match.minhash, downsample=True)
         assert cont
@@ -551,7 +605,9 @@ class FlatCounterGather:
         intersect_mh = cur_query_mh & match_mh
 
         return (
-            IndexSearchResult(cont, match, self.index._location),
+            IndexSearchResult(
+                cont, match, self.index._location_for(self._remap.get(best, best))
+            ),
             intersect_mh,
         )
 

