@@ -17,6 +17,7 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "fastx.cpp")
 _SKETCH_SRC = os.path.join(os.path.dirname(__file__), "sketch.cpp")
+_PACK_SRC = os.path.join(os.path.dirname(__file__), "pack.cpp")
 _lib = None
 _build_failed = False
 
@@ -29,10 +30,10 @@ def _build_lib():
     if _build_failed:
         return None
     try:
-        with open(_SRC, "rb") as f:
-            src = f.read()
-        with open(_SKETCH_SRC, "rb") as f:
-            src += f.read()
+        src = b""
+        for path in (_SRC, _SKETCH_SRC, _PACK_SRC):
+            with open(path, "rb") as f:
+                src += f.read()
         tag = hashlib.sha256(src).hexdigest()[:16]
         cache_dir = os.environ.get(
             "SOURMASH_NATIVE_CACHE",
@@ -45,7 +46,7 @@ def _build_lib():
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                    _SRC, _SKETCH_SRC, "-o", tmp, "-lz",
+                    _SRC, _SKETCH_SRC, _PACK_SRC, "-o", tmp, "-lz",
                 ],
                 check=True,
                 capture_output=True,
@@ -87,6 +88,22 @@ def _build_lib():
             ctypes.c_int32,
         ]
         lib.hash_windows.restype = ctypes.c_int64
+        lib.pack_rows_native.argtypes = [
+            ctypes.c_void_p,  # vals u64*
+            ctypes.c_void_p,  # offs i64*
+            ctypes.c_int64,   # n rows with data
+            ctypes.c_int64,   # rows (padded)
+            ctypes.c_int64,   # B
+            ctypes.c_int32,   # d
+            ctypes.c_void_p,  # hi u32*
+            ctypes.c_void_p,  # lo u32*
+            ctypes.c_void_p,  # cnt u8*
+            ctypes.c_void_p,  # spill_rows i64*
+            ctypes.c_void_p,  # spill_vals u64*
+            ctypes.c_int64,   # spill_cap
+            ctypes.c_int32,   # n_threads
+        ]
+        lib.pack_rows_native.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -158,6 +175,57 @@ def iter_records_bytes(path):
     for names, blob, off in iter_batches(path):
         for i, name in enumerate(names):
             yield name, blob[off[i] : off[i + 1]]
+
+
+def pack_rows(vals, offs, n, rows, B, d, n_threads=0, out=None):
+    """Thread-parallel bucketed-plane pack (see pack.cpp).
+
+    vals: concatenated per-row-sorted u64 hashes; offs: int64[n+1] row
+    boundaries. Returns (hi [rows,d,B] u32, lo, cnt [rows,B] u8,
+    spill_rows i64[k], spill_vals u64[k]) — value-identical to the numpy
+    pack in ops/bucketed.pack_rows_bucketed — or None if the native
+    library is unavailable.
+
+    out: optional preallocated (hi, lo, cnt) triple to pack into —
+    first-touch page faults on fresh multi-GB buffers cost seconds on
+    cloud VMs, so index builds pool and reuse these."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    if out is not None:
+        hi, lo, cnt = out
+        assert hi.shape == (rows, d, B) and hi.dtype == np.uint32
+        assert lo.shape == (rows, d, B) and lo.dtype == np.uint32
+        assert cnt.shape == (rows, B) and cnt.dtype == np.uint8
+    else:
+        hi = np.empty((rows, d, B), dtype=np.uint32)
+        lo = np.empty((rows, d, B), dtype=np.uint32)
+        cnt = np.empty((rows, B), dtype=np.uint8)
+    cap = 4096
+    while True:
+        spill_rows = np.empty(cap, dtype=np.int64)
+        spill_vals = np.empty(cap, dtype=np.uint64)
+        ret = lib.pack_rows_native(
+            vals.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n),
+            ctypes.c_int64(rows),
+            ctypes.c_int64(B),
+            ctypes.c_int32(d),
+            hi.ctypes.data_as(ctypes.c_void_p),
+            lo.ctypes.data_as(ctypes.c_void_p),
+            cnt.ctypes.data_as(ctypes.c_void_p),
+            spill_rows.ctypes.data_as(ctypes.c_void_p),
+            spill_vals.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+            ctypes.c_int32(n_threads),
+        )
+        ret = int(ret)
+        if ret >= 0:
+            return hi, lo, cnt, spill_rows[:ret], spill_vals[:ret]
+        cap = -ret
 
 
 def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int, n_threads: int = 0):

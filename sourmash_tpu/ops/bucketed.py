@@ -101,17 +101,70 @@ def _bucketize(m: np.ndarray, B: int):
     return b, bs, slot, order
 
 
-def pack_rows_bucketed(mins_list, B: int, d: int = _D, device=True) -> BucketedRows:
+def _pack_rows_native(mins_list, n, rows, B, d, device, out_buffers=None):
+    """Thread-parallel C++ pack (native/pack.cpp): rows are independent and
+    per-row input is sorted, so the pack is one O(N) pass per row across a
+    thread pool — no global argsort. Value-identical to the numpy path
+    (asserted by tests); returns None when the native lib is unavailable."""
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+        lens = np.fromiter(
+            (len(m) for m in mins_list), dtype=np.int64, count=n
+        )
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        if offs[-1] == 0:
+            return None  # trivial: let the numpy path handle empties
+        vals = (
+            np.concatenate([np.asarray(m, dtype=np.uint64) for m in mins_list])
+            if n > 1
+            else np.asarray(mins_list[0], dtype=np.uint64)
+        )
+        out = native.pack_rows(vals, offs, n, rows, B, d, out=out_buffers)
+        if out is None:
+            return None
+    except Exception:
+        return None
+    hi, lo, cnt, spill_rows, spill_vals = out
+    empty = np.zeros(0, dtype=np.uint64)
+    spill_list = [empty] * rows
+    n_spilled = int(len(spill_vals))
+    if n_spilled:
+        # contiguous runs per row, already ascending by (row, value)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(spill_rows)) + 1, [n_spilled]]
+        )
+        for a, b in zip(starts[:-1], starts[1:]):
+            spill_list[int(spill_rows[a])] = spill_vals[a:b].copy()
+    if device:
+        hi, lo, cnt = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(cnt)
+    return BucketedRows(hi, lo, cnt, spill_list, n, d, B, n_spilled)
+
+
+def pack_rows_bucketed(
+    mins_list, B: int, d: int = _D, device=True, out_buffers=None
+) -> BucketedRows:
     """Pack sorted distinct u64 hash arrays into bucketed u32 planes.
 
-    Vectorized across all rows: one stable argsort of (row, bucket) keys
-    over the concatenated hashes, then three fancy-index stores — ~50M
-    hashes pack in seconds instead of minutes of per-row loops.
+    Preferred path: the thread-parallel native pack (see
+    _pack_rows_native); `out_buffers` optionally supplies pooled
+    (hi, lo, cnt) host arrays to pack into. Fallback is vectorized numpy:
+    one stable argsort of (row, bucket) keys over the concatenated
+    hashes, then three fancy-index stores.
 
     Rows are padded to a power-of-two count (>=8) so kernels compile once
     per size class; padding rows are all-PAD (occupancy 0)."""
     n = len(mins_list)
     rows = _pad_rows(n)
+    if n:
+        packed = _pack_rows_native(
+            mins_list, n, rows, B, d, device, out_buffers=out_buffers
+        )
+        if packed is not None:
+            return packed
     hi = np.full((rows, d, B), 0xFFFFFFFF, dtype=np.uint32)
     lo = np.full((rows, d, B), 0xFFFFFFFF, dtype=np.uint32)
     cnt = np.zeros((rows, B), dtype=np.uint8)

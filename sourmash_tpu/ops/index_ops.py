@@ -83,6 +83,14 @@ def _to_device_resident(banks) -> None:
             )
 
 
+def _planned_chunk_bytes(n_rows: int, B: int) -> int:
+    "Exact plane bytes of a chunk of n_rows: hi + lo (u32) + cnt (u8)."
+    from .bucketed import _D, _pad_rows
+
+    rows = _pad_rows(n_rows)
+    return rows * _D * B * 4 * 2 + rows * B
+
+
 def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     """Bucket per-dataset sorted hash arrays by padded length class and
     pack each class into bucketed-plane chunks.
@@ -91,14 +99,62 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     padding stays bounded for skewed collections; rows are chunked at
     _CHUNK_ROWS so kernels compile once per (B, rows) size class.
 
-    Packing is host-side; planes are made device-resident only when the
-    whole collection fits the HBM budget, otherwise they stream per query
-    (the multi-pass path for GTDB-scale collections on one chip).
+    Packing is host-side (thread-parallel native pack). The HBM-budget
+    decision is made UP FRONT from the planned plane sizes, so when the
+    collection fits, every chunk's async upload is issued as soon as it
+    packs — host packing of chunk i+1 overlaps the device transfer of
+    chunk i. Beyond the budget, planes stay host-resident and stream per
+    query (the multi-pass path for GTDB-scale collections on one chip).
     """
+    from .bucketed import BucketedRows
+
     buckets: dict[int, list[int]] = {}
     for i, m in enumerate(mins_list):
         L = 1 << max(7, int(max(1, len(m)) - 1).bit_length())
         buckets.setdefault(L, []).append(i)
+
+    planned = 0
+    for L, idxs in sorted(buckets.items()):
+        B = choose_buckets(L)
+        for s in range(0, len(idxs), _CHUNK_ROWS):
+            planned += _planned_chunk_bytes(
+                len(idxs[s : s + _CHUNK_ROWS]), B
+            )
+    resident = planned <= _hbm_budget_bytes()
+
+    # Device-resident builds pack into a POOLED pair of host buffer sets
+    # per shape class: first-touch page faults on fresh multi-GB plane
+    # buffers cost seconds-per-GB on cloud VMs, so the whole build faults
+    # only ~2 chunks' worth of host memory instead of the full plane set.
+    # Ping-pong depth 2 keeps the overlap: chunk i's async upload runs
+    # while chunk i+1 packs; a buffer is reused only after its transfer
+    # completed (block_until_ready).
+    from collections import deque
+
+    from .bucketed import _D, _pad_rows
+
+    free: dict = {}  # (rows, B) -> [host (hi, lo, cnt) triples]
+    inflight: deque = deque()  # (device chunk, key, host triple)
+
+    def _take_buffers(n_rows, B):
+        key = (_pad_rows(n_rows), B)
+        stack = free.get(key)
+        if stack:
+            return key, stack.pop()
+        rows = key[0]
+        return key, (
+            np.empty((rows, _D, B), dtype=np.uint32),
+            np.empty((rows, _D, B), dtype=np.uint32),
+            np.empty((rows, B), dtype=np.uint8),
+        )
+
+    def _retire(max_inflight):
+        while len(inflight) > max_inflight:
+            dev, key, bufs = inflight.popleft()
+            dev.hi.block_until_ready()
+            dev.lo.block_until_ready()
+            dev.cnt.block_until_ready()
+            free.setdefault(key, []).append(bufs)
 
     banks = []
     for L, idxs in sorted(buckets.items()):
@@ -107,14 +163,26 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
         ids = []
         for s in range(0, len(idxs), _CHUNK_ROWS):
             part = idxs[s : s + _CHUNK_ROWS]
-            chunks.append(
-                pack_rows_bucketed([mins_list[i] for i in part], B, device=False)
-            )
+            if resident:
+                key, bufs = _take_buffers(len(part), B)
+                c = pack_rows_bucketed(
+                    [mins_list[i] for i in part], B, device=False,
+                    out_buffers=bufs,
+                )
+                c = BucketedRows(
+                    jnp.asarray(c.hi), jnp.asarray(c.lo), jnp.asarray(c.cnt),
+                    c.spills, c.n, c.d, c.B, c.n_spilled,
+                )
+                inflight.append((c, key, bufs))
+                _retire(1)
+            else:
+                c = pack_rows_bucketed(
+                    [mins_list[i] for i in part], B, device=False
+                )
+            chunks.append(c)
             ids.append(np.asarray(part, dtype=np.int32))
         banks.append(Bank(chunks, ids, B))
-
-    if _planes_nbytes(banks) <= _hbm_budget_bytes():
-        _to_device_resident(banks)
+    _retire(0)
     return banks
 
 

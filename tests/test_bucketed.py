@@ -372,3 +372,49 @@ def test_warm_gather_counts_cache_hits():
     assert not warm._counts_cache  # popped on hit
     for a, b in zip(cold_counts, warm_counts):
         assert np.array_equal(a, b)
+
+
+def test_native_pack_matches_numpy(monkeypatch):
+    """The thread-parallel native pack (native/pack.cpp) is value-identical
+    to the numpy argsort pack: planes, counts, and per-row spill lists —
+    including forced Poisson overflow (tiny B), the 2**64-1 PAD sentinel,
+    and empty rows."""
+    from sourmash_tpu import native
+    from sourmash_tpu.ops import bucketed
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+    rows = overlapping_rows(13, 400, rng=rng)
+    rows[3] = np.zeros(0, dtype=np.uint64)  # empty row
+    rows[5] = np.unique(
+        np.concatenate([rows[5], np.array([MAX_U64], dtype=np.uint64)])
+    )
+    B = 64  # tiny: forces many spills past d=8
+
+    nat = pack_rows_bucketed(rows, B, device=False)
+    monkeypatch.setattr(native, "available", lambda: False)
+    ref = pack_rows_bucketed(rows, B, device=False)
+
+    assert np.array_equal(np.asarray(nat.hi), np.asarray(ref.hi))
+    assert np.array_equal(np.asarray(nat.lo), np.asarray(ref.lo))
+    assert np.array_equal(np.asarray(nat.cnt), np.asarray(ref.cnt))
+    assert nat.n_spilled == ref.n_spilled and nat.n_spilled > 0
+    assert len(nat.spills) == len(ref.spills)
+    for a, b in zip(nat.spills, ref.spills):
+        assert np.array_equal(a, b)
+    assert (nat.n, nat.d, nat.B) == (ref.n, ref.d, ref.B)
+
+
+def test_native_pack_used_by_default():
+    "When the native lib is present, pack_rows_bucketed routes through it."
+    from sourmash_tpu import native
+    from sourmash_tpu.ops import bucketed
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    out = bucketed._pack_rows_native(
+        [rand_set(100), rand_set(50)], 2, 8, 128, 8, False
+    )
+    assert out is not None and out.n == 2
