@@ -86,9 +86,20 @@ def set_size_chernoff(set_size, scaled, *, relative_error=0.05):
     return 1 - 2 * exp(-(relative_error**2) * set_size / (scaled * 3))
 
 
+_SET_SIZE_PROB_CACHE: dict = {}
+
+
 def set_size_exact_prob(set_size, scaled, *, relative_error=0.05):
     """Exact binomial probability that len(sketch)*scaled lands within
-    relative_error of the true set size."""
+    relative_error of the true set size.
+
+    Memoized: a pure function of (set_size, scaled, relative_error), and
+    gather re-checks the same query's size accuracy every round — the
+    binom.cdf pair costs ~1 ms each."""
+    key = (set_size, scaled, relative_error)
+    hit = _SET_SIZE_PROB_CACHE.get(key)
+    if hit is not None:
+        return hit
     p = 1 / scaled
     upper = set_size / scaled * (relative_error + 1)
     lower = -set_size / scaled * (relative_error - 1)
@@ -96,6 +107,9 @@ def set_size_exact_prob(set_size, scaled, *, relative_error=0.05):
     # cdf subtraction excludes the lower endpoint; add it back when integral
     if lower == int(lower):
         prob += binom.pmf(lower, set_size, p)
+    if len(_SET_SIZE_PROB_CACHE) >= 4096:
+        _SET_SIZE_PROB_CACHE.clear()
+    _SET_SIZE_PROB_CACHE[key] = prob
     return prob
 
 

@@ -418,6 +418,24 @@ class MinHash:
         if hashes.size == 0:
             return
 
+        # bulk-load fast path: inserting already-sorted distinct hashes
+        # into an EMPTY sketch (downsample/flatten/copy, loader paths) is
+        # a straight assignment — the union1d/argsort merges below cost a
+        # full sort per call and dominated gather's per-round stats
+        if len(self._mins) == 0 and bool(np.all(hashes[:-1] < hashes[1:])):
+            self._mins = hashes.copy()
+            if self._track_abundance:
+                self._abunds = (
+                    abunds.astype(np.uint64, copy=True)
+                    if abunds is not None
+                    else np.ones(len(hashes), dtype=np.uint64)
+                )
+            if self._num and len(self._mins) > self._num:
+                self._mins = self._mins[: self._num]
+                if self._abunds is not None:
+                    self._abunds = self._abunds[: self._num]
+            return
+
         if self._track_abundance:
             if abunds is None:
                 uniq, counts = np.unique(hashes, return_counts=True)
@@ -471,14 +489,17 @@ class MinHash:
     def remove_many(self, hashes):
         "Remove many hashes at once; ``hashes`` is an iterable or MinHash."
         if isinstance(hashes, MinHash):
-            arr = hashes._mins
+            arr = hashes._mins  # sorted distinct: one searchsorted pass
         else:
-            arr = np.fromiter((int(h) for h in hashes), dtype=np.uint64)
+            arr = np.sort(np.fromiter((int(h) for h in hashes), dtype=np.uint64))
         self._invalidate()
-        keep = ~np.isin(self._mins, arr)
-        self._mins = self._mins[keep]
-        if self._abunds is not None:
-            self._abunds = self._abunds[keep]
+        if len(arr) and len(self._mins):
+            idx = np.searchsorted(arr, self._mins)
+            np.minimum(idx, len(arr) - 1, out=idx)
+            keep = arr[idx] != self._mins
+            self._mins = self._mins[keep]
+            if self._abunds is not None:
+                self._abunds = self._abunds[keep]
 
     def add_many(self, hashes):
         "Add many hashes at once; ``hashes`` is an iterable or MinHash."
@@ -720,11 +741,17 @@ class MinHash:
             raise MismatchScaled("mismatch in scaled; comparison fail")
 
     def _intersection_size(self, other):
-        "Raw sorted-array intersection count."
-        return int(
-            np.searchsorted(self._mins, other._mins, side="right").sum()
-            - np.searchsorted(self._mins, other._mins, side="left").sum()
-        )
+        """Raw sorted-array intersection count: one searchsorted of the
+        SMALLER array into the larger (the count is symmetric), so a
+        genome-vs-metagenome overlap costs O(m log n), not O(n log m)."""
+        a, b = self._mins, other._mins
+        if not len(a) or not len(b):
+            return 0
+        if len(a) < len(b):
+            a, b = b, a
+        idx = np.searchsorted(a, b)
+        np.minimum(idx, len(a) - 1, out=idx)
+        return int(np.count_nonzero(a[idx] == b))
 
     def count_common(self, other, downsample=False):
         """Return number of hashes in common; optionally downsample scaled
@@ -1014,7 +1041,16 @@ class MinHash:
             seed=self._seed,
             max_hash=max_hash,
         )
-        if self._track_abundance:
+        if max_hash and len(self._mins):
+            # scaled -> coarser scaled on a sorted array is a prefix slice
+            cut = int(
+                np.searchsorted(self._mins, np.uint64(max_hash), side="right")
+            )
+            a._set_mins_internal(
+                self._mins[:cut].copy(),
+                self._abunds[:cut].copy() if self._abunds is not None else None,
+            )
+        elif self._track_abundance:
             a._insert_hashes(self._mins, self._abunds)
         else:
             a._insert_hashes(self._mins)
@@ -1084,7 +1120,18 @@ class MinHash:
             common = np.intersect1d(self._mins, other._mins)
             common = np.intersect1d(common, u)
         else:
-            common = np.intersect1d(self._mins, other._mins)
+            # both sides sorted distinct: search the smaller in the larger
+            # (O(m log n), result stays sorted) instead of np.intersect1d's
+            # full sort of the concatenation
+            sm, lg = self._mins, other._mins
+            if len(sm) > len(lg):
+                sm, lg = lg, sm
+            if len(sm) and len(lg):
+                idx = np.searchsorted(lg, sm)
+                np.minimum(idx, len(lg) - 1, out=idx)
+                common = sm[lg[idx] == sm]
+            else:
+                common = np.zeros(0, dtype=np.uint64)
         a = self.copy_and_clear()
         a._set_mins_internal(common.astype(np.uint64))
         return a

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from .minhash import MinHash
 
 def _pairwise(method, reverse=False):
@@ -71,9 +73,17 @@ class BaseMinHashComparison:
 
     @property
     def intersect_mh(self):
-        "Flat MinHash holding the hashes common to both cmp sketches."
-        flat1, flat2 = self.mh1_cmp.flatten(), self.mh2_cmp.flatten()
-        return flat1.intersection(flat2)
+        """Flat MinHash holding the hashes common to both cmp sketches.
+
+        Computed once per comparison: gather's result rows read this
+        several times per round (containments, weighted stats), and the
+        cmp views never change after construction."""
+        cached = getattr(self, "_intersect_mh_cache", None)
+        if cached is None:
+            flat1, flat2 = self.mh1_cmp.flatten(), self.mh2_cmp.flatten()
+            cached = flat1.intersection(flat2)
+            self._intersect_mh_cache = cached
+        return cached
 
     jaccard = _pairwise("jaccard")
     angular_similarity = _pairwise("angular_similarity")
@@ -190,6 +200,8 @@ class FracMinHashComparison(BaseMinHashComparison):
         Hashes missing from the abundance source count as abundance 1; with
         no usable source, the flat intersection is returned unchanged.
         """
+        from .minhash import _HashesDict
+
         if from_mh is not None and from_mh.track_abundance:
             from_abundD = from_mh.hashes
         if not from_abundD:
@@ -197,9 +209,24 @@ class FracMinHashComparison(BaseMinHashComparison):
 
         weighted = self.intersect_mh.copy_and_clear()
         weighted.track_abundance = True
-        weighted.set_abundances(
-            {h: from_abundD.get(h, 1) for h in self.intersect_mh.hashes}
-        )
+        mins = self.intersect_mh.mins_array()
+        if isinstance(from_abundD, _HashesDict):
+            # vectorized attach from the parallel (mins, abunds) arrays —
+            # a per-hash dict .get over a _HashesDict costs one Python
+            # searchsorted per hash
+            src_m = from_abundD._mins
+            src_a = from_abundD._abunds
+            ab = np.ones(len(mins), dtype=np.uint64)
+            if len(src_m) and len(mins) and src_a is not None:
+                idx = np.searchsorted(src_m, mins)
+                np.minimum(idx, len(src_m) - 1, out=idx)
+                hit = src_m[idx] == mins
+                ab[hit] = src_a[idx[hit]]
+            weighted._set_mins_internal(mins.copy(), ab)
+        else:
+            weighted.set_abundances(
+                {h: from_abundD.get(h, 1) for h in self.intersect_mh.hashes}
+            )
         return weighted
 
 
