@@ -47,6 +47,7 @@ class FlatIndex(Index):
         self._scaled = None
         self._cuts_cache = None  # (q_scaled, cuts, subj_sizes)
         self._counts_cache = {}  # md5(query mins) -> counts (pop on hit)
+        self._all_scaled = None  # lazy: every signature has nonzero scaled
 
     @property
     def location(self):
@@ -81,6 +82,7 @@ class FlatIndex(Index):
         self._scaled = None
         self._cuts_cache = None
         self._counts_cache = {}
+        self._all_scaled = None
 
     def save(self, path):
         "Persist as a disk revindex directory (the on-disk form of this index)."
@@ -204,9 +206,11 @@ class FlatIndex(Index):
         if not self._signatures:
             return
         query_mh = query.minhash
-        if not query_mh.scaled or any(
-            not ss.minhash.scaled for ss in self._signatures
-        ):
+        if self._all_scaled is None:  # cached: this scan cost 30+ ms/query
+            self._all_scaled = all(
+                ss.minhash.scaled for ss in self._signatures
+            )
+        if not query_mh.scaled or not self._all_scaled:
             sal = list(self.signatures_with_location())
             yield from self._find_batched(search_fn, query, sal)
             return

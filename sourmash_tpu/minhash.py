@@ -190,6 +190,10 @@ class MinHash:
         self._ksize = int(ksize)
         self._seed = int(seed)
         self._max_hash = int(max_hash)
+        # _max_hash never changes after construction, so the derived
+        # scaled can be computed once (warm queries iterate big
+        # collections checking .scaled per signature)
+        self._scaled_cache = _get_scaled_for_max_hash(self._max_hash)
         self._track_abundance = bool(track_abundance)
         self._mins = np.zeros(0, dtype=np.uint64)
         self._abunds = np.zeros(0, dtype=np.uint64) if track_abundance else None
@@ -305,7 +309,7 @@ class MinHash:
 
     @property
     def scaled(self):
-        return _get_scaled_for_max_hash(self._max_hash)
+        return self._scaled_cache
 
     @property
     def is_dna(self):

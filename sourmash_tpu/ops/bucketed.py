@@ -347,6 +347,38 @@ def _counts_bank_fused(qhi, qlo, qcnt, *planes):
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
+@jax.jit
+def _counts_multi_bank_fused(bank_args):
+    """The WHOLE index (every bank, every chunk) vs one query in a single
+    dispatch returning one concatenated counts vector — a warm query is
+    then one dispatch + one readback regardless of how many length-class
+    banks the collection packed into. bank_args: tuple of
+    (qhi, qlo, qcnt, (hi, lo, cnt) * chunks) per bank."""
+    outs = []
+    for qhi, qlo, qcnt, planes in bank_args:
+        for i in range(0, len(planes), 3):
+            outs.append(
+                _counts_qvm_impl(qhi, qlo, qcnt, planes[i], planes[i + 1],
+                                 planes[i + 2])
+            )
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+@jax.jit
+def _cutoff_counts_multi_bank_fused(bank_args):
+    "Single-dispatch whole-index form of the per-chunk cutoff counts."
+    outs = []
+    for qhi, qlo, qcnt, planes in bank_args:
+        for i in range(0, len(planes), 5):
+            outs.append(
+                _counts_qvm_cutoff_impl(
+                    qhi, qlo, qcnt, planes[i], planes[i + 1], planes[i + 2],
+                    planes[i + 3], planes[i + 4],
+                )
+            )
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 def _counts_qvm_cutoff_impl(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
     """Query-vs-many with a per-subject u64 cutoff applied to the matched
     value: hit iff equal and value <= cut[s]. Pad-pad hits pass the cutoff

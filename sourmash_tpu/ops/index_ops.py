@@ -315,7 +315,27 @@ def counts_for_banks(banks, query_mins: np.ndarray, n_datasets: int) -> np.ndarr
     if not len(query_mins):
         return counts
     q = np.asarray(query_mins, dtype=np.uint64)
-    from .bucketed import _counts_bank_fused, query_counts_device
+    from .bucketed import (
+        _counts_bank_fused,
+        _counts_multi_bank_fused,
+        query_counts_device,
+    )
+
+    if len(banks) > 1 and all(_bank_device_resident(b) for b in banks):
+        # whole index, one dispatch + one readback (multi-bank fusion)
+        bank_args = tuple(
+            (qp[0], qp[1], qp[2],
+             tuple(p for c in bank.chunks for p in (c.hi, c.lo, c.cnt)))
+            for bank, qp in
+            ((bank, _cached_query_pack(q, bank.B)) for bank in banks)
+        )
+        fused = _counts_multi_bank_fused(bank_args)
+        chunk_ids = [
+            (c, ids) for bank in banks
+            for c, ids in zip(bank.chunks, bank.ids)
+        ]
+        _drain_chunk_counts([(fused, chunk_ids)], q, counts)
+        return counts
 
     segs = []
     for bank in banks:
@@ -418,8 +438,27 @@ def cutoff_counts_for_banks(
     from .bucketed import (
         _cut_planes,
         _cutoff_counts_bank_fused,
+        _cutoff_counts_multi_bank_fused,
         query_cutoff_counts_device,
     )
+
+    if len(banks) > 1 and all(_bank_device_resident(b) for b in banks):
+        # whole index, one dispatch + one readback (multi-bank fusion)
+        bank_args = []
+        chunk_ids = []
+        for bank in banks:
+            qp = _cached_query_pack(q, bank.B)
+            planes = []
+            for chunk, ids in zip(bank.chunks, bank.ids):
+                hi_c, lo_c = _cut_planes(chunk, cutoffs[ids])
+                planes.extend([chunk.hi, chunk.lo, chunk.cnt, hi_c, lo_c])
+                chunk_ids.append((chunk, ids))
+            bank_args.append((qp[0], qp[1], qp[2], tuple(planes)))
+        fused = _cutoff_counts_multi_bank_fused(tuple(bank_args))
+        _drain_chunk_counts(
+            [(fused, chunk_ids)], q, counts, spill_cutoffs=cutoffs
+        )
+        return counts
 
     segs = []
     for bank in banks:

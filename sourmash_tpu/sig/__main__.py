@@ -836,9 +836,12 @@ def _set_num_scaled(mh, num, scaled):
     "Set num and scaled values on a MinHash, re-inserting mins to re-trim."
     import numpy as np
 
+    from ..minhash import _get_scaled_for_max_hash
+
     mins, abunds = mh._mins, mh._abunds
     mh._num = num
     mh._max_hash = _get_max_hash_for_scaled(scaled)
+    mh._scaled_cache = _get_scaled_for_max_hash(mh._max_hash)
     mh._mins = np.zeros(0, dtype=np.uint64)
     if mh._track_abundance:
         mh._abunds = np.zeros(0, dtype=np.uint64)
