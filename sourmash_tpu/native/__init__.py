@@ -228,6 +228,41 @@ def pack_rows(vals, offs, n, rows, B, d, n_threads=0, out=None):
         cap = -ret
 
 
+def pack_spills(vals, offs, n, rows, B, d, n_threads=0):
+    """cnt + spill lists only — for callers that pack the hi/lo planes ON
+    DEVICE (ops/bucketed.device_pack_rows) and need just the exact-join
+    state. Returns (cnt, spill_rows, spill_vals) or None."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    cnt = np.empty((rows, B), dtype=np.uint8)
+    cap = 4096
+    while True:
+        spill_rows = np.empty(cap, dtype=np.int64)
+        spill_vals = np.empty(cap, dtype=np.uint64)
+        ret = lib.pack_rows_native(
+            vals.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n),
+            ctypes.c_int64(rows),
+            ctypes.c_int64(B),
+            ctypes.c_int32(d),
+            None,
+            None,
+            cnt.ctypes.data_as(ctypes.c_void_p),
+            spill_rows.ctypes.data_as(ctypes.c_void_p),
+            spill_vals.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+            ctypes.c_int32(n_threads),
+        )
+        ret = int(ret)
+        if ret >= 0:
+            return cnt, spill_rows[:ret], spill_vals[:ret]
+        cap = -ret
+
+
 def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int, n_threads: int = 0):
     """Native canonical-kmer murmur + threshold hot loop.
 

@@ -47,6 +47,10 @@ static void advise_huge(void* p, size_t len) {
 // sentinel) and elements past the d-th slot of a bucket spill to the
 // exact host-side join lists, in ascending value order per row (the
 // input is sorted, so appends stay sorted; 2**64-1 is always last).
+// When hi/lo are null, only cnt and the spill lists are produced (the
+// planes are packed ON DEVICE from the raw limb rows — see
+// ops/bucketed.device_pack_rows — and only the exact spill join needs
+// host-side state).
 static void pack_rows_range(const uint64_t* vals, const int64_t* offs,
                             int64_t r0, int64_t r1, int64_t B, int32_t d,
                             uint32_t* hi, uint32_t* lo, uint8_t* cnt,
@@ -54,14 +58,16 @@ static void pack_rows_range(const uint64_t* vals, const int64_t* offs,
   const uint64_t mask = (uint64_t)(B - 1);
   const size_t slab = (size_t)d * B;
   for (int64_t r = r0; r < r1; r++) {
-    uint32_t* hrow = hi + (size_t)r * slab;
-    uint32_t* lrow = lo + (size_t)r * slab;
+    uint32_t* hrow = hi ? hi + (size_t)r * slab : nullptr;
+    uint32_t* lrow = lo ? lo + (size_t)r * slab : nullptr;
     uint8_t* crow = cnt + (size_t)r * B;
     // PAD-fill this row's slabs right before scattering into them: the
     // slab (a few hundred KB) stays cache-hot, so the fill+scatter is one
     // memory pass instead of a global memset pass plus a cold scatter
-    std::memset(hrow, 0xFF, slab * 4);
-    std::memset(lrow, 0xFF, slab * 4);
+    if (hrow) {
+      std::memset(hrow, 0xFF, slab * 4);
+      std::memset(lrow, 0xFF, slab * 4);
+    }
     std::memset(crow, 0, (size_t)B);
     for (int64_t i = offs[r]; i < offs[r + 1]; i++) {
       const uint64_t v = vals[i];
@@ -72,8 +78,10 @@ static void pack_rows_range(const uint64_t* vals, const int64_t* offs,
       const int64_t b = (int64_t)(v & mask);
       const uint8_t c = crow[b];
       if (c < d) {
-        hrow[(size_t)c * B + b] = (uint32_t)(v >> 32);
-        lrow[(size_t)c * B + b] = (uint32_t)(v & 0xFFFFFFFFu);
+        if (hrow) {
+          hrow[(size_t)c * B + b] = (uint32_t)(v >> 32);
+          lrow[(size_t)c * B + b] = (uint32_t)(v & 0xFFFFFFFFu);
+        }
         crow[b] = (uint8_t)(c + 1);  // stored count == min(load, d)
       } else {  // Poisson tail past d slots: exact host join
         spills->push_back({r, v});
@@ -98,8 +106,10 @@ int64_t pack_rows_native(const uint64_t* vals, const int64_t* offs,
                          int64_t* spill_rows, uint64_t* spill_vals,
                          int64_t spill_cap, int32_t n_threads) {
   const size_t plane_bytes = (size_t)rows * (size_t)d * (size_t)B * 4;
-  advise_huge(hi, plane_bytes);
-  advise_huge(lo, plane_bytes);
+  if (hi) {
+    advise_huge(hi, plane_bytes);
+    advise_huge(lo, plane_bytes);
+  }
   advise_huge(cnt, (size_t)rows * (size_t)B);
 
   // data rows [0, n) are PAD-filled inside pack_rows_range (cache-fused);
@@ -107,8 +117,10 @@ int64_t pack_rows_native(const uint64_t* vals, const int64_t* offs,
   if (rows > n) {
     const size_t slab = (size_t)d * (size_t)B;
     const size_t pad_rows = (size_t)(rows - n);
-    std::memset(hi + (size_t)n * slab, 0xFF, pad_rows * slab * 4);
-    std::memset(lo + (size_t)n * slab, 0xFF, pad_rows * slab * 4);
+    if (hi) {
+      std::memset(hi + (size_t)n * slab, 0xFF, pad_rows * slab * 4);
+      std::memset(lo + (size_t)n * slab, 0xFF, pad_rows * slab * 4);
+    }
     std::memset(cnt + (size_t)n * B, 0, pad_rows * (size_t)B);
   }
   if (n <= 0) return 0;

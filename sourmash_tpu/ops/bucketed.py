@@ -236,6 +236,101 @@ def pack_rows_bucketed(
     return BucketedRows(hi, lo, cnt, spill_list, n, d, B, n_spilled)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "d"))
+def _device_pack_kernel(Hi, Lo, B, d):
+    """Pack [rows, L] u32 hash-limb rows (each row sorted ascending, PAD
+    = 0xFFFFFFFF/0xFFFFFFFF past its true length) into bucketed planes
+    [rows, d, B] + cnt [rows, B] ON DEVICE.
+
+    Value-identical to the host pack: a stable per-row sort by bucket id
+    keeps ascending-hash slot order, slot = position − bucket start,
+    overflow (slot >= d) lands in a dump slot that is sliced off (those
+    elements live in the host spill lists). Raw limb rows are ~4x smaller
+    than the planes, so uploading raw + packing on device is decisive
+    when the host->device link is the bottleneck."""
+    rows, L = Hi.shape
+    pad = jnp.uint32(0xFFFFFFFF)
+    valid = ~((Hi == pad) & (Lo == pad))
+    b = jnp.where(valid, (Lo & jnp.uint32(B - 1)).astype(jnp.int32), B)
+    b_s, hi_s, lo_s = jax.lax.sort(
+        (b, Hi, Lo), dimension=1, num_keys=1, is_stable=True
+    )
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    starts = jax.vmap(
+        lambda bs: jnp.searchsorted(bs, jnp.arange(B + 1, dtype=jnp.int32))
+    )(b_s)  # [rows, B+1]
+    slot = pos - jnp.take_along_axis(starts, jnp.clip(b_s, 0, B), axis=1)
+    cnt = jnp.minimum(starts[:, 1:] - starts[:, :-1], d).astype(jnp.uint8)
+    ok = (b_s < B) & (slot < d)
+    flat = jnp.where(ok, slot * B + b_s, d * B)  # overflow -> dump slot
+    ridx = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    Phi = jnp.full((rows, d * B + 1), pad, jnp.uint32).at[ridx, flat].set(
+        hi_s, mode="drop"
+    )
+    Plo = jnp.full((rows, d * B + 1), pad, jnp.uint32).at[ridx, flat].set(
+        lo_s, mode="drop"
+    )
+    return (
+        Phi[:, : d * B].reshape(rows, d, B),
+        Plo[:, : d * B].reshape(rows, d, B),
+        cnt,
+    )
+
+
+def pack_rows_device(mins_list, B: int, d: int = _D) -> BucketedRows | None:
+    """BucketedRows with device-resident planes packed ON DEVICE (see
+    _device_pack_kernel); spill state comes from the native spills-only
+    pass. None when the native library is unavailable or the rows are
+    empty — callers fall back to the host pack."""
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+    except Exception:
+        return None
+    n = len(mins_list)
+    if not n:
+        return None
+    rows = _pad_rows(n)
+    lens = np.fromiter((len(m) for m in mins_list), dtype=np.int64, count=n)
+    N = int(lens.sum())
+    if not N:
+        return None
+    L = max(128, -(-int(lens.max()) // 128) * 128)
+    vals = (
+        np.concatenate([np.asarray(m, dtype=np.uint64) for m in mins_list])
+        if n > 1
+        else np.asarray(mins_list[0], dtype=np.uint64)
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    sp = native.pack_spills(vals, offs, n, rows, B, d)
+    if sp is None:
+        return None
+    _cnt_host, sp_rows, sp_vals = sp
+
+    Hi = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
+    Lo = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
+    rr = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cc = np.arange(N, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    Hi[rr, cc] = (vals >> np.uint64(32)).astype(np.uint32)
+    Lo[rr, cc] = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    phi, plo, pcnt = _device_pack_kernel(jnp.asarray(Hi), jnp.asarray(Lo), B, d)
+
+    empty = np.zeros(0, dtype=np.uint64)
+    spill_list = [empty] * rows
+    n_spilled = int(len(sp_vals))
+    if n_spilled:
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(sp_rows)) + 1, [n_spilled]]
+        )
+        for a, bnd in zip(starts[:-1], starts[1:]):
+            spill_list[int(sp_rows[a])] = sp_vals[a:bnd].copy()
+    return BucketedRows(phi, plo, pcnt, spill_list, n, d, B, n_spilled)
+
+
 def pack_query_bucketed(q: np.ndarray, B: int, device=True):
     """Pack one sorted distinct u64 query into [dq, B] planes with
     dq = next_pow2(max bucket load) — no query-side spills. Returns
@@ -419,8 +514,7 @@ def _cutoff_counts_bank_fused(qhi, qlo, qcnt, *planes):
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
-@jax.jit
-def _counts_block(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
+def _counts_block_impl(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
     """[bq, d, B] query rows vs [ns, d, B] subjects -> [bq, ns] i32 counts.
 
     Static loop over the subjects' d slots; the query block broadcasts
@@ -438,6 +532,14 @@ def _counts_block(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
     npad_s = (d - Scnt).astype(jnp.bfloat16)  # [ns, B]
     corr = jnp.dot(npad_q, npad_s.T, preferred_element_type=jnp.float32)
     return acc - corr.astype(jnp.int32)
+
+
+_counts_block = jax.jit(_counts_block_impl)
+
+
+# (measured on the v5e: a lax.map over query blocks serializes the HBM
+# streaming of the subject planes — 10 s vs 0.55 s for the async host
+# loop of per-block dispatches below, which the scheduler pipelines)
 
 
 @jax.jit
@@ -577,13 +679,16 @@ def query_cutoff_counts_bucketed(
 
 def pairwise_counts_bucketed(mins_list, block=8):
     """All-pairs exact intersection-count matrix [n, n] via bucketed dense
-    compare. One device pass per `block` query rows; results are read back
-    once at the end (a single tunnel round-trip)."""
+    compare. One async device dispatch per `block` query rows (pipelined
+    by the scheduler); results are read back once at the end (a single
+    tunnel round-trip)."""
     n = len(mins_list)
     if not n:
         return np.zeros((0, 0), dtype=np.int64)
     B = choose_buckets(max((len(m) for m in mins_list), default=0))
-    bank = pack_rows_bucketed(mins_list, B)
+    bank = pack_rows_device(mins_list, B)  # raw-sized upload, device pack
+    if bank is None:
+        bank = pack_rows_bucketed(mins_list, B)
     rows = bank.hi.shape[0]
     outs = []
     for i in range(0, rows, block):
@@ -607,28 +712,49 @@ def _pairwise_spill_correction(out, mins_list, bank: BucketedRows) -> None:
     if not bank.n_spilled:
         return
     n = len(mins_list)
-    all_vals = np.concatenate(
-        [np.asarray(m, dtype=np.uint64) for m in mins_list]
-    )
-    all_rows = np.repeat(
-        np.arange(n, dtype=np.int64), [len(m) for m in mins_list]
-    )
-    order = np.argsort(all_vals, kind="stable")
-    V, R = all_vals[order], all_rows[order]
     sp_rows_list = [i for i in range(n) if len(bank.spills[i])]
     sp_vals = np.concatenate([bank.spills[i] for i in sp_rows_list])
     sp_rows = np.repeat(
         np.asarray(sp_rows_list, dtype=np.int64),
         [len(bank.spills[i]) for i in sp_rows_list],
     )
-    lo = np.searchsorted(V, sp_vals, side="left")
-    hi_b = np.searchsorted(V, sp_vals, side="right")
-    for k in range(len(sp_vals)):
-        i = sp_rows[k]
-        for j in R[lo[k] : hi_b[k]]:  # rows containing this value
-            out[i, j] += 1
-            if j != i:
-                out[j, i] += 1
+    # (value-sorted (V, R) table over only the UNIQUE spilled values: each
+    # row is already sorted, so membership is one searchsorted per row —
+    # sorting ALL n*len values cost more than the device pass itself)
+    uniq = np.unique(sp_vals)
+    cols_parts, rows_parts = [], []
+    for j in range(n):
+        mj = np.asarray(mins_list[j], dtype=np.uint64)
+        if not len(mj):
+            continue
+        idx = np.searchsorted(mj, uniq)
+        np.minimum(idx, len(mj) - 1, out=idx)
+        cols = np.flatnonzero(mj[idx] == uniq)
+        if len(cols):
+            cols_parts.append(cols)
+            rows_parts.append(np.full(len(cols), j, dtype=np.int64))
+    if not cols_parts:
+        return
+    Cv = np.concatenate(cols_parts)
+    Rv = np.concatenate(rows_parts)
+    order = np.argsort(Cv, kind="stable")
+    Cv, R = Cv[order], Rv[order]
+    kcol = np.searchsorted(uniq, sp_vals)
+    lo = np.searchsorted(Cv, kcol, side="left")
+    hi_b = np.searchsorted(Cv, kcol, side="right")
+    # vectorized: expand every (spill k, matching row j) pair at once
+    spans = hi_b - lo
+    if spans.sum():
+        is_ = np.repeat(sp_rows, spans)
+        # gather R[lo[k] : hi_b[k]] for all k: offsets within each span
+        js = R[
+            np.repeat(lo, spans)
+            + (np.arange(int(spans.sum())) - np.repeat(
+                np.cumsum(spans) - spans, spans))
+        ]
+        np.add.at(out, (is_, js), 1)
+        off = js != is_
+        np.add.at(out, (js[off], is_[off]), 1)
     # a value spilled by BOTH rows of a pair was counted from each side;
     # remove the double count once per ordered pair
     sp_order = np.argsort(sp_vals, kind="stable")
@@ -695,8 +821,7 @@ def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=
 # -- abundance-weighted products (angular similarity) -----------------------
 
 
-@jax.jit
-def _products_block(Qhi, Qlo, Qav, Qcnt, Shi, Slo, Sav, Scnt):
+def _products_block_impl(Qhi, Qlo, Qav, Qcnt, Shi, Slo, Sav, Scnt):
     """[bq, d, B] query planes (+ int32 abundance planes, occupancy counts)
     vs [ns, d, B] subjects -> [bq, ns] i64 sums of abundance products over
     the hash intersection. Occupancy counts gate validity, so zero-filled
@@ -720,6 +845,9 @@ def _products_block(Qhi, Qlo, Qav, Qcnt, Shi, Slo, Sav, Scnt):
             jnp.where(eq, prod, 0), axis=(2, 3), dtype=jnp.int64
         )
     return acc
+
+
+_products_block = jax.jit(_products_block_impl)
 
 
 def _pack_weighted(mins_list, abunds_list):

@@ -156,6 +156,8 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
             dev.cnt.block_until_ready()
             free.setdefault(key, []).append(bufs)
 
+    from .bucketed import pack_rows_device
+
     banks = []
     for L, idxs in sorted(buckets.items()):
         B = choose_buckets(L)
@@ -163,7 +165,13 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
         ids = []
         for s in range(0, len(idxs), _CHUNK_ROWS):
             part = idxs[s : s + _CHUNK_ROWS]
+            c = None
             if resident:
+                # raw-sized upload + on-device pack: the host->device link
+                # carries the hashes (~4x smaller than the planes), the
+                # chip builds the planes (value-identical, tested)
+                c = pack_rows_device([mins_list[i] for i in part], B)
+            if c is None and resident:
                 key, bufs = _take_buffers(len(part), B)
                 c = pack_rows_bucketed(
                     [mins_list[i] for i in part], B, device=False,
@@ -175,7 +183,7 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
                 )
                 inflight.append((c, key, bufs))
                 _retire(1)
-            else:
+            elif c is None:
                 c = pack_rows_bucketed(
                     [mins_list[i] for i in part], B, device=False
                 )
