@@ -268,6 +268,7 @@ def main():
     extra["aa_windows_per_sec"] = aa_throughput()
     emit(extra)
     try:
+        streaming_samples_metrics(extra)
         at_scale_metrics(
             extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
         )
@@ -507,6 +508,122 @@ def query_engine_metrics():
 # main() runs the at-scale legs AFTER emitting the core headline line;
 # query_engine_metrics parks its data helpers here for that second stage
 _RAND_MINS_HOOK: dict = {}
+
+
+def streaming_samples_metrics(out):
+    """BASELINE config 5 as a PRODUCT-path leg: N mock metagenome samples
+    end-to-end — raw sample bytes through the data-parallel sketch kernel
+    (on this chip the 'data' mesh axis is 1; dryrun_multichip verifies the
+    multi-device form), then the multigather machinery: batched counter
+    warm-up, per-query FlatCounterGather, round schedules computed in
+    data-parallel batches (`compute_schedules_batch`), and full
+    GatherDatabases stat rounds per sample. Reports samples/sec.
+    SOURMASH_TPU_BENCH_SAMPLES rescales; 0 disables."""
+    n_samples = int(os.environ.get("SOURMASH_TPU_BENCH_SAMPLES", "1000"))
+    if not n_samples:
+        return
+    import jax
+    import jax.numpy as jnp
+
+    import sourmash_tpu as sm
+    from sourmash_tpu.index.flat import (
+        FlatIndex,
+        compute_schedules_batch,
+        schedule_device_gather,
+    )
+    from sourmash_tpu.minhash import _get_max_hash_for_scaled
+    from sourmash_tpu.parallel import get_mesh, make_sharded_sketch
+    from sourmash_tpu.search import GatherDatabases
+
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    ksize, scaled = 31, 100
+    n_genomes, genome_len = 64, 100_000
+    reads, read_len = 64, 1024
+    genomes = [
+        rng.choice(alphabet, size=genome_len) for _ in range(n_genomes)
+    ]
+
+    # reference sketches (device batch, one row per genome)
+    gb = np.stack(genomes)
+    mesh = get_mesh(1, len(jax.devices()))
+    cap = 8192
+    sketch_fn = make_sharded_sketch(mesh, ksize, cap=cap)
+    mh_cut = np.uint64(_get_max_hash_for_scaled(scaled))
+    g_out, g_n = sketch_fn(jnp.asarray(gb), jnp.asarray(mh_cut))
+    g_out, g_n = np.asarray(g_out), np.asarray(g_n)
+    db_sigs = []
+    for i in range(n_genomes):
+        mh = sm.MinHash(0, ksize, scaled=scaled)
+        mh.add_many(np.unique(g_out[i, : g_n[i]]))
+        db_sigs.append(sm.SourmashSignature(mh, name=f"ref{i}").to_frozen())
+    db = FlatIndex(db_sigs)
+    db._build()
+
+    # mock samples: reads from 2-5 source genomes, 'N'-separated
+    def build_sample():
+        k_src = int(rng.integers(2, 6))
+        src = rng.choice(n_genomes, size=k_src, replace=False)
+        parts = []
+        for _ in range(reads):
+            g = genomes[int(rng.choice(src))]
+            s = int(rng.integers(0, genome_len - read_len))
+            parts.append(g[s : s + read_len])
+            parts.append(np.frombuffer(b"N", dtype=np.uint8))
+        return np.concatenate(parts), sorted(int(x) for x in src)
+
+    rows, truths = zip(*(build_sample() for _ in range(n_samples)))
+    S = max(len(r) for r in rows)
+    batch = np.full((n_samples, S), ord("N"), dtype=np.uint8)
+    for i, r in enumerate(rows):
+        batch[i, : len(r)] = r
+
+    t0 = time.perf_counter()
+    # sketch all samples in device blocks (rows shard over 'data')
+    blk = 128
+    sample_mhs = []
+    for b0 in range(0, n_samples, blk):
+        sub = batch[b0 : b0 + blk]
+        s_out, s_n = sketch_fn(jnp.asarray(sub), jnp.asarray(mh_cut))
+        s_out, s_n = np.asarray(s_out), np.asarray(s_n)
+        for i in range(len(sub)):
+            mh = sm.MinHash(0, ksize, scaled=scaled)
+            mh.add_many(np.unique(s_out[i, : s_n[i]]))
+            sample_mhs.append(mh)
+    queries = [
+        sm.SourmashSignature(mh, name=f"s{i}").to_frozen()
+        for i, mh in enumerate(sample_mhs)
+    ]
+
+    # multigather phase 1: batched counter warm-up + data-parallel schedules
+    db.warm_gather_counts([q.minhash for q in queries])
+    coords = []
+    counters = []
+    for q in queries:
+        c = db.counter_gather(q, threshold_bp=0)
+        counters.append(c)
+        coords.append(schedule_device_gather([c]))
+    compute_schedules_batch([c for c in coords if c is not None], 0)
+
+    found = 0
+    correct = 0
+    for qi, q in enumerate(queries):
+        gd = GatherDatabases(q, [counters[qi]], threshold_bp=0)
+        got = sorted(int(r.match.name[3:]) for r in gd)
+        found += len(got)
+        correct += got == truths[qi]
+    total = time.perf_counter() - t0
+    assert correct >= int(0.95 * n_samples), (correct, n_samples)
+    out["streaming_samples"] = n_samples
+    out["streaming_samples_total_s"] = round(total, 2)
+    out["samples_per_sec"] = round(n_samples / total, 2)
+    out["streaming_samples_correct"] = correct
+    print(
+        f"bench: config-5 streaming {n_samples} samples end-to-end in "
+        f"{total:.1f}s ({out['samples_per_sec']}/s; {correct} exact "
+        "decompositions)",
+        file=sys.stderr,
+    )
 
 
 def at_scale_metrics(out, rand_mins, make_sig):

@@ -986,6 +986,48 @@ def _multigather_output_base(query, args, used_output_bases):
     return base
 
 
+def _multigather_prepare(all_queries, databases, args):
+    """Phase 1 of multigather: SILENTLY build each eligible query's
+    prefetch sweep (counter construction hits the batched warm cache) and
+    compute every query's gather round schedule in data-parallel batches
+    (`index.flat.compute_schedules_batch` — query blocks shard across the
+    mesh 'data' axis when >1 device is visible). Returns {query index ->
+    _PrefetchSweep}; queries skipped here (bad scaled, empty after
+    downsample, sweep errors) fall back to the output loop's own path so
+    its error messages and ordering stay exactly as before."""
+    from .index.flat import compute_schedules_batch, schedule_device_gather
+
+    pre = {}
+    coords = []
+    for qi, query in enumerate(all_queries):
+        mh = query.minhash
+        if not mh.scaled:
+            continue
+        if args.scaled and int(args.scaled) != mh.scaled:
+            try:
+                mh = mh.downsample(scaled=int(args.scaled))
+            except ValueError:
+                continue
+        if not len(mh):
+            continue
+        q2 = query.to_mutable()
+        q2.minhash = mh
+        try:
+            sweep = _PrefetchSweep(q2, args.threshold_bp)
+            for db in databases:
+                sweep.sweep_one(db)
+        except Exception:
+            continue  # the output loop re-runs this query and reports
+        pre[qi] = sweep
+        if sweep.counters:
+            coord = schedule_device_gather(sweep.counters)
+            if coord is not None:
+                coords.append(coord)
+    if coords:
+        compute_schedules_batch(coords, args.threshold_bp)
+    return pre
+
+
 def multigather(args):
     """Gather many signatures against multiple databases.
 
@@ -1060,10 +1102,18 @@ def multigather(args):
             if view is not None:
                 view.warm_gather_counts(warm_mhs)
 
+    # phase 1 (silent): build every query's prefetch sweep + gather round
+    # schedule up front, with the schedule scans batched DATA-PARALLEL
+    # (query blocks sharded across the mesh 'data' axis when >1 device is
+    # visible) — config 5's product form; the reference loops per sample
+    # (`/root/reference/src/sourmash/commands.py:1124`). The output loop
+    # below reuses these, so console/CSV ordering is unchanged.
+    pre_sweeps = _multigather_prepare(all_queries, databases, args)
+
     n = 0
     size_may_be_inaccurate = False
     used_output_bases = set()
-    for query in all_queries:
+    for qi, query in enumerate(all_queries):
         _announce_query(query)
 
         if not query.minhash.scaled:
@@ -1076,15 +1126,18 @@ def multigather(args):
             error("no query hashes!? skipping to next..")
             continue
 
-        # per-query prefetch sweep (always on for multigather)
-        sweep = _PrefetchSweep(query, args.threshold_bp)
-        for db in databases:
-            sweep.sweep_one(db)
+        # per-query prefetch sweep (always on for multigather); phase 1
+        # usually built it already, with the round schedule batch-computed
+        sweep = pre_sweeps.pop(qi, None)
+        if sweep is None:
+            sweep = _PrefetchSweep(query, args.threshold_bp)
+            for db in databases:
+                sweep.sweep_one(db)
 
-        if sweep.counters:
-            from .index.flat import schedule_device_gather
+            if sweep.counters:
+                from .index.flat import schedule_device_gather
 
-            schedule_device_gather(sweep.counters)
+                schedule_device_gather(sweep.counters)
 
         is_abundance = query.minhash.track_abundance and not args.ignore_abundance
         orig_query_mh = query.minhash

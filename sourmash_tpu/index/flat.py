@@ -420,23 +420,33 @@ class FlatCounterGather:
         self._coord = None  # DeviceGatherSchedule when scheduled
         self._coord_idx = 0
 
-        # one-time membership extraction for matched datasets
-        from ..ops.index_ops import membership_for_banks
-
-        self._groups = []
+        # device membership groups (used by HOST-mode consume) extract
+        # lazily: a scheduled gather never touches them, and the eager
+        # per-query device extraction dominated multigather's counter
+        # construction (~190 ms/query)
+        self._groups = None
         self._max_ids = []  # datasets sharing the 2**64-1 hash with the query
-        matched = np.nonzero(self.counts)[0]
         self._q_has_max = bool(len(q)) and q[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)
-        if len(matched):
-            for bank, q_packed, ids, M in membership_for_banks(
-                index._banks, q, matched
-            ):
-                self._groups.append(_MembershipGroup(M, ids, q_packed))
-            if self._q_has_max:
-                for i in matched:
-                    m = index._ds_mins[int(i)]
-                    if len(m) and m[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
-                        self._max_ids.append(int(i))
+        self._bitsets_cache = None  # (W, matched ids tuple, M)
+
+    def _get_groups(self):
+        "Device membership groups for host-mode consume, built on demand."
+        if self._groups is None:
+            from ..ops.index_ops import membership_for_banks
+
+            self._groups = []
+            matched = np.nonzero(self.counts)[0]
+            if len(matched):
+                for bank, q_packed, ids, M in membership_for_banks(
+                    self.index._banks, self._q_mins, matched
+                ):
+                    self._groups.append(_MembershipGroup(M, ids, q_packed))
+                if self._q_has_max:
+                    for i in matched:
+                        m = self.index._ds_mins[int(i)]
+                        if len(m) and m[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
+                            self._max_ids.append(int(i))
+        return self._groups
 
     def signatures(self):
         "Return all signatures with nonzero counters."
@@ -446,20 +456,21 @@ class FlatCounterGather:
 
     @property
     def union_found(self):
-        "Union of all found hashes, intersected with the original query."
+        """Union of all found hashes, intersected with the original query.
+
+        Computed from the HOST membership bitsets (sorted joins over the
+        already-resident mins) — no device round-trip; the prefetch sweep
+        reads this once per database per query."""
         found_mh = self.orig_query_mh.copy_and_clear()
-        for g in self._groups:
-            sel = np.zeros(g.M.shape[0], dtype=bool)  # M rows are padded
-            sel[: len(g.ids)] = self.counts[g.ids] > 0
-            if not sel.any():
-                continue
-            packed = np.asarray(_union_rows(g.M, jnp.asarray(sel)))
-            bits = (
-                (packed[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
-            ).astype(bool).reshape(-1)
-            found_mh.add_many(g.vals[bits])
-        if self._q_has_max and any(self.counts[i] > 0 for i in self._max_ids):
-            found_mh.add_many(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
+        q = self._q_mins
+        if len(q) and self.counts.any():
+            matched, M = self._membership_bitsets(-(-len(q) // 32))
+            if len(matched):
+                words = np.bitwise_or.reduce(M, axis=0)  # [W]
+                bits = (
+                    (words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+                ).astype(bool).reshape(-1)[: len(q)]
+                found_mh.add_many(q[bits])
         return found_mh
 
     def downsample(self, scaled):
@@ -480,9 +491,18 @@ class FlatCounterGather:
     def _membership_bitsets(self, W):
         """Matched datasets' intersections with the query as flat bitsets:
         (matched ids [k], M [k, W] u32 — bit j of word w in row r =
-        (query hash 32w+j) ∈ matched dataset r), built by sorted join."""
-        q = self._q_mins
+        (query hash 32w+j) ∈ matched dataset r), built by sorted join.
+        Cached per (W, matched set): union_found and the schedule build
+        both need it with the same counts."""
         matched = np.nonzero(self.counts > 0)[0]
+        hit_cache = self._bitsets_cache
+        if (
+            hit_cache is not None
+            and hit_cache[0] == W
+            and np.array_equal(hit_cache[1], matched)
+        ):
+            return matched, hit_cache[2]
+        q = self._q_mins
         bits = np.zeros((len(matched), W * 32), dtype=bool)
         for row, i in enumerate(matched):
             ds = self.index._ds_mins[int(i)]
@@ -494,6 +514,7 @@ class FlatCounterGather:
             bits.reshape(len(matched), W, 32).astype(np.uint32)
             << np.arange(32, dtype=np.uint32)
         ).sum(-1, dtype=np.uint32)
+        self._bitsets_cache = (W, matched, M)
         return matched, M
 
     def _fallback_recount(self, cur_query_mh):
@@ -632,7 +653,7 @@ class FlatCounterGather:
             return
         mins = intersect_mh.downsample(scaled=self.scaled).mins_array()
         dec = np.zeros_like(self.counts)
-        for g in self._groups:
+        for g in self._get_groups():
             idx = np.searchsorted(g.qh, mins)
             idx_c = np.minimum(idx, len(g.qh) - 1) if len(g.qh) else idx
             hit = len(g.qh) and (g.qh[idx_c] == mins)
@@ -701,15 +722,16 @@ class DeviceGatherSchedule:
         for c in self.counters:
             c._fallback_recount(cur_query_mh)
 
-    def compute(self, threshold_bp):
-        "Build the concatenated membership matrix and run the round scan."
-        self.ready = True
+    def _build_inputs(self, threshold_bp):
+        """The scan inputs for this coordinator's query: (M [k, W] u32
+        concatenated membership bitsets, counts [k] i32, alive_p [W] u32,
+        thresh, rows [(counter_idx, dataset_id)]), or None when the query
+        or match set is empty / the threshold is unattainable."""
         c0 = self.counters[0]
         q = c0._q_mins
         scaled = c0.scaled
         if not len(q):
-            self._sched = []
-            return
+            return None
 
         W = -(-len(q) // 32)
         rows = []  # global row -> (counter_idx, dataset_id)
@@ -720,8 +742,7 @@ class DeviceGatherSchedule:
             mats.append(M)
             rows.extend((ci, int(i)) for i in matched)
         if not rows:
-            self._sched = []
-            return
+            return None
         M = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
         counts = np.concatenate(
             [c.counts[np.nonzero(c.counts > 0)[0]] for c in self.counters]
@@ -730,8 +751,7 @@ class DeviceGatherSchedule:
         try:
             _, n_th = calc_threshold_from_bp(threshold_bp, scaled, len(q))
         except ValueError:
-            self._sched = []
-            return
+            return None
         thresh = np.int32(max(n_th, 1))
 
         alive = np.zeros(W * 32, dtype=bool)
@@ -740,6 +760,16 @@ class DeviceGatherSchedule:
             alive.reshape(W, 32).astype(np.uint32)
             << np.arange(32, dtype=np.uint32)
         ).sum(-1, dtype=np.uint32)
+        return M, counts, alive_p, thresh, rows
+
+    def compute(self, threshold_bp):
+        "Build the concatenated membership matrix and run the round scan."
+        self.ready = True
+        built = self._build_inputs(threshold_bp)
+        if built is None:
+            self._sched = []
+            return
+        M, counts, alive_p, thresh, rows = built
 
         k = len(rows)
         devices = jax.devices()
@@ -751,7 +781,7 @@ class DeviceGatherSchedule:
             k_pad = -(-k // n_dev) * n_dev
             if k_pad != k:
                 M = np.concatenate(
-                    [M, np.zeros((k_pad - k, W), np.uint32)], axis=0
+                    [M, np.zeros((k_pad - k, M.shape[1]), np.uint32)], axis=0
                 )
                 counts = np.concatenate(
                     [counts, np.zeros(k_pad - k, np.int32)]
@@ -790,6 +820,112 @@ class DeviceGatherSchedule:
             if done or len(schedule) >= k:
                 break
         self._sched = schedule
+
+
+@functools.partial(jax.jit, static_argnames="length")
+def _schedule_scan_batch(M, alive_p, counts, thresh, length):
+    """Data-parallel form of _schedule_scan: [Q, k, W] membership
+    matrices, [Q, W] alive bitsets, [Q, k] counts, [Q] thresholds ->
+    per-query greedy rounds. Queries are independent, so the batch is a
+    plain vmap — the data-parallel axis of config 5."""
+
+    def one(Mq, aq, cq, tq):
+        return _schedule_scan(Mq, (aq, cq), tq, length)
+
+    return jax.vmap(one)(M, alive_p, counts, thresh)
+
+
+def compute_schedules_batch(coords, threshold_bp, block: int = 64):
+    """Compute MANY coordinators' gather round schedules in data-parallel
+    batches — the product form of BASELINE config 5 (N samples streaming
+    against one reference database; the reference's multigather loops
+    per-sample serially, `/root/reference/src/sourmash/commands.py:1124`).
+
+    Each coordinator owns one query's counters. Queries in a block pad to
+    a common (k, W) and scan in one dispatch; with more than one visible
+    device the block shards across a 'data' mesh axis (each device scans
+    its queries — no collectives, queries are independent). Schedules
+    land in each coordinator exactly as its own compute() would have
+    produced them (same _schedule_scan semantics, verified by tests)."""
+    import os
+
+    pending = []
+    for coord in coords:
+        coord.ready = True
+        coord._sched = []
+        built = coord._build_inputs(threshold_bp)
+        if built is not None:
+            pending.append((coord, built))
+    if not pending:
+        return
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    for b0 in range(0, len(pending), block):
+        sub = pending[b0 : b0 + block]
+        kmax = max(b[0].shape[0] for _, b in sub)
+        Wmax = max(b[0].shape[1] for _, b in sub)
+        Q = len(sub)
+        Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else Q
+        Mb = np.zeros((Qp, kmax, Wmax), dtype=np.uint32)
+        Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
+        Cb = np.zeros((Qp, kmax), dtype=np.int32)
+        Tb = np.ones(Qp, dtype=np.int32)  # pad rows: zero counts, no rounds
+        for qi, (coord, (M, counts, alive_p, thresh, rows)) in enumerate(sub):
+            k, W = M.shape
+            Mb[qi, :k, :W] = M
+            Ab[qi, :W] = alive_p
+            Cb[qi, :k] = counts
+            Tb[qi] = thresh
+        chunk = int(min(kmax, 256))
+
+        if n_dev > 1:
+            mesh = Mesh(np.asarray(devices), ("data",))
+            from ..parallel import make_data_parallel_schedule_scan
+
+            scan = make_data_parallel_schedule_scan(mesh, chunk)
+            Mj = jax.device_put(Mb, NamedSharding(mesh, P("data", None, None)))
+            carry = (
+                jax.device_put(Ab, NamedSharding(mesh, P("data", None))),
+                jax.device_put(Cb, NamedSharding(mesh, P("data", None))),
+            )
+            Tj = jax.device_put(Tb, NamedSharding(mesh, P("data")))
+        else:
+            Mj = jnp.asarray(Mb)
+            carry = (jnp.asarray(Ab), jnp.asarray(Cb))
+            Tj = jnp.asarray(Tb)
+
+        scheds = [[] for _ in range(Q)]
+        open_q = np.ones(Q, dtype=bool)
+        rounds_done = 0
+        while open_q.any() and rounds_done < kmax:
+            carry, (bests, bcs) = _run_batch_scan(scan if n_dev > 1 else None,
+                                                  Mj, carry, Tj, chunk)
+            b_np, c_np = np.asarray(bests), np.asarray(bcs)
+            for qi in np.nonzero(open_q)[0]:
+                rows = sub[qi][1][4]
+                for b, c in zip(b_np[qi], c_np[qi]):
+                    if b < 0:
+                        open_q[qi] = False
+                        break
+                    ci, ds = rows[int(b)]
+                    scheds[qi].append((ci, ds, int(c)))
+                else:
+                    if len(scheds[qi]) >= len(rows):
+                        open_q[qi] = False
+            rounds_done += chunk
+        for qi, (coord, _built) in enumerate(sub):
+            coord._sched = scheds[qi]
+
+
+def _run_batch_scan(sharded_scan, Mj, carry, Tj, chunk):
+    "One chunk of batched rounds, on the mesh when a sharded scan is given."
+    if sharded_scan is not None:
+        return sharded_scan(Mj, carry[0], carry[1], Tj)
+    return _schedule_scan_batch(Mj, carry[0], carry[1], Tj, chunk)
 
 
 def schedule_device_gather(counters):

@@ -518,6 +518,42 @@ def make_sharded_bitset_scan(mesh: Mesh, length: int):
     return jax.jit(f)
 
 
+def make_data_parallel_schedule_scan(mesh: Mesh, length: int):
+    """Per-query gather round scans with the QUERY axis sharded across a
+    'data' mesh (config 5's data parallelism): each device scans its block
+    of queries' membership matrices independently — no collectives, since
+    queries don't interact. Same contract as
+    `index.flat._schedule_scan_batch`:
+
+    (M [Q, k, W] u32, alive_p [Q, W] u32, counts [Q, k] i32, thresh [Q])
+      -> ((alive_p, counts), (best [Q, length], best_count [Q, length]))
+    """
+
+    def _local(M, alive_p, counts, thresh):
+        from ..index.flat import _schedule_scan
+
+        def one(Mq, aq, cq, tq):
+            return _schedule_scan(Mq, (aq, cq), tq, length)
+
+        return jax.vmap(one)(M, alive_p, counts, thresh)
+
+    f = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+            P("data"),
+        ),
+        out_specs=(
+            (P("data", None), P("data", None)),
+            (P("data", None), P("data", None)),
+        ),
+    )
+    return jax.jit(f)
+
+
 def make_sharded_sketch(mesh: Mesh, ksize: int, cap: int, seed: int = 42):
     """Data-parallel sketching: sequence rows shard across 'data'; each
     device runs the fused sketch pipeline on its rows (no collectives —

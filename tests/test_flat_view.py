@@ -242,3 +242,59 @@ def test_cli_directory_gather_locations(runtmp, monkeypatch):
         dev, host = f1.read(), f2.read()
     assert dev == host
     assert b"sigdir" in dev or b"47.fa.sig" in dev
+
+
+def test_cli_multigather_batched_schedules_identical(runtmp, monkeypatch):
+    """multigather precomputes every query's round schedule in one
+    data-parallel batch (config 5 product path; on this test env the
+    batch shards over the virtual 8-device mesh); outputs byte-identical
+    to the host peek/consume rounds."""
+    import sourmash_tpu.index.flat as flat
+
+    runtmp.sourmash(
+        "sig", "cat", utils_test_data("47.fa.sig"), utils_test_data("63.fa.sig"),
+        "-o", "db.zip",
+    )
+    q1 = utils_test_data("47+63.fa.sig")
+    q2 = utils_test_data("47.fa.sig")
+
+    seen = {}
+    orig = flat.compute_schedules_batch
+
+    def spy(coords, threshold_bp, block=64):
+        seen["n"] = seen.get("n", 0) + len(coords)
+        return orig(coords, threshold_bp, block=block)
+
+    monkeypatch.setattr(flat, "compute_schedules_batch", spy)
+    import sourmash_tpu.commands as commands
+    monkeypatch.setattr(commands, "_multigather_prepare", commands._multigather_prepare)
+
+    import os
+
+    os.makedirs(runtmp.output("dev"), exist_ok=True)
+    os.makedirs(runtmp.output("host"), exist_ok=True)
+
+    monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", "1")
+    runtmp.sourmash(
+        "multigather", "--query", q1, q2, "--db", "db.zip", "-U",
+        "--output-dir", "dev",
+    )
+    assert seen.get("n") == 2, "batched scheduler did not cover both queries"
+
+    monkeypatch.setenv("SOURMASH_TPU_NO_SCHEDULE", "1")
+    runtmp.sourmash(
+        "multigather", "--query", q1, q2, "--db", "db.zip", "-U",
+        "--output-dir", "host",
+    )
+    import os
+
+    dev_csvs = sorted(
+        f for f in os.listdir(runtmp.output("dev")) if f.endswith(".csv")
+    )
+    host_csvs = sorted(f for f in os.listdir(runtmp.output("host")) if f.endswith(".csv"))
+    assert dev_csvs == host_csvs and dev_csvs
+    for f in dev_csvs:
+        with open(runtmp.output(f"dev/{f}"), "rb") as a, open(
+            runtmp.output(f"host/{f}"), "rb"
+        ) as b:
+            assert a.read() == b.read(), f

@@ -466,3 +466,52 @@ def test_sharded_bitset_scan_matches_single_device():
     assert np.array_equal(np.asarray(b1), np.asarray(b2))
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
     assert np.array_equal(np.asarray(carry1[0]), np.asarray(carry2[0]))
+
+
+def test_compute_schedules_batch_matches_individual():
+    """The data-parallel batched schedule computation (config 5 product
+    form: query blocks sharded across the 'data' mesh axis — on this test
+    env, the virtual 8-device CPU mesh) produces exactly the schedule each
+    coordinator's own compute() builds."""
+    from sourmash_tpu.index.flat import (
+        DeviceGatherSchedule,
+        compute_schedules_batch,
+        schedule_device_gather,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 30
+    genomes = [
+        np.unique(rng.integers(1, 2**63, size=250, dtype=np.uint64))
+        for _ in range(n)
+    ]
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    fi = FlatIndex(sigs)
+
+    def coord_for(qmh):
+        c = fi.counter_gather(SourmashSignature(qmh, name="q").to_frozen(), 0)
+        return schedule_device_gather([c])
+
+    queries = []
+    for s in range(9):  # 9 queries: not divisible by the 8-device mesh
+        ids = rng.choice(n, size=int(rng.integers(2, 7)), replace=False)
+        meta = np.unique(np.concatenate([genomes[i] for i in ids]))
+        qmh = MinHash(0, 31, scaled=1)
+        qmh.add_many(meta)
+        queries.append(qmh)
+
+    individual = []
+    for qmh in queries:
+        c = coord_for(qmh)
+        c.compute(0)
+        individual.append(list(c._sched))
+
+    batch_coords = [coord_for(qmh) for qmh in queries]
+    compute_schedules_batch(batch_coords, 0, block=4)  # multiple blocks
+    for got, want in zip(batch_coords, individual):
+        assert got.ready and got._sched == want
+    assert sum(len(c._sched) for c in batch_coords) >= 18
