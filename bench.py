@@ -268,6 +268,9 @@ def main():
     extra["aa_windows_per_sec"] = aa_throughput()
     emit(extra)
     try:
+        zip_gather_metrics(
+            extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
+        )
         streaming_samples_metrics(extra)
         at_scale_metrics(
             extra, _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"]
@@ -508,6 +511,77 @@ def query_engine_metrics():
 # main() runs the at-scale legs AFTER emitting the core headline line;
 # query_engine_metrics parks its data helpers here for that second stage
 _RAND_MINS_HOOK: dict = {}
+
+
+def zip_gather_metrics(out, rand_mins, make_sig):
+    """The reference's flagship user flow, end to end: `sourmash gather
+    meta.sig db.zip` with a plain zip collection — round 4 routes this
+    through the device engine via the FlatIndex view (>=512 signatures),
+    so the CLI wall here includes zip load + view pack + device schedule
+    + full stat rounds + CSV. SOURMASH_TPU_BENCH_ZIP_N rescales; 0
+    disables."""
+    import io as _io
+    import tempfile
+    from contextlib import redirect_stderr, redirect_stdout
+
+    n = int(os.environ.get("SOURMASH_TPU_BENCH_ZIP_N", "2000"))
+    if not n:
+        return
+    import sourmash_tpu.index.flat as flat
+    from sourmash_tpu.__main__ import main as sm_main
+    from sourmash_tpu.save_load import SaveSignaturesToLocation
+
+    rng = np.random.default_rng(5)
+    genomes = [rand_mins(2500) for _ in range(n)]
+    true_ids = rng.choice(n, size=20, replace=False)
+    meta = np.unique(
+        np.concatenate([genomes[i] for i in true_ids] + [rand_mins(20000)])
+    )
+    with tempfile.TemporaryDirectory() as td:
+        zpath = os.path.join(td, "db.zip")
+        t0 = time.perf_counter()
+        with SaveSignaturesToLocation(zpath) as save:
+            for i, g in enumerate(genomes):
+                save.add(make_sig(g, f"z{i}"))
+        zip_write_s = time.perf_counter() - t0
+        qpath = os.path.join(td, "meta.sig")
+        with SaveSignaturesToLocation(qpath) as save:
+            save.add(make_sig(meta, "meta"))
+
+        ran = {}
+        orig = flat.DeviceGatherSchedule.compute
+
+        def spy(self, threshold_bp):
+            ran["scheduled"] = True
+            return orig(self, threshold_bp)
+
+        flat.DeviceGatherSchedule.compute = spy
+        try:
+            t0 = time.perf_counter()
+            o, e = _io.StringIO(), _io.StringIO()
+            with redirect_stdout(o), redirect_stderr(e):
+                rc = sm_main(
+                    ["gather", qpath, zpath, "-o",
+                     os.path.join(td, "out.csv")]
+                )
+            wall = time.perf_counter() - t0
+        finally:
+            flat.DeviceGatherSchedule.compute = orig
+        assert not rc, e.getvalue()
+        assert ran.get("scheduled"), "zip gather did not use the device engine"
+        import csv as _csv
+
+        with open(os.path.join(td, "out.csv")) as fp:
+            found = len(list(_csv.DictReader(fp)))
+    out["zip_gather_db_size"] = n
+    out["zip_gather_wall_s"] = round(wall, 2)
+    out["zip_gather_found"] = found
+    out["zip_write_s"] = round(zip_write_s, 1)
+    print(
+        f"bench: CLI `gather meta.sig db.zip` ({n} sigs) end-to-end "
+        f"{wall:.2f}s, {found}/20 recovered, device-scheduled",
+        file=sys.stderr,
+    )
 
 
 def streaming_samples_metrics(out):
