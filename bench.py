@@ -700,6 +700,71 @@ def streaming_samples_metrics(out):
     )
 
 
+def _realistic_gtdb_sketches(n_big, rand_mins):
+    """A GTDB-rs214-shaped collection grown from the reference's REAL
+    genomes (BASELINE config 4 names GTDB reps): base sketches come from
+    the checked-in 47/63 signatures plus genomes sketched by this
+    framework (the 3 bundled GCF genomes and the small genome-s1x set —
+    genuine length skew from ~30 kb to ~5 Mb). Each of the n_big entries
+    is a mutated, subsampled relative of one base: a log-uniform mutation
+    rate r in [5e-4, 5e-2] flips each hash with probability
+    1-(1-r)^k (a mutated k-mer rehashes anywhere), and a 60-100%% subsample
+    models assembly-completeness skew — so the collection has the
+    shared-hash cluster structure of real reference databases instead of
+    independent uniform draws. Returns (hash sets, number of bases)."""
+    import glob
+
+    import sourmash_tpu as sm
+    from sourmash_tpu.signature import load_signatures_from_json
+
+    k, scaled = 31, 1000
+    max_hash = np.uint64((2**64 - 1) // scaled)
+    tdata = "/root/reference/tests/test-data"
+    bases = []
+    for f in ("47.fa.sig", "63.fa.sig"):
+        for ss in load_signatures_from_json(os.path.join(tdata, f)):
+            mh = ss.minhash
+            if mh.ksize == k and mh.scaled and mh.scaled <= scaled:
+                bases.append(mh.downsample(scaled=scaled).mins_array())
+    genome_files = sorted(glob.glob("/root/reference/data/*.fna.gz")) + [
+        os.path.join(tdata, f)
+        for f in (
+            "genome-s10.fa.gz", "genome-s11.fa.gz", "genome-s12.fa.gz",
+            "genome-s10-small.fa.gz",
+        )
+    ]
+    from sourmash_tpu.sequence_io import iter_records_bytes
+
+    for path in genome_files:
+        mh = sm.MinHash(0, k, scaled=scaled)
+        for _name, seq in iter_records_bytes(path):
+            mh.add_sequence(seq, force=True)
+        if len(mh):
+            bases.append(mh.mins_array())
+
+    rng = np.random.default_rng(13)
+    genomes = []
+    for _ in range(n_big):
+        base = bases[int(rng.integers(len(bases)))]
+        r = float(np.exp(rng.uniform(np.log(5e-4), np.log(5e-2))))
+        flip = 1.0 - (1.0 - r) ** k
+        keep = rng.uniform(0.6, 1.0)
+        # one uniform draw decides drop/flip/keep per hash (u is uniform
+        # within [0, keep) conditional on being kept)
+        u = rng.random(len(base))
+        kept = base[u < keep * (1.0 - flip)]  # sorted subset stays sorted
+        n_fresh = int((u < keep).sum()) - len(kept)
+        fresh = np.sort(
+            rng.integers(0, max_hash, n_fresh, dtype=np.uint64)
+        )
+        # merge two sorted arrays in O(n): insert positions via searchsorted
+        merged = np.insert(kept, np.searchsorted(kept, fresh), fresh)
+        if len(merged) > 1 and not bool(np.all(merged[:-1] < merged[1:])):
+            merged = np.unique(merged)  # astronomically rare collision
+        genomes.append(merged)
+    return genomes, len(bases)
+
+
 def at_scale_metrics(out, rand_mins, make_sig):
     """Config-4-scale legs, run on whatever chip the driver provides:
 
@@ -760,7 +825,7 @@ def at_scale_metrics(out, rand_mins, make_sig):
         return
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    genomes = [rand_mins(2500) for _ in range(n_big)]
+    genomes, n_bases = _realistic_gtdb_sketches(n_big, rand_mins)
     sigs = [make_sig(m, f"big{i}") for i, m in enumerate(genomes)]
     true_ids = rng.choice(n_big, size=30, replace=False)
     meta = np.unique(
@@ -768,6 +833,7 @@ def at_scale_metrics(out, rand_mins, make_sig):
     )
     mquery = make_sig(meta, "bigmeta")
     gen_s = time.perf_counter() - t0
+    out["gather_big_realistic_bases"] = n_bases
 
     db = FlatIndex(sigs)
     t0 = time.perf_counter()

@@ -503,17 +503,44 @@ class FlatCounterGather:
         ):
             return matched, hit_cache[2]
         q = self._q_mins
-        bits = np.zeros((len(matched), W * 32), dtype=bool)
-        for row, i in enumerate(matched):
-            ds = self.index._ds_mins[int(i)]
-            idx = np.searchsorted(q, ds)
-            idx_c = np.minimum(idx, len(q) - 1)
-            hit = q[idx_c] == ds
-            bits[row, idx_c[hit]] = True
-        M = (
-            bits.reshape(len(matched), W, 32).astype(np.uint32)
-            << np.arange(32, dtype=np.uint32)
-        ).sum(-1, dtype=np.uint32)
+        k = len(matched)
+        M = None
+        try:
+            from .. import native
+
+            if native.available() and k:
+                ds_list = [self.index._ds_mins[int(i)] for i in matched]
+                lens = np.fromiter(
+                    (len(m) for m in ds_list), dtype=np.int64, count=k
+                )
+                offs = np.zeros(k + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                vals = (
+                    np.concatenate(ds_list) if k > 1 else
+                    np.asarray(ds_list[0], dtype=np.uint64)
+                )
+                M = native.membership_bits(q, vals, offs, k, W)
+        except Exception:
+            M = None
+        if M is None:
+            # chunked numpy fallback: cap the bool intermediate — a
+            # metagenome vs a reference database can match tens of
+            # thousands of datasets, and [k, nq] bool at once is GBs
+            M = np.zeros((k, W), dtype=np.uint32)
+            CHUNK = 1024
+            shifts = np.arange(32, dtype=np.uint32)
+            for c0 in range(0, k, CHUNK):
+                part = matched[c0 : c0 + CHUNK]
+                bits = np.zeros((len(part), W * 32), dtype=bool)
+                for row, i in enumerate(part):
+                    ds = self.index._ds_mins[int(i)]
+                    idx = np.searchsorted(q, ds)
+                    idx_c = np.minimum(idx, len(q) - 1)
+                    hit = q[idx_c] == ds
+                    bits[row, idx_c[hit]] = True
+                M[c0 : c0 + len(part)] = (
+                    bits.reshape(len(part), W, 32).astype(np.uint32) << shifts
+                ).sum(-1, dtype=np.uint32)
         self._bitsets_cache = (W, matched, M)
         return matched, M
 
@@ -790,7 +817,10 @@ class DeviceGatherSchedule:
             from jax.sharding import PartitionSpec as P
 
             mesh = Mesh(np.asarray(devices), ("shards",))
-            chunk = int(min(k, 256))
+            # fewer rounds per dispatch when the candidate set is huge: each
+            # scanned round costs O(k*W) u32 ops whether or not the
+            # gather is already done
+            chunk = int(min(k, 64 if k > 4096 else 256))
             scan = make_sharded_bitset_scan(mesh, chunk)
             # place M/counts sharded ONCE — re-passing host arrays would
             # re-upload the (potentially GB-scale) matrix every chunk
@@ -801,7 +831,10 @@ class DeviceGatherSchedule:
             )
             run = lambda c: scan(Mdev, c[0], c[1], jnp.int32(thresh))
         else:
-            chunk = int(min(k, 256))
+            # fewer rounds per dispatch when the candidate set is huge: each
+            # scanned round costs O(k*W) u32 ops whether or not the
+            # gather is already done
+            chunk = int(min(k, 64 if k > 4096 else 256))
             Mj = jnp.asarray(M)
             carry = (jnp.asarray(alive_p), jnp.asarray(counts))
             run = lambda c: _schedule_scan(Mj, c, thresh, chunk)
@@ -880,7 +913,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
             Ab[qi, :W] = alive_p
             Cb[qi, :k] = counts
             Tb[qi] = thresh
-        chunk = int(min(kmax, 256))
+        chunk = int(min(kmax, 64 if kmax > 4096 else 256))
 
         if n_dev > 1:
             mesh = Mesh(np.asarray(devices), ("data",))

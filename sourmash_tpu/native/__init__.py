@@ -18,6 +18,7 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(__file__), "fastx.cpp")
 _SKETCH_SRC = os.path.join(os.path.dirname(__file__), "sketch.cpp")
 _PACK_SRC = os.path.join(os.path.dirname(__file__), "pack.cpp")
+_MEMBER_SRC = os.path.join(os.path.dirname(__file__), "membership.cpp")
 _lib = None
 _build_failed = False
 
@@ -31,7 +32,7 @@ def _build_lib():
         return None
     try:
         src = b""
-        for path in (_SRC, _SKETCH_SRC, _PACK_SRC):
+        for path in (_SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC):
             with open(path, "rb") as f:
                 src += f.read()
         tag = hashlib.sha256(src).hexdigest()[:16]
@@ -46,7 +47,8 @@ def _build_lib():
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                    _SRC, _SKETCH_SRC, _PACK_SRC, "-o", tmp, "-lz",
+                    _SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, "-o", tmp,
+                    "-lz",
                 ],
                 check=True,
                 capture_output=True,
@@ -104,6 +106,17 @@ def _build_lib():
             ctypes.c_int32,   # n_threads
         ]
         lib.pack_rows_native.restype = ctypes.c_int64
+        lib.membership_bits_native.argtypes = [
+            ctypes.c_void_p,  # q u64*
+            ctypes.c_int64,   # nq
+            ctypes.c_void_p,  # vals u64*
+            ctypes.c_void_p,  # offs i64*
+            ctypes.c_int64,   # k
+            ctypes.c_void_p,  # M u32*
+            ctypes.c_int64,   # W
+            ctypes.c_int32,   # n_threads
+        ]
+        lib.membership_bits_native.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -226,6 +239,31 @@ def pack_rows(vals, offs, n, rows, B, d, n_threads=0, out=None):
         if ret >= 0:
             return hi, lo, cnt, spill_rows[:ret], spill_vals[:ret]
         cap = -ret
+
+
+def membership_bits(q, vals, offs, k, W, n_threads=0):
+    """Thread-parallel membership bitsets (see membership.cpp): bit p of
+    M[r] set iff q[p] (sorted distinct u64 query) is present in dataset r
+    (vals/offs concatenated sorted rows). Returns M [k, W] u32, or None
+    if the native library is unavailable."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.uint64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    M = np.empty((k, W), dtype=np.uint32)
+    lib.membership_bits_native(
+        q.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(q)),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(k),
+        M.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(W),
+        ctypes.c_int32(n_threads),
+    )
+    return M
 
 
 def pack_spills(vals, offs, n, rows, B, d, n_threads=0):

@@ -19,8 +19,10 @@ Exactness is preserved by construction:
 - slots beyond a bucket's occupancy hold PAD = 2**64-1 in both planes.
   PAD==PAD hits are counted by the kernel but subtracted exactly via a
   pad-count correction: `corr[q, s] = sum_b npad_q[b] * npad_s[b]`, one
-  bf16 matmul on the MXU (values <= d=8 and sums < 2^24, so f32
-  accumulation is exact).
+  matmul on the MXU with the query side in f32 (npad_q can reach the
+  query's dq — hundreds-plus for a metagenome vs a small-B bank, past
+  bf16's 256-integer exactness; all products and sums stay < 2^24, so
+  f32 is exact).
 - a real hash equal to PAD (only possible at scaled=1) is routed to a
   host-side *spill* list at pack time, as is any element past the d-th
   slot of an over-full bucket (Poisson tail, ~1 element per few thousand
@@ -348,7 +350,10 @@ def pack_query_bucketed(q: np.ndarray, B: int, device=True):
         dq = 8
     hi = np.full((dq, B), 0xFFFFFFFF, dtype=np.uint32)
     lo = np.full((dq, B), 0xFFFFFFFF, dtype=np.uint32)
-    cnt = np.zeros(B, dtype=np.uint8)
+    # int32: a metagenome query against a small-B bank loads hundreds of
+    # hashes per bucket — uint8 silently wrapped and corrupted the
+    # pad-count correction
+    cnt = np.zeros(B, dtype=np.int32)
     if len(q):
         qs = q[order]
         hi[slot, bs] = (qs >> np.uint64(32)).astype(np.uint32)
@@ -370,7 +375,7 @@ def pack_query_block(qs, B: int):
     bq = len(qs)
     Qhi = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
     Qlo = np.full((bq, dq, B), 0xFFFFFFFF, dtype=np.uint32)
-    Qcnt = np.zeros((bq, B), dtype=np.uint8)
+    Qcnt = np.zeros((bq, B), dtype=np.int32)  # bucket loads can exceed 255
     for i, (hi, lo, cnt, dqi, _tail) in enumerate(packs):
         Qhi[i, :dqi] = hi
         Qlo[i, :dqi] = lo
@@ -419,8 +424,12 @@ def _counts_qvm_impl(qhi, qlo, qcnt, Shi, Slo, Scnt):
         eq = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql)
         acc = acc + jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
     dq = qhi.shape[0]
-    npad_q = (dq - qcnt).astype(jnp.bfloat16)  # [B]
-    npad_s = (d - Scnt).astype(jnp.bfloat16)  # [ns, B]
+    # npad_q can reach dq (a metagenome query against a small-B bank packs
+    # with dq in the hundreds-to-thousands) — bf16 is only exact to 256,
+    # so the query side must be f32 (exact to 2^24; npad_s <= d=8 stays
+    # bf16-exact, and every product/sum here is < 2^24)
+    npad_q = (dq - qcnt).astype(jnp.float32)  # [B]
+    npad_s = (d - Scnt).astype(jnp.float32)  # [ns, B]
     corr = jnp.dot(npad_s, npad_q, preferred_element_type=jnp.float32)
     return acc - corr.astype(jnp.int32)
 
@@ -491,8 +500,9 @@ def _counts_qvm_cutoff_impl(qhi, qlo, qcnt, Shi, Slo, Scnt, cut_hi, cut_lo):
         # instead of materializing (1.3 GB for a metagenome query vs 10k)
         le = (qh < chi) | ((qh == chi) & (ql <= clo))
         acc = acc + jnp.sum(eq & le, axis=(1, 2), dtype=jnp.int32)
-    npad_q = (dq - qcnt).astype(jnp.bfloat16)
-    npad_s = (d - Scnt).astype(jnp.bfloat16)
+    # f32 pad counts: exact for dq up to 2^24 (bf16 broke past 256)
+    npad_q = (dq - qcnt).astype(jnp.float32)
+    npad_s = (d - Scnt).astype(jnp.float32)
     corr = jnp.dot(npad_s, npad_q, preferred_element_type=jnp.float32)
     pad_passes = (cut_hi == 0xFFFFFFFF) & (cut_lo == 0xFFFFFFFF)
     return acc - jnp.where(pad_passes, corr.astype(jnp.int32), 0)
@@ -528,8 +538,9 @@ def _counts_block_impl(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
     for k2 in range(d):
         eq = (Shi[None, :, k2, None, :] == qh) & (Slo[None, :, k2, None, :] == ql)
         acc = acc + jnp.sum(eq, axis=(2, 3), dtype=jnp.int32)  # [bq, ns]
-    npad_q = (dq - Qcnt).astype(jnp.bfloat16)  # [bq, B]
-    npad_s = (d - Scnt).astype(jnp.bfloat16)  # [ns, B]
+    # f32 pad counts: exact for dq up to 2^24 (bf16 broke past 256)
+    npad_q = (dq - Qcnt).astype(jnp.float32)  # [bq, B]
+    npad_s = (d - Scnt).astype(jnp.float32)  # [ns, B]
     corr = jnp.dot(npad_q, npad_s.T, preferred_element_type=jnp.float32)
     return acc - corr.astype(jnp.int32)
 

@@ -418,3 +418,28 @@ def test_native_pack_used_by_default():
         [rand_set(100), rand_set(50)], 2, 8, 128, 8, False
     )
     assert out is not None and out.n == 2
+
+
+def test_huge_query_vs_tiny_bank_pad_correction_exact():
+    """Regression: a metagenome-scale query packed against a SMALL-B bank
+    (tiny sketches -> B=128) gives query bucket loads (dq) in the
+    hundreds — past bf16's 256-integer exactness, which silently broke
+    the pad-count correction (counts were off by thousands). The
+    correction must be exact at any dq."""
+    rng = np.random.default_rng(99)
+    rows = [rand_set(45, rng=rng) for _ in range(40)]
+    B = choose_buckets(max(len(r) for r in rows))
+    assert B <= 256  # the small length class that triggers the bug
+    q = np.unique(
+        np.concatenate(rows[:5] + [rand_set(80000, rng=rng)])
+    )
+    bank = pack_rows_bucketed(rows, B)
+    counts = query_counts_bucketed(q, bank)
+    for i in range(len(rows)):
+        assert counts[i] == oracle_isect(q, rows[i]), (
+            i, counts[i], oracle_isect(q, rows[i]),
+        )
+    cuts = np.full(len(rows), MAX_U64, dtype=np.uint64)
+    ccounts = query_cutoff_counts_bucketed(q, bank, cuts)
+    for i in range(len(rows)):
+        assert ccounts[i] == oracle_isect(q, rows[i])
