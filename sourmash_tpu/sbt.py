@@ -132,19 +132,21 @@ class SBT(Index):
 
     def signatures(self):
         if self.manifest:
-            from .signature import load_one_signature_from_json
+            yield from self._signatures_from_manifest()
+            return
+        for k in self.leaves():
+            if passes_all_picklists(k.data, self.picklists):
+                yield k.data
 
-            manifest = self.manifest
-            for picklist in self.picklists:
-                manifest = manifest.select_to_manifest(picklist=picklist)
+    def _signatures_from_manifest(self):
+        "Manifest-driven enumeration: decompress only the selected members."
+        from .signature import load_one_signature_from_json
 
-            for loc in manifest.locations():
-                yield load_one_signature_from_json(self.storage.load(loc))
-        else:
-            for k in self.leaves():
-                ss = k.data
-                if passes_all_picklists(ss, self.picklists):
-                    yield ss
+        rows = self.manifest
+        for picklist in self.picklists:
+            rows = rows.select_to_manifest(picklist=picklist)
+        for loc in rows.locations():
+            yield load_one_signature_from_json(self.storage.load(loc))
 
     def _signatures_with_internal(self):
         for k in self.leaves():
@@ -160,74 +162,69 @@ class SBT(Index):
 
         db_mh = next(iter(self.signatures())).minhash
 
-        # (failure condition, message) pairs, checked in reference order
-        rejections = [
-            (
-                ksize is not None and db_mh.ksize != ksize,
-                f"search ksize {ksize} is different from database ksize {db_mh.ksize}",
-            ),
-            (
-                moltype is not None and db_mh.moltype != moltype,
-                f"search moltype {moltype} is different from database moltype {db_mh.moltype}",
-            ),
-            (
-                containment and not db_mh.scaled,
-                "cannot search this SBT for containment; signatures are not calculated with scaled",
-            ),
-        ]
-        if num:
-            rejections += [
-                (
-                    not db_mh.num,
-                    "this database was created with 'scaled' MinHash sketches, not 'num'",
-                ),
-                (num != db_mh.num, f"num mismatch for SBT: num={num}, {db_mh.num}"),
-            ]
-        if scaled:
-            rejections += [
-                (
-                    not db_mh.scaled,
-                    "this database was created with 'num' MinHash sketches, not 'scaled'",
-                ),
-                (
-                    scaled > db_mh.scaled and not containment,
-                    f"search scaled value {scaled} is less than database scaled value of {db_mh.scaled}",
-                ),
-            ]
-        rejections.append(
-            (abund, "SBT indices do not support sketches with abund=True")
-        )
-        for failed, message in rejections:
+        def forbid(failed, message):
             if failed:
                 raise ValueError(message)
 
+        forbid(
+            ksize is not None and db_mh.ksize != ksize,
+            f"search ksize {ksize} is different from database ksize {db_mh.ksize}",
+        )
+        forbid(
+            moltype is not None and db_mh.moltype != moltype,
+            f"search moltype {moltype} is different from database moltype {db_mh.moltype}",
+        )
+        forbid(
+            containment and not db_mh.scaled,
+            "cannot search this SBT for containment; signatures are not calculated with scaled",
+        )
+        if num:
+            forbid(
+                not db_mh.num,
+                "this database was created with 'scaled' MinHash sketches, not 'num'",
+            )
+            forbid(num != db_mh.num, f"num mismatch for SBT: num={num}, {db_mh.num}")
+        if scaled:
+            forbid(
+                not db_mh.scaled,
+                "this database was created with 'num' MinHash sketches, not 'scaled'",
+            )
+            forbid(
+                scaled > db_mh.scaled and not containment,
+                f"search scaled value {scaled} is less than database scaled value of {db_mh.scaled}",
+            )
+        forbid(abund, "SBT indices do not support sketches with abund=True")
+
         if picklist is not None:
             self.picklists.append(picklist)
-            if len(self.picklists) > 1:
-                raise ValueError("we do not (yet) support multiple picklists for SBTs")
-
+        forbid(
+            len(self.picklists) > 1,
+            "we do not (yet) support multiple picklists for SBTs",
+        )
         return self
 
     # -- tree structure ----------------------------------------------------
 
     def new_node_pos(self, node):
+        "Slot for the next insertion (the node argument is not consulted)."
         if not self._nodes:
-            self.next_node = 1
-            return 0
-        if not self._leaves:
-            self.next_node = 2
-            return 1
-
-        min_leaf = min(self._leaves.keys())
-
-        # reuse a gap below the first leaf when one exists
-        gap = None
-        if self.next_node <= min_leaf:
-            occupied = self._nodes.keys() | self._leaves.keys() | self._missing_nodes
-            gap = next((i for i in range(min_leaf) if i not in occupied), None)
-
-        self.next_node = max(self._leaves.keys()) + 1 if gap is None else gap
-        return self.next_node
+            self.next_node, pos = 1, 0
+        elif not self._leaves:
+            self.next_node, pos = 2, 1
+        else:
+            first_leaf = min(self._leaves)
+            pos = max(self._leaves) + 1
+            if self.next_node <= first_leaf:
+                # reuse a gap below the first leaf when one exists
+                taken = (
+                    self._nodes.keys() | self._leaves.keys()
+                    | self._missing_nodes
+                )
+                pos = next(
+                    (i for i in range(first_leaf) if i not in taken), pos
+                )
+            self.next_node = pos
+        return pos
 
     def insert(self, signature):
         "Add a new SourmashSignature into the SBT."
@@ -248,26 +245,25 @@ class SBT(Index):
             pos = self.new_node_pos(node)
 
         p = self.parent(pos)
+        attach_under = None
         if isinstance(p.node, Leaf):
             # split: the occupied slot becomes an internal node with the
             # old leaf and the new node as its first two children
-            n = self._new_internal(p.pos)
+            attach_under = self._new_internal(p.pos)
             c1, c2 = self.children(p.pos)[:2]
-
-            self._leaves[c1.pos], self._leaves[c2.pos] = p.node, node
+            self._leaves[c1.pos] = p.node
+            self._leaves[c2.pos] = node
             del self._leaves[p.pos]
-            for child in (p.node, node):
-                child.update(n)
+            p.node.update(attach_under)
         elif isinstance(p.node, Node):
+            attach_under = p.node
             self._leaves[pos] = node
-            node.update(p.node)
         elif p.node is None:
-            n = self._new_internal(p.pos)
-            c1 = self.children(p.pos)[0]
-            self._leaves[c1.pos] = node
-            node.update(n)
+            attach_under = self._new_internal(p.pos)
+            self._leaves[self.children(p.pos)[0].pos] = node
         else:
             assert 0
+        node.update(attach_under)
 
         # propagate the new hashes up to the root
         p = self.parent(p.pos)
@@ -292,37 +288,45 @@ class SBT(Index):
     def _find_nodes(self, search_fn, *args, **kwargs):
         "Pruned queue walk of the tree using search_fn."
         unload_data = kwargs.get("unload_data", True)
+        dfs = kwargs.get("dfs", True)
 
         matches = []
-        visited, queue = set(), [0]
+        seen = set()
+        frontier = [0]
 
-        while queue:
-            node_p = queue.pop(0)
+        def expand(pos, node):
+            "A passing node: collect a leaf, or walk into an internal node."
+            if isinstance(node, Leaf):
+                matches.append(node)
+                return
+            if not isinstance(node, Node):
+                return
+            kids = [c.pos for c in self.children(pos)]
+            if dfs:
+                # prepended as a block == one-by-one reversed prepends
+                # (reference sbt.py:419)
+                frontier[0:0] = reversed(kids)
+            else:
+                frontier.extend(kids)
 
-            node_g = self._node_at(node_p)
-            if node_g is None or node_p in visited:
+        def park(pos, node):
+            "Post-visit memory policy: cache internals, unload leaves."
+            if isinstance(node, Node):
+                # bounded cache; eviction unloads (reference sbt.py:68-116)
+                self._nodescache[pos] = node
+            else:
+                node.unload()
+
+        while frontier:
+            pos = frontier.pop(0)
+            node = self._node_at(pos)
+            if node is None or pos in seen:
                 continue
-            visited.add(node_p)
-
-            if search_fn(node_g, *args):
-                if isinstance(node_g, Leaf):
-                    matches.append(node_g)
-                elif isinstance(node_g, Node):
-                    child_positions = [c.pos for c in self.children(node_p)]
-                    if kwargs.get("dfs", True):
-                        # children are prepended one-by-one, so they enter
-                        # the queue in reverse order (reference sbt.py:419)
-                        queue[0:0] = reversed(child_positions)
-                    else:
-                        queue.extend(child_positions)
-
+            seen.add(pos)
+            if search_fn(node, *args):
+                expand(pos, node)
             if unload_data:
-                if isinstance(node_g, Node):
-                    # internal nodes ride the bounded cache; eviction
-                    # unloads (reference `sbt.py:68-116,400-410`)
-                    self._nodescache[node_p] = node_g
-                else:
-                    node_g.unload()
+                park(pos, node)
 
         return matches
 
@@ -362,41 +366,41 @@ class SBT(Index):
         query_size = len(query_mh)
         results = {}
 
+        def leaf_sizes(leaf):
+            "Exact (downsampled, flattened) sketch comparison sizes."
+            subj_mh = downsample_node(leaf.data.minhash)
+            n_subj = len(subj_mh)
+            flat = subj_mh.flatten()
+            assert not flat.track_abundance
+            shared, total = query_mh.intersection_and_union_size(flat)
+            return shared, n_subj, total
+
+        def internal_sizes(node):
+            "Bloom-filter upper bound on the overlap below this node."
+            bound = node.data.matches(query_mh)
+            below = node.metadata.get("min_n_below", -1)
+            if below == -1:
+                raise ValueError(
+                    "ERROR: no min_n_below on this tree, cannot search."
+                )
+            return bound, below, below
+
         def node_search(node, *args, **kw):
-            if isinstance(node, SigLeaf):
-                # leaf: exact (downsampled, flattened) sketch comparison
-                subj_mh = downsample_node(node.data.minhash)
-                subj_size = len(subj_mh)
-                subj_mh = subj_mh.flatten()
-
-                assert not subj_mh.track_abundance
-
-                shared_size, total_size = query_mh.intersection_and_union_size(subj_mh)
-            else:
-                # internal node: Bloom-filter upper bound on the overlap
-                shared_size = node.data.matches(query_mh)
-                subj_size = node.metadata.get("min_n_below", -1)
-                if subj_size == -1:
-                    raise ValueError(
-                        "ERROR: no min_n_below on this tree, cannot search."
-                    )
-                total_size = subj_size
-
-            score = search_fn.score_fn(query_size, shared_size, subj_size, total_size)
-
+            leafy = isinstance(node, SigLeaf)
+            sizes = leaf_sizes(node) if leafy else internal_sizes(node)
+            score = search_fn.score_fn(query_size, *sizes)
             if not search_fn.passes(score):
                 return False
-            if not isinstance(node, SigLeaf):
-                return True
+            if not leafy:
+                return True  # descend
             if search_fn.collect(score, node.data):
                 results[node.data] = score
                 return True
             return False
 
         for n in self._find_nodes(node_search, **kwargs):
-            ss = n.data
-            if passes_all_picklists(ss, self.picklists):
-                yield IndexSearchResult(results[ss], ss, self.location)
+            if passes_all_picklists(n.data, self.picklists):
+                yield IndexSearchResult(results[n.data], n.data, self.location)
 
     def _rebuild_node(self, pos=0):
         "Recursively rebuild a missing internal node."
@@ -405,13 +409,11 @@ class SBT(Index):
 
         node = self._nodes[pos] = Node(self.factory, name=f"internal.{pos}")
         for c in self.children(pos):
-            if c.pos not in self._missing_nodes and not isinstance(c.node, Leaf):
-                continue
-            cnode = c.node
-            if cnode is None:
-                self._rebuild_node(c.pos)
-                cnode = self._nodes[c.pos]
-            cnode.update(node)
+            rebuildable = c.pos in self._missing_nodes or isinstance(c.node, Leaf)
+            if rebuildable:
+                if c.node is None:
+                    self._rebuild_node(c.pos)
+                (c.node or self._nodes[c.pos]).update(node)
 
     def _resolve_pos(self, pos):
         if pos in self._leaves:
@@ -469,12 +471,12 @@ class SBT(Index):
         kind = None
         if storage is None:
             kind = "FS"
-            location = os.path.dirname(index_filename)
+            where = os.path.dirname(index_filename)
             subdir = f".sbt.{name}"
-            storage = FSStorage(location, subdir)
-            index_filename = os.path.join(location, index_filename)
+            storage = FSStorage(where, subdir)
+            index_filename = os.path.join(where, index_filename)
 
-        backend = [k for (k, v) in STORAGES.items() if v is type(storage)][0]
+        backend = next(k for k, v in STORAGES.items() if v is type(storage))
         storage_info = {"backend": backend, "args": storage.init_args()}
         return kind, storage, name, subdir, index_filename, path, storage_info
 
@@ -502,44 +504,44 @@ class SBT(Index):
         }
 
         nodes, leaves = {}, {}
-        internal_nodes = self._nodes.keys() | self._missing_nodes
-        total_nodes = len(self) + len(internal_nodes)
+        total_nodes = len(self) + len(self._nodes.keys() | self._missing_nodes)
         manifest_rows = []
-        for n, (i, node) in enumerate(self):
-            if node is None:
-                continue
 
-            # --sparseness randomly drops internal nodes (rebuilt on load)
-            if isinstance(node, Node) and random() - sparseness <= 0:
-                continue
-
-            data = {"filename": os.path.basename(node.name), "name": node.name}
-
-            try:
-                node.metadata.pop("max_n_below")
-            except (AttributeError, KeyError):
-                pass
-            data["metadata"] = node.metadata
-
-            if structure_only is False:
+        def serialize_one(node):
+            "One node/leaf -> its JSON record (+ blob written to storage)."
+            record = {"filename": os.path.basename(node.name), "name": node.name}
+            md = node.metadata
+            if hasattr(md, "pop"):
+                md.pop("max_n_below", None)
+            record["metadata"] = md
+            if not structure_only:
                 node.data  # force the load before re-targeting storage
                 node.storage = storage
+                target = record["filename"]
                 if kind == "Zip":
-                    stored_at = node.save(os.path.join(subdir, data["filename"]))
+                    target = os.path.join(subdir, target)
+                stored_at = node.save(target)
+                if kind == "Zip":
                     assert stored_at.startswith(subdir + "/")
-                    data["filename"] = stored_at[len(subdir) + 1:]
+                    stored_at = stored_at[len(subdir) + 1:]
+                record["filename"] = stored_at
+            return record
+
+        for n, (i, node) in enumerate(self):
+            # --sparseness randomly drops internal nodes (rebuilt on load)
+            dropped = node is None or (
+                isinstance(node, Node) and random() - sparseness <= 0
+            )
+            if not dropped:
+                record = serialize_one(node)
+                if isinstance(node, Node):
+                    nodes[i] = record
                 else:
-                    data["filename"] = node.save(data["filename"])
-
-            if isinstance(node, Node):
-                nodes[i] = data
-            else:
-                leaves[i] = data
-                row = node.make_manifest_row(data["filename"])
-                if row:
-                    manifest_rows.append(row)
-
-            if n % 100 == 0:
+                    leaves[i] = record
+                    row = node.make_manifest_row(record["filename"])
+                    if row:
+                        manifest_rows.append(row)
+            if not dropped and n % 100 == 0:
                 notify(f"{format(n+1)} of {format(total_nodes)} nodes saved", end="\r")
 
         notify("Finished saving nodes, now saving SBT index file.")
@@ -590,40 +592,42 @@ class SBT(Index):
         return None
 
     @classmethod
-    def load(cls, location, *, leaf_loader=None, storage=None,
-             print_version_warning=True, cache_size=None):
-        "Load an SBT description (any version v1-v6, zip or FS layout)."
-        storage = storage or cls._probe_zip_storage(location)
-
-        tempfile = sbt_name = None
+    def _read_description(cls, location, storage):
+        """Locate + parse the .sbt.json description. Returns
+        (jnodes, dirname, sbt_name)."""
         if storage:
             sbts = storage.list_sbts()
             if len(sbts) == 1:
                 # spool the description out of the archive for json.load
-                tempfile = NamedTemporaryFile()
-                tempfile.write(storage.load(sbts[0]))
-                tempfile.flush()
-                dirname = os.path.dirname(tempfile.name)
-                sbt_name = os.path.basename(tempfile.name)
+                with NamedTemporaryFile() as spool:
+                    spool.write(storage.load(sbts[0]))
+                    spool.flush()
+                    with open(spool.name) as fp:
+                        return (
+                            json.load(fp),
+                            os.path.dirname(spool.name),
+                            os.path.basename(spool.name),
+                        )
 
-        if sbt_name is None:
-            dirname = os.path.dirname(os.path.abspath(location))
-            sbt_name = os.path.basename(location)
-            if sbt_name.endswith(".sbt.json"):
-                sbt_name = sbt_name[: -len(".sbt.json")]
-
+        dirname = os.path.dirname(os.path.abspath(location))
+        sbt_name = os.path.basename(location)
+        if sbt_name.endswith(".sbt.json"):
+            sbt_name = sbt_name[: -len(".sbt.json")]
         sbt_fn = os.path.join(dirname, sbt_name)
-        if tempfile is None and not sbt_fn.endswith(".sbt.json"):
+        if not sbt_fn.endswith(".sbt.json"):
             sbt_fn += ".sbt.json"
-
         try:
             with open(sbt_fn) as fp:
-                jnodes = json.load(fp)
+                return json.load(fp), dirname, sbt_name
         except NotADirectoryError as exc:
             raise ValueError(str(exc))
-        finally:
-            if tempfile is not None:
-                tempfile.close()
+
+    @classmethod
+    def load(cls, location, *, leaf_loader=None, storage=None,
+             print_version_warning=True, cache_size=None):
+        "Load an SBT description (any version v1-v6, zip or FS layout)."
+        storage = storage or cls._probe_zip_storage(location)
+        jnodes, dirname, sbt_name = cls._read_description(location, storage)
 
         version = jnodes["version"] if isinstance(jnodes, Mapping) else 1
 
@@ -753,58 +757,69 @@ class SBT(Index):
     def _fill_min_n_below(self):
         "Propagate the smallest sketch size below each node up the tree."
 
-        def fill_min_n_below(node, *args, **kwargs):
-            original_min_n_below = node.metadata.get("min_n_below", sys.maxsize)
-            min_n_below = original_min_n_below
+        def child_floor(child):
+            if isinstance(child.node, Leaf):
+                return len(child.node.data.minhash)
+            return child.node.metadata.get("min_n_below", sys.maxsize)
 
-            for child in kwargs["children"]:
-                if child.node is None:
-                    continue
-                if isinstance(child.node, Leaf):
-                    min_n_below = min(len(child.node.data.minhash), min_n_below)
-                else:
-                    child_n = child.node.metadata.get("min_n_below", sys.maxsize)
-                    min_n_below = min(child_n, min_n_below)
+        def refresh(node, *args, **kwargs):
+            before = node.metadata.get("min_n_below", sys.maxsize)
+            floor = min(
+                (
+                    child_floor(c)
+                    for c in kwargs["children"]
+                    if c.node is not None
+                ),
+                default=before,
+            )
+            floor = min(floor, before) or 1
+            node.metadata["min_n_below"] = floor
+            return before != floor
 
-            node.metadata["min_n_below"] = min_n_below or 1
-            return original_min_n_below != (min_n_below or 1)
-
-        self._fill_up(fill_min_n_below)
+        self._fill_up(refresh)
 
     def _fill_up(self, search_fn, *args, **kwargs):
         "Apply search_fn to all internal nodes, deepest first."
         debug("started filling up")
-        queue = sorted(self._leaves.keys(), reverse=True)
-        visited = set()
+        pending = sorted(self._leaves.keys(), reverse=True)
+        done = set()
         processed = 0
 
-        while queue:
-            node_p = queue.pop(0)
-            parent = self.parent(node_p)
+        def take_parent(pos):
+            "Resolve pos's parent, rebuilding it if recorded as missing."
+            parent = self.parent(pos)
+            if parent is None:
+                return None, False
+            if parent.node is not None:
+                return parent, False
+            if parent.pos not in self._missing_nodes:
+                return None, True
+            self._rebuild_node(parent.pos)
+            return self.parent(pos), True
+
+        while pending:
+            pos = pending.pop(0)
+            parent, was_missing = take_parent(pos)
             if parent is None:
                 continue
 
-            was_missing = parent.node is None
-            if was_missing:
-                if parent.pos not in self._missing_nodes:
-                    continue
-                self._rebuild_node(parent.pos)
-                parent = self.parent(node_p)
-
-            siblings = self.children(parent.pos)
-            if node_p not in visited:
-                visited.add(node_p)
-                for sibling in siblings:
-                    visited.add(sibling.pos)
-                    if sibling.pos in queue:
-                        queue.remove(sibling.pos)
-
-                if search_fn(parent.node, children=siblings, *args) or was_missing:
-                    queue.append(parent.pos)
+            if pos not in done:
+                siblings = self.children(parent.pos)
+                done.add(pos)
+                for sib in siblings:
+                    done.add(sib.pos)
+                    if sib.pos in pending:
+                        pending.remove(sib.pos)
+                refreshed = search_fn(parent.node, children=siblings, *args)
+                if refreshed or was_missing:
+                    pending.append(parent.pos)
 
             processed += 1
             if not processed % 100:
-                debug("processed {}, in queue {}", processed, len(queue), sep="\r")
+                debug(
+                    "processed {}, in queue {}", processed, len(pending),
+                    sep="\r",
+                )
 
     def print_dot(self):  # pragma: no cover
         preamble = ("digraph G {", "nodesep=0.3;", "ranksep=0.2;", "margin=0.1;",
