@@ -167,7 +167,7 @@ class FlatIndex(Index):
             self._banks, query_mins, n_datasets=len(self._signatures)
         )
 
-    def warm_gather_counts(self, query_mhs, block: int = 8) -> None:
+    def warm_gather_counts(self, query_mhs, block: int | None = None) -> None:
         """Precompute counter_gather overlap counts for MANY queries in
         batched device passes (the bank planes stream once per `block`
         queries). Each row lands in a pop-on-hit cache that the next
@@ -190,6 +190,26 @@ class FlatIndex(Index):
             qs.append(q[q <= cutoff])
         if not qs:
             return
+        if block is None:
+            # adapt the query block to the bank residency: host-streamed
+            # (beyond-HBM) planes cost one full stream per block, so
+            # bigger blocks amortize them; device-resident planes only
+            # save dispatches. Cap by query-plane HBM (~256 MB per block).
+            from ..ops.bucketed import choose_buckets
+            from ..ops.index_ops import _bank_device_resident
+
+            streamed = any(
+                not _bank_device_resident(b) for b in self._banks
+            )
+            block = 64 if streamed else 8
+            B_max = max(b.B for b in self._banks)
+            dq_est = max(
+                8, 1 << int(np.ceil(np.log2(
+                    max(max((len(q) for q in qs), default=1), 1) / B_max + 1
+                )))
+            )
+            per_q = dq_est * B_max * 8  # hi+lo u32 planes
+            block = int(max(1, min(block, (256 << 20) // max(per_q, 1))))
         rows = counts_for_banks_batch(
             self._banks, qs, len(self._signatures), block=block
         )
@@ -502,6 +522,23 @@ class FlatCounterGather:
             and np.array_equal(hit_cache[1], matched)
         ):
             return matched, hit_cache[2]
+        M = self._bitsets_for(W, matched)
+        self._bitsets_cache = (W, matched, M)
+        return matched, M
+
+    def _membership_for_ids(self, W, ids):
+        "Bitsets for an explicit candidate-id subset (the schedule cap)."
+        ids = np.asarray(ids, dtype=np.int64)
+        hit_cache = self._bitsets_cache
+        if (
+            hit_cache is not None
+            and hit_cache[0] == W
+            and np.array_equal(hit_cache[1], ids)
+        ):
+            return hit_cache[2]
+        return self._bitsets_for(W, ids)
+
+    def _bitsets_for(self, W, matched):
         q = self._q_mins
         k = len(matched)
         M = None
@@ -541,19 +578,37 @@ class FlatCounterGather:
                 M[c0 : c0 + len(part)] = (
                     bits.reshape(len(part), W, 32).astype(np.uint32) << shifts
                 ).sum(-1, dtype=np.uint32)
-        self._bitsets_cache = (W, matched, M)
-        return matched, M
+        return M
 
-    def _fallback_recount(self, cur_query_mh):
-        """Leave scheduled mode with exact counter state: counts[i] =
+    def _recount(self, cur_query_mh, threshold_bp=0):
+        """Refresh counter state against the CURRENT query: counts[i] =
         |dataset_i ∩ current query| (the invariant the per-round decrements
-        maintain), masked by the initial prefetch-threshold cut."""
-        self._use_schedule = False
-        self._coord = None
+        maintain), masked by the initial prefetch-threshold cut AND the
+        live threshold — a candidate below the (fixed, uniform-scaled)
+        round threshold can never win a future round, and dropping it
+        keeps downstream candidate sets small."""
         scaled = max(self.scaled, cur_query_mh.scaled)
         mins = cur_query_mh.downsample(scaled=scaled).mins_array()
         fresh = self.index.counts_for(mins)
-        self.counts = np.where(self.counts > 0, fresh, 0).astype(np.int64)
+        counts = np.where(self.counts > 0, fresh, 0).astype(np.int64)
+        if threshold_bp:
+            try:
+                _, n_th = calc_threshold_from_bp(
+                    threshold_bp, scaled, max(len(mins), 1)
+                )
+            except ValueError:
+                n_th = None
+            if n_th is not None:
+                counts = np.where(counts >= max(n_th, 1), counts, 0)
+        self.counts = counts
+        self._groups = None  # stale: rebuilt over the surviving actives
+        self._bitsets_cache = None
+
+    def _fallback_recount(self, cur_query_mh, threshold_bp=0):
+        "Leave scheduled mode with exact counter state (host rounds next)."
+        self._use_schedule = False
+        self._coord = None
+        self._recount(cur_query_mh, threshold_bp)
 
     def _peek_scheduled(self, cur_query_mh, threshold_bp):
         coord = self._coord
@@ -561,6 +616,20 @@ class FlatCounterGather:
             coord.compute(threshold_bp)
         cur = coord.current()
         if cur is None:
+            if coord.truncated:
+                # candidate-capped schedule exhausted with excluded
+                # candidates possibly above threshold. Recount + build a
+                # fresh capped schedule (consumed clusters collapse out of
+                # the ranking); if the last schedule made no progress or
+                # we've iterated enough, exact host rounds take over.
+                # Expected behavior at huge match counts, not a divergence.
+                from ..search import GatherRoundRestart
+
+                if coord._sched and coord.reschedules < 8:
+                    coord.reschedule(cur_query_mh, threshold_bp)
+                else:
+                    coord.fallback(cur_query_mh, threshold_bp)
+                raise GatherRoundRestart
             return []
         owner_idx, best, match_size = cur
         if owner_idx != self._coord_idx:
@@ -602,7 +671,7 @@ class FlatCounterGather:
                 f"{coord.pos} (planned overlap {match_size}, actual "
                 f"{len(intersect_mh)}); falling back to host gather rounds."
             )
-            coord.fallback(cur_query_mh)
+            coord.fallback(cur_query_mh, threshold_bp)
             raise GatherRoundRestart
 
         cont = cur_query_mh.contained_by(match.minhash, downsample=True)
@@ -676,9 +745,39 @@ class FlatCounterGather:
         if not intersect_mh:
             return
         active = self.counts > 0
-        if not active.any():
+        n_active = int(active.sum())
+        if not n_active:
             return
-        mins = intersect_mh.downsample(scaled=self.scaled).mins_array()
+        # an intersect at COARSER scaled (another database ratcheted the
+        # comparison) needs no downsample: its mins already sit below this
+        # counter's cutoff
+        if intersect_mh.scaled >= self.scaled:
+            mins = intersect_mh.mins_array()
+        else:
+            mins = intersect_mh.downsample(scaled=self.scaled).mins_array()
+        if self._groups is None and n_active <= 256:
+            # few candidates (typical after a truncated capped schedule):
+            # direct sorted joins on host beat any device dispatch latency
+            dec = np.zeros_like(self.counts)
+            for i in np.nonzero(active)[0]:
+                ds = self.index._ds_mins[int(i)]
+                if len(ds) and len(mins):
+                    idx = np.searchsorted(ds, mins)
+                    np.minimum(idx, len(ds) - 1, out=idx)
+                    dec[i] = int(np.count_nonzero(ds[idx] == mins))
+            self.counts = np.where(
+                active, np.maximum(self.counts - dec, 0), self.counts
+            )
+            return
+        if self._groups is None and n_active > 8192:
+            # huge candidate sets: extracting device membership groups
+            # costs more than one fused counter pass over the whole index
+            # — decrement via counts of the consumed intersection instead
+            dec = self.index.counts_for(mins).astype(self.counts.dtype)
+            self.counts = np.where(
+                active, np.maximum(self.counts - dec, 0), self.counts
+            )
+            return
         dec = np.zeros_like(self.counts)
         for g in self._get_groups():
             idx = np.searchsorted(g.qh, mins)
@@ -728,6 +827,16 @@ class DeviceGatherSchedule:
         self.pos = 0
         self._consumed = 0
         self.ready = False
+        # candidate-cap state: when the matched set is huge (a cluster-rich
+        # reference database can match ~everything), the scan covers only
+        # the top-C candidates by initial count; `truncated` marks that
+        # exhausting the schedule must fall back to exact host rounds
+        # instead of ending the gather
+        self._cap_bound = None  # best EXCLUDED candidate's initial count
+        self._cap_guard = False  # bound could still pass the threshold
+        self.truncated = False
+        self.reschedules = 0  # iterative capped scheduling rounds so far
+        self._alive_mins = None  # current-query mins after a reschedule
 
     def current(self):
         "The (counter_idx, dataset_id, count) of the current round, or None."
@@ -742,38 +851,55 @@ class DeviceGatherSchedule:
             self._consumed = 0
             self.pos += 1
 
-    def fallback(self, cur_query_mh):
+    def fallback(self, cur_query_mh, threshold_bp=0):
         "Drop every counter back to exact host peek/consume rounds."
         self.ready = True
+        self.truncated = False
         self._sched = []
         for c in self.counters:
-            c._fallback_recount(cur_query_mh)
+            c._fallback_recount(cur_query_mh, threshold_bp)
+
+    def reschedule(self, cur_query_mh, threshold_bp):
+        """Iterative capped scheduling: recount every counter against the
+        CURRENT query (consumed clusters collapse, so true remaining
+        candidates rise into the top-C) and rebuild a fresh schedule on
+        the next peek. Keeps at-scale gathers on the device even when the
+        initial candidate ranking is dominated by near-relatives that
+        never win."""
+        self.reschedules += 1
+        scaled = self.counters[0].scaled
+        for c in self.counters:
+            c._recount(cur_query_mh, threshold_bp)
+        self._alive_mins = cur_query_mh.downsample(
+            scaled=max(scaled, cur_query_mh.scaled)
+        ).mins_array()
+        self.ready = False
+        self.truncated = False
+        self._sched = None
+        self.pos = 0
+        self._consumed = 0
 
     def _build_inputs(self, threshold_bp):
         """The scan inputs for this coordinator's query: (M [k, W] u32
         concatenated membership bitsets, counts [k] i32, alive_p [W] u32,
         thresh, rows [(counter_idx, dataset_id)]), or None when the query
-        or match set is empty / the threshold is unattainable."""
+        or match set is empty / the threshold is unattainable.
+
+        When the matched candidate set exceeds SOURMASH_TPU_SCHEDULE_CAP
+        (default 4096), only the top-cap candidates by initial count enter
+        the scan, and `_cap_bound` records the best excluded candidate's
+        count: a scheduled round whose winner count does not STRICTLY
+        exceed the bound cannot be trusted (an excluded candidate might
+        have won or tied with a lower id), so the schedule truncates there
+        and exact host rounds take over. Rounds well above the bound — the
+        typical case — are provably identical to the uncapped scan."""
+        import os
+
         c0 = self.counters[0]
         q = c0._q_mins
         scaled = c0.scaled
         if not len(q):
             return None
-
-        W = -(-len(q) // 32)
-        rows = []  # global row -> (counter_idx, dataset_id)
-        mats = []
-        for ci, c in enumerate(self.counters):
-            assert c.scaled == scaled, "schedule requires uniform scaled"
-            matched, M = c._membership_bitsets(W)
-            mats.append(M)
-            rows.extend((ci, int(i)) for i in matched)
-        if not rows:
-            return None
-        M = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
-        counts = np.concatenate(
-            [c.counts[np.nonzero(c.counts > 0)[0]] for c in self.counters]
-        ).astype(np.int32)
 
         try:
             _, n_th = calc_threshold_from_bp(threshold_bp, scaled, len(q))
@@ -781,8 +907,59 @@ class DeviceGatherSchedule:
             return None
         thresh = np.int32(max(n_th, 1))
 
+        W = -(-len(q) // 32)
+        # global candidate table, counter-major, ascending id per counter
+        per_counter_ids = []
+        all_counts = []
+        for c in self.counters:
+            assert c.scaled == scaled, "schedule requires uniform scaled"
+            ids = np.nonzero(c.counts > 0)[0]
+            per_counter_ids.append(ids)
+            all_counts.append(c.counts[ids])
+        k_total = sum(len(ids) for ids in per_counter_ids)
+        if not k_total:
+            return None
+        counts_all = np.concatenate(all_counts).astype(np.int64)
+
+        cap = int(os.environ.get("SOURMASH_TPU_SCHEDULE_CAP", "4096"))
+        self._cap_bound = None
+        self._cap_guard = False
+        keep_mask = None
+        if cap and k_total > cap:
+            order = np.argsort(-counts_all, kind="stable")
+            self._cap_bound = int(counts_all[order[cap]])
+            self._cap_guard = self._cap_bound >= int(thresh)
+            keep_mask = np.zeros(k_total, dtype=bool)
+            keep_mask[order[:cap]] = True
+
+        rows = []  # global row -> (counter_idx, dataset_id)
+        mats = []
+        counts = []
+        off = 0
+        for ci, (c, ids) in enumerate(zip(self.counters, per_counter_ids)):
+            if keep_mask is not None:
+                ids = ids[keep_mask[off : off + len(ids)]]
+            off += len(per_counter_ids[ci])
+            if not len(ids):
+                continue
+            mats.append(c._membership_for_ids(W, ids))
+            rows.extend((ci, int(i)) for i in ids)
+            counts.append(c.counts[ids])
+        if not rows:
+            return None
+        M = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+        counts = np.concatenate(counts).astype(np.int32)
+
         alive = np.zeros(W * 32, dtype=bool)
-        alive[: len(q)] = True
+        if self._alive_mins is not None:
+            # rescheduled mid-gather: only the CURRENT query's hashes are
+            # live (the membership bitsets stay indexed by the original q)
+            idx = np.searchsorted(q, self._alive_mins)
+            np.minimum(idx, max(len(q) - 1, 0), out=idx)
+            hit = q[idx] == self._alive_mins if len(q) else idx < 0
+            alive[idx[hit]] = True
+        else:
+            alive[: len(q)] = True
         alive_p = (
             alive.reshape(W, 32).astype(np.uint32)
             << np.arange(32, dtype=np.uint32)
@@ -848,10 +1025,19 @@ class DeviceGatherSchedule:
                 if b < 0:
                     done = True
                     break
+                if self._cap_guard and int(c) <= self._cap_bound:
+                    # a round at or below the best excluded candidate's
+                    # initial count is no longer provably correct
+                    done = True
+                    break
                 ci, ds = rows[int(b)]
                 schedule.append((ci, ds, int(c)))
             if done or len(schedule) >= k:
                 break
+        # with a guard bound, ANY end of the capped schedule (early stop,
+        # natural end, exhaustion) may leave excluded candidates above the
+        # threshold — exhausting it falls back to exact host rounds
+        self.truncated = bool(self._cap_guard)
         self._sched = schedule
 
 
@@ -939,9 +1125,12 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
                                                   Mj, carry, Tj, chunk)
             b_np, c_np = np.asarray(bests), np.asarray(bcs)
             for qi in np.nonzero(open_q)[0]:
+                coord = sub[qi][0]
                 rows = sub[qi][1][4]
                 for b, c in zip(b_np[qi], c_np[qi]):
-                    if b < 0:
+                    if b < 0 or (
+                        coord._cap_guard and int(c) <= coord._cap_bound
+                    ):
                         open_q[qi] = False
                         break
                     ci, ds = rows[int(b)]
@@ -951,6 +1140,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
                         open_q[qi] = False
             rounds_done += chunk
         for qi, (coord, _built) in enumerate(sub):
+            coord.truncated = bool(coord._cap_guard)
             coord._sched = scheds[qi]
 
 

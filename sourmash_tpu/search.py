@@ -770,7 +770,7 @@ class GatherDatabases:
 
     def _select_best(self):
         "One device round: peek all counters, consume the global winner."
-        for _attempt in range(2):
+        for _attempt in range(12):
             winner = None
             winner_isect = None
             try:
@@ -783,10 +783,12 @@ class GatherDatabases:
                         if winner is None or sr.score > winner.score:
                             winner, winner_isect = sr, isect_mh
             except GatherRoundRestart:
-                # a counter switched answer modes mid-round (scheduled ->
-                # host fallback); earlier counters answered under the old
-                # mode, so restart the round and re-peek everyone (the mode
-                # switch is one-way, so this can happen at most once)
+                # a counter switched answer modes mid-round (capped
+                # schedule rebuilt, or scheduled -> host fallback);
+                # earlier counters answered under the old mode, so restart
+                # the round and re-peek everyone. Bounded: coordinators
+                # allow at most 8 reschedules, then a one-way host
+                # fallback — strictly fewer restarts than this loop allows
                 continue
             break
 

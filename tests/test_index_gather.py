@@ -515,3 +515,43 @@ def test_compute_schedules_batch_matches_individual():
     for got, want in zip(batch_coords, individual):
         assert got.ready and got._sched == want
     assert sum(len(c._sched) for c in batch_coords) >= 18
+
+
+def test_schedule_candidate_cap_matches_uncapped(monkeypatch):
+    """A candidate-capped schedule (top-C by initial count + the excluded
+    bound guard, falling back to exact host rounds at exhaustion) yields
+    byte-identical gather rounds to the uncapped scan — including when the
+    cap forces mid-gather truncation."""
+    rng = np.random.default_rng(53)
+    n = 40
+    # cluster-structured: every dataset shares a common pool so ~all match
+    pool = np.unique(rng.integers(1, 2**63, size=400, dtype=np.uint64))
+    genomes = []
+    for _ in range(n):
+        own = np.unique(rng.integers(1, 2**63, size=150, dtype=np.uint64))
+        take = rng.choice(pool, size=120, replace=False)
+        genomes.append(np.unique(np.concatenate([own, take])))
+    meta = np.unique(
+        np.concatenate([genomes[i] for i in range(0, n, 2)] + [pool])
+    )
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+
+    def run(cap):
+        monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", str(cap))
+        fi = FlatIndex(sigs)
+        c = fi.counter_gather(
+            SourmashSignature(qmh, name="meta").to_frozen(), 0
+        )
+        c.enable_device_schedule()
+        return _run_rounds([c], qmh)
+
+    uncapped = run(0)
+    assert len(uncapped) >= 15
+    for cap in (4, 8, 16):
+        assert run(cap) == uncapped, cap
