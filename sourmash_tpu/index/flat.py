@@ -48,6 +48,7 @@ class FlatIndex(Index):
         self._cuts_cache = None  # (q_scaled, cuts, subj_sizes)
         self._counts_cache = {}  # md5(query mins) -> counts (pop on hit)
         self._all_scaled = None  # lazy: every signature has nonzero scaled
+        self._min_subject_scaled = None  # lazy: coarsest-pair fast path
 
     @property
     def location(self):
@@ -83,6 +84,7 @@ class FlatIndex(Index):
         self._cuts_cache = None
         self._counts_cache = {}
         self._all_scaled = None
+        self._min_subject_scaled = None
 
     def save(self, path):
         "Persist as a disk revindex directory (the on-disk form of this index)."
@@ -263,6 +265,9 @@ class FlatIndex(Index):
                 )
             self._cuts_cache = (q_scaled, cuts, subj_sizes)
         _, cuts, subj_sizes = self._cuts_cache
+        # (measured: the cutoff kernel outruns the plain-counts kernel on
+        # this shape despite doing more logical work — XLA schedules the
+        # fused eq&le reduce better — so find always uses it)
         shared = cutoff_counts_for_banks(self._banks, q_mins, cuts, n)
         q_sizes = np.searchsorted(q_mins, cuts, side="right")
         # a zero overlap can only score above a zero threshold; skip the
