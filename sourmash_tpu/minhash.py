@@ -1248,15 +1248,25 @@ class MinHash:
     def md5sum(self):
         "md5 over decimal ksize then each min (`minhash.rs:290-307`)."
         if self._md5cache is None:
-            import hashlib
+            try:
+                # native decimal-convert + digest (~5x the Python join;
+                # zip loading computes this for every member — manifest
+                # membership is md5-keyed)
+                from . import native
 
-            m = hashlib.md5()
-            m.update(str(self._ksize).encode("ascii"))
-            # one digest update per min is slow in Python; join instead
-            # (tolist() gives python ints — ~1.5x faster to stringify
-            # than numpy scalars, and this runs for every loaded sig)
-            m.update("".join(map(str, self._mins.tolist())).encode("ascii"))
-            self._md5cache = m.hexdigest()
+                self._md5cache = native.sketch_md5(self._ksize, self._mins)
+            except Exception:
+                self._md5cache = None
+            if self._md5cache is None:
+                import hashlib
+
+                m = hashlib.md5()
+                m.update(str(self._ksize).encode("ascii"))
+                # one digest update per min is slow in Python; join
+                m.update(
+                    "".join(map(str, self._mins.tolist())).encode("ascii")
+                )
+                self._md5cache = m.hexdigest()
         return self._md5cache
 
     def to_mutable(self):

@@ -19,6 +19,7 @@ _SRC = os.path.join(os.path.dirname(__file__), "fastx.cpp")
 _SKETCH_SRC = os.path.join(os.path.dirname(__file__), "sketch.cpp")
 _PACK_SRC = os.path.join(os.path.dirname(__file__), "pack.cpp")
 _MEMBER_SRC = os.path.join(os.path.dirname(__file__), "membership.cpp")
+_SIGMD5_SRC = os.path.join(os.path.dirname(__file__), "sigmd5.cpp")
 _lib = None
 _build_failed = False
 
@@ -32,7 +33,7 @@ def _build_lib():
         return None
     try:
         src = b""
-        for path in (_SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC):
+        for path in (_SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, _SIGMD5_SRC):
             with open(path, "rb") as f:
                 src += f.read()
         tag = hashlib.sha256(src).hexdigest()[:16]
@@ -47,8 +48,8 @@ def _build_lib():
             subprocess.run(
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-pthread",
-                    _SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, "-o", tmp,
-                    "-lz",
+                    _SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, _SIGMD5_SRC,
+                    "-o", tmp, "-lz",
                 ],
                 check=True,
                 capture_output=True,
@@ -117,6 +118,13 @@ def _build_lib():
             ctypes.c_int32,   # n_threads
         ]
         lib.membership_bits_native.restype = ctypes.c_int64
+        lib.sketch_md5_hex.argtypes = [
+            ctypes.c_int64,   # ksize
+            ctypes.c_void_p,  # mins u64*
+            ctypes.c_int64,   # n
+            ctypes.c_char_p,  # out hex[32]
+        ]
+        lib.sketch_md5_hex.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -264,6 +272,23 @@ def membership_bits(q, vals, offs, k, W, n_threads=0):
         ctypes.c_int32(n_threads),
     )
     return M
+
+
+def sketch_md5(ksize, mins):
+    """Hex md5 over decimal ksize + each decimal min (the reference's
+    sketch identity) via the native digester, or None if unavailable."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    mins = np.ascontiguousarray(mins, dtype=np.uint64)
+    out = ctypes.create_string_buffer(32)
+    lib.sketch_md5_hex(
+        ctypes.c_int64(int(ksize)),
+        mins.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(mins)),
+        out,
+    )
+    return out.raw.decode("ascii")
 
 
 def pack_spills(vals, offs, n, rows, B, d, n_threads=0):

@@ -67,3 +67,34 @@ def test_short_and_empty():
     assert len(got) == 0
     got, fb = native.sketch_hashes(RNG.choice(ACGT, size=20), 21, 42, 1 << 62)
     assert len(got) == 0
+
+
+def test_native_sketch_md5_matches_hashlib():
+    """The native decimal-mins MD5 (native/sigmd5.cpp, clean-room RFC 1321)
+    equals the Python join+hashlib digest over adversarial inputs: empty,
+    one min, boundary values (0, 2**64-1), long runs crossing many 64-byte
+    MD5 blocks, and digit-length variety."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from sourmash_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (31, np.zeros(0, dtype=np.uint64)),
+        (21, np.array([0], dtype=np.uint64)),
+        (51, np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64)),
+        (63, np.array([1, 9, 10, 99, 100, 10**19], dtype=np.uint64)),
+        (31, np.sort(rng.integers(0, 2**64 - 1, 5000, dtype=np.uint64))),
+        (7, np.sort(rng.integers(0, 1000, 300, dtype=np.uint64))),
+    ]
+    for ksize, mins in cases:
+        ref = hashlib.md5()
+        ref.update(str(ksize).encode())
+        ref.update("".join(str(int(x)) for x in mins).encode())
+        assert native.sketch_md5(ksize, mins) == ref.hexdigest(), (ksize, len(mins))
