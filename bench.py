@@ -557,17 +557,20 @@ def zip_gather_metrics(out, rand_mins, make_sig):
 
         flat.DeviceGatherSchedule.compute = spy
         try:
-            t0 = time.perf_counter()
-            o, e = _io.StringIO(), _io.StringIO()
-            with redirect_stdout(o), redirect_stderr(e):
-                rc = sm_main(
-                    ["gather", qpath, zpath, "-o",
-                     os.path.join(td, "out.csv")]
-                )
-            wall = time.perf_counter() - t0
+            walls = []
+            for _rep in range(2):  # cold (compiles) then warm
+                t0 = time.perf_counter()
+                o, e = _io.StringIO(), _io.StringIO()
+                with redirect_stdout(o), redirect_stderr(e):
+                    rc = sm_main(
+                        ["gather", qpath, zpath, "-o",
+                         os.path.join(td, "out.csv")]
+                    )
+                walls.append(time.perf_counter() - t0)
+                assert not rc, e.getvalue()
+            wall, warm_wall = walls
         finally:
             flat.DeviceGatherSchedule.compute = orig
-        assert not rc, e.getvalue()
         assert ran.get("scheduled"), "zip gather did not use the device engine"
         import csv as _csv
 
@@ -575,11 +578,13 @@ def zip_gather_metrics(out, rand_mins, make_sig):
             found = len(list(_csv.DictReader(fp)))
     out["zip_gather_db_size"] = n
     out["zip_gather_wall_s"] = round(wall, 2)
+    out["zip_gather_warm_s"] = round(warm_wall, 2)
     out["zip_gather_found"] = found
     out["zip_write_s"] = round(zip_write_s, 1)
     print(
         f"bench: CLI `gather meta.sig db.zip` ({n} sigs) end-to-end "
-        f"{wall:.2f}s, {found}/20 recovered, device-scheduled",
+        f"{wall:.2f}s cold / {warm_wall:.2f}s warm, {found}/20 recovered, "
+        "device-scheduled",
         file=sys.stderr,
     )
 

@@ -120,9 +120,20 @@ def save_revindex(index, path, *, processed=None):
         for ss in sigs:
             save_sigs.add(ss)
 
-    # per-dataset sorted mins at the common scaled, concatenated + offsets
+    # per-dataset sorted mins at the common scaled, concatenated + offsets.
+    # Pack HOST-resident (HBM budget forced to 0): the planes are being
+    # persisted to disk, and a device-resident build would round-trip
+    # every byte through the accelerator link just to download it again.
     fi = FlatIndex(sigs)
-    fi._build()
+    old_budget = os.environ.get("SOURMASH_TPU_HBM_BUDGET_BYTES")
+    os.environ["SOURMASH_TPU_HBM_BUDGET_BYTES"] = "1"
+    try:
+        fi._build()
+    finally:
+        if old_budget is None:
+            os.environ.pop("SOURMASH_TPU_HBM_BUDGET_BYTES", None)
+        else:
+            os.environ["SOURMASH_TPU_HBM_BUDGET_BYTES"] = old_budget
     mins_list = fi._ds_mins
     offsets = np.zeros(len(mins_list) + 1, dtype=np.int64)
     np.cumsum([len(m) for m in mins_list], out=offsets[1:])
