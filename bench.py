@@ -862,11 +862,11 @@ def at_scale_metrics(out, rand_mins, make_sig):
             except StopIteration:
                 break
             rounds.append(time.perf_counter() - tr)
-        return rounds
+        return rounds, gd
 
     run_big()  # warm/compile
     t0 = time.perf_counter()
-    rounds = run_big()
+    rounds, gd = run_big()
     out["gather_big_db_size"] = n_big
     out["gather_big_total_s"] = round(time.perf_counter() - t0, 3)
     out["gather_big_round_p50_ms"] = round(
@@ -874,10 +874,21 @@ def at_scale_metrics(out, rand_mins, make_sig):
     )
     out["gather_big_found"] = len(rounds)
     out["gather_big_build_s"] = round(build_s, 1)
+    # true genomes not recovered must be legitimately ABSORBED by closer
+    # relatives under greedy min-set-cov: their remaining overlap with the
+    # post-gather query must sit below the round threshold (50 hashes)
+    rem = gd.query.minhash.mins_array()
+    leftovers = [
+        int(len(np.intersect1d(rem, genomes[i], assume_unique=True)))
+        for i in true_ids
+    ]
+    assert max(leftovers, default=0) < 50, leftovers
+    out["gather_big_absorption_verified"] = True
     print(
         f"bench: big gather {len(rounds)}/30 vs {n_big} sigs in "
         f"{out['gather_big_total_s']}s warm "
-        f"(p50 round {out['gather_big_round_p50_ms']} ms)",
+        f"(p50 round {out['gather_big_round_p50_ms']} ms; non-recovered "
+        "true genomes verified absorbed below threshold)",
         file=sys.stderr,
     )
 
