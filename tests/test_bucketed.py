@@ -443,3 +443,49 @@ def test_huge_query_vs_tiny_bank_pad_correction_exact():
     ccounts = query_cutoff_counts_bucketed(q, bank, cuts)
     for i in range(len(rows)):
         assert ccounts[i] == oracle_isect(q, rows[i])
+
+
+def test_warm_gather_counts_adaptive_block(monkeypatch):
+    """warm_gather_counts picks its query block from bank residency
+    (streamed banks amortize a full plane stream per block) and still
+    produces exact counts — here with the planes forced host-resident."""
+    from sourmash_tpu import MinHash, SourmashSignature
+    from sourmash_tpu.index.flat import FlatIndex
+    from sourmash_tpu.ops import index_ops
+
+    monkeypatch.setenv("SOURMASH_TPU_HBM_BUDGET_BYTES", "1")
+    rng = np.random.default_rng(21)
+    genomes = [rand_set(150, rng=rng) for _ in range(30)]
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    queries = []
+    for i in range(5):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(np.unique(np.concatenate([genomes[i], genomes[i + 7]])))
+        queries.append(mh)
+
+    seen = {}
+    orig = index_ops.counts_for_banks_batch
+
+    def spy(banks, qs, n, block=8):
+        seen["block"] = block
+        return orig(banks, qs, n, block=block)
+
+    monkeypatch.setattr(index_ops, "counts_for_banks_batch", spy)
+
+    fi = FlatIndex(sigs)
+    fi.warm_gather_counts(queries)  # block=None -> adaptive
+    assert seen.get("block", 0) > 8  # streamed banks choose a big block
+    # exactness through the cache
+    for i, q in enumerate(queries):
+        c = fi.counter_gather(
+            SourmashSignature(q, name=f"q{i}").to_frozen(), 0
+        )
+        for j, g in enumerate(genomes):
+            want = len(np.intersect1d(q.mins_array(), g, assume_unique=True))
+            got = int(c.counts[j]) if want else 0
+            if want:
+                assert got == want, (i, j, got, want)
