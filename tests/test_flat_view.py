@@ -298,3 +298,67 @@ def test_cli_multigather_batched_schedules_identical(runtmp, monkeypatch):
             runtmp.output(f"host/{f}"), "rb"
         ) as b:
             assert a.read() == b.read(), f
+
+
+def test_view_gather_fuzz_matches_host(monkeypatch):
+    """Randomized stress of the flagship path: collections mixing tiny and
+    genome-scale sketches, md5 duplicates, cluster structure, the 2**64-1
+    hash, and varied thresholds — device-view gather rounds (including the
+    scheduled scan and the candidate cap) must equal host CounterGather
+    rounds exactly."""
+    from sourmash_tpu.index.flat import schedule_device_gather
+
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        n = int(rng.integers(8, 28))
+        pool = np.unique(rng.integers(1, 2**63, size=300, dtype=np.uint64))
+        genomes = []
+        for i in range(n):
+            size = int(rng.choice([5, 40, 400]))
+            own = np.unique(
+                rng.integers(1, 2**63, size=size, dtype=np.uint64)
+            )
+            take = rng.choice(
+                pool, size=int(rng.integers(0, 100)), replace=False
+            )
+            g = np.unique(np.concatenate([own, take]))
+            if rng.random() < 0.15:
+                g = np.unique(
+                    np.concatenate([g, [np.uint64(2**64 - 1)]])
+                )
+            genomes.append(g)
+        if rng.random() < 0.5 and n > 2:
+            genomes[n - 1] = genomes[1]  # md5 duplicate
+        sigs = []
+        for i, g in enumerate(genomes):
+            mh = MinHash(0, 31, scaled=1)
+            mh.add_many(g)
+            sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+        picks = rng.choice(n, size=max(2, n // 3), replace=False)
+        meta = np.unique(np.concatenate([genomes[i] for i in picks]))
+        qmh = MinHash(0, 31, scaled=1)
+        qmh.add_many(meta)
+        query = SourmashSignature(qmh, name="meta").to_frozen()
+        threshold_bp = int(rng.choice([0, 5, 50]))
+
+        def rounds(env_view, schedule, cap):
+            monkeypatch.setenv("SOURMASH_TPU_FLAT_VIEW", env_view)
+            monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", str(cap))
+            from sourmash_tpu.index import LinearIndex
+
+            counter = LinearIndex(sigs, filename="db").counter_gather(
+                query, threshold_bp
+            )
+            if schedule and hasattr(counter, "enable_device_schedule"):
+                schedule_device_gather([counter])
+            gd = GatherDatabases(
+                query, [counter], threshold_bp=threshold_bp
+            )
+            return [
+                (r.match.name, r.intersect_bp, r.f_match) for r in gd
+            ]
+
+        host = rounds("0", False, 0)
+        assert rounds("1", False, 0) == host, trial
+        assert rounds("1", True, 0) == host, trial
+        assert rounds("1", True, 4) == host, trial  # forced truncation
