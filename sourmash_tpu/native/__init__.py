@@ -20,6 +20,7 @@ _SKETCH_SRC = os.path.join(os.path.dirname(__file__), "sketch.cpp")
 _PACK_SRC = os.path.join(os.path.dirname(__file__), "pack.cpp")
 _MEMBER_SRC = os.path.join(os.path.dirname(__file__), "membership.cpp")
 _SIGMD5_SRC = os.path.join(os.path.dirname(__file__), "sigmd5.cpp")
+_SIGJSON_SRC = os.path.join(os.path.dirname(__file__), "sigjson.cpp")
 _lib = None
 _build_failed = False
 
@@ -33,7 +34,10 @@ def _build_lib():
         return None
     try:
         src = b""
-        for path in (_SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, _SIGMD5_SRC):
+        for path in (
+            _SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, _SIGMD5_SRC,
+            _SIGJSON_SRC,
+        ):
             with open(path, "rb") as f:
                 src += f.read()
         tag = hashlib.sha256(src).hexdigest()[:16]
@@ -49,7 +53,7 @@ def _build_lib():
                 [
                     "g++", "-O3", "-shared", "-fPIC", "-pthread",
                     _SRC, _SKETCH_SRC, _PACK_SRC, _MEMBER_SRC, _SIGMD5_SRC,
-                    "-o", tmp, "-lz",
+                    _SIGJSON_SRC, "-o", tmp, "-lz",
                 ],
                 check=True,
                 capture_output=True,
@@ -125,6 +129,19 @@ def _build_lib():
             ctypes.c_char_p,  # out hex[32]
         ]
         lib.sketch_md5_hex.restype = ctypes.c_int64
+        lib.sig_scan_arrays.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sig_scan_arrays.restype = ctypes.c_int64
+        lib.sig_extract_arrays.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p,  # values u64*
+            ctypes.c_void_p,  # arr_off i64*
+            ctypes.c_void_p,  # spans i64*
+            ctypes.c_void_p,  # kind u8*
+        ]
+        lib.sig_extract_arrays.restype = ctypes.c_int64
         _lib = lib
         return lib
     except Exception:
@@ -289,6 +306,38 @@ def sketch_md5(ksize, mins):
         out,
     )
     return out.raw.decode("ascii")
+
+
+def extract_sig_arrays(buf: bytes):
+    """Scan .sig JSON bytes for the "mins"/"abundances" integer arrays
+    (see sigjson.cpp). Returns (values u64[], arr_off i64[n+1],
+    spans i64[n,2] byte ranges incl. brackets, kinds u8[n] 0=mins
+    1=abundances), or None when the native library is unavailable or the
+    buffer needs the general JSON path (floats, nulls, malformed —
+    callers fall back)."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    n = len(buf)
+    na = ctypes.c_int64(0)
+    nv = ctypes.c_int64(0)
+    if lib.sig_scan_arrays(buf, n, ctypes.byref(na), ctypes.byref(nv)) != 0:
+        return None
+    na, nv = int(na.value), int(nv.value)
+    values = np.empty(nv, dtype=np.uint64)
+    arr_off = np.empty(na + 1, dtype=np.int64)
+    spans = np.empty((na, 2), dtype=np.int64)
+    kinds = np.empty(na, dtype=np.uint8)
+    rc = lib.sig_extract_arrays(
+        buf, n,
+        values.ctypes.data_as(ctypes.c_void_p),
+        arr_off.ctypes.data_as(ctypes.c_void_p),
+        spans.ctypes.data_as(ctypes.c_void_p),
+        kinds.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return values, arr_off, spans, kinds
 
 
 def pack_spills(vals, offs, n, rows, B, d, n_threads=0):

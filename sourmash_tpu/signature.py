@@ -378,8 +378,13 @@ def _molecule_to_kwargs(molecule):
     raise SourmashError(f"unknown molecule type: {molecule}")
 
 
-def _sig_from_dict(d, ignore_md5sum=False):
-    "One JSON signature record -> list-of-one FrozenSourmashSignature per sketch."
+def _sig_from_dict(d, ignore_md5sum=False, native_arrays=None):
+    """One JSON signature record -> list-of-one FrozenSourmashSignature per
+    sketch. `native_arrays` optionally supplies the natively-extracted
+    mins/abundances (a deque of (kind, np.uint64 array) in document
+    order) when the JSON was pre-spliced (see load_signatures_from_json);
+    a mismatch between the dict's keys and the queue raises KeyError and
+    the caller re-parses through the plain path."""
     out = []
     name = d.get("name")
     filename = d.get("filename")
@@ -403,11 +408,33 @@ def _sig_from_dict(d, ignore_md5sum=False):
             track_abundance=abund is not None,
             **mol_kwargs,
         )
-        mins = np.array(sk.get("mins", []), dtype=np.uint64)
-        if abund is not None:
-            ab = np.array(abund, dtype=np.uint64)
+        if native_arrays is None:
+            mins = np.array(sk.get("mins", []), dtype=np.uint64)
+            ab = np.array(abund, dtype=np.uint64) if abund is not None else None
+        else:
+            # consume this sketch's arrays from the document-order queue:
+            # one per key present, matched by kind (field order may vary)
+            want = ("mins" in sk) + (abund is not None)
+            got = {}
+            for _ in range(want):
+                kind, arr = native_arrays.popleft()
+                if kind in got:
+                    raise KeyError("duplicate array kind for one sketch")
+                got[kind] = arr
+            mins = got.get(0)
+            if mins is None:
+                if "mins" in sk:
+                    raise KeyError("missing native mins")
+                mins = np.zeros(0, dtype=np.uint64)
+            ab = got.get(1)
+            if (ab is None) != (abund is None):
+                raise KeyError("abundances key/array mismatch")
+        if ab is not None:
             order = np.argsort(mins, kind="stable")
-            mh._set_mins_internal(mins[order], ab[order])
+            mh._set_mins_internal(
+                np.ascontiguousarray(mins[order]),
+                np.ascontiguousarray(ab[order]),
+            )
         else:
             mh._set_mins_internal(np.sort(mins))
         if not ignore_md5sum:
@@ -486,7 +513,41 @@ def load_signatures_from_json(
         if buf.startswith(b"\x1f\x8b"):
             buf = gzip.decompress(buf)
 
-        records = json.loads(buf)
+        # fast path: the mins/abundances arrays are ~99% of the bytes;
+        # extract them natively and json-parse only the small remainder
+        # (sigjson.cpp bails to None on anything unusual)
+        native_arrays = None
+        if len(buf) > (1 << 14):
+            try:
+                from . import native
+
+                ext = native.extract_sig_arrays(bytes(buf))
+            except Exception:
+                ext = None
+            if ext is not None:
+                values, arr_off, spans, kinds = ext
+                parts = []
+                pos = 0
+                for i in range(len(kinds)):
+                    parts.append(buf[pos : spans[i, 0]])
+                    parts.append(b"[]")
+                    pos = int(spans[i, 1])
+                parts.append(buf[pos:])
+                slim = b"".join(parts)
+                try:
+                    records = json.loads(slim)
+                except Exception:
+                    ext = None
+                else:
+                    from collections import deque
+
+                    native_arrays = deque(
+                        (int(kinds[i]),
+                         values[arr_off[i] : arr_off[i + 1]])
+                        for i in range(len(kinds))
+                    )
+        if native_arrays is None:
+            records = json.loads(buf)
         if isinstance(records, dict):
             records = [records]
         # an SBT index JSON also has a top-level "signatures" key (leaf map),
@@ -499,9 +560,35 @@ def load_signatures_from_json(
         ):
             raise ValueError("JSON data is not a list of sourmash signatures")
 
+        if native_arrays is not None:
+            try:
+                parsed = [
+                    _sig_from_dict(
+                        rec, ignore_md5sum=ignore_md5sum,
+                        native_arrays=native_arrays,
+                    )
+                    for rec in records
+                ]
+                if native_arrays:  # leftovers: an array we mis-attributed
+                    raise KeyError("unconsumed native arrays")
+            except KeyError:
+                # queue/dict mismatch (exotic layout): plain path, from
+                # scratch — behavior identical, just slower
+                records = json.loads(buf)
+                if isinstance(records, dict):
+                    records = [records]
+                parsed = [
+                    _sig_from_dict(rec, ignore_md5sum=ignore_md5sum)
+                    for rec in records
+                ]
+        else:
+            parsed = [
+                _sig_from_dict(rec, ignore_md5sum=ignore_md5sum)
+                for rec in records
+            ]
         sigs = []
-        for rec in records:
-            for sig in _sig_from_dict(rec, ignore_md5sum=ignore_md5sum):
+        for rec_sigs in parsed:
+            for sig in rec_sigs:
                 mh = sig.minhash
                 # compare against the SERIALIZED ksize (3x aa-ksize for
                 # protein family sketches) — reference signature.rs:613
