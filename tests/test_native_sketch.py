@@ -98,3 +98,72 @@ def test_native_sketch_md5_matches_hashlib():
         ref.update(str(ksize).encode())
         ref.update("".join(str(int(x)) for x in mins).encode())
         assert native.sketch_md5(ksize, mins) == ref.hexdigest(), (ksize, len(mins))
+
+
+def test_native_sig_json_scanner_adversarial():
+    """The sigjson scanner either extracts arrays exactly or bails (None)
+    so the plain json path handles the input — behavior must match plain
+    parsing for exotic layouts: swapped field order, names containing
+    '"mins":[', floats, nulls, escapes, whitespace."""
+    import gzip as _gzip
+    import json
+
+    import numpy as np
+    import pytest
+
+    from sourmash_tpu import native
+    from sourmash_tpu.signature import load_signatures_from_json
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    def sig_doc(mins, abunds=None, name="x", swap=False, spaces=False):
+        sk = {}
+        if swap and abunds is not None:
+            sk["abundances"] = abunds
+            sk["mins"] = mins
+        else:
+            sk["mins"] = mins
+            if abunds is not None:
+                sk["abundances"] = abunds
+        sk.update({"ksize": 31, "num": 0, "seed": 42,
+                   "max_hash": 18446744073709552, "molecule": "dna"})
+        doc = [{"class": "sourmash_signature", "name": name,
+                "signatures": [sk]}]
+        txt = json.dumps(doc, indent=2 if spaces else None)
+        return txt.encode()
+
+    rng = np.random.default_rng(4)
+    mins = sorted(int(x) for x in
+                  np.unique(rng.integers(1, 10**15, 4000, dtype=np.uint64)))
+    ab = [int(x) for x in rng.integers(1, 100, len(mins))]
+
+    # pad docs above the fast-path size threshold with harmless content
+    def load(buf):
+        return [
+            (list(s.minhash.hashes.keys()), s.name)
+            for s in load_signatures_from_json(buf, ignore_md5sum=True)
+        ]
+
+    plain = sig_doc(mins)
+    assert native.extract_sig_arrays(plain) is not None
+    for variant in (
+        sig_doc(mins),                              # flat
+        sig_doc(mins, ab),                          # abund
+        sig_doc(mins, ab, swap=True),               # abundances first
+        sig_doc(mins, ab, spaces=True),             # whitespace everywhere
+        sig_doc(mins, name='trap \\" "mins":[1,2]'),  # key text inside a string
+    ):
+        got = load(variant)
+        want = [
+            ([int(x) for x in mins], json.loads(variant)[0]["name"])
+        ]
+        assert got[0][0] == want[0][0], "mins mismatch"
+
+    # bail cases: scanner returns None, plain path still loads
+    floats = sig_doc(mins).replace(b'"mins": [', b'"mins": [0.5, ', 1) \
+        if b'"mins": [' in sig_doc(mins) else \
+        sig_doc(mins).replace(b'"mins":[', b'"mins":[0.5,', 1)
+    assert native.extract_sig_arrays(floats) is None
+    nulls = sig_doc(mins).replace(b'"mins":', b'"abundances":null,"mins":', 1)
+    assert native.extract_sig_arrays(nulls) is None
