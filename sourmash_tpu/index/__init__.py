@@ -654,6 +654,30 @@ class ZipFileLinearIndex(Index):
                 if not criteria or select_signature(ss, **criteria):
                     yield ss
 
+    def _build_flat_view(self, threshold):
+        """Zip collections key a sidecar payload cache (view_cache.py):
+        a warm run rebuilds the device view straight from concatenated
+        hash arrays, skipping zip decompress + JSON + md5 verification."""
+        if self.manifest is None:
+            return super()._build_flat_view(threshold)
+        if len(self.manifest) < threshold:
+            return None
+        from . import view_cache
+        from .flat import FlatIndex
+
+        key = view_cache.collection_cache_key(
+            self.location, self.manifest.rows
+        )
+        sigs = view_cache.load(key)
+        if sigs is not None:
+            return FlatIndex(
+                sigs, self.location, locations=[self.location] * len(sigs)
+            )
+        view = super()._build_flat_view(threshold)
+        if view is not None:
+            view_cache.store(key, view._signatures)
+        return view
+
     def find(self, search_fn, query, **kwargs):
         view = self._as_flat_view()
         if view is not None:  # big uniform-scaled zip: cached device banks

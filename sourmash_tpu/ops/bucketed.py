@@ -314,10 +314,14 @@ def pack_rows_device(mins_list, B: int, d: int = _D) -> BucketedRows | None:
 
     Hi = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
     Lo = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
-    rr = np.repeat(np.arange(n, dtype=np.int64), lens)
-    cc = np.arange(N, dtype=np.int64) - np.repeat(offs[:-1], lens)
-    Hi[rr, cc] = (vals >> np.uint64(32)).astype(np.uint32)
-    Lo[rr, cc] = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # per-row slice copies beat a fancy-indexed scatter here: building the
+    # np.repeat row/col index vectors costs more than the copies themselves
+    hi_all = (vals >> np.uint64(32)).astype(np.uint32)
+    lo_all = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    for i in range(n):
+        a, b = offs[i], offs[i + 1]
+        Hi[i, : b - a] = hi_all[a:b]
+        Lo[i, : b - a] = lo_all[a:b]
 
     phi, plo, pcnt = _device_pack_kernel(jnp.asarray(Hi), jnp.asarray(Lo), B, d)
 
