@@ -111,6 +111,17 @@ def _build_lib():
             ctypes.c_int32,   # n_threads
         ]
         lib.pack_rows_native.restype = ctypes.c_int64
+        lib.split_limbs_native.argtypes = [
+            ctypes.c_void_p,  # vals u64*
+            ctypes.c_void_p,  # offs i64*
+            ctypes.c_int64,   # n rows with data
+            ctypes.c_int64,   # rows (padded)
+            ctypes.c_int64,   # L (padded row length)
+            ctypes.c_void_p,  # hi u32*
+            ctypes.c_void_p,  # lo u32*
+            ctypes.c_int32,   # n_threads
+        ]
+        lib.split_limbs_native.restype = None
         lib.membership_bits_native.argtypes = [
             ctypes.c_void_p,  # q u64*
             ctypes.c_int64,   # nq
@@ -373,6 +384,30 @@ def pack_spills(vals, offs, n, rows, B, d, n_threads=0):
         if ret >= 0:
             return cnt, spill_rows[:ret], spill_vals[:ret]
         cap = -ret
+
+
+def split_limbs(vals, offs, n, rows, L, n_threads=0):
+    """Concatenated u64 rows -> PAD-padded [rows, L] (hi, lo) u32 limb
+    planes (thread-chunked, PAD fill fused with the copy). None when the
+    native library is unavailable."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    hi = np.empty((rows, L), dtype=np.uint32)
+    lo = np.empty((rows, L), dtype=np.uint32)
+    lib.split_limbs_native(
+        vals.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(rows),
+        ctypes.c_int64(L),
+        hi.ctypes.data_as(ctypes.c_void_p),
+        lo.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(n_threads),
+    )
+    return hi, lo
 
 
 def sketch_hashes(seq: "np.ndarray", ksize: int, seed: int, max_hash: int, n_threads: int = 0):

@@ -160,4 +160,56 @@ int64_t pack_rows_native(const uint64_t* vals, const int64_t* offs,
   return total;
 }
 
+// Split concatenated u64 rows into PAD-padded [rows, L] hi/lo u32 limb
+// planes (the raw upload format for the on-device pack kernel). Rows are
+// independent -> thread-chunked; the PAD fill of each row's tail is fused
+// with the copy so the row stays cache-hot (one memory pass).
+void split_limbs_native(const uint64_t* vals, const int64_t* offs,
+                        int64_t n, int64_t rows, int64_t L, uint32_t* hi,
+                        uint32_t* lo, int32_t n_threads) {
+  const size_t plane_bytes = (size_t)rows * (size_t)L * 4;
+  advise_huge(hi, plane_bytes);
+  advise_huge(lo, plane_bytes);
+  if (rows > n) {
+    std::memset(hi + (size_t)n * L, 0xFF, (size_t)(rows - n) * L * 4);
+    std::memset(lo + (size_t)n * L, 0xFF, (size_t)(rows - n) * L * 4);
+  }
+  if (n <= 0) return;
+
+  int32_t nt = n_threads;
+  if (nt <= 0) {
+    nt = (int32_t)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > 16) nt = 16;
+  }
+  if (offs[n] < (1 << 18)) nt = 1;
+  if ((int64_t)nt > n) nt = (int32_t)n;
+
+  auto worker = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; r++) {
+      uint32_t* hrow = hi + (size_t)r * L;
+      uint32_t* lrow = lo + (size_t)r * L;
+      const int64_t len = offs[r + 1] - offs[r];
+      const uint64_t* v = vals + offs[r];
+      for (int64_t i = 0; i < len; i++) {
+        hrow[i] = (uint32_t)(v[i] >> 32);
+        lrow[i] = (uint32_t)(v[i] & 0xFFFFFFFFu);
+      }
+      if (len < L) {
+        std::memset(hrow + len, 0xFF, (size_t)(L - len) * 4);
+        std::memset(lrow + len, 0xFF, (size_t)(L - len) * 4);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  const int64_t per = (n + nt - 1) / nt;
+  for (int32_t t = 0; t < nt; t++) {
+    const int64_t r0 = (int64_t)t * per;
+    const int64_t r1 = r0 + per < n ? r0 + per : n;
+    if (r0 >= r1) break;
+    threads.emplace_back(worker, r0, r1);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -312,16 +312,20 @@ def pack_rows_device(mins_list, B: int, d: int = _D) -> BucketedRows | None:
         return None
     _cnt_host, sp_rows, sp_vals = sp
 
-    Hi = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
-    Lo = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
-    # per-row slice copies beat a fancy-indexed scatter here: building the
-    # np.repeat row/col index vectors costs more than the copies themselves
-    hi_all = (vals >> np.uint64(32)).astype(np.uint32)
-    lo_all = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    for i in range(n):
-        a, b = offs[i], offs[i + 1]
-        Hi[i, : b - a] = hi_all[a:b]
-        Lo[i, : b - a] = lo_all[a:b]
+    split = native.split_limbs(vals, offs, n, rows, L)
+    if split is not None:
+        Hi, Lo = split
+    else:
+        Hi = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
+        Lo = np.full((rows, L), 0xFFFFFFFF, dtype=np.uint32)
+        # per-row slice copies beat a fancy-indexed scatter: building the
+        # np.repeat index vectors costs more than the copies themselves
+        hi_all = (vals >> np.uint64(32)).astype(np.uint32)
+        lo_all = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        for i in range(n):
+            a, b = offs[i], offs[i + 1]
+            Hi[i, : b - a] = hi_all[a:b]
+            Lo[i, : b - a] = lo_all[a:b]
 
     phi, plo, pcnt = _device_pack_kernel(jnp.asarray(Hi), jnp.asarray(Lo), B, d)
 
