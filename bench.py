@@ -343,6 +343,26 @@ def _measure_rtt_ms():
     return round(min(_timed(lambda: np.asarray(x + 1)) for _ in range(5)) * 1e3, 2)
 
 
+def _measure_link_mbps():
+    """Achieved host->device bandwidth (MB/s). Uploads are consumed by a
+    strided reduce so the tunnel's deferred-transfer mode can't fake the
+    timing; fresh random payloads defeat its result cache."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x.ravel()[:: 4096].sum())
+    n = 16 * 1024 * 1024 // 4
+    x = np.random.randint(0, 2**31, size=n, dtype=np.int32)
+    np.asarray(f(jax.device_put(x)))  # warm/compile
+    best = float("inf")
+    for _ in range(3):
+        x = np.random.randint(0, 2**31, size=n, dtype=np.int32)
+        t0 = time.perf_counter()
+        np.asarray(f(jax.device_put(x)))
+        best = min(best, time.perf_counter() - t0)
+    return round(16.0 / best, 1)
+
+
 def query_engine_metrics():
     """BASELINE configs 2-4 on the same chip: all-pairs compare throughput
     (device-time and wall split; unordered pairs), search/prefetch latency,
@@ -372,7 +392,12 @@ def query_engine_metrics():
 
     out = {}
     out["tunnel_rtt_ms"] = _measure_rtt_ms()
-    print(f"bench: tunnel rtt {out['tunnel_rtt_ms']} ms", file=sys.stderr)
+    out["link_mbps"] = _measure_link_mbps()
+    print(
+        f"bench: tunnel rtt {out['tunnel_rtt_ms']} ms, "
+        f"link {out['link_mbps']} MB/s",
+        file=sys.stderr,
+    )
 
     # config 2: all-pairs compare; throughput in UNORDERED pairs
     # (n*(n-1)/2 distinct comparisons — the number `sourmash compare`
@@ -657,15 +682,32 @@ def streaming_samples_metrics(out):
     for i, r in enumerate(rows):
         batch[i, : len(r)] = r
 
+    # sample sketches use a tight survivor cap: the readback is [blk, cap]
+    # u64 and the tunnel link pays for every byte, so cap tracks the
+    # expected survivor count (asserted: no row may hit the cap)
+    s_cap = -(-(S // scaled) * 4 // 128) * 128
+    s_sketch_fn = make_sharded_sketch(mesh, ksize, cap=s_cap)
+    s_sketch_fn(jnp.asarray(batch[:128]), jnp.asarray(mh_cut))  # compile
+
     t0 = time.perf_counter()
-    # sketch all samples in device blocks (rows shard over 'data')
+    # sketch all samples in device blocks (rows shard over 'data'):
+    # dispatch every block first (async), then read back — block i+1's
+    # upload overlaps block i's compute and readback
     blk = 128
+    if n_samples % blk:  # pad the tail block: one compiled shape
+        pad = np.full((blk - n_samples % blk, S), ord("N"), dtype=np.uint8)
+        batch = np.concatenate([batch, pad])
+    pending = [
+        s_sketch_fn(jnp.asarray(batch[b0 : b0 + blk]), jnp.asarray(mh_cut))
+        for b0 in range(0, len(batch), blk)
+    ]
     sample_mhs = []
-    for b0 in range(0, n_samples, blk):
-        sub = batch[b0 : b0 + blk]
-        s_out, s_n = sketch_fn(jnp.asarray(sub), jnp.asarray(mh_cut))
+    for s_out, s_n in pending:
         s_out, s_n = np.asarray(s_out), np.asarray(s_n)
-        for i in range(len(sub)):
+        assert int(s_n.max()) < s_cap, "survivor cap overflow"
+        for i in range(len(s_n)):
+            if len(sample_mhs) >= n_samples:
+                break
             mh = sm.MinHash(0, ksize, scaled=scaled)
             mh.add_many(np.unique(s_out[i, : s_n[i]]))
             sample_mhs.append(mh)

@@ -193,17 +193,11 @@ class FlatIndex(Index):
         if not qs:
             return
         if block is None:
-            # adapt the query block to the bank residency: host-streamed
-            # (beyond-HBM) planes cost one full stream per block, so
-            # bigger blocks amortize them; device-resident planes only
-            # save dispatches. Cap by query-plane HBM (~256 MB per block).
-            from ..ops.bucketed import choose_buckets
-            from ..ops.index_ops import _bank_device_resident
-
-            streamed = any(
-                not _bank_device_resident(b) for b in self._banks
-            )
-            block = 64 if streamed else 8
+            # bigger blocks help BOTH residency modes: streamed planes
+            # stream once per block, resident planes re-read from HBM once
+            # per block, and each dispatch costs a full RTT on a tunneled
+            # chip — so the block is bounded only by query-plane memory
+            block = 64
             B_max = max(b.B for b in self._banks)
             dq_est = max(
                 8, 1 << int(np.ceil(np.log2(
