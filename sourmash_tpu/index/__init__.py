@@ -668,8 +668,9 @@ class ZipFileLinearIndex(Index):
         key = view_cache.collection_cache_key(
             self.location, self.manifest.rows
         )
-        sigs = view_cache.load(key)
-        if sigs is not None:
+        hit = view_cache.load(key)
+        if hit is not None:
+            sigs, _locs = hit
             return FlatIndex(
                 sigs, self.location, locations=[self.location] * len(sigs)
             )
@@ -1023,6 +1024,35 @@ class StandaloneManifestIndex(Index):
 
     def insert(self, *args):
         raise NotImplementedError
+
+    def _build_flat_view(self, threshold):
+        """Standalone manifests key the sidecar payload cache like zips
+        (view_cache.py); referenced member files are pinned by
+        (size, mtime) so editing a member invalidates the entry."""
+        if len(self.manifest) < threshold:
+            return None
+        from . import view_cache
+        from .flat import FlatIndex
+
+        locs = set()
+        for loc in self.manifest.locations():
+            if not loc.startswith("/") and self.prefix:
+                loc = os.path.join(self.prefix, loc)
+            locs.add(loc)
+        key = view_cache.collection_cache_key(
+            self.location, self.manifest.rows,
+            extra_stat_paths=sorted(locs),
+        )
+        hit = view_cache.load(key)
+        if hit is not None and hit[1] is not None:
+            sigs, locations = hit
+            return FlatIndex(sigs, self.location, locations=locations)
+        view = super()._build_flat_view(threshold)
+        if view is not None:
+            view_cache.store(
+                key, view._signatures, locations=view._locations
+            )
+        return view
 
     def find(self, search_fn, query, **kwargs):
         view = self._as_flat_view()

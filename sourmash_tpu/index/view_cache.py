@@ -47,19 +47,24 @@ def _cache_dir():
     return d
 
 
-def collection_cache_key(path, manifest_rows):
+def collection_cache_key(path, manifest_rows, extra_stat_paths=()):
     """Cache key for a collection file + its ordered selected rows, or
-    None when the collection can't be keyed (no stat-able path)."""
+    None when the collection can't be keyed (no stat-able path).
+    `extra_stat_paths` pins referenced member files (size + mtime) for
+    collections whose manifest points at separate signature files."""
     if not _enabled() or not path:
         return None
+    h = hashlib.sha256()
     try:
         st = os.stat(path)
+        h.update(
+            f"v{_VERSION}|{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|".encode()
+        )
+        for p in extra_stat_paths:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}|".encode())
     except OSError:
         return None
-    h = hashlib.sha256()
-    h.update(
-        f"v{_VERSION}|{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}|".encode()
-    )
     for row in manifest_rows:
         h.update(
             json.dumps(
@@ -78,9 +83,10 @@ def _entry_path(key):
     return os.path.join(_cache_dir(), key + ".npz")
 
 
-def store(key, sigs, max_bytes=None):
-    """Serialize the flat view's signatures under `key` (best-effort: any
-    failure — read-only cache dir, exotic sketch state — just skips)."""
+def store(key, sigs, max_bytes=None, locations=None):
+    """Serialize the flat view's signatures (and optional per-signature
+    locations) under `key` (best-effort: any failure — read-only cache
+    dir, exotic sketch state — just skips)."""
     if key is None:
         return False
     try:
@@ -115,7 +121,9 @@ def store(key, sigs, max_bytes=None):
             mol[i] = _MOLTYPES.index(mh._moltype)
             md5s.append(ss.md5sum())
             meta.append((ss._name, ss._filename))
-        payload = json.dumps(meta).encode("utf-8")
+        payload = json.dumps(
+            {"sigs": meta, "locations": list(locations) if locations else None}
+        ).encode("utf-8")
         mins_cat = (
             np.concatenate(mins_parts) if mins_parts
             else np.zeros(0, dtype=np.uint64)
@@ -159,8 +167,9 @@ def store(key, sigs, max_bytes=None):
 
 
 def load(key):
-    """Rebuild the flat view's signature list from the cache, or None on
-    miss / any inconsistency (callers fall back to the real load)."""
+    """Rebuild the flat view's (signatures, per-sig locations or None)
+    from the cache, or None on miss / any inconsistency (callers fall
+    back to the real load)."""
     if key is None:
         return None
     path = _entry_path(key)
@@ -175,10 +184,13 @@ def load(key):
             num, ksize, seed = z["num"], z["ksize"], z["seed"]
             max_hash, mol, track = z["max_hash"], z["mol"], z["track"]
             md5 = z["md5"]
-            meta = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+            payload = json.loads(bytes(z["meta"].tobytes()).decode("utf-8"))
+        meta = payload["sigs"]
+        locations = payload["locations"]
         n = len(num)
         if not (
             len(meta) == n
+            and (locations is None or len(locations) == n)
             and len(md5) == n
             and len(mins_off) == n + 1
             and mins_off[-1] == len(mins_cat)
@@ -215,7 +227,7 @@ def load(key):
             sig._name = name
             sig._filename = filename
             sigs.append(sig.to_frozen())
-        return sigs
+        return sigs, locations
     except Exception:
         return None
 

@@ -132,6 +132,73 @@ def test_corrupt_cache_falls_back(cache_env):
     assert [s.name for s in v.signatures()] == ["y"]
 
 
+def test_standalone_manifest_cache(cache_env):
+    from sourmash_tpu.index import StandaloneManifestIndex
+    from sourmash_tpu.manifest import CollectionManifest
+    from sourmash_tpu.save_load import SaveSignaturesToLocation as Save
+
+    rng = np.random.default_rng(6)
+    rows = []
+    sig_by_name = {}
+    for i in range(4):
+        s = _mk(np.unique(rng.integers(0, 2**60, 40, dtype=np.uint64)),
+                f"m{i}")
+        p = str(cache_env / f"m{i}.sig")
+        with Save(p) as save:
+            save.add(s)
+        sig_by_name[f"m{i}"] = p
+        rows.append(
+            CollectionManifest.make_manifest_row(
+                s, p, include_signature=False
+            )
+        )
+    mf = CollectionManifest(rows)
+    mf_path = str(cache_env / "mf.csv")
+    mf.write_to_filename(mf_path)
+
+    idx = StandaloneManifestIndex.load(mf_path).select(ksize=31)
+    v1 = idx._as_flat_view()
+    assert v1 is not None
+    assert len(os.listdir(cache_env / "vc")) == 1
+
+    idx2 = StandaloneManifestIndex.load(mf_path).select(ksize=31)
+    called = {}
+    orig = view_cache.load
+
+    def spy(key):
+        out = orig(key)
+        called["hit"] = out is not None
+        return out
+
+    view_cache.load = spy
+    try:
+        v2 = idx2._as_flat_view()
+    finally:
+        view_cache.load = orig
+    assert called.get("hit") is True
+    a = sorted(v1.signatures_with_location(), key=lambda t: t[0].md5sum())
+    b = sorted(v2.signatures_with_location(), key=lambda t: t[0].md5sum())
+    assert [(s.md5sum(), loc) for s, loc in a] == [
+        (s.md5sum(), loc) for s, loc in b
+    ]
+    # per-signature locations must point at the member .sig files
+    assert {loc for _s, loc in b} == set(sig_by_name.values())
+
+    # touching ONE member .sig invalidates the cached view
+    os.utime(sig_by_name["m2"], ns=(1, 1))
+    idx3 = StandaloneManifestIndex.load(mf_path).select(ksize=31)
+    called.clear()
+    view_cache.load = spy
+    try:
+        v3 = idx3._as_flat_view()
+    finally:
+        view_cache.load = orig
+    assert called.get("hit") is False
+    assert sorted(s.name for s in v3.signatures()) == [
+        "m0", "m1", "m2", "m3"
+    ]
+
+
 def test_eviction_budget(cache_env, monkeypatch):
     monkeypatch.setenv("SOURMASH_TPU_VIEW_CACHE_BYTES", "1")
     rng = np.random.default_rng(5)
