@@ -136,9 +136,23 @@ class FlatIndex(Index):
         if self._banks is not None:
             return
         if self._banks_dir is not None:
-            # disk revindex v3: packed planes persisted at build time
-            from ..ops.index_ops import load_banks
+            # disk revindex v3: packed planes persisted at build time.
+            # When the collection FITS the HBM budget, prefer rebuilding
+            # from the raw mins (build_banks uploads raw limbs and packs
+            # ON DEVICE — ~6x fewer bytes over the host->device link than
+            # uploading the disk planes); the mmapped disk planes serve
+            # the beyond-HBM case, where they stream per query with no
+            # host re-pack.
+            from ..ops.index_ops import (
+                load_banks,
+                planned_banks_resident,
+            )
 
+            if self._ds_mins is not None and planned_banks_resident(
+                self._ds_mins
+            ):
+                self._banks = build_banks(self._ds_mins)
+                return
             self._banks = load_banks(self._banks_dir)
             return
         if self._ds_mins is not None and self._scaled is not None:

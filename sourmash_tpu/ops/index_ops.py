@@ -91,6 +91,30 @@ def _planned_chunk_bytes(n_rows: int, B: int) -> int:
     return rows * _D * B * 4 * 2 + rows * B
 
 
+def _length_class_buckets(mins_list) -> dict[int, list[int]]:
+    "Dataset indices grouped by power-of-two padded-length class (>=128)."
+    buckets: dict[int, list[int]] = {}
+    for i, m in enumerate(mins_list):
+        L = 1 << max(7, int(max(1, len(m)) - 1).bit_length())
+        buckets.setdefault(L, []).append(i)
+    return buckets
+
+
+def _planned_bytes(buckets) -> int:
+    "Total plane bytes build_banks would allocate for these length classes."
+    planned = 0
+    for L, idxs in sorted(buckets.items()):
+        B = choose_buckets(L)
+        for s in range(0, len(idxs), _CHUNK_ROWS):
+            planned += _planned_chunk_bytes(len(idxs[s : s + _CHUNK_ROWS]), B)
+    return planned
+
+
+def planned_banks_resident(mins_list) -> bool:
+    "Would build_banks keep this collection's planes device-resident?"
+    return _planned_bytes(_length_class_buckets(mins_list)) <= _hbm_budget_bytes()
+
+
 def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     """Bucket per-dataset sorted hash arrays by padded length class and
     pack each class into bucketed-plane chunks.
@@ -108,19 +132,8 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     """
     from .bucketed import BucketedRows
 
-    buckets: dict[int, list[int]] = {}
-    for i, m in enumerate(mins_list):
-        L = 1 << max(7, int(max(1, len(m)) - 1).bit_length())
-        buckets.setdefault(L, []).append(i)
-
-    planned = 0
-    for L, idxs in sorted(buckets.items()):
-        B = choose_buckets(L)
-        for s in range(0, len(idxs), _CHUNK_ROWS):
-            planned += _planned_chunk_bytes(
-                len(idxs[s : s + _CHUNK_ROWS]), B
-            )
-    resident = planned <= _hbm_budget_bytes()
+    buckets = _length_class_buckets(mins_list)
+    resident = _planned_bytes(buckets) <= _hbm_budget_bytes()
 
     # Device-resident builds pack into a POOLED pair of host buffer sets
     # per shape class: first-touch page faults on fresh multi-GB plane

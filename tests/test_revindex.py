@@ -125,3 +125,39 @@ def test_revindex_v3_packed_planes(tmp_path, sigs47_63, query4763):
     # insert invalidates the on-disk planes
     idx.insert(sigs47_63[0])
     assert idx._banks_dir is None
+
+
+def test_revindex_load_prefers_raw_upload_when_resident(
+    tmp_path, sigs47_63, query4763, monkeypatch
+):
+    """A loaded revindex that fits the HBM budget rebuilds its banks from
+    the raw mins (raw limbs upload + on-device pack: ~6x fewer bytes over
+    the link than uploading the disk planes); beyond the budget the
+    mmapped disk planes stream instead."""
+    import sourmash_tpu.ops.index_ops as io_
+
+    path = str(tmp_path / "db.revindex")
+    RevIndex(signatures=sigs47_63).save(path)
+
+    calls = []
+    orig_build, orig_load = io_.build_banks, io_.load_banks
+    monkeypatch.setattr(
+        "sourmash_tpu.index.flat.build_banks",
+        lambda m: calls.append("build") or orig_build(m),
+    )
+    monkeypatch.setattr(
+        io_, "load_banks", lambda d: calls.append("load") or orig_load(d)
+    )
+
+    idx = load_revindex(path)
+    q = query4763.minhash.mins_array()
+    got = idx.counts_for(q)
+    assert calls == ["build"]
+
+    # beyond-HBM: the disk planes must be used (streaming path)
+    monkeypatch.setenv("SOURMASH_TPU_HBM_BUDGET_BYTES", "1")
+    calls.clear()
+    idx2 = load_revindex(path)
+    got2 = idx2.counts_for(q)
+    assert calls == ["load"]
+    assert got.tolist() == got2.tolist()
