@@ -20,6 +20,16 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True)
+def _isolated_view_cache(tmp_path, monkeypatch):
+    """Keep the sidecar flat-view cache out of ~/.cache during tests;
+    test_view_cache overrides the dir itself where it matters."""
+    monkeypatch.setenv(
+        "SOURMASH_TPU_VIEW_CACHE_DIR", str(tmp_path / "_viewcache")
+    )
+
+
 REFERENCE_DIR = "/root/reference"
 TEST_DATA = os.path.join(REFERENCE_DIR, "tests", "test-data")
 
