@@ -210,3 +210,48 @@ def test_eviction_budget(cache_env, monkeypatch):
         ZipFileLinearIndex.load(str(zpath)).select(ksize=31)._as_flat_view()
     # budget of 1 byte: at most one (just-written) entry may survive
     assert len(os.listdir(cache_env / "vc")) <= 1
+
+
+def test_payload_roundtrip_all_moltypes(cache_env):
+    "store/load must rebuild every sketch flavor bit-identically."
+    rng = np.random.default_rng(7)
+    sigs = []
+    for moltype in ("DNA", "protein", "dayhoff", "hp"):
+        for track in (False, True):
+            mh = MinHash(
+                n=0, ksize=33 if moltype == "DNA" else 11, scaled=200,
+                track_abundance=track,
+                is_protein=moltype == "protein",
+                dayhoff=moltype == "dayhoff",
+                hp=moltype == "hp",
+            )
+            mins = np.unique(rng.integers(0, 2**55, 30, dtype=np.uint64))
+            if track:
+                mh.set_abundances(
+                    {int(m): int(m % 11 + 1) for m in mins}
+                )
+            else:
+                mh.add_many(mins)
+            s = SourmashSignature(mh, name=f"{moltype}-{track}")
+            s._name = f"{moltype}-{track}"
+            s._filename = None
+            sigs.append(s)
+    key = "k" * 64
+    assert view_cache.store(key, sigs)
+    got, locs = view_cache.load(key)
+    assert locs is None
+    assert len(got) == len(sigs)
+    for a, b in zip(sigs, got):
+        assert a.md5sum() == b.md5sum()
+        assert a.minhash.moltype == b.minhash.moltype
+        assert a.minhash.ksize == b.minhash.ksize
+        assert a.minhash.scaled == b.minhash.scaled
+        assert a.minhash.seed == b.minhash.seed
+        assert np.array_equal(
+            a.minhash.mins_array(), b.minhash.mins_array()
+        )
+        if a.minhash.track_abundance:
+            assert np.array_equal(
+                a.minhash.abunds_array(), b.minhash.abunds_array()
+            )
+        assert a == b
