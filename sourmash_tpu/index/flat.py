@@ -461,6 +461,12 @@ class FlatCounterGather:
         self._max_ids = []  # datasets sharing the 2**64-1 hash with the query
         self._q_has_max = bool(len(q)) and q[-1] == np.uint64(0xFFFFFFFFFFFFFFFF)
         self._bitsets_cache = None  # (W, matched ids tuple, M)
+        # per-candidate bitset rows: a row depends only on (query slots,
+        # dataset id), both fixed for this counter's lifetime — iterative
+        # capped rescheduling re-requests mostly-overlapping candidate
+        # sets, so rows computed once are reused across reschedules
+        self._bitset_rows = {}
+        self._bitset_rows_W = None
 
     def _get_groups(self):
         "Device membership groups for host-mode consume, built on demand."
@@ -552,6 +558,27 @@ class FlatCounterGather:
         return self._bitsets_for(W, ids)
 
     def _bitsets_for(self, W, matched):
+        if len(matched) > 8192:
+            # one-shot full-collection requests (host-mode union over every
+            # match) would pin the whole matrix in the row cache — compute
+            # them directly; the cache exists for the capped reschedule loop
+            return self._bitsets_compute(W, matched)
+        if self._bitset_rows_W != W:  # q is fixed per counter; guard anyway
+            self._bitset_rows = {}
+            self._bitset_rows_W = W
+        rows = self._bitset_rows
+        missing = [int(i) for i in matched if int(i) not in rows]
+        if missing:
+            part = self._bitsets_compute(W, np.asarray(missing))
+            for i, row in zip(missing, part):
+                rows[i] = row
+        k = len(matched)
+        M = np.empty((k, W), dtype=np.uint32)
+        for r, i in enumerate(matched):
+            M[r] = rows[int(i)]
+        return M
+
+    def _bitsets_compute(self, W, matched):
         q = self._q_mins
         k = len(matched)
         M = None
@@ -850,6 +877,13 @@ class DeviceGatherSchedule:
         self.truncated = False
         self.reschedules = 0  # iterative capped scheduling rounds so far
         self._alive_mins = None  # current-query mins after a reschedule
+        # device-resident bitset rows reused across reschedules: the
+        # re-ranked top-cap candidate sets overlap heavily, and the
+        # [k, W] matrix upload is the dominant per-reschedule cost on a
+        # bandwidth-limited host->device link
+        self._dev_rows = {}  # (counter_idx, dataset_id) -> row in _dev_mat
+        self._dev_mat = None  # jnp [n_cached, W] u32
+        self._dev_W = None
 
     def current(self):
         "The (counter_idx, dataset_id, count) of the current round, or None."
@@ -892,11 +926,14 @@ class DeviceGatherSchedule:
         self.pos = 0
         self._consumed = 0
 
-    def _build_inputs(self, threshold_bp):
-        """The scan inputs for this coordinator's query: (M [k, W] u32
-        concatenated membership bitsets, counts [k] i32, alive_p [W] u32,
-        thresh, rows [(counter_idx, dataset_id)]), or None when the query
-        or match set is empty / the threshold is unattainable.
+    def _build_inputs(self, threshold_bp, dev_cached=None):
+        """The scan inputs for this coordinator's query:
+        (rows [(counter_idx, dataset_id)], counts [k] i32, alive_p [W]
+        u32, thresh, new_keys, M_new) — host membership bitsets are built
+        ONLY for `new_keys` (rows not in `dev_cached`; all of them when
+        dev_cached is None, in which case M_new is the full matrix in row
+        order). Returns None when the query or match set is empty / the
+        threshold is unattainable.
 
         When the matched candidate set exceeds SOURMASH_TPU_SCHEDULE_CAP
         (default 4096), only the top-cap candidates by initial count enter
@@ -947,6 +984,7 @@ class DeviceGatherSchedule:
 
         rows = []  # global row -> (counter_idx, dataset_id)
         mats = []
+        new_keys = []
         counts = []
         off = 0
         for ci, (c, ids) in enumerate(zip(self.counters, per_counter_ids)):
@@ -955,12 +993,24 @@ class DeviceGatherSchedule:
             off += len(per_counter_ids[ci])
             if not len(ids):
                 continue
-            mats.append(c._membership_for_ids(W, ids))
             rows.extend((ci, int(i)) for i in ids)
             counts.append(c.counts[ids])
+            if dev_cached is None:
+                need = ids
+            else:  # host-build only rows not already resident on device
+                need = np.asarray(
+                    [i for i in ids if (ci, int(i)) not in dev_cached],
+                    dtype=ids.dtype,
+                )
+            if len(need):
+                mats.append(c._membership_for_ids(W, need))
+                new_keys.extend((ci, int(i)) for i in need)
         if not rows:
             return None
-        M = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+        if mats:
+            M_new = np.concatenate(mats, axis=0) if len(mats) > 1 else mats[0]
+        else:
+            M_new = np.zeros((0, W), dtype=np.uint32)
         counts = np.concatenate(counts).astype(np.int32)
 
         alive = np.zeros(W * 32, dtype=bool)
@@ -977,23 +1027,32 @@ class DeviceGatherSchedule:
             alive.reshape(W, 32).astype(np.uint32)
             << np.arange(32, dtype=np.uint32)
         ).sum(-1, dtype=np.uint32)
-        return M, counts, alive_p, thresh, rows
+        return rows, counts, alive_p, thresh, new_keys, M_new
 
     def compute(self, threshold_bp):
         "Build the concatenated membership matrix and run the round scan."
         self.ready = True
-        built = self._build_inputs(threshold_bp)
+        devices = jax.devices()
+        multi = len(devices) > 1
+        if not multi:
+            q0 = self.counters[0]._q_mins
+            W0 = -(-len(q0) // 32) if len(q0) else 0
+            if self._dev_W != W0:
+                self._dev_rows, self._dev_mat, self._dev_W = {}, None, W0
+        built = self._build_inputs(
+            threshold_bp, dev_cached=None if multi else self._dev_rows
+        )
         if built is None:
             self._sched = []
             return
-        M, counts, alive_p, thresh, rows = built
+        rows, counts, alive_p, thresh, new_keys, M_new = built
 
         k = len(rows)
-        devices = jax.devices()
-        if len(devices) > 1:
+        if multi:
             # product multi-device path: rows sharded over every device
             from ..parallel import make_sharded_bitset_scan
 
+            M = M_new  # dev_cached=None: the full matrix in row order
             n_dev = len(devices)
             k_pad = -(-k // n_dev) * n_dev
             if k_pad != k:
@@ -1025,7 +1084,27 @@ class DeviceGatherSchedule:
             # scanned round costs O(k*W) u32 ops whether or not the
             # gather is already done
             chunk = int(min(k, 64 if k > 4096 else 256))
-            Mj = jnp.asarray(M)
+            # upload only rows the device hasn't seen; reschedules re-rank
+            # mostly-overlapping candidate sets, so after the first compute
+            # the matrix is assembled by a device-side row take
+            if len(new_keys):
+                Mn = jnp.asarray(M_new)
+                base = 0 if self._dev_mat is None else self._dev_mat.shape[0]
+                self._dev_mat = (
+                    Mn if self._dev_mat is None
+                    else jnp.concatenate([self._dev_mat, Mn], axis=0)
+                )
+                for j, kk in enumerate(new_keys):
+                    self._dev_rows[kk] = base + j
+            idxs = np.fromiter(
+                (self._dev_rows[kk] for kk in rows), dtype=np.int32, count=k
+            )
+            if len(self._dev_rows) == k and np.array_equal(
+                idxs, np.arange(k, dtype=np.int32)
+            ):
+                Mj = self._dev_mat  # first compute: already in row order
+            else:
+                Mj = jnp.take(self._dev_mat, jnp.asarray(idxs), axis=0)
             carry = (jnp.asarray(alive_p), jnp.asarray(counts))
             run = lambda c: _schedule_scan(Mj, c, thresh, chunk)
 
@@ -1098,15 +1177,18 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
 
     for b0 in range(0, len(pending), block):
         sub = pending[b0 : b0 + block]
-        kmax = max(b[0].shape[0] for _, b in sub)
-        Wmax = max(b[0].shape[1] for _, b in sub)
+        kmax = max(b[5].shape[0] for _, b in sub)
+        Wmax = max(b[5].shape[1] for _, b in sub)
         Q = len(sub)
         Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else Q
         Mb = np.zeros((Qp, kmax, Wmax), dtype=np.uint32)
         Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
         Cb = np.zeros((Qp, kmax), dtype=np.int32)
         Tb = np.ones(Qp, dtype=np.int32)  # pad rows: zero counts, no rounds
-        for qi, (coord, (M, counts, alive_p, thresh, rows)) in enumerate(sub):
+        # dev_cached=None in the batch path: M (b[5]) is the full matrix
+        for qi, (coord, (rows, counts, alive_p, thresh, _nk, M)) in enumerate(
+            sub
+        ):
             k, W = M.shape
             Mb[qi, :k, :W] = M
             Ab[qi, :W] = alive_p
@@ -1139,7 +1221,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
             b_np, c_np = np.asarray(bests), np.asarray(bcs)
             for qi in np.nonzero(open_q)[0]:
                 coord = sub[qi][0]
-                rows = sub[qi][1][4]
+                rows = sub[qi][1][0]
                 for b, c in zip(b_np[qi], c_np[qi]):
                     if b < 0 or (
                         coord._cap_guard and int(c) <= coord._cap_bound
