@@ -72,9 +72,11 @@ class BucketedRows:
     per-bucket occupancy counts [n, B] u8, and host-side exact spill lists
     (sorted u64 per row; almost always empty)."""
 
-    __slots__ = ("hi", "lo", "cnt", "spills", "n", "d", "B", "n_spilled")
+    __slots__ = (
+        "hi", "lo", "cnt", "spills", "n", "d", "B", "n_spilled", "raw",
+    )
 
-    def __init__(self, hi, lo, cnt, spills, n, d, B, n_spilled):
+    def __init__(self, hi, lo, cnt, spills, n, d, B, n_spilled, raw=None):
         self.hi = hi
         self.lo = lo
         self.cnt = cnt
@@ -83,6 +85,11 @@ class BucketedRows:
         self.d = d
         self.B = B
         self.n_spilled = n_spilled
+        # host-streamed (beyond-HBM) chunks optionally keep the raw padded
+        # limb rows (Hi, Lo [rows, L] u32): a streamed counting pass then
+        # uploads the raw rows (~6x fewer bytes than the planes) and packs
+        # on device before counting
+        self.raw = raw
 
 
 def _bucketize(m: np.ndarray, B: int):
@@ -613,11 +620,26 @@ def _spill_counts_qvm(q_full: np.ndarray, bank: BucketedRows, counts, cutoffs=No
     np.add.at(counts, sp_rows[hit], 1)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "d"))
+def _counts_from_raw(qhi, qlo, qcnt, Hi, Lo, B, d):
+    """Fused upload-side form of _counts_qvm for host-streamed chunks:
+    pack the raw [rows, L] limb rows into planes ON DEVICE, count, and
+    free the planes with the dispatch — the link carries ~6x fewer bytes
+    than uploading the planes."""
+    Shi, Slo, Scnt = _device_pack_kernel(Hi, Lo, B, d)
+    return _counts_qvm_impl(qhi, qlo, qcnt, Shi, Slo, Scnt)
+
+
 def query_counts_device(bank: BucketedRows, q_packed):
     """Async form of query_counts_bucketed: dispatch only, returning the
     [padded rows] device counts (no spill correction, no readback) so
-    callers can fan out many chunks and sync once."""
+    callers can fan out many chunks and sync once. Host-streamed chunks
+    that kept their raw limb rows upload those and pack on device."""
     qhi, qlo, qcnt, dq, tail = q_packed
+    if bank.raw is not None and not isinstance(bank.hi, jax.Array):
+        return _counts_from_raw(
+            qhi, qlo, qcnt, bank.raw[0], bank.raw[1], bank.B, bank.d
+        )
     return _counts_qvm(qhi, qlo, qcnt, bank.hi, bank.lo, bank.cnt)
 
 

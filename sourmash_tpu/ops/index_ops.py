@@ -115,6 +115,31 @@ def planned_banks_resident(mins_list) -> bool:
     return _planned_bytes(_length_class_buckets(mins_list)) <= _hbm_budget_bytes()
 
 
+def _raw_limbs(part_mins, rows):
+    """PAD-padded [rows, L] (hi, lo) u32 limb rows for a host-streamed
+    chunk (consumed by the fused on-device pack+count), or None without
+    the native library."""
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+    except Exception:
+        return None
+    lens = np.fromiter((len(m) for m in part_mins), dtype=np.int64)
+    if not len(lens) or not int(lens.sum()):
+        return None
+    L = max(128, -(-int(lens.max()) // 128) * 128)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = (
+        np.concatenate([np.asarray(m, dtype=np.uint64) for m in part_mins])
+        if len(part_mins) > 1
+        else np.asarray(part_mins[0], dtype=np.uint64)
+    )
+    return native.split_limbs(vals, offs, len(part_mins), rows, L)
+
+
 def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
     """Bucket per-dataset sorted hash arrays by padded length class and
     pack each class into bucketed-plane chunks.
@@ -197,9 +222,9 @@ def build_banks(mins_list, max_rows_waste=0.25) -> list[Bank]:
                 inflight.append((c, key, bufs))
                 _retire(1)
             elif c is None:
-                c = pack_rows_bucketed(
-                    [mins_list[i] for i in part], B, device=False
-                )
+                part_mins = [mins_list[i] for i in part]
+                c = pack_rows_bucketed(part_mins, B, device=False)
+                c.raw = _raw_limbs(part_mins, c.hi.shape[0])
             chunks.append(c)
             ids.append(np.asarray(part, dtype=np.int32))
         banks.append(Bank(chunks, ids, B))
