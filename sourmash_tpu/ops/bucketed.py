@@ -563,6 +563,23 @@ def _counts_block_impl(Qhi, Qlo, Qcnt, Shi, Slo, Scnt):
 _counts_block = jax.jit(_counts_block_impl)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "d"))
+def _counts_block_from_raw(Qhi, Qlo, Qcnt, Hi, Lo, B, d):
+    "Block counts against a host-streamed chunk via raw upload + device pack."
+    Shi, Slo, Scnt = _device_pack_kernel(Hi, Lo, B, d)
+    return _counts_block_impl(Qhi, Qlo, Qcnt, Shi, Slo, Scnt)
+
+
+def counts_block_dispatch(Qhi, Qlo, Qcnt, chunk):
+    """One query-block-vs-chunk dispatch, choosing the raw-upload fused
+    pack+count for host-streamed chunks that kept their limb rows."""
+    if chunk.raw is not None and not isinstance(chunk.hi, jax.Array):
+        return _counts_block_from_raw(
+            Qhi, Qlo, Qcnt, chunk.raw[0], chunk.raw[1], chunk.B, chunk.d
+        )
+    return _counts_block(Qhi, Qlo, Qcnt, chunk.hi, chunk.lo, chunk.cnt)
+
+
 # (measured on the v5e: a lax.map over query blocks serializes the HBM
 # streaming of the subject planes — 10 s vs 0.55 s for the async host
 # loop of per-block dispatches below, which the scheduler pipelines)

@@ -415,7 +415,11 @@ def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
     beyond-HBM host-streamed collections)."""
     import jax.numpy as jnp
 
-    from .bucketed import _counts_block, _spill_counts_qvm, pack_query_block
+    from .bucketed import (
+        counts_block_dispatch,
+        _spill_counts_qvm,
+        pack_query_block,
+    )
 
     qs = [np.asarray(q, dtype=np.uint64) for q in queries]
     out = np.zeros((len(qs), n_datasets), dtype=np.int64)
@@ -432,8 +436,7 @@ def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
             window = len(pairs) if _bank_device_resident(bank) else _STREAM_WINDOW
             for g0 in range(0, len(pairs), max(window, 1)):
                 parts = [
-                    (_counts_block(Qhi, Qlo, Qcnt, chunk.hi, chunk.lo,
-                                   chunk.cnt), chunk, ids)
+                    (counts_block_dispatch(Qhi, Qlo, Qcnt, chunk), chunk, ids)
                     for chunk, ids in pairs[g0 : g0 + max(window, 1)]
                 ]
                 host = (
