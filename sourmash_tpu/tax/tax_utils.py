@@ -1836,36 +1836,70 @@ def collect_gather_csvs(cmdline_gather_input, *, from_file=None):
 
 
 def read_lingroups(lingroup_csv):
-    lingroupD = {}
-    n = None
-    with sourmash_args.FileInputCSV(lingroup_csv) as r:
-        header = r.fieldnames
-        if not header:
+    """Load a lingroup CSV into {lin prefix: display name} (last name wins).
+
+    The file must carry 'lin' and 'name' columns and at least one data row.
+    (parity surface: reference tax_utils.py read_lingroups console strings)
+    """
+    with sourmash_args.FileInputCSV(lingroup_csv) as rows:
+        cols = rows.fieldnames
+        if not cols:
             raise ValueError(
                 f"Cannot read lingroups from '{lingroup_csv}'. Is file empty?"
             )
-        if "lin" not in header or "name" not in header:
+        if not {"lin", "name"}.issubset(cols):
             raise ValueError(
                 f"'{lingroup_csv}' must contain the following columns: 'name', 'lin'."
             )
-        for n, row in enumerate(r):
-            lingroupD[row["lin"]] = row["name"]
+        total_rows = 0
+        prefix_to_name = {}
+        for row in rows:
+            total_rows += 1
+            prefix_to_name[row["lin"]] = row["name"]
 
-    if n is None:
+    if not total_rows:
         raise ValueError(f"No lingroups loaded from {lingroup_csv}.")
-    n_lg = len(lingroupD.keys())
-    notify(f"Read {n+1} lingroup rows and found {n_lg} distinct lingroup prefixes.")
-    return lingroupD
+    notify(
+        f"Read {total_rows} lingroup rows and found {len(prefix_to_name)}"
+        " distinct lingroup prefixes."
+    )
+    return prefix_to_name
 
 
 def parse_lingroups(lingroupD):
-    all_lgs = set()
-    lg_ranks = set()
-    for lg_prefix in lingroupD.keys():
-        lg_info = LINLineageInfo(lineage_str=lg_prefix)
-        all_lgs.add(lg_info)
-        lg_ranks.add(str(lg_info.lowest_rank))
-    return lg_ranks, all_lgs
+    """Expand lingroup prefixes into LINLineageInfo objects plus the set of
+    rank strings those prefixes terminate at (the ranks worth summarizing)."""
+    infos = {LINLineageInfo(lineage_str=prefix) for prefix in lingroupD}
+    return {str(info.lowest_rank) for info in infos}, infos
+
+
+def _annotated_taxresults(csv_name, reader, tax_assignments, *, opts):
+    """Yield one lineage-annotated TaxResult per gather-CSV row.
+
+    `opts` carries the identifier/lineage-flavor keywords shared by every
+    row of the file. Raises ValueError with the exact console strings the
+    CLI promises when a row is missing required gather columns.
+    """
+    for row in reader:
+        try:
+            raw = GatherRow(**filter_row(row, GatherRow))
+        except TypeError as exc:
+            raise ValueError(
+                f"'{csv_name}' is missing columns needed for taxonomic summarization. Please run gather with sourmash >= 4.4."
+            ) from exc
+        res = TaxResult(
+            raw=raw,
+            keep_full_identifiers=opts["keep_full_identifiers"],
+            keep_identifier_versions=opts["keep_identifier_versions"],
+            lins=opts["lins"],
+            ictv=opts["ictv"],
+        )
+        res.get_match_lineage(
+            tax_assignments=tax_assignments,
+            skip_idents=opts["skip_idents"],
+            fail_on_missing_taxonomy=opts["fail_on_missing_taxonomy"],
+        )
+        yield res
 
 
 def load_gather_results(
@@ -1881,53 +1915,52 @@ def load_gather_results(
     lins=False,
     ictv=False,
 ):
-    "Load a single gather CSV into {query_name: QueryTaxResult}."
-    if not seen_queries:
-        seen_queries = set()
-    gather_results = {}
-    with sourmash_args.FileInputCSV(gather_csv) as r:
-        header = r.fieldnames
+    """Load one gather CSV into {query_name: QueryTaxResult}.
+
+    Rows are streamed through _annotated_taxresults and folded into a
+    per-query accumulator; a run of mutually-compatible rows reuses the
+    live accumulator without a dict lookup (matching the reference's
+    grouping behavior). `seen_queries` holds names already loaded from
+    OTHER files — a repeat across files is an error.
+    """
+    forbidden = seen_queries if seen_queries else set()
+    row_opts = dict(
+        keep_full_identifiers=keep_full_identifiers,
+        keep_identifier_versions=keep_identifier_versions,
+        lins=lins,
+        ictv=ictv,
+        skip_idents=skip_idents,
+        fail_on_missing_taxonomy=fail_on_missing_taxonomy,
+    )
+    by_query = {}
+    with sourmash_args.FileInputCSV(gather_csv) as reader:
+        header = reader.fieldnames
         if not header:
             raise ValueError(
                 f"Cannot read gather results from '{gather_csv}'. Is file empty?"
             )
 
-        this_querytaxres = None
-        for row in r:
-            try:
-                gatherRow = GatherRow(**filter_row(row, GatherRow))
-            except TypeError as exc:
+        bucket = None
+        stream = _annotated_taxresults(
+            gather_csv, reader, tax_assignments, opts=row_opts
+        )
+        for taxres in stream:
+            qname = taxres.query_name
+            if qname in forbidden:
                 raise ValueError(
-                    f"'{gather_csv}' is missing columns needed for taxonomic summarization. Please run gather with sourmash >= 4.4."
-                ) from exc
-            if gatherRow.query_name in seen_queries:
-                raise ValueError(
-                    f"Gather query {gatherRow.query_name} was found in more than one CSV. Cannot load from '{gather_csv}'."
+                    f"Gather query {qname} was found in more than one CSV. Cannot load from '{gather_csv}'."
                 )
-            taxres = TaxResult(
-                raw=gatherRow,
-                keep_full_identifiers=keep_full_identifiers,
-                keep_identifier_versions=keep_identifier_versions,
-                lins=lins,
-                ictv=ictv,
-            )
-            taxres.get_match_lineage(
-                tax_assignments=tax_assignments,
-                skip_idents=skip_idents,
-                fail_on_missing_taxonomy=fail_on_missing_taxonomy,
-            )
-            if not this_querytaxres or not this_querytaxres.is_compatible(taxres):
-                this_querytaxres = gather_results.get(
-                    gatherRow.query_name,
-                    QueryTaxResult(taxres.query_info, lins=lins, ictv=ictv),
-                )
-            this_querytaxres.add_taxresult(taxres)
-            gather_results[gatherRow.query_name] = this_querytaxres
+            if bucket is None or not bucket.is_compatible(taxres):
+                bucket = by_query.get(qname)
+                if bucket is None:
+                    bucket = QueryTaxResult(taxres.query_info, lins=lins, ictv=ictv)
+            bucket.add_taxresult(taxres)
+            by_query[qname] = bucket
 
-    if not gather_results:
+    if not by_query:
         raise ValueError(f"No gather results loaded from {gather_csv}.")
-    notify(f"loaded {len(gather_results)} gather results from '{gather_csv}'.")
-    return (gather_results, header)
+    notify(f"loaded {len(by_query)} gather results from '{gather_csv}'.")
+    return (by_query, header)
 
 
 def check_and_load_gather_csvs(
