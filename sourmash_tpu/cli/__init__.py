@@ -56,22 +56,22 @@ class SourmashParser(ArgumentParser):
         super().print_help()
 
     def parse_args(self, args=None, namespace=None):
-        if (args is None and len(sys.argv) == 1) or (
-            args is not None and len(args) == 0
-        ):
+        given = sys.argv[1:] if args is None else args
+        if not len(given):
             self.print_help()
             raise SystemExit(1)
-        args = super().parse_args(args=args, namespace=namespace)
-        if ("quiet" not in args or not args.quiet) and self.citation:
+
+        ns = super().parse_args(args=args, namespace=namespace)
+        if self.citation and not getattr(ns, "quiet", False):
             self.print_citation()
 
-        if "subcmd" in args and args.subcmd is None:
-            self._subparser_from_name(args.cmd).print_help()
-            raise SystemExit(1)
-
-        if hasattr(args, "subcmd") and args.subcmd == "import":
-            args.subcmd = "ingest"
-        return args
+        if hasattr(ns, "subcmd"):
+            if ns.subcmd is None:
+                self._subparser_from_name(ns.cmd).print_help()
+                raise SystemExit(1)
+            if ns.subcmd == "import":
+                ns.subcmd = "ingest"
+        return ns
 
 
 def _add_compare(sub):
@@ -553,17 +553,19 @@ def get_parser():
     )
     parser = SourmashParser(
         prog="sourmash",
+        usage=SUPPRESS,
         description=desc,
         formatter_class=RawDescriptionHelpFormatter,
-        usage=SUPPRESS,
     )
     parser._optionals.title = "Options"
-    parser.add_argument(
-        "-v", "--version", action="version", version="sourmash " + sourmash.VERSION
+    top_flags = (
+        (("-v", "--version"),
+         dict(action="version", version="sourmash " + sourmash.VERSION)),
+        (("-q", "--quiet"),
+         dict(action="store_true", help="don't print citation information")),
     )
-    parser.add_argument(
-        "-q", "--quiet", action="store_true", help="don't print citation information"
-    )
+    for flags, kw in top_flags:
+        parser.add_argument(*flags, **kw)
     sub = parser.add_subparsers(title="Instructions", dest="cmd", metavar="cmd",
                                 help=SUPPRESS)
 

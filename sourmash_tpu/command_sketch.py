@@ -136,61 +136,40 @@ class ComputeParameters:
 
     def to_param_str(self):
         "Render as a parameter string (reference `command_sketch.py:926-963`)."
-        pi = []
-
-        if self.dna:
-            pi.append("dna")
-        elif self.protein:
-            pi.append("protein")
-        elif self.hp:
-            pi.append("hp")
-        elif self.dayhoff:
-            pi.append("dayhoff")
+        # first moltype flag wins, in the reference's priority order
+        for flag in ("dna", "protein", "hp", "dayhoff"):
+            if getattr(self, flag):
+                tokens = [flag]
+                break
         else:
             assert 0
 
-        if self.dna:
-            pi.extend(f"k={k}" for k in self.ksizes)
-        else:
-            pi.extend(f"k={k // 3}" for k in self.ksizes)
+        kdiv = 1 if self.dna else 3
+        tokens += [f"k={k // kdiv}" for k in self.ksizes]
 
         if self.num_hashes != 0:
-            pi.append(f"num={self.num_hashes}")
+            tokens.append(f"num={self.num_hashes}")
         elif self.scaled != 0:
-            pi.append(f"scaled={int(self.scaled)}")
-
+            tokens.append(f"scaled={int(self.scaled)}")
         if self.track_abundance:
-            pi.append("abund")
-
+            tokens.append("abund")
         if self.seed != DEFAULT_MMHASH_SEED:
-            pi.append(f"seed={self.seed}")
-
-        return ",".join(pi)
+            tokens.append(f"seed={self.seed}")
+        return ",".join(tokens)
 
     @classmethod
     def from_manifest_row(cls, row):
         """Convert a manifest row into a ComputeParameters object
         (reference `command_sketch.py:893-930`)."""
-        is_dna = is_protein = is_dayhoff = is_hp = False
-        if row["moltype"] == "DNA":
-            is_dna = True
-        elif row["moltype"] == "protein":
-            is_protein = True
-        elif row["moltype"] == "hp":
-            is_hp = True
-        elif row["moltype"] == "dayhoff":
-            is_dayhoff = True
-        else:
-            assert 0
-
-        ksize = row["ksize"] if is_dna else row["ksize"] * 3
-
+        molt = row["moltype"]
+        assert molt in ("DNA", "protein", "hp", "dayhoff")
+        is_dna = molt == "DNA"
         return cls(
-            ksizes=[ksize],
+            ksizes=[row["ksize"] if is_dna else row["ksize"] * 3],
             seed=DEFAULT_MMHASH_SEED,
-            protein=is_protein,
-            dayhoff=is_dayhoff,
-            hp=is_hp,
+            protein=molt == "protein",
+            dayhoff=molt == "dayhoff",
+            hp=molt == "hp",
             dna=is_dna,
             num_hashes=row["num"],
             track_abundance=bool(row["with_abundance"]),
@@ -328,39 +307,49 @@ def _add_from_file_to_filenames(args):
         args.filenames.extend(load_pathlist_from_file(args.from_file))
 
 
+def _bail(*messages, code=-1):
+    "Print error line(s) and exit."
+    for msg in messages:
+        error(msg)
+    sys.exit(code)
+
+
+def _read_failure(filename, exc):
+    "Exact console shape for a sequence-read error, then exit."
+    _bail(f"ERROR when reading from '{filename}' - ", str(exc))
+
+
+def _close_save_sigs(save_sigs):
+    "Close a signature sink and report the exact console line."
+    save_sigs.close()
+    notify(
+        f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
+    )
+
+
 def _execute_sketch(args, signatures_factory):
     "Shared sketch runner for dna/protein/translate."
     set_quiet(args.quiet)
 
     if not args.filenames:
-        error("error: no input filenames provided! nothing to do - exiting.")
-        sys.exit(-1)
-
+        _bail("error: no input filenames provided! nothing to do - exiting.")
     if args.license != "CC0":
-        error("error: sourmash only supports CC0-licensed signatures. sorry!")
-        sys.exit(-1)
+        _bail("error: sourmash only supports CC0-licensed signatures. sorry!")
 
     notify(f'computing signatures for files: {", ".join(args.filenames)}')
 
     if args.merge and not args.output:
-        error("ERROR: must specify -o with --merge")
-        sys.exit(-1)
-
+        _bail("ERROR: must specify -o with --merge")
     if args.output and args.output_dir:
-        error("ERROR: --output-dir doesn't make sense with -o/--output")
-        sys.exit(-1)
+        _bail("ERROR: --output-dir doesn't make sense with -o/--output")
 
     num_sigs = len(signatures_factory.params_list)
     notify(f"Computing a total of {num_sigs} signature(s) for each input.")
-
     if num_sigs == 0:
-        error("...nothing to calculate!? Exiting!")
-        sys.exit(-1)
+        _bail("...nothing to calculate!? Exiting!")
 
-    if args.merge:
-        _compute_merged(args, signatures_factory)
-    else:
-        _compute_individual(args, signatures_factory)
+    runner = _compute_merged if args.merge else _compute_individual
+    runner(args, signatures_factory)
 
 
 def _protein_family_moltype(args):
@@ -638,7 +627,6 @@ def _split_joined(joined: bytes, names, ksize: int):
 
 def _compute_individual(args, signatures_factory):
     save_sigs = None
-    first_file_for_output = True
     open_output_each_time = not args.output
 
     for filename in args.filenames:
@@ -662,19 +650,17 @@ def _compute_individual(args, signatures_factory):
         try:
             peek = next(iter(sequence_io.iter_records_bytes(read_obj)), None)
         except (OSError, ValueError) as exc:
-            error(f"ERROR when reading from '{filename}' - ")
-            error(str(exc))
-            sys.exit(-1)
+            _read_failure(filename, exc)
         if peek is None:
             notify(f"no sequences found in '{filename}'?!")
             continue
 
         if open_output_each_time:
             save_sigs.open()
-        elif first_file_for_output:
+        elif save_sigs is None:
+            # the single -o sink opens lazily on the first nonempty input
             save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
             save_sigs.open()
-            first_file_for_output = False
 
         if args.singleton:
             n_calculated = 0
@@ -686,9 +672,7 @@ def _compute_individual(args, signatures_factory):
                 try:
                     add_seq(sigs, rseq, args.input_is_protein, args.check_sequence)
                 except ValueError as exc:
-                    error(f"ERROR when reading from '{filename}' - ")
-                    error(str(exc))
-                    sys.exit(-1)
+                    _read_failure(filename, exc)
 
                 n_calculated += len(sigs)
                 set_sig_name(sigs, filename, name=rname)
@@ -696,9 +680,7 @@ def _compute_individual(args, signatures_factory):
 
             notify(
                 "calculated {} signatures for {} sequences in {}",
-                n_calculated,
-                n + 1,
-                filename,
+                n_calculated, n + 1, filename,
             )
         else:
             sigs = signatures_factory()
@@ -708,9 +690,7 @@ def _compute_individual(args, signatures_factory):
                     sigs, read_obj, args.input_is_protein, args.check_sequence
                 )
             except ValueError as exc:
-                error(f"ERROR when reading from '{filename}' - ")
-                error(str(exc))
-                sys.exit(-1)
+                _read_failure(filename, exc)
 
             name = first_name if args.name_from_first else None
             set_sig_name(sigs, filename, name)
@@ -721,17 +701,11 @@ def _compute_individual(args, signatures_factory):
             )
 
         if open_output_each_time:
-            save_sigs.close()
-            notify(
-                f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
-            )
+            _close_save_sigs(save_sigs)
             save_sigs = None
 
     if args.output and save_sigs is not None:
-        save_sigs.close()
-        notify(
-            f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
-        )
+        _close_save_sigs(save_sigs)
 
 
 def _compute_merged(args, signatures_factory):
@@ -748,23 +722,22 @@ def _compute_merged(args, signatures_factory):
                 sigs, read_obj, args.input_is_protein, args.check_sequence
             )
         except ValueError as exc:
-            error(f"ERROR when reading from '{filename}' - ")
-            error(str(exc))
-            sys.exit(-1)
+            _read_failure(filename, exc)
         if n is not None:
             notify("... {} {} sequences", filename, n)
             total_seq += n
         else:
             notify(f"no sequences found in '{filename}'?!")
 
-    if total_seq:
-        set_sig_name(sigs, filename, name=args.merge)
-        notify(
-            "calculated 1 signature for {} sequences taken from {} files",
-            total_seq,
-            len(args.filenames),
-        )
-        save_siglist(sigs, args.output)
+    if not total_seq:
+        return
+    set_sig_name(sigs, filename, name=args.merge)
+    notify(
+        "calculated 1 signature for {} sequences taken from {} files",
+        total_seq,
+        len(args.filenames),
+    )
+    save_siglist(sigs, args.output)
 
 
 def _compute_sigs(to_build, output, *, check_sequence=False):
@@ -793,9 +766,7 @@ def _compute_sigs(to_build, output, *, check_sequence=False):
             try:
                 add_seq(sigs, rseq, input_is_protein, check_sequence)
             except ValueError as exc:
-                error(f"ERROR when reading from '{filename}' - ")
-                error(str(exc))
-                sys.exit(-1)
+                _read_failure(filename, exc)
         if n < 0:
             error(f"ERROR: no sequences found in '{filename}'?!")
             sys.exit(-1)
@@ -805,10 +776,7 @@ def _compute_sigs(to_build, output, *, check_sequence=False):
         for sig in sigs:
             save_sigs.add(sig)
 
-    save_sigs.close()
-    notify(
-        f"saved {len(save_sigs)} signature(s) to '{save_sigs.location}'. Note: signature license is CC0."
-    )
+    _close_save_sigs(save_sigs)
 
 
 def _output_csv_info(filename, sigs_to_build):
@@ -870,21 +838,17 @@ def _read_build_requests(csvfiles, report_duplicated):
                 else:
                     all_names[name] = (row["genome_filename"], row["protein_filename"])
 
-    fail_exit = False
+    problems = []
     if n_duplicate_name:
         if report_duplicated:
             notify("duplicated:\n" + "\n".join(sorted(duplicate_names)))
-        error(
+        problems.append(
             f"** ERROR: {n_duplicate_name} entries have duplicate 'name' records. Exiting!"
         )
-        fail_exit = True
-
     if n_missing_name:
-        error(f"** ERROR: {n_missing_name} entries have blank 'name's? Exiting!")
-        fail_exit = True
-
-    if fail_exit:
-        sys.exit(-1)
+        problems.append(f"** ERROR: {n_missing_name} entries have blank 'name's? Exiting!")
+    if problems:
+        _bail(*problems)
 
     return all_names, total_rows
 
@@ -936,76 +900,60 @@ def _print_sketch_type_summary(entries):
             print_results(f"   {sketch_str: <50} {n_hashes} total hashes")
 
 
-def fromfile(args):
-    """Build sketches for many named genomes/proteomes listed in CSV(s)
-    (reference `command_sketch.py:403-633`)."""
-    from collections import Counter
-
-    from .sig.__main__ import _SketchInfo, _summarize_manifest
-
+def _fromfile_build_params(args):
+    "Validate fromfile preconditions and return the split-ksize param list."
     if args.license != "CC0":
-        error("error: sourmash only supports CC0-licensed signatures. sorry!")
-        sys.exit(-1)
+        _bail("error: sourmash only supports CC0-licensed signatures. sorry!")
 
-    if args.output_signatures and os.path.exists(args.output_signatures):
-        if not args.force_output_already_exists:
-            error(
-                f"** ERROR: output location '{args.output_signatures}' already exists!"
-            )
-            error("** Not overwriting/appending.")
-            error(
-                "** Use --force-output-already-exists if you want to overwrite/append."
-            )
-            sys.exit(-1)
+    output = args.output_signatures
+    if output and os.path.exists(output) and not args.force_output_already_exists:
+        _bail(
+            f"** ERROR: output location '{output}' already exists!",
+            "** Not overwriting/appending.",
+            "** Use --force-output-already-exists if you want to overwrite/append.",
+        )
 
     try:
         sig_factory = _signatures_for_sketch_factory(args.param_string, None)
     except ValueError as e:
-        error(f"Error creating signatures: {str(e)}")
-        sys.exit(-1)
+        _bail(f"Error creating signatures: {str(e)}")
 
     build_params = list(sig_factory.get_compute_params(split_ksizes=True))
+    if any(p.seed != DEFAULT_MMHASH_SEED for p in build_params):
+        _bail("** ERROR: cannot set 'seed' in 'sketch fromfile'")
+    return build_params
 
-    for p in build_params:
-        if p.seed != DEFAULT_MMHASH_SEED:
-            error("** ERROR: cannot set 'seed' in 'sketch fromfile'")
-            sys.exit(-1)
 
-    all_names, total_rows = _read_build_requests(args.csvs, args.report_duplicated)
+def _plan_builds(all_names, build_params, already_done):
+    """Plan every (name, params) combination not already built.
 
-    already_done, already_done_manifest = _load_already_done(
-        args.already_done, all_names, build_params
-    )
-
-    # plan: every (name, params) combination not already built
+    Returns (to_build, missing, counts dict) where counts carries
+    total/skipped/missing tallies for the console report."""
     to_build = defaultdict(list)
-    total_sigs = 0
-    skipped_sigs = 0
     missing = defaultdict(list)
-    missing_count = 0
+    tally = dict(total=0, skipped=0, missing=0)
+
     for name, (genome, proteome) in all_names.items():
-        plist = already_done.get(name, [])
-
+        done_here = already_done.get(name, [])
         for p in build_params:
-            total_sigs += 1
-
-            if p in plist:
-                skipped_sigs += 1
-                continue
-
-            filename = genome if p.dna else proteome
-            if filename:
-                to_build[(name, filename)].append(p)
+            tally["total"] += 1
+            src = genome if p.dna else proteome
+            if p in done_here:
+                tally["skipped"] += 1
+            elif src:
+                to_build[(name, src)].append(p)
             else:
                 filetype = "genome" if p.dna else "proteome"
                 notify(f"WARNING: fromfile entry '{name}' is missing a {filetype}")
                 missing[name].append(p)
-                missing_count += 1
+                tally["missing"] += 1
+    return to_build, missing, tally
 
-    notify(f"Read {total_rows} rows, requesting that {total_sigs} signatures be built.")
 
+def _report_already_done(args, already_done_manifest, summarize_manifest):
+    "Console block for pre-existing sketches + optional manifest output."
     if already_done_manifest:
-        info_d = _summarize_manifest(already_done_manifest)
+        info_d = summarize_manifest(already_done_manifest)
         print_results("---")
         print_results("summary of already-done sketches:")
         _print_sketch_type_summary(
@@ -1013,48 +961,39 @@ def fromfile(args):
         )
         print_results("---")
 
-    if args.output_manifest_matching:
-        already_done_manifest.write_to_filename(args.output_manifest_matching)
+    out_loc = args.output_manifest_matching
+    if out_loc:
+        already_done_manifest.write_to_filename(out_loc)
         notify(
-            f"output {len(already_done_manifest)} already-done signatures to '{args.output_manifest_matching}' in manifest format."
+            f"output {len(already_done_manifest)} already-done signatures to '{out_loc}' in manifest format."
         )
 
-    if missing:
-        error("** ERROR: we cannot build some of the requested signatures.")
-        error(
-            f"** {missing_count} total signatures (for {len(missing)} names) cannot be built."
-        )
-        if args.ignore_missing:
-            error("** (continuing past this error because --ignore-missing was set)")
-        else:
-            sys.exit(-1)
 
-    notify(
-        f"** {total_sigs - skipped_sigs} new signatures to build from {len(to_build)} files;"
+def _report_missing(missing, n_missing, ignore_missing):
+    "Console block for unbuildable requests; exits unless --ignore-missing."
+    error("** ERROR: we cannot build some of the requested signatures.")
+    error(
+        f"** {n_missing} total signatures (for {len(missing)} names) cannot be built."
     )
-    if not to_build:
-        notify("** Nothing to build. Exiting!")
-        sys.exit(0)
+    if not ignore_missing:
+        sys.exit(-1)
+    error("** (continuing past this error because --ignore-missing was set)")
 
-    if skipped_sigs:
-        notify(f"** {skipped_sigs} already exist, so skipping those.")
-    else:
-        notify("** we found no pre-existing signatures that match.")
+
+def _summarize_build_plan(to_build, sketch_info_cls):
+    "Console block summarizing the sketch types about to be built."
+    from collections import Counter
 
     print_results("---")
     print_results("summary of sketches to build:")
 
     counter = Counter()
-    for _, param_objs in to_build.items():
+    for param_objs in to_build.values():
         for p in param_objs:
             assert len(p.ksizes) == 1
-            ksize = p.ksizes[0]
-            if not p.dna:
-                ksize //= 3
-
             counter[
-                _SketchInfo(
-                    ksize=ksize,
+                sketch_info_cls(
+                    ksize=p.ksizes[0] if p.dna else p.ksizes[0] // 3,
                     moltype=p.moltype,
                     scaled=p.scaled,
                     num=p.num_hashes,
@@ -1063,17 +1002,48 @@ def fromfile(args):
             ] += 1
 
     _print_sketch_type_summary((ski, count, None) for ski, count in counter.items())
-
     print_results("---")
+
+
+def fromfile(args):
+    """Build sketches for many named genomes/proteomes listed in CSV(s)
+    (reference `command_sketch.py:403-633`)."""
+    from .sig.__main__ import _SketchInfo, _summarize_manifest
+
+    build_params = _fromfile_build_params(args)
+    all_names, total_rows = _read_build_requests(args.csvs, args.report_duplicated)
+    already_done, already_done_manifest = _load_already_done(
+        args.already_done, all_names, build_params
+    )
+
+    to_build, missing, tally = _plan_builds(all_names, build_params, already_done)
+    total_sigs = tally["total"]
+    skipped_sigs = tally["skipped"]
+
+    notify(f"Read {total_rows} rows, requesting that {total_sigs} signatures be built.")
+    _report_already_done(args, already_done_manifest, _summarize_manifest)
+    if missing:
+        _report_missing(missing, tally["missing"], args.ignore_missing)
+
+    n_new = total_sigs - skipped_sigs
+    notify(f"** {n_new} new signatures to build from {len(to_build)} files;")
+    if not to_build:
+        notify("** Nothing to build. Exiting!")
+        sys.exit(0)
+    if skipped_sigs:
+        notify(f"** {skipped_sigs} already exist, so skipping those.")
+    else:
+        notify("** we found no pre-existing signatures that match.")
+
+    _summarize_build_plan(to_build, _SketchInfo)
 
     if args.output_signatures:
         _compute_sigs(
             to_build, args.output_signatures, check_sequence=args.check_sequence
         )
-
     if args.output_csv_info:
         _output_csv_info(args.output_csv_info, to_build)
 
     notify(
-        f"** {total_sigs} total requested; output {total_sigs - skipped_sigs}, skipped {skipped_sigs}"
+        f"** {total_sigs} total requested; output {n_new}, skipped {skipped_sigs}"
     )

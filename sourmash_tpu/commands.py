@@ -1285,10 +1285,8 @@ def prefetch(args):
         query.minhash = query_mh
     ksize = query_mh.ksize
 
-    csvout_fp = None
     csvout_w = None
-    if args.output:
-        csvout_fp = FileOutputCSV(args.output).open()
+    csvout_fp = FileOutputCSV(args.output).open() if args.output else None
 
     matches_out = SaveSignaturesToLocation(args.save_matches)
     matches_out.open()
@@ -1508,12 +1506,13 @@ def index(args):
     moltype = sourmash_args.calculate_moltype(args)
     picklist = sourmash_args.load_picklist(args)
 
-    if args.append:
-        tree = load_sbt_index(args.sbt_name)
-    else:
-        tree = create_sbt_index(args.bf_size, n_children=args.n_children)
+    tree = (
+        load_sbt_index(args.sbt_name)
+        if args.append
+        else create_sbt_index(args.bf_size, n_children=args.n_children)
+    )
 
-    if args.sparseness < 0 or args.sparseness > 1.0:
+    if not 0.0 <= args.sparseness <= 1.0:
         error("sparseness must be in range [0.0, 1.0].")
 
     if args.scaled:
@@ -1534,15 +1533,15 @@ def index(args):
     tracker = _SketchParamTracker()
 
     n = 0
+    load_opts = dict(
+        ksize=args.ksize,
+        select_moltype=moltype,
+        yield_all_files=args.force,
+        picklist=picklist,
+        progress=progress,
+    )
     for f in inp_files:
-        siglist = sourmash_args.load_file_as_signatures(
-            f,
-            ksize=args.ksize,
-            select_moltype=moltype,
-            yield_all_files=args.force,
-            picklist=picklist,
-            progress=progress,
-        )
+        siglist = sourmash_args.load_file_as_signatures(f, **load_opts)
 
         ss = None
         for ss in siglist:
@@ -1566,10 +1565,9 @@ def index(args):
 
     notify("")
 
-    if n == 0:
+    if not n:
         error("no signatures found to load into tree!? failing.")
         sys.exit(-1)
-
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 

@@ -23,6 +23,14 @@ from .ops.intersect import pairwise_intersection_counts
 from .sketchcomparison import FracMinHashComparison
 
 
+def _warn_potential_false_negatives(flagged):
+    "One-shot chance-false-negative warning shared by the all-pairs loops."
+    if flagged:
+        notify(
+            "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
+        )
+
+
 def _can_batch(mhs, need_flat=True):
     """Device-batchable: all scaled, same scaled/ksize/moltype/seed.
     The batched path computes raw intersection counts; abundance-weighted
@@ -289,10 +297,7 @@ def compare_serial_avg_containment(siglist, *, downsample=False, return_ani=Fals
             else:
                 v = (c1 + c2) / 2
             containments[i][j] = containments[j][i] = v
-        if potential_false_negatives:
-            notify(
-                "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-            )
+        _warn_potential_false_negatives(potential_false_negatives)
         return containments
 
     for i, j in itertools.combinations(range(n), 2):
@@ -308,10 +313,7 @@ def compare_serial_avg_containment(siglist, *, downsample=False, return_ani=Fals
             containments[i][j] = containments[j][i] = siglist[j].avg_containment(
                 siglist[i], downsample=downsample
             )
-    if potential_false_negatives:
-        notify(
-            "WARNING: Some of these sketches may have no hashes in common based on chance alone (false negatives). Consider decreasing your scaled value to prevent this."
-        )
+    _warn_potential_false_negatives(potential_false_negatives)
     return containments
 
 

@@ -750,14 +750,16 @@ class CounterGather:
             raise ValueError("cannot add more signatures to counter after peek/consume")
 
         overlap = self.orig_query_mh.count_common(ss.minhash, True)
-        if overlap:
-            md5 = ss.md5sum()
-            self.counter[md5] = overlap
-            self.siglist[md5] = ss
-            self.locations[md5] = location
-            self.downsample(ss.minhash.scaled)
-        elif require_overlap:
-            raise ValueError("no overlap between query and signature!?")
+        if not overlap:
+            if require_overlap:
+                raise ValueError("no overlap between query and signature!?")
+            return
+
+        md5 = ss.md5sum()
+        self.counter[md5] = overlap
+        self.siglist[md5] = ss
+        self.locations[md5] = location
+        self.downsample(ss.minhash.scaled)
 
     def downsample(self, scaled):
         "Ratchet the working scaled up to the coarsest candidate seen."

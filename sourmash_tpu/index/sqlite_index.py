@@ -693,13 +693,11 @@ class LCA_SqliteDatabase(SqliteIndex):
             ident_to_idx[ident] = idx
 
             if lineage:
-                lid = lineage_to_lid.get(lineage)
-                if lid is None:
-                    lid = next_lid
+                if lineage not in lineage_to_lid:
+                    lineage_to_lid[lineage] = next_lid
+                    lid_to_lineage[next_lid] = lineage
                     next_lid += 1
-                    lineage_to_lid[lineage] = lid
-                    lid_to_lineage[lid] = lineage
-                idx_to_lid[idx] = lid
+                idx_to_lid[idx] = lineage_to_lid[lineage]
 
         self.ident_to_idx = ident_to_idx
         self.idx_to_lid = idx_to_lid

@@ -114,14 +114,14 @@ def load_taxonomy_assignments(
     # sanity check: taxonomy spreadsheets should mostly resolve to species
     enough_rows = len(assignments) > 50
     if enough_rows and n_species < len(assignments) * 0.2 and not force:
-        error("")
-        error("ERROR: fewer than 20% of lineages have species-level resolution!?")
-        error(
-            "({} species assignments found, of {} assignments total)",
-            n_species,
-            len(assignments),
-        )
-        error("** If this is intentional, re-run the command with -f.")
+        for msg, fmt in (
+            ("", ()),
+            ("ERROR: fewer than 20% of lineages have species-level resolution!?", ()),
+            ("({} species assignments found, of {} assignments total)",
+             (n_species, len(assignments))),
+            ("** If this is intentional, re-run the command with -f.", ()),
+        ):
+            error(msg, *fmt)
         sys.exit(-1)
 
     return assignments, num_rows
@@ -356,8 +356,7 @@ def index(args):
         f"Building LCA database with ksize={args.ksize} scaled={args.scaled} moltype={moltype}."
     )
 
-    assignments, num_rows = load_taxonomy_assignments(
-        args.csv,
+    tax_opts = dict(
         delimiter="\t" if args.tabs else ",",
         start_column=args.start_column,
         use_headers=not args.no_headers,
@@ -365,13 +364,12 @@ def index(args):
         split_identifiers=args.split_identifiers,
         keep_identifier_versions=args.keep_identifier_versions,
     )
+    assignments, num_rows = load_taxonomy_assignments(args.csv, **tax_opts)
 
-    notify(
-        f"{len(assignments)} distinct identities in spreadsheet out of {num_rows} rows."
-    )
-    notify(
-        f"{len(set(assignments.values()))} distinct lineages in spreadsheet out of {num_rows} rows."
-    )
+    n_idents = len(assignments)
+    n_lineages = len(set(assignments.values()))
+    notify(f"{n_idents} distinct identities in spreadsheet out of {num_rows} rows.")
+    notify(f"{n_lineages} distinct lineages in spreadsheet out of {num_rows} rows.")
 
     inp_files = list(args.signatures)
     if args.from_file:

@@ -44,19 +44,17 @@ def _open_maybe_gz(path, mode):
 def _parse_lca_json(db_name, fp):
     "Read + sanity-check the LCA-db JSON document; returns the parsed dict."
     try:
-        first_ch = fp.read(1)
+        looks_like_json = fp.read(1) == "{"
     except ValueError:
-        first_ch = "X"
-    if not first_ch or first_ch[0] != "{":
+        looks_like_json = False
+    if not looks_like_json:
         raise ValueError(f"'{db_name}' is not an LCA database file.")
-
     fp.seek(0)
 
-    load_d = {}
     try:
         load_d = json.load(fp)
     except json.decoder.JSONDecodeError:
-        pass
+        load_d = {}
 
     if not load_d:
         raise ValueError("cannot parse database file '{}' as JSON; invalid format.")

@@ -998,26 +998,26 @@ class MinHash:
         return res
 
     def avg_containment_ani(self, other, *, downsample=False, prob_threshold=1e-3):
+        "Mean of the two directed containment ANIs; None if either is."
         if not (self.scaled and other.scaled):
             raise TypeError("Error: can only calculate ANI for scaled MinHashes")
-        a1 = self.containment_ani(
-            other, downsample=downsample, prob_threshold=prob_threshold
-        ).ani
-        a2 = other.containment_ani(
-            self, downsample=downsample, prob_threshold=prob_threshold
-        ).ani
-        if any([a1 is None, a2 is None]):
+        opts = dict(downsample=downsample, prob_threshold=prob_threshold)
+        both = (self.containment_ani(other, **opts).ani,
+                other.containment_ani(self, **opts).ani)
+        if None in both:
             return None
-        return (a1 + a2) / 2
+        return sum(both) / 2
 
     # -- set ops ----------------------------------------------------------
 
     def downsample(self, *, num=None, scaled=None):
         "Copy and downsample to num or scaled (`minhash.py:663-719`)."
-        if num is None and scaled is None:
-            raise ValueError("must specify either num or scaled to downsample")
-        if num is not None and scaled is not None:
-            raise ValueError("cannot specify both num and scaled")
+        if (num is None) == (scaled is None):
+            raise ValueError(
+                "must specify either num or scaled to downsample"
+                if num is None
+                else "cannot specify both num and scaled"
+            )
 
         if num is not None:
             if self.scaled:
@@ -1032,18 +1032,17 @@ class MinHash:
                 raise ValueError(
                     f"new scaled {scaled} is lower than current sample scaled {self.scaled}"
                 )
-            max_hash = _get_max_hash_for_scaled(scaled)
-            num = 0
+            num, max_hash = 0, _get_max_hash_for_scaled(scaled)
 
         a = MinHash(
             num,
             self.ksize,
+            max_hash=max_hash,
+            seed=self._seed,
+            track_abundance=self._track_abundance,
             is_protein=self.is_protein,
             dayhoff=self.dayhoff,
             hp=self.hp,
-            track_abundance=self._track_abundance,
-            seed=self._seed,
-            max_hash=max_hash,
         )
         if max_hash and len(self._mins):
             # scaled -> coarser scaled on a sorted array is a prefix slice
@@ -1080,14 +1079,13 @@ class MinHash:
     def __add__(self, other):
         if not isinstance(other, MinHash):
             raise TypeError("can only add MinHash objects to MinHash objects!")
-        if self.num and other.num:
-            if self.num != other.num:
-                raise TypeError(
-                    f"incompatible num values: self={self.num} other={other.num}"
-                )
-        new_obj = self.to_mutable()
-        new_obj += other
-        return new_obj
+        if self.num and other.num and self.num != other.num:
+            raise TypeError(
+                f"incompatible num values: self={self.num} other={other.num}"
+            )
+        merged = self.to_mutable()
+        merged += other
+        return merged
 
     __or__ = __add__
 

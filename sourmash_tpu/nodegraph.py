@@ -270,20 +270,21 @@ def extract_nodegraph_info(filename):
 
 
 def calc_expected_collisions(graph, force=False, max_false_pos=0.2):
+    """Check a nodegraph's estimated false-positive rate; print the
+    khmer-style warning banner and abort (unless force) when too high."""
     fp_all = graph.expected_collisions
     if fp_all > max_false_pos:
-        print("**", file=sys.stderr)
-        print("** ERROR: the graph structure is too small for ", file=sys.stderr)
-        print("** this data set.  Increase data structure size.", file=sys.stderr)
-        print("** Do not use these results!!", file=sys.stderr)
-        print("**", file=sys.stderr)
-        print(
-            f"** (estimated false positive rate of {fp_all:.3f};",
-            file=sys.stderr,
-            end=" ",
+        banner = (
+            "**\n"
+            "** ERROR: the graph structure is too small for \n"
+            "** this data set.  Increase data structure size.\n"
+            "** Do not use these results!!\n"
+            "**\n"
+            f"** (estimated false positive rate of {fp_all:.3f}; "
+            f"max recommended {max_false_pos:.3f})\n"
+            "**"
         )
-        print(f"max recommended {max_false_pos:.3f})", file=sys.stderr)
-        print("**", file=sys.stderr)
+        print(banner, file=sys.stderr)
         if not force:
             raise SystemExit(1)
     return fp_all

@@ -342,6 +342,26 @@ def _summarize_manifest(manifest):
     )
 
 
+def _die(*messages, code=-1):
+    "Print error line(s) and exit."
+    for msg in messages:
+        error(msg)
+    sys.exit(code)
+
+
+def _manifest_required_abort(first_line, cmd):
+    "Exact console shape for a missing-manifest abort, then exit."
+    error(first_line)
+    error(f"sig {cmd} requires a manifest by default, but no manifest present.")
+    error("specify --no-require-manifest to dynamically generate one.")
+    sys.exit(-1)
+
+
+def _relpath_to_output(target):
+    "Relative path from the output manifest's directory back to cwd."
+    return os.path.relpath(os.curdir, os.path.dirname(target))
+
+
 def fileinfo(args):
     """Summary information on a signature collection/index (reference
     `sig/__main__.py:1343-1409`). Aliased as 'summarize'."""
@@ -371,11 +391,14 @@ def fileinfo(args):
     )
 
     if text_out:
-        print_results(f"path filetype: {info_d['path_filetype']}")
-        print_results(f"location: {info_d['location']}")
-        print_results(f"is database? {print_bool(info_d['is_database'])}")
-        print_results(f"has manifest? {print_bool(info_d['has_manifest'])}")
-        print_results(f"num signatures: {info_d['num_sketches']}")
+        for line in (
+            f"path filetype: {info_d['path_filetype']}",
+            f"location: {info_d['location']}",
+            f"is database? {print_bool(info_d['is_database'])}",
+            f"has manifest? {print_bool(info_d['has_manifest'])}",
+            f"num signatures: {info_d['num_sketches']}",
+        ):
+            print_results(line)
 
     notify("** examining manifest...")
 
@@ -580,22 +603,27 @@ def intersect(args):
     stream.report_picklist()
 
 
+def _refuse_abund_subtract(mh, flatten):
+    "subtract only works on flat sketches unless --flatten was requested."
+    if mh.track_abundance and not flatten:
+        error("Cannot use subtract on signatures with abundance tracking, sorry!")
+        sys.exit(1)
+
+
 def subtract(args):
     "Subtract one or more signatures from another."
     set_quiet(args.quiet)
     moltype = sourmash_args.calculate_moltype(args)
 
-    from_sigobj = sourmash_args.load_one_signature(
-        args.signature_from, ksize=args.ksize, select_moltype=moltype
-    )
-
+    # --abundances-from implies flattening the subtraction operands
     if args.abundances_from:
         args.flatten = True
 
+    from_sigobj = sourmash_args.load_one_signature(
+        args.signature_from, ksize=args.ksize, select_moltype=moltype
+    )
     from_mh = from_sigobj.minhash
-    if from_mh.track_abundance and not args.flatten:
-        error("Cannot use subtract on signatures with abundance tracking, sorry!")
-        sys.exit(1)
+    _refuse_abund_subtract(from_mh, args.flatten)
 
     remaining = set(from_mh.hashes)
 
@@ -611,11 +639,7 @@ def subtract(args):
             if not sigobj.minhash.is_compatible(from_mh):
                 error("incompatible minhashes; specify -k and/or molecule type.")
                 sys.exit(-1)
-            if sigobj.minhash.track_abundance and not args.flatten:
-                error(
-                    "Cannot use subtract on signatures with abundance tracking, sorry!"
-                )
-                sys.exit(1)
+            _refuse_abund_subtract(sigobj.minhash, args.flatten)
 
             remaining -= set(sigobj.minhash.hashes)
             notify(f"loaded and subtracted signatures from {sigfile}...", end="\r")
@@ -723,10 +747,13 @@ def extract(args):
 
     total_rows_examined = 0
     for filename in args.signatures:
-        idx = sourmash_args.load_file_as_index(filename, yield_all_files=args.force)
-        idx = idx.select(ksize=args.ksize, moltype=moltype)
-        idx = sourmash_args.apply_picklist_and_pattern(idx, picklist, pattern_search)
-
+        idx = sourmash_args.apply_picklist_and_pattern(
+            sourmash_args.load_file_as_index(
+                filename, yield_all_files=args.force
+            ).select(ksize=args.ksize, moltype=moltype),
+            picklist,
+            pattern_search,
+        )
         manifest = sourmash_args.get_manifest(idx)
         total_rows_examined += len(manifest)
 
@@ -748,11 +775,12 @@ def extract(args):
     notify(f"loaded {total_rows_examined} total that matched ksize & molecule type")
     save_sigs.close()
 
-    if not save_sigs:
-        error("no matching signatures to save!")
-        sys.exit(-1)
-
-    notify(f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)")
+    if save_sigs:
+        notify(
+            f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)"
+        )
+    else:
+        _die("no matching signatures to save!")
     if picklist:
         sourmash_args.report_picklist(args, picklist)
 
@@ -1162,14 +1190,15 @@ def kmers(args):
         notify("ERROR: no hashes in query signature!?")
         sys.exit(-1)
 
-    notify("")
-    notify("merged signature has the following properties:")
-    notify(
-        f"k={query_mh.ksize} molecule={query_mh.moltype} num={query_mh.num} scaled={query_mh.scaled} seed={query_mh.seed}"
-    )
-    notify(f"total hashes in merged signature: {len(query_mh)}")
-    notify("")
-    notify("now processing sequence files for matches!")
+    for line in (
+        "",
+        "merged signature has the following properties:",
+        f"k={query_mh.ksize} molecule={query_mh.moltype} num={query_mh.num} scaled={query_mh.scaled} seed={query_mh.seed}",
+        f"total hashes in merged signature: {len(query_mh)}",
+        "",
+        "now processing sequence files for matches!",
+    ):
+        notify(line)
 
     scan = _KmerScan(args, query_mh)
     try:
@@ -1256,8 +1285,7 @@ def check(args):
 
     relpath = "."
     if args.relpath and args.save_manifest_matching:
-        output_manifest_dir = os.path.dirname(args.save_manifest_matching)
-        relpath = os.path.relpath(os.curdir, output_manifest_dir)
+        relpath = _relpath_to_output(args.save_manifest_matching)
 
     total_manifest_rows = CollectionManifest([])
 
@@ -1269,10 +1297,7 @@ def check(args):
         idx = idx.select(ksize=args.ksize, moltype=moltype)
 
         if idx.manifest is None and require_manifest:
-            error(f"ERROR on filename '{filename}'.")
-            error("sig check requires a manifest by default, but no manifest present.")
-            error("specify --no-require-manifest to dynamically generate one.")
-            sys.exit(-1)
+            _manifest_required_abort(f"ERROR on filename '{filename}'.", "check")
 
         new_manifest = sourmash_args.get_manifest(idx, require=True)
         total_rows_examined += len(new_manifest)
@@ -1352,19 +1377,19 @@ def collect(args):
     (reference `sig/__main__.py:1553-1667`)."""
     set_quiet(False, args.debug)
 
-    if os.path.exists(args.output):
-        if not args.merge_previous:
-            error(f"ERROR: '{args.output}' already exists!")
-            error("ERROR: please remove it, or use --merge-previous to merge")
-            sys.exit(-1)
-    elif args.merge_previous:
+    output_exists = os.path.exists(args.output)
+    if output_exists and not args.merge_previous:
+        _die(
+            f"ERROR: '{args.output}' already exists!",
+            "ERROR: please remove it, or use --merge-previous to merge",
+        )
+    if args.merge_previous and not output_exists:
         notify(
             f"WARNING: --merge-previous specified, but output file '{args.output}' does not already exist?"
         )
 
     if args.abspath and args.relpath:
-        error("** Cannot specify both --abspath and --relpath; pick one!")
-        sys.exit(-1)
+        _die("** Cannot specify both --abspath and --relpath; pick one!")
 
     collected_mf = _open_collect_manifest(args)
 
@@ -1375,10 +1400,7 @@ def collect(args):
 
     _extend_signatures_with_from_file(args, target_attr="locations")
 
-    relpath = None
-    if args.relpath:
-        output_manifest_dir = os.path.dirname(args.output)
-        relpath = os.path.relpath(os.curdir, output_manifest_dir)
+    relpath = _relpath_to_output(args.output) if args.relpath else None
 
     for n_files, loc in enumerate(args.locations):
         notify(f"Loading signature information from {loc}.")
@@ -1387,20 +1409,13 @@ def collect(args):
 
         idx = sourmash.load_file_as_index(loc)
         if idx.manifest is None and require_manifest:
-            error(f"ERROR on location '{loc}'")
-            error(
-                "sig collect requires a manifest by default, but no manifest present."
-            )
-            error("specify --no-require-manifest to dynamically generate one.")
-            sys.exit(-1)
+            _manifest_required_abort(f"ERROR on location '{loc}'", "collect")
 
         mf = sourmash_args.get_manifest(idx)
         new_iloc = _relocated(loc, args, relpath)
 
         for row in mf.rows:
-            row = dict(row)
-            row["internal_location"] = new_iloc
-            collected_mf.add_row(row)
+            collected_mf.add_row(dict(row, internal_location=new_iloc))
 
     if args.manifest_format == "csv":
         collected_mf.write_to_filename(
@@ -1439,15 +1454,17 @@ def grep(args):
 
     require_manifest = not args.no_require_manifest
 
+    # --count implies --silent; a silent run writes sigs nowhere (None sink)
     if args.count:
         args.silent = True
-
-    if args.silent:
-        notify("(no signatures will be saved because of --silent/--count).")
-        save_sigs = sourmash_args.SaveSignaturesToLocation(None)
-    else:
-        notify(f"saving matching signatures to '{args.output}'")
-        save_sigs = sourmash_args.SaveSignaturesToLocation(args.output)
+    sink_loc = None if args.silent else args.output
+    notify(
+        "(no signatures will be saved because of --silent/--count)."
+        if args.silent
+        else f"saving matching signatures to '{args.output}'"
+    )
+    save_sigs = sourmash_args.SaveSignaturesToLocation(sink_loc)
+    if not args.silent:
         save_sigs.open()
 
     csv_obj = None
@@ -1458,25 +1475,20 @@ def grep(args):
 
     total_rows_examined = 0
     for filename in args.signatures:
-        idx = sourmash_args.load_file_as_index(filename, yield_all_files=args.force)
-        idx = idx.select(ksize=args.ksize, moltype=moltype, picklist=picklist)
+        idx = sourmash_args.load_file_as_index(
+            filename, yield_all_files=args.force
+        ).select(ksize=args.ksize, moltype=moltype, picklist=picklist)
 
         manifest = idx.manifest
         if manifest is None:
             if require_manifest:
-                error(f"ERROR on filename '{filename}'.")
-                error(
-                    "sig grep requires a manifest by default, but no manifest present."
-                )
-                error("specify --no-require-manifest to dynamically generate one.")
-                sys.exit(-1)
+                _manifest_required_abort(f"ERROR on filename '{filename}'.", "grep")
             manifest = sourmash_args.get_manifest(idx, require=False)
 
+        total_rows_examined += len(manifest)
         sub_manifest = manifest.filter_on_columns(
             search_pattern, ["name", "filename", "md5"]
         )
-        total_rows_examined += len(manifest)
-
         if args.csv:
             sub_manifest.write_to_csv(csv_fp)
 
@@ -1494,14 +1506,12 @@ def grep(args):
 
     if not args.silent:
         notify(f"loaded {total_rows_examined} total that matched ksize & molecule type")
-        if save_sigs:
-            notify(
-                f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)"
-            )
-            save_sigs.close()
-        else:
-            error("no matching signatures found!")
-            sys.exit(-1)
+        if not save_sigs:
+            _die("no matching signatures found!")
+        notify(
+            f"extracted {len(save_sigs)} signatures from {len(args.signatures)} file(s)"
+        )
+        save_sigs.close()
 
     if args.csv:
         notify(f"wrote manifest containing all matches to CSV file '{args.csv}'")

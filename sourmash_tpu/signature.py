@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import gzip
 import io
+import itertools
 import json
 import os
 
@@ -608,20 +609,23 @@ def load_signatures_from_json(
 def load_one_signature_from_json(
     data, ksize=None, select_moltype=None, ignore_md5sum=False
 ):
-    sigiter = load_signatures_from_json(
-        data, ksize=ksize, select_moltype=select_moltype, ignore_md5sum=ignore_md5sum
+    # materialize at most two: exactly-one is the only acceptable count
+    pair = list(
+        itertools.islice(
+            load_signatures_from_json(
+                data,
+                ksize=ksize,
+                select_moltype=select_moltype,
+                ignore_md5sum=ignore_md5sum,
+            ),
+            2,
+        )
     )
-    try:
-        first_sig = next(sigiter)
-    except StopIteration:
+    if not pair:
         raise ValueError("no signatures to load")
-
-    try:
-        next(sigiter)
-    except StopIteration:
-        return first_sig
-
-    raise ValueError("expected to load exactly one signature")
+    if len(pair) > 1:
+        raise ValueError("expected to load exactly one signature")
+    return pair[0]
 
 
 def _dumps(siglist) -> bytes:

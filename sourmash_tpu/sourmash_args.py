@@ -305,14 +305,15 @@ def _open_search_db(filename, cache_size):
 
 def _select_for_query(db, filename, query_mh, containment, fail_on_empty):
     "Narrow a db to sketches compatible with the query, or an empty index."
+    wanted = dict(
+        ksize=query_mh.ksize,
+        moltype=query_mh.moltype,
+        num=query_mh.num,
+        scaled=query_mh.scaled,
+        containment=containment,
+    )
     try:
-        db = db.select(
-            moltype=query_mh.moltype,
-            ksize=query_mh.ksize,
-            num=query_mh.num,
-            scaled=query_mh.scaled,
-            containment=containment,
-        )
+        db = db.select(**wanted)
     except ValueError as exc:
         notify(f"ERROR: cannot use '{filename}' for this query.")
         notify(str(exc))

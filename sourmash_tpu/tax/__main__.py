@@ -406,6 +406,23 @@ def genome(args):
 _ANNOTATE_ID_COLUMNS = ["name", "match_name", "ident", "accession"]
 
 
+def _annotated_rows(reader, id_col, tax_assign, args):
+    "Yield (annotated row dict, missed?) for each input CSV row."
+    ident_opts = dict(
+        lins=args.lins,
+        ictv=args.ictv,
+        keep_full_identifiers=args.keep_full_identifiers,
+        keep_identifier_versions=args.keep_identifier_versions,
+    )
+    for row in reader:
+        taxres = AnnotateTaxResult(raw=row, id_col=id_col, **ident_opts)
+        taxres.get_match_lineage(
+            tax_assignments=tax_assign,
+            fail_on_missing_taxonomy=args.fail_on_missing_taxonomy,
+        )
+        yield taxres.row_with_lineages(), taxres.missed_ident
+
+
 def _annotate_one_csv(in_csv, tax_assign, args):
     "Add a 'lineage' column to one CSV, matching idents against the taxonomy."
     with FileInputCSV(in_csv) as r:
@@ -428,30 +445,20 @@ def _annotate_one_csv(in_csv, tax_assign, args):
             w = csv.DictWriter(out_fp, header + ["lineage"])
             w.writeheader()
 
-            n = 0
+            total = 0
             n_missed = 0
-            for n, row in enumerate(r):
-                taxres = AnnotateTaxResult(
-                    raw=row,
-                    id_col=id_col,
-                    lins=args.lins,
-                    ictv=args.ictv,
-                    keep_full_identifiers=args.keep_full_identifiers,
-                    keep_identifier_versions=args.keep_identifier_versions,
-                )
-                taxres.get_match_lineage(
-                    tax_assignments=tax_assign,
-                    fail_on_missing_taxonomy=args.fail_on_missing_taxonomy,
-                )
+            for out_row, missed in _annotated_rows(r, id_col, tax_assign, args):
+                total += 1
+                n_missed += bool(missed)
+                w.writerow(out_row)
 
-                if taxres.missed_ident:
-                    n_missed += 1
-                w.writerow(taxres.row_with_lineages())
-
-            rows_annotated = (n + 1) - n_missed
+            # a body-less CSV counts as 1 row (enumerate-default parity
+            # with the reference's n+1 accounting)
+            total = total or 1
+            rows_annotated = total - n_missed
             if not rows_annotated:
                 raise ValueError(f"Could not annotate any rows from '{in_csv}'.")
-            notify(f"Annotated {rows_annotated} of {n+1} total rows from '{in_csv}'.")
+            notify(f"Annotated {rows_annotated} of {total} total rows from '{in_csv}'.")
 
 
 def annotate(args):
@@ -546,19 +553,24 @@ def grep(args):
         (ident, lineage) for ident, lineage in tax_assign.items() if hit(lineage)
     ]
 
+    n_found = len(match_ident)
     if silent:
-        notify(f"found {len(match_ident)} matches.")
+        notify(f"found {n_found} matches.")
         notify("(no matches will be saved because of --silent/--count")
-    else:
-        with FileOutputCSV(args.output) as fp:
-            w = csv.writer(fp)
-            w.writerow(["ident"] + list(RankLineageInfo().taxlist[:-1]))
-            for ident, lineage in sorted(match_ident):
-                w.writerow([ident] + [x.name for x in lineage])
+        return
 
-        notify(
-            f"found {len(match_ident)} matches; saved identifiers to picklist file '{args.output}'"
+    picklist_cols = ["ident"] + list(RankLineageInfo().taxlist[:-1])
+    with FileOutputCSV(args.output) as fp:
+        w = csv.writer(fp)
+        w.writerow(picklist_cols)
+        w.writerows(
+            [ident] + [x.name for x in lineage]
+            for ident, lineage in sorted(match_ident)
         )
+
+    notify(
+        f"found {n_found} matches; saved identifiers to picklist file '{args.output}'"
+    )
 
 
 def summarize(args):

@@ -389,14 +389,18 @@ class RankLineageInfo(BaseLineageInfo):
     def __post_init__(self):
         if isinstance(self.ranks, list):
             object.__setattr__(self, "ranks", tuple(self.ranks))
-        if self.lineage is not None:
-            self._init_from_lineage_tuples()
-        elif self.lineage_str is not None:
-            self._init_from_lineage_str()
-        elif self.lineage_dict is not None:
-            self._init_from_lineage_dict()
-        elif self.ranks:
-            self._init_empty()
+        # first provided source wins: tuples, string, dict, else empty
+        for value, init in (
+            (self.lineage, self._init_from_lineage_tuples),
+            (self.lineage_str, self._init_from_lineage_str),
+            (self.lineage_dict, self._init_from_lineage_dict),
+        ):
+            if value is not None:
+                init()
+                break
+        else:
+            if self.ranks:
+                self._init_empty()
 
     def _init_from_lineage_dict(self):
         "Initialize from a lineage dict (e.g. a taxonomy-CSV row)."
@@ -736,13 +740,11 @@ class LineageDB_Sqlite(_LineageMapping):
 
     def __init__(self, conn, *, table_name=None):
         self.conn = conn
+        self.table_name = table_name if table_name is not None else self.table_name
 
-        if table_name is not None:
-            self.table_name = table_name
-
-        c = conn.cursor()
+        probe = conn.cursor()
         try:
-            c.execute(f"SELECT * FROM {self.table_name} LIMIT 1")
+            probe.execute(f"SELECT * FROM {self.table_name} LIMIT 1")
         except (sqlite3.DatabaseError, sqlite3.OperationalError):
             raise ValueError("not a taxonomy database")
 
@@ -778,25 +780,20 @@ class LineageDB_Sqlite(_LineageMapping):
         except sqlite3.OperationalError:
             info = {}
 
-        table_name = None
         version = info.get("SqliteLineage")
         if version is not None:
             if version != "1.0":
                 from ..exceptions import IndexNotSupported
 
                 raise IndexNotSupported("unsupported SqliteLineage version")
-            table_name = "sourmash_taxonomy"
-        else:  # legacy layout: a bare 'taxonomy' table
-            try:
-                c.execute("SELECT * FROM taxonomy LIMIT 1")
-                table_name = "taxonomy"
-            except sqlite3.OperationalError:
-                pass
+            return cls(conn, table_name="sourmash_taxonomy")
 
-        if table_name is None:
+        # legacy layout: a bare 'taxonomy' table
+        try:
+            c.execute("SELECT * FROM taxonomy LIMIT 1")
+        except sqlite3.OperationalError:
             raise ValueError("not a sqlite taxonomy database")
-
-        return cls(conn, table_name=table_name)
+        return cls(conn, table_name="taxonomy")
 
     @staticmethod
     def _row_to_lineage(names):
@@ -945,11 +942,11 @@ class MultiLineageDB(_LineageMapping):
         "Save taxonomy into a sqlite 'sourmash_taxonomy' table."
         from .. import sqlite_utils
 
-        if conn is None:
-            db = sqlite3.connect(filename)
-        else:
+        if conn is not None:
             assert not filename
             db = conn
+        else:
+            db = sqlite3.connect(filename)
 
         cursor = db.cursor()
         try:
@@ -1119,6 +1116,11 @@ class QueryInfo:
     def total_weighted_bp(self):
         return self.total_weighted_hashes * self.scaled
 
+    @classmethod
+    def from_gather_row(cls, row):
+        "Collect the query metadata columns from one gather-CSV row."
+        return cls(**{f.name: getattr(row, f.name) for f in fields(cls)})
+
 
 @dataclass
 class BaseTaxResult:
@@ -1197,16 +1199,7 @@ class TaxResult(BaseTaxResult):
     def __post_init__(self):
         self.get_ident()
         self.query_name = self.raw.query_name
-        self.query_info = QueryInfo(
-            query_name=self.raw.query_name,
-            query_md5=self.raw.query_md5,
-            query_filename=self.raw.query_filename,
-            query_bp=self.raw.query_bp,
-            query_n_hashes=self.raw.query_n_hashes,
-            total_weighted_hashes=self.raw.total_weighted_hashes,
-            ksize=self.raw.ksize,
-            scaled=self.raw.scaled,
-        )
+        self.query_info = QueryInfo.from_gather_row(self.raw)
         self.f_unique_to_query = float(self.raw.f_unique_to_query)
         self.f_unique_weighted = float(self.raw.f_unique_weighted)
         self.unique_intersect_bp = int(self.raw.unique_intersect_bp)
@@ -1446,14 +1439,13 @@ class QueryTaxResult:
             raise ValueError(
                 "Error: Cannot add TaxResult. Please use get_match_lineage() to add taxonomic lineage information first."
             )
-        if not self.ranks:
-            self.ranks = taxresult.lineageInfo.ranks
+        self.ranks = self.ranks or taxresult.lineageInfo.ranks
         if taxresult.skipped_ident:
-            self.n_skipped += 1
             self.skipped_idents.add(taxresult.match_ident)
+            self.n_skipped += 1
         elif taxresult.missed_ident:
-            self.n_missed += 1
             self.missed_idents.add(taxresult.match_ident)
+            self.n_missed += 1
         self.raw_taxresults.append(taxresult)
 
     # -- summarization ---------------------------------------------------
@@ -1474,13 +1466,11 @@ class QueryTaxResult:
                     f"Error: already summarized using rank(s): '{', '.join(self.summarized_ranks)}'. Use 'force_resummarize=True' to reset and resummarize"
                 )
 
-        self.summarized_ranks = self.ascending_ranks
-        if single_rank:
-            if single_rank not in self.summarized_ranks:
-                raise ValueError(
-                    f"Error: rank '{single_rank}' not in available ranks ({', '.join(self.summarized_ranks)})"
-                )
-            self.summarized_ranks = [single_rank]
+        if single_rank and single_rank not in self.ascending_ranks:
+            raise ValueError(
+                f"Error: rank '{single_rank}' not in available ranks ({', '.join(self.ascending_ranks)})"
+            )
+        self.summarized_ranks = [single_rank] if single_rank else self.ascending_ranks
 
         for taxres in self.raw_taxresults:
             lininfo = taxres.lineageInfo
@@ -1506,6 +1496,12 @@ class QueryTaxResult:
         "Summed (lineage, f_unique) at one rank, largest fraction first."
         return sorted(self.sum_uniq_to_query[rank].items(), key=lambda x: -x[1])
 
+    def _accumulate_classified(self, rank, sres):
+        "Track per-rank classified totals as summary rows are emitted."
+        self.total_f_classified[rank] += sres.fraction
+        self.total_f_weighted[rank] += sres.f_weighted_at_rank
+        self.total_bp_classified[rank] += sres.bp_match_at_rank
+
     def build_summarized_result(self, single_rank=None, force_resummarize=False):
         self._init_summarization_results()
         if not self.summarized_ranks or force_resummarize:
@@ -1521,21 +1517,16 @@ class QueryTaxResult:
             for lineage, f_unique in self._lineages_by_fraction(rank):
                 if f_unique == 0:
                     continue
-                f_weighted_at_rank = self.sum_uniq_weighted[rank][lineage]
-                bp_intersect_at_rank = self.sum_uniq_bp[rank][lineage]
                 sres = SummarizedGatherResult(
-                    lineage=lineage,
                     rank=rank,
-                    f_weighted_at_rank=f_weighted_at_rank,
+                    lineage=lineage,
                     fraction=f_unique,
-                    bp_match_at_rank=bp_intersect_at_rank,
+                    f_weighted_at_rank=self.sum_uniq_weighted[rank][lineage],
+                    bp_match_at_rank=self.sum_uniq_bp[rank][lineage],
                 )
                 sres.set_query_ani(query_info=self.query_info)
                 self.summarized_lineage_results[rank].append(sres)
-
-                self.total_f_classified[rank] += f_unique
-                self.total_f_weighted[rank] += f_weighted_at_rank
-                self.total_bp_classified[rank] += bp_intersect_at_rank
+                self._accumulate_classified(rank, sres)
 
             # one trailing "unclassified" row per rank covering the remainder
             f_unclassified = 1.0 - self.total_f_classified[rank]
@@ -1579,13 +1570,11 @@ class QueryTaxResult:
                 single_rank=rank, force_resummarize=force_resummarize
             )
 
-        self.classified_ranks = self.summarized_ranks
-        if rank:
-            if rank not in self.summarized_ranks:
-                raise ValueError(
-                    f"Error: rank '{rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
-                )
-            self.classified_ranks = [rank]
+        if rank and rank not in self.summarized_ranks:
+            raise ValueError(
+                f"Error: rank '{rank}' not in summarized rank(s), {','.join(self.summarized_ranks)}"
+            )
+        self.classified_ranks = [rank] if rank else self.summarized_ranks
         if lingroup_ranks:
             notify("Restricting classification to lingroups.")
             self.classified_ranks = [
@@ -1660,18 +1649,7 @@ class QueryTaxResult:
 
     def _make_classification_summary(self, limit_float):
         self.check_classification()
-        header = [
-            "query_name",
-            "status",
-            "rank",
-            "fraction",
-            "lineage",
-            "query_md5",
-            "query_filename",
-            "f_weighted_at_rank",
-            "bp_match_at_rank",
-            "query_ani_at_rank",
-        ]
+        header = ["query_name", "status", *_SUMMARY_COLS[1:]]
         rD = self.classification_result.as_summary_dict(
             query_info=self.query_info, limit_float=limit_float
         )
@@ -1680,23 +1658,11 @@ class QueryTaxResult:
 
     def _make_rank_summary(self, limit_float, lingroups):
         self.check_summarization()
-        header = [
-            "query_name",
-            "rank",
-            "fraction",
-            "lineage",
-            "query_md5",
-            "query_filename",
-            "f_weighted_at_rank",
-            "bp_match_at_rank",
-            "query_ani_at_rank",
-            "total_weighted_hashes",
-        ]
+        header = [*_SUMMARY_COLS, "total_weighted_hashes"]
 
         lingroup_ranks = set()
         if lingroups is not None:
-            for lin in lingroups.keys():
-                lingroup_ranks.add(len(lin.split(";")) - 1)
+            lingroup_ranks = {len(lin.split(";")) - 1 for lin in lingroups}
 
         results = []
         for rank in self.summarized_ranks[::-1]:
@@ -1713,10 +1679,8 @@ class QueryTaxResult:
                 )
                 if rD is None:
                     continue
-                if rD["lineage"] == "unclassified":
-                    unclassified.append(rD)
-                else:
-                    results.append(rD)
+                bucket = unclassified if rD["lineage"] == "unclassified" else results
+                bucket.append(rD)
             results += unclassified
         return header, results
 
@@ -1730,21 +1694,13 @@ class QueryTaxResult:
     def make_kreport_results(self):
         "Format summarized results as a kraken-style kreport."
         self.check_summarization()
-        header = [
-            "percent_containment",
-            "num_bp_contained",
-            "num_bp_assigned",
-            "rank_code",
-            "ncbi_taxid",
-            "sci_name",
-        ]
-        if self.query_info.total_weighted_hashes == 0:
+        header = list(_KREPORT_COLS)
+        if not self.query_info.total_weighted_hashes:
             raise ValueError(
                 "ERROR: cannot produce 'kreport' format from gather results before sourmash v4.5.0"
             )
-        required_ranks = set(RANKCODE.keys())
-        acceptable_ranks = list(self.ranks) + ["unclassified", "kingdom"]
-        if not required_ranks.issubset(set(acceptable_ranks)):
+        acceptable = set(self.ranks) | {"unclassified", "kingdom"}
+        if not set(RANKCODE).issubset(acceptable):
             raise ValueError(
                 f"ERROR: cannot produce 'kreport' format from ranks {', '.join(self.ranks)}"
             )
@@ -1963,6 +1919,28 @@ def load_gather_results(
     return (by_query, header)
 
 
+_SUMMARY_COLS = (
+    "query_name",
+    "rank",
+    "fraction",
+    "lineage",
+    "query_md5",
+    "query_filename",
+    "f_weighted_at_rank",
+    "bp_match_at_rank",
+    "query_ani_at_rank",
+)
+
+_KREPORT_COLS = (
+    "percent_containment",
+    "num_bp_contained",
+    "num_bp_assigned",
+    "rank_code",
+    "ncbi_taxid",
+    "sci_name",
+)
+
+
 def check_and_load_gather_csvs(
     gather_csvs,
     tax_assign,
@@ -1980,29 +1958,33 @@ def check_and_load_gather_csvs(
     gather_results = {}
     n_ignored = 0
     n = 0
+    load_opts = dict(
+        force=force,
+        keep_full_identifiers=keep_full_identifiers,
+        keep_identifier_versions=keep_identifier_versions,
+        fail_on_missing_taxonomy=fail_on_missing_taxonomy,
+        lins=lins,
+        ictv=ictv,
+    )
     for n, gather_csv in enumerate(gather_csvs):
         try:
             these_results, _ = load_gather_results(
                 gather_csv,
                 tax_assign,
                 seen_queries=gather_results.keys(),
-                force=force,
-                keep_full_identifiers=keep_full_identifiers,
-                keep_identifier_versions=keep_identifier_versions,
-                fail_on_missing_taxonomy=fail_on_missing_taxonomy,
-                lins=lins,
-                ictv=ictv,
+                **load_opts,
             )
         except ValueError as exc:
+            msg = str(exc)
             if not force:
                 notify("Exiting.")
                 raise
-            if "found in more than one CSV" in str(exc):
+            if "found in more than one CSV" in msg:
                 notify("Cannot force past duplicated gather query. Exiting.")
                 raise
-            if "Failing, as requested via --fail-on-missing-taxonomy" in str(exc):
+            if "Failing, as requested via --fail-on-missing-taxonomy" in msg:
                 raise
-            notify(str(exc))
+            notify(msg)
             notify(
                 "--force is set. Attempting to continue to next set of gather results."
             )
@@ -2073,19 +2055,19 @@ def aggregate_by_lineage_at_rank(query_gather_results, rank, *, by_query=False):
 def format_for_krona(query_gather_results, rank, *, classification=False):
     "Aggregate and format for krona output."
     header = query_gather_results[0].make_krona_header(min_rank=rank)
-    krona_results = []
     if len(query_gather_results) > 1:
         notify(
             "WARNING: results from more than one query found. Krona summarization not recommended.\n"
             "Percentage assignment will be normalized by the number of queries to maintain range 0-100%."
         )
 
+    krona_results = []
     if classification:
         for q_res in query_gather_results:
             if q_res.classified_ranks != [rank]:
                 q_res.build_classification_result(rank=rank)
                 header = q_res.make_krona_header(min_rank=rank)
-            krona_results.extend([q_res.krona_classified])
+            krona_results.append(q_res.krona_classified)
         return krona_results, header
 
     lineage_summary, _ = aggregate_by_lineage_at_rank(
@@ -2141,18 +2123,17 @@ def write_summary(
     lingroups=None,
 ):
     "Write taxonomy-summarized gather results for each rank."
-    w = None
+    writer = None
     for q_res in query_gather_results:
         header, summary = q_res.make_full_summary(
-            limit_float=limit_float_decimals,
             classification=classification,
+            limit_float=limit_float_decimals,
             lingroups=lingroups,
         )
-        if w is None:
-            w = csv.DictWriter(csv_fp, header, delimiter=sep)
-            w.writeheader()
-        for res in summary:
-            w.writerow(res)
+        if writer is None:
+            writer = csv.DictWriter(csv_fp, header, delimiter=sep)
+            writer.writeheader()
+        writer.writerows(summary)
 
 
 _HUMAN_CLS_HEADER = (
