@@ -194,23 +194,47 @@ def main():
         file=sys.stderr,
     )
 
-    # best-of-3 measurement windows: the dev tunnel's dispatch latency is
-    # noisy under transient load, and the minimum is the honest device rate
-    reps = 24
-    t_device = float("inf")
-    total_valid = 0
-    for _win in range(3):
-        t0 = time.perf_counter()
-        last = None
-        for i in range(reps):
-            last = run(batches[i % n_batches], mh_variants[i % len(mh_variants)])
-        total_valid = int(np.asarray(last).sum())  # readback closes the chain
-        t_device = min(t_device, time.perf_counter() - t0)
-    n_windows_timed = reps * B * chunk
+    # LINK-INVARIANT measurement (round 5): the whole rep chain runs in ONE
+    # device dispatch — a lax.fori_loop over the pre-uploaded batch pool —
+    # and the constant dispatch+RTT overhead is cancelled exactly by timing
+    # two chain lengths and taking the slope. A 10 MB/s and a 200 MB/s
+    # tunnel then measure the same per-chip rate (nothing but one scalar
+    # crosses the link per timed call). The varying `salt` argument defeats
+    # any result cache between repeated identical dispatches.
+    from jax import lax
+
+    stacked = jnp.stack([jnp.asarray(b) for b in batches])
+    mhs = jnp.stack([jnp.asarray(m) for m in mh_variants])
+
+    @jax.jit
+    def run_chain(n_reps, salt):
+        def body(i, acc):
+            batch = lax.dynamic_index_in_dim(stacked, i % n_batches, 0,
+                                             keepdims=False)
+            mh = mhs[i % mhs.shape[0]]
+            cnt = run(batch, mh)
+            return acc + jnp.sum(cnt.astype(jnp.int64))
+
+        return lax.fori_loop(0, n_reps, body, salt)
+
+    r_small, r_big = 8, 72
+    salt = [np.int64(0)]
+
+    def chain(r):
+        salt[0] += 1
+        return int(np.asarray(run_chain(np.int32(r), salt[0])))
+
+    total_valid = chain(r_small)  # warm/compile (bound is traced: one jit)
+    t_small = min(_timed(lambda: chain(r_small)) for _ in range(3))
+    t_big = min(_timed(lambda: chain(r_big)) for _ in range(3))
+    t_device = t_big - t_small  # pure device time for (r_big-r_small) reps
+    assert t_device > 0, (t_small, t_big)
+    n_windows_timed = (r_big - r_small) * B * chunk
     kmers_per_sec = n_windows_timed / t_device
     print(
-        f"bench: {reps} batch calls, last_valid={total_valid}, "
-        f"{t_device:.3f}s total",
+        f"bench: chained {r_small}/{r_big} reps in one dispatch each: "
+        f"{t_small:.3f}s / {t_big:.3f}s -> slope {t_device:.3f}s for "
+        f"{r_big - r_small} reps (salted acc={total_valid})",
         file=sys.stderr,
     )
 
@@ -266,6 +290,11 @@ def main():
     extra = query_engine_metrics()
     extra["sketch_value_exact_on_device"] = True
     extra["aa_windows_per_sec"] = aa_throughput()
+    try:
+        sketch_cli_metrics(extra)
+    except Exception as exc:
+        print(f"bench: sketch CLI leg failed: {exc!r}", file=sys.stderr)
+        extra["sketch_cli_error"] = repr(exc)
     emit(extra)
     try:
         zip_gather_metrics(
@@ -314,24 +343,133 @@ def aa_throughput():
     if not np.array_equal(got, want):
         raise SystemExit("device/host aa hash values disagree")
 
-    # 16 distinct uploaded batches: consecutive identical calls would hit
-    # the tunnel's result cache and fake the rate
-    batches = [
-        jax.device_put(rng.choice(alpha, size=(B, S))) for _ in range(16)
-    ]
-    for x in batches:
-        np.asarray(x).ravel()[:1]
-    reps = 16
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(reps):
-            last = aa_window_hash_pairs_pallas(batches[i], ksize=k)
-        float(np.asarray(last[0].ravel()[:1])[0])
-        best = min(best, time.perf_counter() - t0)
-    rate = reps * B * (1 << 21) / best
-    print(f"bench: aa hashing {rate/1e6:.0f} Maa-windows/s", file=sys.stderr)
+    # LINK-INVARIANT chain (round 5): 8 distinct pre-uploaded batches, the
+    # rep loop runs on device in one dispatch, constant dispatch+RTT
+    # overhead cancelled by the two-length slope; `salt` defeats any
+    # result cache between repeated identical dispatches.
+    from jax import lax
+
+    n_pool = 8
+    stacked = jnp.stack(
+        [jnp.asarray(rng.choice(alpha, size=(B, S))) for _ in range(n_pool)]
+    )
+    np.asarray(stacked).ravel()[:1]
+
+    @jax.jit
+    def aa_chain(n_reps, salt):
+        def body(i, acc):
+            b = lax.dynamic_index_in_dim(stacked, i % n_pool, 0, keepdims=False)
+            hi, lo, _v = aa_window_hash_pairs_pallas(b, ksize=k)
+            # consume a strided slice so the kernel can't be elided
+            return acc + lo[0, :: 65536].astype(jnp.int64).sum()
+
+        return lax.fori_loop(0, n_reps, body, salt)
+
+    salt = [np.int64(0)]
+
+    def chain(r):
+        salt[0] += 1
+        return float(np.asarray(aa_chain(np.int32(r), salt[0])))
+
+    r_small, r_big = 4, 20
+    chain(r_small)  # warm/compile
+    t_small = min(_timed(lambda: chain(r_small)) for _ in range(3))
+    t_big = min(_timed(lambda: chain(r_big)) for _ in range(3))
+    assert t_big > t_small, (t_small, t_big)
+    rate = (r_big - r_small) * B * (1 << 21) / (t_big - t_small)
+    print(
+        f"bench: aa hashing {rate/1e6:.0f} Maa-windows/s "
+        f"(slope {t_big - t_small:.3f}s over {r_big - r_small} chained reps)",
+        file=sys.stderr,
+    )
     return round(rate, 1)
+
+
+def sketch_cli_metrics(out):
+    """BASELINE config 1 end-to-end: `sourmash sketch dna` on the three
+    bundled GCF genomes (FASTA.gz -> one .sig), timed cold and warm through
+    the real CLI entry point. Parity-gated two ways: every CLI md5 must
+    equal the single-thread native host twin's (the reference's
+    `command_sketch.py:662` _compute_individual loop, re-run here and timed
+    as the vs-host baseline), and GCF_000005845's k=31 md5 must equal the
+    known-good reference value."""
+    import glob
+    import hashlib  # noqa: F401  (kept for parity helpers)
+    import io as _io
+    import tempfile
+    from contextlib import redirect_stderr, redirect_stdout
+
+    import sourmash_tpu as sm
+    from sourmash_tpu import native
+    from sourmash_tpu.__main__ import main as sm_main
+    from sourmash_tpu.ops import encodings as enc
+    from sourmash_tpu.sequence_io import iter_records_bytes
+    from sourmash_tpu.signature import (
+        load_signatures_from_json,
+        save_signatures_to_json,
+    )
+
+    genomes = sorted(glob.glob("/root/reference/data/*.fna.gz"))
+    assert genomes, "bundled genomes missing"
+
+    with tempfile.TemporaryDirectory() as td:
+        outp = os.path.join(td, "out.sig")
+
+        def run_cli():
+            if os.path.exists(outp):
+                os.remove(outp)
+            o, e = _io.StringIO(), _io.StringIO()
+            with redirect_stdout(o), redirect_stderr(e):
+                rc = sm_main(["sketch", "dna", *genomes, "-o", outp])
+            assert not rc, e.getvalue()
+
+        t0 = time.perf_counter()
+        run_cli()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_cli()
+        warm = time.perf_counter() - t0
+        cli_md5s = [ss.md5sum() for ss in load_signatures_from_json(outp)]
+
+        # single-thread native host twin of the same flow: stream records,
+        # canonical-murmur+threshold each on ONE thread, write the .sig
+        twin_path = os.path.join(td, "twin.sig")
+        total_bp = 0
+        t0 = time.perf_counter()
+        twin_sigs = []
+        for g in genomes:
+            mh = sm.MinHash(0, 31, scaled=1000)
+            for _name, s in iter_records_bytes(g):
+                arr = enc.upper(np.frombuffer(s, dtype=np.uint8))
+                total_bp += arr.shape[0]
+                surv, _first_bad = native.sketch_hashes(
+                    arr, 31, 42, int(mh._max_hash), n_threads=1
+                )
+                mh.add_many(np.unique(surv))
+            twin_sigs.append(sm.SourmashSignature(mh, filename=g))
+        with open(twin_path, "wb") as fp:
+            save_signatures_to_json(twin_sigs, fp)
+        host_s = time.perf_counter() - t0
+        twin_md5s = [ss.md5sum() for ss in load_signatures_from_json(twin_path)]
+
+    assert cli_md5s == twin_md5s, (cli_md5s, twin_md5s)
+    ecoli = [g for g in genomes if "GCF_000005845" in g]
+    if ecoli:
+        i = genomes.index(ecoli[0])
+        assert cli_md5s[i] == "0a8632c67e6d88f737ddb510bef90337", cli_md5s[i]
+
+    out["sketch_cli_wall_s"] = round(warm, 2)
+    out["sketch_cli_cold_s"] = round(cold, 2)
+    out["sketch_cli_mbp_per_s"] = round(total_bp / 1e6 / warm, 1)
+    out["sketch_cli_host_1t_s"] = round(host_s, 2)
+    out["sketch_cli_vs_host"] = round(host_s / warm, 2)
+    print(
+        f"bench: sketch dna CLI ({len(genomes)} genomes, "
+        f"{total_bp/1e6:.1f} Mbp) {cold:.2f}s cold / {warm:.2f}s warm = "
+        f"{out['sketch_cli_mbp_per_s']} Mbp/s; single-thread host twin "
+        f"{host_s:.2f}s ({out['sketch_cli_vs_host']}x), md5 parity OK",
+        file=sys.stderr,
+    )
 
 
 def _measure_rtt_ms():

@@ -324,6 +324,27 @@ def _pick_slots(max_hash) -> int:
     return 4 if int(max_hash) <= (1 << 64) // 768 else 8
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_slots_device(sh, sl, cnt, cap: int):
+    """Device epilogue: packed [B, nseg, slots] slot planes -> dense
+    [B, cap] u64 survivors (window order) + per-row survivor counts +
+    per-row slot-overflow flags. Compacting on device shrinks the
+    readback ~8x vs pulling the slot planes to host — the CLI sketch
+    flow's dominant cost on bandwidth-limited links."""
+    slots = sh.shape[-1]
+    mask = (
+        jnp.arange(slots, dtype=jnp.int32)[None, None, :]
+        < cnt[:, :, None].astype(jnp.int32)
+    )
+    bad = (cnt.astype(jnp.int32) > slots).any(axis=1)
+
+    def row(m, hh, hl):
+        return _compact_keep(m.reshape(-1), hh.reshape(-1), hl.reshape(-1), cap)
+
+    out64, n_row = jax.vmap(row)(mask, sh, sl)
+    return out64, n_row, bad
+
+
 def _slots_to_hashes(slots_hi, slots_lo, counts):
     """Host finish: packed per-segment slot tensors -> uint64 survivor
     multiset (window order within each chunk row). Returns
@@ -428,13 +449,20 @@ def seq_chunks_to_hashes(
                 jnp.asarray(batch), jnp.asarray(mh), ksize=ksize, seed=seed,
                 slots=_pick_slots(mh), interpret=interp,
             )
-            hashes, bad_rows = _slots_to_hashes(sh, sl, cnt)
-            if hashes.size:
-                out.append(hashes)
+            dense, n_row, bad = _compact_slots_device(sh, sl, cnt, cap)
+            # one batched transfer for all three outputs (a separate
+            # blocking np.asarray per array costs one link RTT each)
+            vals, n_row, bad = jax.device_get((dense, n_row, bad))
+            bad_rows = []
+            for i in range(len(n_row)):
+                # slot overflow or survivor-cap overflow: dense-path retry
+                if bad[i] or int(n_row[i]) > cap:
+                    bad_rows.append(i)
+                elif n_row[i]:
+                    out.append(vals[i, : int(n_row[i])])
             if not bad_rows:
                 continue
-            # segments overflowed their slots in these rows only: recompute
-            # just those chunks on the dense path
+            # these rows only: recompute on the dense path
             batch = batch[np.asarray(bad_rows)]
         vals_dev, n_valid = _seq_batch_to_compact_hashes(
             jnp.asarray(batch), mh, ksize, seed, cap, _use_pallas_default()
