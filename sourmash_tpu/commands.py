@@ -995,7 +995,7 @@ def _multigather_prepare(all_queries, databases, args):
     _PrefetchSweep}; queries skipped here (bad scaled, empty after
     downsample, sweep errors) fall back to the output loop's own path so
     its error messages and ordering stay exactly as before."""
-    from .index.flat import compute_schedules_batch, schedule_device_gather
+    from .index.flat import converge_schedules_batch, schedule_device_gather
 
     pre = {}
     coords = []
@@ -1024,7 +1024,7 @@ def _multigather_prepare(all_queries, databases, args):
             if coord is not None:
                 coords.append(coord)
     if coords:
-        compute_schedules_batch(coords, args.threshold_bp)
+        converge_schedules_batch(coords, args.threshold_bp)
     return pre
 
 

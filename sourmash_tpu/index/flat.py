@@ -49,6 +49,7 @@ class FlatIndex(Index):
         self._counts_cache = {}  # md5(query mins) -> counts (pop on hit)
         self._all_scaled = None  # lazy: every signature has nonzero scaled
         self._min_subject_scaled = None  # lazy: coarsest-pair fast path
+        self._row_lut = None  # lazy: dataset id -> (bank, chunk, row)
 
     @property
     def location(self):
@@ -79,6 +80,7 @@ class FlatIndex(Index):
             self._locations.append(None)
         self._banks = None
         self._banks_dir = None  # stale on-disk planes must not be reloaded
+        self._row_lut = None
         self._ds_mins = None
         self._scaled = None
         self._cuts_cache = None
@@ -182,6 +184,23 @@ class FlatIndex(Index):
         return counts_for_banks(
             self._banks, query_mins, n_datasets=len(self._signatures)
         )
+
+    def _row_lookup(self):
+        "Per-dataset (bank idx, chunk idx, row-in-chunk) int32 lookup arrays."
+        if self._row_lut is None:
+            self._build()
+            n = len(self._signatures)
+            b = np.full(n, -1, np.int32)
+            c = np.full(n, -1, np.int32)
+            r = np.full(n, -1, np.int32)
+            for bi, bank in enumerate(self._banks):
+                for ci, ids in enumerate(bank.ids):
+                    ids = np.asarray(ids, dtype=np.int64)
+                    b[ids] = bi
+                    c[ids] = ci
+                    r[ids] = np.arange(len(ids), dtype=np.int32)
+            self._row_lut = (b, c, r)
+        return self._row_lut
 
     def warm_gather_counts(self, query_mhs, block: int | None = None) -> None:
         """Precompute counter_gather overlap counts for MANY queries in
@@ -467,6 +486,10 @@ class FlatCounterGather:
         # sets, so rows computed once are reused across reschedules
         self._bitset_rows = {}
         self._bitset_rows_W = None
+        # device-membership path caches: per-bank-B packed query planes +
+        # index->slot maps (device), and the spill/tail patch COO
+        self._dev_qpacks = {}
+        self._dev_patch = None
 
     def _get_groups(self):
         "Device membership groups for host-mode consume, built on demand."
@@ -618,6 +641,163 @@ class FlatCounterGather:
                 M[c0 : c0 + len(part)] = (
                     bits.reshape(len(part), W, 32).astype(np.uint32) << shifts
                 ).sum(-1, dtype=np.uint32)
+        return M
+
+    def _device_membership_ok(self):
+        """Eligible for the on-device membership path: banks built and
+        every chunk's planes resident in HBM (streamed banks keep the
+        host path)."""
+        banks = self.index._banks
+        if not banks:
+            return False
+        return all(
+            hasattr(c.hi, "devices") for b in banks for c in b.chunks
+        )
+
+    def _qpack_for_B(self, B, W):
+        "Cached (query planes, device slotmap) for one bank bucket count."
+        hit = self._dev_qpacks.get((B, W))
+        if hit is not None:
+            return hit
+        from ..ops.bucketed import pack_query_bucketed, query_slot_map
+
+        q = self._q_mins
+        core = q[:-1] if self._q_has_max else q
+        qhi, qlo, qcnt, dq, _tail = pack_query_bucketed(core, B)
+        slotmap = jnp.asarray(query_slot_map(core, B, dq, W * 32))
+        pack = (qhi, qlo, qcnt, dq, slotmap)
+        self._dev_qpacks[(B, W)] = pack
+        return pack
+
+    def _membership_patches(self, W):
+        """COO patch for hashes the planes cannot represent: subject
+        spill-list hashes present in the query, and the 2^64-1 tail for
+        datasets in _max_ids. {dataset id: (word idx array, mask array)}."""
+        if self._dev_patch is not None:
+            return self._dev_patch
+        q = self._q_mins
+        patch = {}
+        if not self._q_has_max and not any(
+            c.n_spilled for b in self.index._banks for c in b.chunks
+        ):
+            self._dev_patch = {}
+            return self._dev_patch
+
+        def add_bit(ds, pos):
+            w, b = divmod(int(pos), 32)
+            words, masks = patch.setdefault(int(ds), ({}, None))
+            words[w] = words.get(w, 0) | (1 << b)
+
+        lut_b, lut_c, lut_r = self.index._row_lookup()
+        banks = self.index._banks
+        for ds in range(len(lut_b)):
+            bi = lut_b[ds]
+            if bi < 0:
+                continue
+            chunk = banks[bi].chunks[lut_c[ds]]
+            if not chunk.n_spilled:
+                continue
+            sp = chunk.spills[lut_r[ds]]
+            if not len(sp):
+                continue
+            idx = np.searchsorted(q, sp)
+            idx_c = np.minimum(idx, max(len(q) - 1, 0))
+            hit = q[idx_c] == sp
+            for pos in idx_c[hit]:
+                add_bit(ds, pos)
+        if self._q_has_max:
+            for ds in self._resolve_max_ids():
+                add_bit(ds, len(q) - 1)
+        self._dev_patch = {
+            ds: (
+                np.fromiter(words.keys(), dtype=np.int32, count=len(words)),
+                np.fromiter(
+                    words.values(), dtype=np.uint32, count=len(words)
+                ),
+            )
+            for ds, (words, _) in patch.items()
+        }
+        return self._dev_patch
+
+    def _resolve_max_ids(self):
+        "Dataset ids whose sketch contains the 2^64-1 hash."
+        out = []
+        for i, m in enumerate(self.index._ds_mins or []):
+            if len(m) and m[-1] == np.uint64(0xFFFFFFFFFFFFFFFF):
+                out.append(i)
+        return out
+
+    def _membership_rows_device(self, ids, W, block: int | None = None):
+        """[k, W] u32 membership bitsets (sorted-query index space) for an
+        explicit candidate-id list, computed ON DEVICE from the resident
+        bank planes — no host bitset build, no matrix upload. Replaces
+        `_membership_for_ids` + upload on the scheduled-gather hot path;
+        spilled hashes and the 2^64-1 tail are patched with a tiny exact
+        scatter."""
+        from ..ops.bucketed import _membership_bits_packed
+
+        ids = np.asarray(ids, dtype=np.int64)
+        k = len(ids)
+        lut_b, lut_c, lut_r = self.index._row_lookup()
+        banks = self.index._banks
+        # group candidate positions by (bank, chunk); blocks compute in
+        # grouped order and concatenate, then ONE inverse-permutation take
+        # restores ids order (cheaper than per-block row scatters)
+        order = np.lexsort((lut_r[ids], lut_c[ids], lut_b[ids]))
+        gb = lut_b[ids][order]
+        gc = lut_c[ids][order]
+        bounds = np.flatnonzero(np.diff(gb.astype(np.int64) << 32 | gc)) + 1
+        pieces = []
+        for a, e in zip(
+            np.concatenate([[0], bounds]),
+            np.concatenate([bounds, [k]]),
+        ):
+            pos = order[a:e]
+            bank = banks[int(gb[a])]
+            chunk = bank.chunks[int(gc[a])]
+            qhi, qlo, qcnt, dq, slotmap = self._qpack_for_B(bank.B, W)
+            if block is None:
+                # bound the [block, dq, B] bool transient to ~128 MB,
+                # power-of-two so shapes (and compiles) stay classed
+                blk = int(min(2048, max(256, (128 << 20) // max(dq * bank.B, 1))))
+                blk = 1 << (blk.bit_length() - 1)
+            else:
+                blk = block
+            rows_sel = lut_r[ids[pos]]
+            for s in range(0, len(pos), blk):
+                sel = rows_sel[s : s + blk]
+                pad = blk - len(sel) if len(pos) > blk else 0
+                if pad > 0:  # one compiled shape per chunk class
+                    sel = np.concatenate([sel, np.zeros(pad, sel.dtype)])
+                selj = jnp.asarray(sel)
+                Mc = _membership_bits_packed(
+                    qhi, qlo,
+                    jnp.take(chunk.hi, selj, axis=0),
+                    jnp.take(chunk.lo, selj, axis=0),
+                    jnp.take(chunk.cnt, selj, axis=0),
+                    slotmap,
+                )
+                pieces.append(Mc[: blk - pad] if pad > 0 else Mc)
+        stacked = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        inv = np.empty(k, dtype=np.int32)
+        inv[order] = np.arange(k, dtype=np.int32)
+        M = jnp.take(stacked, jnp.asarray(inv), axis=0)
+        patches = self._membership_patches(W)
+        if patches:
+            rws, cws, msks = [], [], []
+            for r, ds in enumerate(ids):
+                p = patches.get(int(ds))
+                if p is None:
+                    continue
+                words, masks = p
+                rws.extend([r] * len(words))
+                cws.extend(words.tolist())
+                msks.extend(masks.tolist())
+            if rws:
+                ri = jnp.asarray(np.asarray(rws, dtype=np.int32))
+                wi = jnp.asarray(np.asarray(cws, dtype=np.int32))
+                mk = jnp.asarray(np.asarray(msks, dtype=np.uint32))
+                M = M.at[ri, wi].set(M[ri, wi] | mk)
         return M
 
     def _recount(self, cur_query_mh, threshold_bp=0):
@@ -926,7 +1106,7 @@ class DeviceGatherSchedule:
         self.pos = 0
         self._consumed = 0
 
-    def _build_inputs(self, threshold_bp, dev_cached=None):
+    def _build_inputs(self, threshold_bp, dev_cached=None, build_mats=True):
         """The scan inputs for this coordinator's query:
         (rows [(counter_idx, dataset_id)], counts [k] i32, alive_p [W]
         u32, thresh, new_keys, M_new) — host membership bitsets are built
@@ -995,6 +1175,8 @@ class DeviceGatherSchedule:
                 continue
             rows.extend((ci, int(i)) for i in ids)
             counts.append(c.counts[ids])
+            if not build_mats:
+                continue
             if dev_cached is None:
                 need = ids
             else:  # host-build only rows not already resident on device
@@ -1034,13 +1216,25 @@ class DeviceGatherSchedule:
         self.ready = True
         devices = jax.devices()
         multi = len(devices) > 1
+        # single-counter resident-bank case: membership bitsets compute ON
+        # DEVICE from the bank planes — no host build, no matrix upload
+        # (the dominant at-scale (re)schedule cost on bandwidth-limited
+        # links); the host path with its row cache remains for streamed
+        # banks, multi-counter gathers and the sharded multi-device scan
+        dev_membership = (
+            not multi
+            and len(self.counters) == 1
+            and self.counters[0]._device_membership_ok()
+        )
         if not multi:
             q0 = self.counters[0]._q_mins
             W0 = -(-len(q0) // 32) if len(q0) else 0
             if self._dev_W != W0:
                 self._dev_rows, self._dev_mat, self._dev_W = {}, None, W0
         built = self._build_inputs(
-            threshold_bp, dev_cached=None if multi else self._dev_rows
+            threshold_bp,
+            dev_cached=None if (multi or dev_membership) else self._dev_rows,
+            build_mats=not dev_membership,
         )
         if built is None:
             self._sched = []
@@ -1079,6 +1273,14 @@ class DeviceGatherSchedule:
                 jax.device_put(counts, NamedSharding(mesh, P("shards"))),
             )
             run = lambda c: scan(Mdev, c[0], c[1], jnp.int32(thresh))
+        elif dev_membership:
+            chunk = int(min(k, 64 if k > 4096 else 256))
+            W = alive_p.shape[0]
+            Mj = self.counters[0]._membership_rows_device(
+                np.asarray([ds for _ci, ds in rows], dtype=np.int64), W
+            )
+            carry = (jnp.asarray(alive_p), jnp.asarray(counts))
+            run = lambda c: _schedule_scan(Mj, c, thresh, chunk)
         else:
             # fewer rounds per dispatch when the candidate set is huge: each
             # scanned round costs O(k*W) u32 ops whether or not the
@@ -1146,7 +1348,7 @@ def _schedule_scan_batch(M, alive_p, counts, thresh, length):
     return jax.vmap(one)(M, alive_p, counts, thresh)
 
 
-def compute_schedules_batch(coords, threshold_bp, block: int = 64):
+def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False):
     """Compute MANY coordinators' gather round schedules in data-parallel
     batches — the product form of BASELINE config 5 (N samples streaming
     against one reference database; the reference's multigather loops
@@ -1160,40 +1362,66 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
     produced them (same _schedule_scan semantics, verified by tests)."""
     import os
 
+    devices = jax.devices()
+    n_dev = len(devices)
+
     pending = []
     for coord in coords:
         coord.ready = True
-        coord._sched = []
-        built = coord._build_inputs(threshold_bp)
+        if not extend:
+            coord._sched = []
+        # single-device, single-counter, resident-bank coords build their
+        # membership bitsets ON DEVICE (no host build / matrix upload) —
+        # the same fast path as DeviceGatherSchedule.compute
+        dev_ok = (
+            n_dev == 1
+            and len(coord.counters) == 1
+            and coord.counters[0]._device_membership_ok()
+        )
+        built = coord._build_inputs(threshold_bp, build_mats=not dev_ok)
         if built is not None:
-            pending.append((coord, built))
+            pending.append((coord, built, dev_ok))
     if not pending:
         return
 
-    devices = jax.devices()
-    n_dev = len(devices)
     from jax.sharding import Mesh, NamedSharding
     from jax.sharding import PartitionSpec as P
 
     for b0 in range(0, len(pending), block):
         sub = pending[b0 : b0 + block]
-        kmax = max(b[5].shape[0] for _, b in sub)
-        Wmax = max(b[5].shape[1] for _, b in sub)
+        # quantized pad classes: one compile per class instead of one per
+        # block when query/candidate sizes drift
+        kmax = -(-max(len(b[0]) for _, b, _ in sub) // 512) * 512
+        Wmax = -(-max(b[2].shape[0] for _, b, _ in sub) // 128) * 128
         Q = len(sub)
         Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else Q
-        Mb = np.zeros((Qp, kmax, Wmax), dtype=np.uint32)
         Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
         Cb = np.zeros((Qp, kmax), dtype=np.int32)
         Tb = np.ones(Qp, dtype=np.int32)  # pad rows: zero counts, no rounds
-        # dev_cached=None in the batch path: M (b[5]) is the full matrix
-        for qi, (coord, (rows, counts, alive_p, thresh, _nk, M)) in enumerate(
-            sub
+        mats = []
+        for qi, (coord, (rows, counts, alive_p, thresh, _nk, M), dev_ok) in (
+            enumerate(sub)
         ):
-            k, W = M.shape
-            Mb[qi, :k, :W] = M
+            k, W = len(rows), alive_p.shape[0]
+            if dev_ok:
+                # computed directly at the block's padded width: one
+                # compile class, no per-query W pad
+                Mq = coord.counters[0]._membership_rows_device(
+                    np.asarray([ds for _ci, ds in rows], dtype=np.int64),
+                    Wmax,
+                )
+                mats.append(jnp.pad(Mq, ((0, kmax - k), (0, 0))))
+            else:
+                Mq = jnp.asarray(M)
+                mats.append(jnp.pad(Mq, ((0, kmax - k), (0, Wmax - W))))
             Ab[qi, :W] = alive_p
             Cb[qi, :k] = counts
             Tb[qi] = thresh
+        if Qp != Q:
+            mats.extend(
+                [jnp.zeros((kmax, Wmax), dtype=jnp.uint32)] * (Qp - Q)
+            )
+        Mb = jnp.stack(mats)
         chunk = int(min(kmax, 64 if kmax > 4096 else 256))
 
         if n_dev > 1:
@@ -1208,7 +1436,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
             )
             Tj = jax.device_put(Tb, NamedSharding(mesh, P("data")))
         else:
-            Mj = jnp.asarray(Mb)
+            Mj = Mb
             carry = (jnp.asarray(Ab), jnp.asarray(Cb))
             Tj = jnp.asarray(Tb)
 
@@ -1234,9 +1462,93 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64):
                     if len(scheds[qi]) >= len(rows):
                         open_q[qi] = False
             rounds_done += chunk
-        for qi, (coord, _built) in enumerate(sub):
+        for qi, (coord, _built, _dev_ok) in enumerate(sub):
             coord.truncated = bool(coord._cap_guard)
-            coord._sched = scheds[qi]
+            if extend:
+                coord._sched = list(coord._sched) + scheds[qi]
+            else:
+                coord._sched = scheds[qi]
+
+
+def converge_schedules_batch(coords, threshold_bp, block: int = 64):
+    """compute_schedules_batch plus BATCHED capped-reschedule convergence.
+
+    A truncated capped schedule normally converges by per-query
+    GatherRoundRestart cycles — each costing a full-bank recount pass.
+    Here all truncated queries recount together in one batched device pass
+    per iteration (`counts_for_banks_batch`) and their schedules EXTEND in
+    place, so replay never restarts: the per-iteration cost is shared by
+    the whole wave instead of paid per query. Single-counter coordinators
+    only (the multigather shape); others keep the restart path."""
+    from ..ops.index_ops import counts_for_banks_batch
+
+    live = [c for c in coords if c is not None]
+    compute_schedules_batch(live, threshold_bp, block)
+    stalled: set = set()
+    for _ in range(16):
+        pending = [
+            c
+            for c in live
+            if c.truncated and len(c.counters) == 1 and id(c) not in stalled
+        ]
+        if not pending:
+            break
+        progress_base = {id(c): len(c._sched) for c in pending}
+        # remaining query after the rounds scheduled so far (round removal
+        # is set subtraction, so the union of winners suffices)
+        alive_list = []
+        for coord in pending:
+            c0 = coord.counters[0]
+            q = c0._q_mins
+            won = [
+                c0.index._ds_mins[ds] for _ci, ds, _cnt in coord._sched
+            ]
+            alive = (
+                np.setdiff1d(q, np.concatenate(won), assume_unique=False)
+                if won
+                else q
+            )
+            alive_list.append(alive)
+        # one batched pass per distinct index (multigather: all the same)
+        groups = {}
+        for coord, alive in zip(pending, alive_list):
+            groups.setdefault(id(coord.counters[0].index), []).append(
+                (coord, alive)
+            )
+        fresh_rows = {}
+        for grp in groups.values():
+            idx = grp[0][0].counters[0].index
+            rows_g = counts_for_banks_batch(
+                idx._banks, [a for _c, a in grp], len(idx._signatures)
+            )
+            for (coord, _a), row in zip(grp, rows_g):
+                fresh_rows[id(coord)] = row
+        for coord, alive in zip(pending, alive_list):
+            row = fresh_rows[id(coord)]
+            c0 = coord.counters[0]
+            counts = np.where(c0.counts > 0, row, 0).astype(np.int64)
+            if threshold_bp:
+                try:
+                    _, n_th = calc_threshold_from_bp(
+                        threshold_bp, c0.scaled, max(len(alive), 1)
+                    )
+                except ValueError:
+                    n_th = None
+                if n_th is not None:
+                    counts = np.where(counts >= max(n_th, 1), counts, 0)
+            c0.counts = counts
+            c0._groups = None
+            c0._bitsets_cache = None
+            coord.reschedules += 1
+            coord._alive_mins = alive
+            coord.truncated = False
+        compute_schedules_batch(pending, threshold_bp, block, extend=True)
+        for c in pending:
+            # a coordinator gaining no rounds cannot converge here — its
+            # replay falls back to exact host rounds at exhaustion (the
+            # same no-progress bail as the serial GatherRoundRestart path)
+            if len(c._sched) == progress_base[id(c)]:
+                stalled.add(id(c))
 
 
 def _run_batch_scan(sharded_scan, Mj, carry, Tj, chunk):

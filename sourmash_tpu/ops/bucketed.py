@@ -876,6 +876,37 @@ def membership_matrix(q_full: np.ndarray, bank: BucketedRows, row_ids, q_packed=
     return M, q_packed
 
 
+@jax.jit
+def _membership_bits_packed(qhi, qlo, Shi, Slo, Scnt, slotmap):
+    """Selected subject rows -> packed membership bitsets in sorted-query
+    INDEX space, entirely on device.
+
+    qhi/qlo: [dq, B] query planes; Shi/Slo/Scnt: [nm, d, B] subject planes
+    (already row-gathered); slotmap: [W*32] int32 mapping query index j ->
+    flat slot position slot*B+bucket (dq*B for positions with no slot:
+    padding past len(q), and the 2^64-1 tail). Returns [nm, W] u32 with
+    bit j of word w == (query hash 32w+j) in subject row."""
+    m = _membership_rows(qhi, qlo, Shi, Slo, Scnt)  # [nm, dq, B] bool
+    nm = m.shape[0]
+    flat = m.reshape(nm, -1)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((nm, 1), dtype=flat.dtype)], axis=1
+    )
+    bits = jnp.take(flat, slotmap, axis=1)  # [nm, W*32]
+    return pack_bits_u32(bits)
+
+
+def query_slot_map(q_core: np.ndarray, B: int, dq: int, n_positions: int):
+    """Host helper: flat slot position (slot*B + bucket) of each sorted
+    query hash, padded with the dummy position dq*B out to n_positions
+    (covers the word-padding tail and an excluded 2^64-1 hash)."""
+    slotmap = np.full(n_positions, dq * B, dtype=np.int32)
+    if len(q_core):
+        _b, bs, slot, order = _bucketize(q_core, B)
+        slotmap[order] = (slot * B + bs).astype(np.int32)
+    return slotmap
+
+
 # -- abundance-weighted products (angular similarity) -----------------------
 
 

@@ -555,3 +555,129 @@ def test_schedule_candidate_cap_matches_uncapped(monkeypatch):
     assert len(uncapped) >= 15
     for cap in (4, 8, 16):
         assert run(cap) == uncapped, cap
+
+
+def test_device_membership_schedule_matches_host(monkeypatch):
+    """Single-device scheduled gather with membership bitsets computed ON
+    DEVICE from the resident bank planes (no host build/upload) produces
+    byte-identical rounds to the host-membership scan and to plain host
+    rounds — including spilled hashes, the 2^64-1 hash, and the capped
+    reschedule loop."""
+    import jax
+
+    from sourmash_tpu.index import flat as flat_mod
+
+    rng = np.random.default_rng(71)
+    n = 48
+    pool = np.unique(rng.integers(1, 2**63, size=500, dtype=np.uint64))
+    genomes = []
+    for i in range(n):
+        own = np.unique(rng.integers(1, 2**63, size=200, dtype=np.uint64))
+        take = rng.choice(pool, size=150, replace=False)
+        g = np.unique(np.concatenate([own, take]))
+        if i % 7 == 0:  # several datasets carry the max hash
+            g = np.unique(
+                np.concatenate([g, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
+            )
+        genomes.append(g)
+    meta = np.unique(
+        np.concatenate(
+            [genomes[i] for i in range(0, n, 2)]
+            + [pool, [np.uint64(0xFFFFFFFFFFFFFFFF)]]
+        )
+    )
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+    qmh = MinHash(0, 31, scaled=1)
+    qmh.add_many(meta)
+    query = SourmashSignature(qmh, name="meta").to_frozen()
+
+    def run(single_device, cap="0"):
+        monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", cap)
+        if single_device:
+            real = jax.devices()
+            monkeypatch.setattr(
+                flat_mod.jax, "devices", lambda *a: real[:1]
+            )
+        else:
+            monkeypatch.undo()
+            monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", cap)
+        fi = FlatIndex(sigs)
+        c = fi.counter_gather(query, threshold_bp=0)
+        c.enable_device_schedule()
+        rounds = _run_rounds([c], qmh)
+        used_dev = (
+            c._coord is not None
+            and single_device
+            and c._device_membership_ok()
+        )
+        return rounds, used_dev
+
+    host_rounds = _run_rounds(
+        [FlatIndex(sigs).counter_gather(query, threshold_bp=0)], qmh
+    )
+    dev_rounds, used = run(single_device=True)
+    assert used, "device membership path not taken"
+    assert dev_rounds == host_rounds
+    assert len(dev_rounds) >= 12
+
+    # capped reschedule loop through the device-membership path
+    capped, _ = run(single_device=True, cap="6")
+    assert capped == host_rounds
+
+
+def test_converge_schedules_batch_matches_host(monkeypatch):
+    """Batched capped-schedule convergence (truncated queries recounted in
+    one device pass, schedules extended in place) reproduces plain host
+    rounds exactly for every query — with a tiny cap forcing several
+    convergence iterations."""
+    from sourmash_tpu.index.flat import (
+        converge_schedules_batch,
+        schedule_device_gather,
+    )
+
+    rng = np.random.default_rng(97)
+    n = 60
+    pool = np.unique(rng.integers(1, 2**63, size=600, dtype=np.uint64))
+    genomes = []
+    for _ in range(n):
+        own = np.unique(rng.integers(1, 2**63, size=220, dtype=np.uint64))
+        take = rng.choice(pool, size=180, replace=False)
+        genomes.append(np.unique(np.concatenate([own, take])))
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+
+    metas = []
+    for qi in range(6):
+        srcs = list(range(qi, n, 6))[:8]
+        metas.append(
+            np.unique(np.concatenate([genomes[i] for i in srcs] + [pool]))
+        )
+    queries = []
+    for qi, m in enumerate(metas):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(m)
+        queries.append(SourmashSignature(mh, name=f"meta{qi}").to_frozen())
+
+    host = []
+    for q in queries:
+        fi = FlatIndex(sigs)
+        host.append(
+            _run_rounds([fi.counter_gather(q, threshold_bp=0)], q.minhash)
+        )
+
+    monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", "5")
+    fi = FlatIndex(sigs)
+    counters = [fi.counter_gather(q, threshold_bp=0) for q in queries]
+    coords = [schedule_device_gather([c]) for c in counters]
+    converge_schedules_batch(coords, 0)
+    assert any(c.reschedules > 0 for c in coords if c is not None)
+    for qi, q in enumerate(queries):
+        got = _run_rounds([counters[qi]], q.minhash)
+        assert got == host[qi], qi
