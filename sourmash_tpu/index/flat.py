@@ -375,7 +375,7 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames="length")
-def _schedule_scan(M, carry, thresh, length):
+def _schedule_scan(M, carry, thresh, length, keys=None):
     """`length` greedy rounds over a bitset membership matrix.
 
     M [k, W] u32: bit j of word w in row k = (query hash 32w+j) in dataset k.
@@ -386,7 +386,14 @@ def _schedule_scan(M, carry, thresh, length):
 
     def body(c, _):
         alive_p, cnt = c
-        best = jnp.argmax(cnt).astype(jnp.int32)
+        if keys is None:
+            best = jnp.argmax(cnt).astype(jnp.int32)
+        else:
+            # explicit tie-break key: max count, then LOWEST key — makes
+            # the scan independent of matrix row order (the on-device
+            # membership path emits rows in bank-grouped order)
+            score = (cnt.astype(jnp.int64) << jnp.int64(32)) - keys
+            best = jnp.argmax(score).astype(jnp.int32)
         bc = cnt[best]
         active = bc >= thresh
         rm = jnp.where(active, M[best], jnp.uint32(0)) & alive_p
@@ -728,11 +735,13 @@ class FlatCounterGather:
         return out
 
     def _membership_rows_device(self, ids, W, block: int | None = None):
-        """[k, W] u32 membership bitsets (sorted-query index space) for an
-        explicit candidate-id list, computed ON DEVICE from the resident
-        bank planes — no host bitset build, no matrix upload. Replaces
-        `_membership_for_ids` + upload on the scheduled-gather hot path;
-        spilled hashes and the 2^64-1 tail are patched with a tiny exact
+        """Membership bitsets (sorted-query index space) for an explicit
+        candidate-id list, computed ON DEVICE from the resident bank planes
+        — no host bitset build, no matrix upload. Returns (M [K, W] u32 in
+        bank-GROUPED row order with pow2 block padding, row_src [K] host
+        int64 mapping matrix row -> index into `ids`, -1 for pad rows).
+        Callers feed the key-based scan, which is row-order independent.
+        Spilled hashes and the 2^64-1 tail are patched with a tiny exact
         scatter."""
         from ..ops.bucketed import _membership_bits_packed
 
@@ -740,14 +749,18 @@ class FlatCounterGather:
         k = len(ids)
         lut_b, lut_c, lut_r = self.index._row_lookup()
         banks = self.index._banks
-        # group candidate positions by (bank, chunk); blocks compute in
-        # grouped order and concatenate, then ONE inverse-permutation take
-        # restores ids order (cheaper than per-block row scatters)
+        # group candidate positions by (bank, chunk). The matrix is emitted
+        # in GROUPED order with each block padded to a power-of-two row
+        # count — every take/kernel call then has one of a handful of
+        # compiled shapes (ragged per-query shapes caused an XLA compile
+        # per call). row_src maps matrix row -> position in `ids` (-1 for
+        # padding); the key-based scan makes row order irrelevant.
         order = np.lexsort((lut_r[ids], lut_c[ids], lut_b[ids]))
         gb = lut_b[ids][order]
         gc = lut_c[ids][order]
         bounds = np.flatnonzero(np.diff(gb.astype(np.int64) << 32 | gc)) + 1
         pieces = []
+        row_src_parts = []
         for a, e in zip(
             np.concatenate([[0], bounds]),
             np.concatenate([bounds, [k]]),
@@ -766,9 +779,13 @@ class FlatCounterGather:
             rows_sel = lut_r[ids[pos]]
             for s in range(0, len(pos), blk):
                 sel = rows_sel[s : s + blk]
-                pad = blk - len(sel) if len(pos) > blk else 0
-                if pad > 0:  # one compiled shape per chunk class
-                    sel = np.concatenate([sel, np.zeros(pad, sel.dtype)])
+                n_real = len(sel)
+                padded = 1 << max(8, (n_real - 1).bit_length())
+                padded = min(padded, blk)
+                if padded != n_real:
+                    sel = np.concatenate(
+                        [sel, np.zeros(padded - n_real, sel.dtype)]
+                    )
                 selj = jnp.asarray(sel)
                 Mc = _membership_bits_packed(
                     qhi, qlo,
@@ -777,16 +794,23 @@ class FlatCounterGather:
                     jnp.take(chunk.cnt, selj, axis=0),
                     slotmap,
                 )
-                pieces.append(Mc[: blk - pad] if pad > 0 else Mc)
-        stacked = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
-        inv = np.empty(k, dtype=np.int32)
-        inv[order] = np.arange(k, dtype=np.int32)
-        M = jnp.take(stacked, jnp.asarray(inv), axis=0)
+                pieces.append(Mc)
+                src_part = np.full(padded, -1, dtype=np.int64)
+                src_part[:n_real] = pos[s : s + blk]
+                row_src_parts.append(src_part)
+        M = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        row_src = (
+            row_src_parts[0]
+            if len(row_src_parts) == 1
+            else np.concatenate(row_src_parts)
+        )
         patches = self._membership_patches(W)
         if patches:
             rws, cws, msks = [], [], []
-            for r, ds in enumerate(ids):
-                p = patches.get(int(ds))
+            for r, src in enumerate(row_src):
+                if src < 0:
+                    continue
+                p = patches.get(int(ids[src]))
                 if p is None:
                     continue
                 words, masks = p
@@ -794,11 +818,19 @@ class FlatCounterGather:
                 cws.extend(words.tolist())
                 msks.extend(masks.tolist())
             if rws:
+                # pad to a power-of-two length: ragged patch sizes would
+                # compile a fresh gather+scatter per query (row 0/word 0
+                # with mask 0 is an exact no-op)
+                n_p = len(rws)
+                padded = 1 << max(4, (n_p - 1).bit_length())
+                rws += [0] * (padded - n_p)
+                cws += [0] * (padded - n_p)
+                msks += [0] * (padded - n_p)
                 ri = jnp.asarray(np.asarray(rws, dtype=np.int32))
                 wi = jnp.asarray(np.asarray(cws, dtype=np.int32))
                 mk = jnp.asarray(np.asarray(msks, dtype=np.uint32))
                 M = M.at[ri, wi].set(M[ri, wi] | mk)
-        return M
+        return M, row_src
 
     def _recount(self, cur_query_mh, threshold_bp=0):
         """Refresh counter state against the CURRENT query: counts[i] =
@@ -1276,11 +1308,22 @@ class DeviceGatherSchedule:
         elif dev_membership:
             chunk = int(min(k, 64 if k > 4096 else 256))
             W = alive_p.shape[0]
-            Mj = self.counters[0]._membership_rows_device(
+            Mj, row_src = self.counters[0]._membership_rows_device(
                 np.asarray([ds for _ci, ds in rows], dtype=np.int64), W
             )
-            carry = (jnp.asarray(alive_p), jnp.asarray(counts))
-            run = lambda c: _schedule_scan(Mj, c, thresh, chunk)
+            # grouped-order matrix: counts/keys align to row_src; the
+            # key-based scan restores exact (counter, ascending-id)
+            # tie-breaking independent of row order
+            K = len(row_src)
+            real = row_src >= 0
+            counts_g = np.zeros(K, dtype=np.int32)
+            counts_g[real] = counts[row_src[real]]
+            keys_g = np.full(K, 1 << 40, dtype=np.int64)
+            keys_g[real] = row_src[real]  # ids ascend with input position
+            row_map = row_src
+            carry = (jnp.asarray(alive_p), jnp.asarray(counts_g))
+            keys_j = jnp.asarray(keys_g)
+            run = lambda c: _schedule_scan(Mj, c, thresh, chunk, keys_j)
         else:
             # fewer rounds per dispatch when the candidate set is huge: each
             # scanned round costs O(k*W) u32 ops whether or not the
@@ -1324,7 +1367,9 @@ class DeviceGatherSchedule:
                     # initial count is no longer provably correct
                     done = True
                     break
-                ci, ds = rows[int(b)]
+                ci, ds = rows[
+                    int(row_map[int(b)]) if dev_membership else int(b)
+                ]
                 schedule.append((ci, ds, int(c)))
             if done or len(schedule) >= k:
                 break
@@ -1335,17 +1380,216 @@ class DeviceGatherSchedule:
         self._sched = schedule
 
 
+def _membership_rows_device_batch(
+    counters, ids_list, W, bq: int = 32, cap_slice: int = 512
+):
+    """Batched on-device membership bitsets: Q single-counter queries over
+    ONE shared FlatIndex with resident banks.
+
+    Returns (M [Q, K, W] device u32 in bank-grouped order with pow2-sliced
+    padding — K identical for every query — and row_srcs: per-query host
+    int64 [K] mapping matrix row -> position in ids_list[q], -1 for pads).
+    Device-call count scales with bank CHUNKS, not queries: one fused
+    take+membership+pack dispatch per (chunk, cap slice) per bq-query
+    block, so a 64-query wave costs ~tens of dispatches instead of
+    thousands."""
+    from ..ops.bucketed import _membership_bits_packed_batch
+
+    index = counters[0].index
+    lut_b, lut_c, lut_r = index._row_lookup()
+    banks = index._banks
+    Q = len(counters)
+
+    # per-(bank, chunk): per-query (row selections, positions in ids)
+    sel_by_chunk: dict = {}
+    for qi, ids in enumerate(ids_list):
+        ids = np.asarray(ids, dtype=np.int64)
+        if not len(ids):
+            continue
+        gb = lut_b[ids]
+        gc = lut_c[ids]
+        order = np.lexsort((lut_r[ids], gc, gb))
+        gbs = gb[order]
+        gcs = gc[order]
+        bounds = (
+            np.flatnonzero(np.diff(gbs.astype(np.int64) << 32 | gcs)) + 1
+        )
+        for a, e in zip(
+            np.concatenate([[0], bounds]),
+            np.concatenate([bounds, [len(ids)]]),
+        ):
+            key = (int(gbs[a]), int(gcs[a]))
+            slots = sel_by_chunk.setdefault(key, {})
+            pos = order[a:e]
+            slots[qi] = (lut_r[ids[pos]], pos)
+
+    # shared per-bank query geometry: dq pads to the max across ALL
+    # queries so every block shares one compiled shape, and the row slice
+    # per bank adapts so the [bq, slice, dq, B] kernel intermediates stay
+    # ~512 MB even for small-B banks queried by large metagenomes
+    banks_used = sorted({k[0] for k in sel_by_chunk})
+    cores = []
+    for c in counters:
+        q = c._q_mins
+        cores.append(q[:-1] if c._q_has_max else q)
+    dqm_of = {}
+    for bank_i in banks_used:
+        B = banks[bank_i].B
+        max_load = 8
+        for core in cores:
+            if len(core):
+                loads = np.bincount(
+                    (core & np.uint64(B - 1)).astype(np.int64), minlength=B
+                )
+                max_load = max(max_load, int(loads.max()))
+        dqm_of[bank_i] = 1 << max(3, int(max_load - 1).bit_length())
+
+    def _slice_for(bank_i):
+        B = banks[bank_i].B
+        s = (512 << 20) // max(bq * dqm_of[bank_i] * B * 4, 1)
+        s = max(64, min(1024, s))
+        return 1 << (s.bit_length() - 1)
+
+    # chunk layout: each chunk contributes ceil(max count / slice) slices
+    # of its bank's slice width; K = total padded rows (uniform across
+    # queries)
+    chunk_keys = sorted(sel_by_chunk)
+    layout = []  # (key, n_slices, slice width)
+    K = 0
+    for key in chunk_keys:
+        cap_c = max(len(v[0]) for v in sel_by_chunk[key].values())
+        sl = _slice_for(key[0])
+        n_slices = -(-cap_c // sl)
+        layout.append((key, n_slices, sl))
+        K += n_slices * sl
+
+    row_srcs = [np.full(K, -1, dtype=np.int64) for _ in range(Q)]
+    blocks_out = []
+    for q0 in range(0, Q, bq):
+        qs = list(range(q0, min(q0 + bq, Q)))
+
+        # per-bank query planes (device-packed from ONE shared raw-limb
+        # upload) + host slotmaps at the shared dq
+        from ..ops.bucketed import (
+            pack_query_block_device,
+            query_slot_map,
+        )
+
+        block_cores = [cores[qi] for qi in qs]
+        block_cores += [np.zeros(0, dtype=np.uint64)] * (bq - len(qs))
+        raw_shared = [None]
+        bank_packs = {}
+
+        def packs_for(bank_i):
+            if bank_i in bank_packs:
+                return bank_packs[bank_i]
+            B = banks[bank_i].B
+            dqm = dqm_of[bank_i]
+            Qhi, Qlo, _Qcnt, dq_got, raw_shared[0] = pack_query_block_device(
+                block_cores, B, raw_shared[0]
+            )
+            if dq_got != dqm:  # block-local loads can undershoot the
+                # all-query dq; re-pad by slicing is wrong — repack at dqm
+                from ..ops.bucketed import _query_pack_kernel_i32
+
+                Qhi, Qlo, _Qcnt = _query_pack_kernel_i32(
+                    raw_shared[0][0], raw_shared[0][1], B, dqm
+                )
+            smaps = np.full((bq, W * 32), dqm * B, dtype=np.int32)
+            for j, core in enumerate(block_cores):
+                if len(core):
+                    smaps[j] = query_slot_map(core, B, dqm, W * 32)
+            out = (Qhi, Qlo, jnp.asarray(smaps))
+            bank_packs[bank_i] = out
+            return out
+
+        pieces = []
+        base = 0
+        for (bank_i, chunk_i), n_slices, sl in layout:
+            chunk = banks[bank_i].chunks[chunk_i]
+            Qhi, Qlo, smaps = packs_for(bank_i)
+            slots = sel_by_chunk[(bank_i, chunk_i)]
+            for s in range(n_slices):
+                sel = np.zeros((bq, sl), dtype=np.int32)
+                for j, qi in enumerate(qs):
+                    got = slots.get(qi)
+                    if got is None:
+                        continue
+                    rows_sel, pos = got
+                    part = rows_sel[s * sl : (s + 1) * sl]
+                    sel[j, : len(part)] = part
+                    row_srcs[qi][base : base + len(part)] = pos[
+                        s * sl : (s + 1) * sl
+                    ]
+                pieces.append(
+                    _membership_bits_packed_batch(
+                        Qhi, Qlo, chunk.hi, chunk.lo, chunk.cnt,
+                        jnp.asarray(sel), smaps,
+                    )
+                )
+                base += sl
+        Mb = (
+            pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+        )
+        blocks_out.append(Mb[: len(qs)])
+    M = (
+        blocks_out[0]
+        if len(blocks_out) == 1
+        else jnp.concatenate(blocks_out, axis=0)
+    )
+
+    # spill / 2^64-1 patches, pooled across queries with pow2 padding
+    qws, rws, cws, msks = [], [], [], []
+    for qi, ids in enumerate(ids_list):
+        ids = np.asarray(ids, dtype=np.int64)
+        patches = counters[qi]._membership_patches(W)
+        if not patches:
+            continue
+        row_src = row_srcs[qi]
+        for r, srcpos in enumerate(row_src):
+            if srcpos < 0:
+                continue
+            p = patches.get(int(ids[srcpos]))
+            if p is None:
+                continue
+            words, masks = p
+            qws.extend([qi] * len(words))
+            rws.extend([r] * len(words))
+            cws.extend(words.tolist())
+            msks.extend(masks.tolist())
+    if qws:
+        n_p = len(qws)
+        padded = 1 << max(4, (n_p - 1).bit_length())
+        qws += [0] * (padded - n_p)
+        rws += [0] * (padded - n_p)
+        cws += [0] * (padded - n_p)
+        msks += [0] * (padded - n_p)
+        qj = jnp.asarray(np.asarray(qws, dtype=np.int32))
+        ri = jnp.asarray(np.asarray(rws, dtype=np.int32))
+        wi = jnp.asarray(np.asarray(cws, dtype=np.int32))
+        mk = jnp.asarray(np.asarray(msks, dtype=np.uint32))
+        M = M.at[qj, ri, wi].set(M[qj, ri, wi] | mk)
+    return M, row_srcs
+
+
 @functools.partial(jax.jit, static_argnames="length")
-def _schedule_scan_batch(M, alive_p, counts, thresh, length):
+def _schedule_scan_batch(M, alive_p, counts, thresh, length, keys=None):
     """Data-parallel form of _schedule_scan: [Q, k, W] membership
-    matrices, [Q, W] alive bitsets, [Q, k] counts, [Q] thresholds ->
-    per-query greedy rounds. Queries are independent, so the batch is a
-    plain vmap — the data-parallel axis of config 5."""
+    matrices, [Q, W] alive bitsets, [Q, k] counts, [Q] thresholds (and
+    optional [Q, k] tie-break keys) -> per-query greedy rounds. Queries
+    are independent, so the batch is a plain vmap — the data-parallel
+    axis of config 5."""
 
-    def one(Mq, aq, cq, tq):
-        return _schedule_scan(Mq, (aq, cq), tq, length)
+    if keys is None:
+        def one(Mq, aq, cq, tq):
+            return _schedule_scan(Mq, (aq, cq), tq, length)
 
-    return jax.vmap(one)(M, alive_p, counts, thresh)
+        return jax.vmap(one)(M, alive_p, counts, thresh)
+
+    def one(Mq, aq, cq, tq, kq):
+        return _schedule_scan(Mq, (aq, cq), tq, length, kq)
+
+    return jax.vmap(one)(M, alive_p, counts, thresh, keys)
 
 
 def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False):
@@ -1391,32 +1635,65 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
         sub = pending[b0 : b0 + block]
         # quantized pad classes: one compile per class instead of one per
         # block when query/candidate sizes drift
-        kmax = -(-max(len(b[0]) for _, b, _ in sub) // 512) * 512
         Wmax = -(-max(b[2].shape[0] for _, b, _ in sub) // 128) * 128
         Q = len(sub)
         Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else Q
+
+        # pass 1: per-query matrices — on-device grouped-order membership
+        # for eligible queries (at the block's shared width), host matrix
+        # otherwise. row_src maps matrix row -> rows[] position. When the
+        # whole block is eligible and shares one index, the BATCHED device
+        # path computes every query's matrix in a handful of dispatches.
+        all_dev = all(d for _c, _b, d in sub) and (
+            len({id(c.counters[0].index) for c, _b, _d in sub}) == 1
+        )
+        per_q = []
+        if all_dev and len(sub) > 1:
+            Mall, row_srcs_b = _membership_rows_device_batch(
+                [c.counters[0] for c, _b, _d in sub],
+                [
+                    np.asarray([ds for _ci, ds in b[0]], dtype=np.int64)
+                    for _c, b, _d in sub
+                ],
+                Wmax,
+            )
+            per_q = [(Mall[i], row_srcs_b[i]) for i in range(len(sub))]
+        else:
+            for coord, (rows, counts, alive_p, thresh, _nk, M), dev_ok in sub:
+                if dev_ok:
+                    Mq, row_src = coord.counters[0]._membership_rows_device(
+                        np.asarray([ds for _ci, ds in rows], dtype=np.int64),
+                        Wmax,
+                    )
+                else:
+                    Mq, row_src = M, np.arange(len(rows), dtype=np.int64)
+                per_q.append((Mq, row_src))
+        kmax = -(-max(p[0].shape[0] for p in per_q) // 512) * 512
+
         Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
         Cb = np.zeros((Qp, kmax), dtype=np.int32)
         Tb = np.ones(Qp, dtype=np.int32)  # pad rows: zero counts, no rounds
+        Kb = np.full((Qp, kmax), 1 << 40, dtype=np.int64)
         mats = []
-        for qi, (coord, (rows, counts, alive_p, thresh, _nk, M), dev_ok) in (
-            enumerate(sub)
+        row_srcs = []
+        for qi, ((coord, built, dev_ok), (Mq, row_src)) in enumerate(
+            zip(sub, per_q)
         ):
-            k, W = len(rows), alive_p.shape[0]
+            rows, counts, alive_p, thresh = built[0], built[1], built[2], built[3]
+            K, Wq = Mq.shape
+            W = alive_p.shape[0]
             if dev_ok:
-                # computed directly at the block's padded width: one
-                # compile class, no per-query W pad
-                Mq = coord.counters[0]._membership_rows_device(
-                    np.asarray([ds for _ci, ds in rows], dtype=np.int64),
-                    Wmax,
-                )
-                mats.append(jnp.pad(Mq, ((0, kmax - k), (0, 0))))
+                mats.append(jnp.pad(Mq, ((0, kmax - K), (0, 0))))
             else:
-                Mq = jnp.asarray(M)
-                mats.append(jnp.pad(Mq, ((0, kmax - k), (0, Wmax - W))))
+                mats.append(
+                    jnp.pad(jnp.asarray(Mq), ((0, kmax - K), (0, Wmax - Wq)))
+                )
+            real = row_src >= 0
+            Cb[qi, :K][real] = counts[row_src[real]]
+            Kb[qi, :K][real] = row_src[real]
             Ab[qi, :W] = alive_p
-            Cb[qi, :k] = counts
             Tb[qi] = thresh
+            row_srcs.append(row_src)
         if Qp != Q:
             mats.extend(
                 [jnp.zeros((kmax, Wmax), dtype=jnp.uint32)] * (Qp - Q)
@@ -1439,24 +1716,28 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
             Mj = Mb
             carry = (jnp.asarray(Ab), jnp.asarray(Cb))
             Tj = jnp.asarray(Tb)
+            Kj = jnp.asarray(Kb)
 
         scheds = [[] for _ in range(Q)]
         open_q = np.ones(Q, dtype=bool)
         rounds_done = 0
         while open_q.any() and rounds_done < kmax:
-            carry, (bests, bcs) = _run_batch_scan(scan if n_dev > 1 else None,
-                                                  Mj, carry, Tj, chunk)
+            carry, (bests, bcs) = _run_batch_scan(
+                scan if n_dev > 1 else None, Mj, carry, Tj, chunk,
+                None if n_dev > 1 else Kj,
+            )
             b_np, c_np = np.asarray(bests), np.asarray(bcs)
             for qi in np.nonzero(open_q)[0]:
                 coord = sub[qi][0]
                 rows = sub[qi][1][0]
+                row_src = row_srcs[qi]
                 for b, c in zip(b_np[qi], c_np[qi]):
                     if b < 0 or (
                         coord._cap_guard and int(c) <= coord._cap_bound
                     ):
                         open_q[qi] = False
                         break
-                    ci, ds = rows[int(b)]
+                    ci, ds = rows[int(row_src[int(b)])]
                     scheds[qi].append((ci, ds, int(c)))
                 else:
                     if len(scheds[qi]) >= len(rows):
@@ -1551,11 +1832,11 @@ def converge_schedules_batch(coords, threshold_bp, block: int = 64):
                 stalled.add(id(c))
 
 
-def _run_batch_scan(sharded_scan, Mj, carry, Tj, chunk):
+def _run_batch_scan(sharded_scan, Mj, carry, Tj, chunk, keys=None):
     "One chunk of batched rounds, on the mesh when a sharded scan is given."
     if sharded_scan is not None:
         return sharded_scan(Mj, carry[0], carry[1], Tj)
-    return _schedule_scan_batch(Mj, carry[0], carry[1], Tj, chunk)
+    return _schedule_scan_batch(Mj, carry[0], carry[1], Tj, chunk, keys)
 
 
 def schedule_device_gather(counters):

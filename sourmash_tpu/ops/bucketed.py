@@ -286,6 +286,78 @@ def _device_pack_kernel(Hi, Lo, B, d):
     )
 
 
+def query_raw_limbs(qs):
+    """PAD-padded [bq, L] (hi, lo) u32 limb rows for a query block — the
+    ONE upload shared by every per-bank device pack. 2^64-1 tails become
+    PAD (excluded from planes, exactly like the host query pack)."""
+    L = max(128, -(-max((len(q) for q in qs), default=1) // 128) * 128)
+    Hi = np.full((len(qs), L), 0xFFFFFFFF, dtype=np.uint32)
+    Lo = np.full((len(qs), L), 0xFFFFFFFF, dtype=np.uint32)
+    for i, q in enumerate(qs):
+        q = np.asarray(q, dtype=np.uint64)
+        if len(q) and q[-1] == MAX_U64:
+            q = q[:-1]
+        Hi[i, : len(q)] = (q >> np.uint64(32)).astype(np.uint32)
+        Lo[i, : len(q)] = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return jnp.asarray(Hi), jnp.asarray(Lo)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "d"))
+def _query_pack_kernel_i32(Hi, Lo, B: int, d: int):
+    """Query-block flavor of _device_pack_kernel: same stable
+    sort-by-bucket pack, but int32 occupancy (metagenome bucket loads
+    exceed u8) and depth d sized to the block's max load (no spills)."""
+    rows, L = Hi.shape
+    pad = jnp.uint32(0xFFFFFFFF)
+    valid = ~((Hi == pad) & (Lo == pad))
+    b = jnp.where(valid, (Lo & jnp.uint32(B - 1)).astype(jnp.int32), B)
+    b_s, hi_s, lo_s = jax.lax.sort(
+        (b, Hi, Lo), dimension=1, num_keys=1, is_stable=True
+    )
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    starts = jax.vmap(
+        lambda bs: jnp.searchsorted(bs, jnp.arange(B + 1, dtype=jnp.int32))
+    )(b_s)
+    slot = pos - jnp.take_along_axis(starts, jnp.clip(b_s, 0, B), axis=1)
+    cnt = jnp.minimum(starts[:, 1:] - starts[:, :-1], d).astype(jnp.int32)
+    ok = (b_s < B) & (slot < d)
+    flat = jnp.where(ok, slot * B + b_s, d * B)
+    ridx = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    Phi = jnp.full((rows, d * B + 1), pad, jnp.uint32).at[ridx, flat].set(
+        hi_s, mode="drop"
+    )
+    Plo = jnp.full((rows, d * B + 1), pad, jnp.uint32).at[ridx, flat].set(
+        lo_s, mode="drop"
+    )
+    return (
+        Phi[:, : d * B].reshape(rows, d, B),
+        Plo[:, : d * B].reshape(rows, d, B),
+        cnt,
+    )
+
+
+def pack_query_block_device(qs, B: int, raw=None):
+    """Pack a query block into [bq, dq, B] planes ON DEVICE from shared
+    raw limb rows (uploaded once, reused across every bank's B). Returns
+    (Qhi, Qlo, Qcnt [bq, B] i32, dq, raw)."""
+    if raw is None:
+        raw = query_raw_limbs(qs)
+    Hi, Lo = raw
+    max_load = 8
+    for q in qs:
+        q = np.asarray(q, dtype=np.uint64)
+        if len(q) and q[-1] == MAX_U64:
+            q = q[:-1]
+        if len(q):
+            loads = np.bincount(
+                (q & np.uint64(B - 1)).astype(np.int64), minlength=B
+            )
+            max_load = max(max_load, int(loads.max()))
+    dq = _next_pow2(max_load)
+    Qhi, Qlo, Qcnt = _query_pack_kernel_i32(Hi, Lo, B, dq)
+    return Qhi, Qlo, Qcnt, dq, raw
+
+
 def pack_rows_device(mins_list, B: int, d: int = _D) -> BucketedRows | None:
     """BucketedRows with device-resident planes packed ON DEVICE (see
     _device_pack_kernel); spill state comes from the native spills-only
@@ -591,16 +663,21 @@ def _membership_rows(qhi, qlo, Shi, Slo, Scnt):
 
     [dq, B] query planes vs [nm, d, B] subjects -> [nm, dq, B] bool. Subject
     pad slots are masked by occupancy (a query PAD slot equals a subject PAD
-    slot, and here we need bits, not counts)."""
+    slot, and here we need bits, not counts). Rolled lax.fori_loop over the
+    subject depth: an unrolled python loop left XLA holding every
+    iteration's [nm, dq, B] broadcast temps live at once (OOM at scale)."""
     d = Shi.shape[1]
     qh = qhi[None, :, :]  # [1, dq, B]
     ql = qlo[None, :, :]
-    m = jnp.zeros((Shi.shape[0], qhi.shape[0], qhi.shape[1]), jnp.bool_)
-    for k2 in range(d):
-        valid = (Scnt[:, None, :] > k2)  # [nm, 1, B]
-        hit = (Shi[:, k2, None, :] == qh) & (Slo[:, k2, None, :] == ql) & valid
-        m = m | hit  # [nm, dq, B]
-    return m
+
+    def body(k2, m):
+        valid = Scnt[:, None, :] > k2  # [nm, 1, B]
+        sh = jax.lax.dynamic_index_in_dim(Shi, k2, 1, keepdims=True)
+        sl = jax.lax.dynamic_index_in_dim(Slo, k2, 1, keepdims=True)
+        return m | ((sh == qh) & (sl == ql) & valid)
+
+    m0 = jnp.zeros((Shi.shape[0], qhi.shape[0], qhi.shape[1]), jnp.bool_)
+    return jax.lax.fori_loop(0, d, body, m0)
 
 
 # -- host wrappers with exact spill handling --------------------------------
@@ -894,6 +971,33 @@ def _membership_bits_packed(qhi, qlo, Shi, Slo, Scnt, slotmap):
     )
     bits = jnp.take(flat, slotmap, axis=1)  # [nm, W*32]
     return pack_bits_u32(bits)
+
+
+@jax.jit
+def _membership_bits_packed_batch(Qhi, Qlo, Shi, Slo, Scnt, sel, slotmaps):
+    """Batched _membership_bits_packed: bq queries against per-query row
+    selections from ONE chunk's planes.
+
+    Qhi/Qlo: [bq, dq, B] query planes (PAD-padded dq rows are inert);
+    Shi/Slo/Scnt: the chunk planes [rows, d, B] / [rows, B];
+    sel: [bq, cap] int32 row selections (pad rows point anywhere — the
+    caller's row_src marks them); slotmaps: [bq, Wbits] int32.
+    Returns [bq, cap, Wbits/32] u32."""
+
+    def one(qhi, qlo, s, smap):
+        m = _membership_rows(
+            qhi, qlo,
+            jnp.take(Shi, s, axis=0),
+            jnp.take(Slo, s, axis=0),
+            jnp.take(Scnt, s, axis=0),
+        )
+        flat = m.reshape(m.shape[0], -1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((m.shape[0], 1), dtype=flat.dtype)], axis=1
+        )
+        return pack_bits_u32(jnp.take(flat, smap, axis=1))
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(Qhi, Qlo, sel, slotmaps)
 
 
 def query_slot_map(q_core: np.ndarray, B: int, dq: int, n_positions: int):

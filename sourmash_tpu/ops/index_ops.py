@@ -421,14 +421,20 @@ def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
         pack_query_block,
     )
 
+    from .bucketed import pack_query_block_device
+
     qs = [np.asarray(q, dtype=np.uint64) for q in queries]
     out = np.zeros((len(qs), n_datasets), dtype=np.int64)
     for b0 in range(0, len(qs), block):
         sub = qs[b0 : b0 + block]
+        # ONE raw-limb upload per block, packed on device per bank B —
+        # host-packing per bank re-uploaded [bq, dq, B] planes for every
+        # bank's bucket count (~10-30x the raw query bytes)
+        raw = None
         for bank in banks:
-            Qhi, Qlo, Qcnt = pack_query_block(sub, bank.B)
-            Qhi, Qlo = jnp.asarray(Qhi), jnp.asarray(Qlo)
-            Qcnt = jnp.asarray(Qcnt)
+            Qhi, Qlo, Qcnt, _dq, raw = pack_query_block_device(
+                sub, bank.B, raw
+            )
             # device-resident banks dispatch all chunks at once; streamed
             # (beyond-HBM) banks drain every _STREAM_WINDOW chunks so only
             # that many uploaded planes are in flight
@@ -459,6 +465,7 @@ def counts_for_banks_batch(banks, queries, n_datasets: int, block: int = 8):
 # scheduled gather all pack the SAME query; re-packing + re-uploading costs
 # several ms + a tunnel round-trip each time
 _QPACK_CACHE: dict = {}
+_QRAW_CACHE: dict = {}  # md5(q) -> device raw limb rows, shared across Bs
 
 
 def _cached_query_pack(q: np.ndarray, B: int):
@@ -468,7 +475,25 @@ def _cached_query_pack(q: np.ndarray, B: int):
     hit = _QPACK_CACHE.get(key)
     if hit is not None:
         return hit
-    packed = pack_query_bucketed(q, B)
+    packed = None
+    if len(q) >= (1 << 14):
+        # large (metagenome) queries: upload the raw limbs ONCE and pack on
+        # device per bank B — host-packed planes re-upload 10-30x the raw
+        # query bytes for every distinct bucket count
+        try:
+            from .bucketed import MAX_U64, pack_query_block_device
+
+            raw = _QRAW_CACHE.get(key[0])
+            Qhi, Qlo, Qcnt, dq, raw = pack_query_block_device([q], B, raw)
+            if len(_QRAW_CACHE) >= 4 and key[0] not in _QRAW_CACHE:
+                _QRAW_CACHE.pop(next(iter(_QRAW_CACHE)))
+            _QRAW_CACHE[key[0]] = raw
+            tail = MAX_U64 if len(q) and q[-1] == MAX_U64 else None
+            packed = (Qhi[0], Qlo[0], Qcnt[0], dq, tail)
+        except Exception:
+            packed = None
+    if packed is None:
+        packed = pack_query_bucketed(q, B)
     if len(_QPACK_CACHE) >= 8:
         _QPACK_CACHE.pop(next(iter(_QPACK_CACHE)))
     _QPACK_CACHE[key] = packed

@@ -489,3 +489,27 @@ def test_warm_gather_counts_adaptive_block(monkeypatch):
             got = int(c.counts[j]) if want else 0
             if want:
                 assert got == want, (i, j, got, want)
+
+
+def test_device_query_pack_matches_host():
+    """pack_query_block_device (one raw-limb upload, per-B device packs)
+    is value-identical to the host pack_query_bucketed across bucket
+    counts, including the 2^64-1 tail exclusion and int32 loads."""
+    import numpy as np
+
+    from sourmash_tpu.ops.bucketed import (
+        pack_query_block_device,
+        pack_query_bucketed,
+    )
+
+    rng = np.random.default_rng(9)
+    q = np.unique(rng.integers(1, 2**64 - 1, size=20000, dtype=np.uint64))
+    q = np.unique(np.concatenate([q, [np.uint64(2**64 - 1)]]))
+    raw = None
+    for B in (128, 512, 2048):
+        hhi, hlo, hcnt, hdq, _tail = pack_query_bucketed(q, B)
+        Qhi, Qlo, Qcnt, ddq, raw = pack_query_block_device([q], B, raw)
+        assert ddq == hdq
+        assert np.array_equal(np.asarray(Qhi)[0], np.asarray(hhi))
+        assert np.array_equal(np.asarray(Qlo)[0], np.asarray(hlo))
+        assert np.array_equal(np.asarray(Qcnt)[0], np.asarray(hcnt))

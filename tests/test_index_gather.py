@@ -681,3 +681,77 @@ def test_converge_schedules_batch_matches_host(monkeypatch):
     for qi, q in enumerate(queries):
         got = _run_rounds([counters[qi]], q.minhash)
         assert got == host[qi], qi
+
+
+def test_batched_device_membership_matches_host(monkeypatch):
+    """Single-device batched schedule computation (one fused membership
+    dispatch per bank chunk covering a whole query block) reproduces host
+    rounds exactly for every query — incl. max-hash datasets, convergence
+    iterations, and queries with disjoint candidate sets."""
+    import jax
+
+    from sourmash_tpu.index import flat as flat_mod
+    from sourmash_tpu.index.flat import (
+        converge_schedules_batch,
+        schedule_device_gather,
+    )
+
+    rng = np.random.default_rng(131)
+    n = 64
+    pool = np.unique(rng.integers(1, 2**63, size=500, dtype=np.uint64))
+    genomes = []
+    for i in range(n):
+        own = np.unique(rng.integers(1, 2**63, size=250, dtype=np.uint64))
+        take = rng.choice(pool, size=120, replace=False)
+        g = np.unique(np.concatenate([own, take]))
+        if i % 9 == 0:
+            g = np.unique(
+                np.concatenate([g, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
+            )
+        genomes.append(g)
+    sigs = []
+    for i, g in enumerate(genomes):
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(g)
+        sigs.append(SourmashSignature(mh, name=f"g{i}").to_frozen())
+
+    queries = []
+    for qi in range(7):
+        srcs = list(range(qi, n, 7))[:6]
+        m = np.unique(
+            np.concatenate(
+                [genomes[i] for i in srcs]
+                + ([pool] if qi % 2 else [])
+                + [[np.uint64(0xFFFFFFFFFFFFFFFF)]]
+            )
+        )
+        mh = MinHash(0, 31, scaled=1)
+        mh.add_many(m)
+        queries.append(SourmashSignature(mh, name=f"meta{qi}").to_frozen())
+
+    host = []
+    for q in queries:
+        fi = FlatIndex(sigs)
+        host.append(
+            _run_rounds([fi.counter_gather(q, threshold_bp=0)], q.minhash)
+        )
+
+    real = jax.devices()
+    monkeypatch.setattr(flat_mod.jax, "devices", lambda *a: real[:1])
+    monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", "16")
+    spied = {}
+    orig = flat_mod._membership_rows_device_batch
+
+    def spy(*a, **kw):
+        spied["hit"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(flat_mod, "_membership_rows_device_batch", spy)
+    fi = FlatIndex(sigs)
+    counters = [fi.counter_gather(q, threshold_bp=0) for q in queries]
+    coords = [schedule_device_gather([c]) for c in counters]
+    converge_schedules_batch(coords, 0)
+    assert spied.get("hit"), "batched device membership not used"
+    for qi, q in enumerate(queries):
+        got = _run_rounds([counters[qi]], q.minhash)
+        assert got == host[qi], qi
