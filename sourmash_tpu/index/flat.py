@@ -650,6 +650,25 @@ class FlatCounterGather:
                 ).sum(-1, dtype=np.uint32)
         return M
 
+    def _device_membership_worthwhile(self, threshold_bp=0):
+        """Device membership pays only past a size threshold: below it the
+        host bitset build + one small upload beats ~15 extra device
+        dispatches. Overridable: SOURMASH_TPU_DEV_MEMBERSHIP=1 forces,
+        =0 disables."""
+        import os
+
+        force = os.environ.get("SOURMASH_TPU_DEV_MEMBERSHIP")
+        if force is not None:
+            return bool(int(force)) and self._device_membership_ok()
+        if not self._device_membership_ok():
+            return False
+        k = int(np.count_nonzero(self.counts))
+        cap = int(os.environ.get("SOURMASH_TPU_SCHEDULE_CAP", "4096"))
+        if cap:
+            k = min(k, cap)
+        W = -(-len(self._q_mins) // 32)
+        return k * W * 4 >= (4 << 20)
+
     def _device_membership_ok(self):
         """Eligible for the on-device membership path: banks built and
         every chunk's planes resident in HBM (streamed banks keep the
@@ -1256,7 +1275,7 @@ class DeviceGatherSchedule:
         dev_membership = (
             not multi
             and len(self.counters) == 1
-            and self.counters[0]._device_membership_ok()
+            and self.counters[0]._device_membership_worthwhile(threshold_bp)
         )
         if not multi:
             q0 = self.counters[0]._q_mins
@@ -1620,7 +1639,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
         dev_ok = (
             n_dev == 1
             and len(coord.counters) == 1
-            and coord.counters[0]._device_membership_ok()
+            and coord.counters[0]._device_membership_worthwhile(threshold_bp)
         )
         built = coord._build_inputs(threshold_bp, build_mats=not dev_ok)
         if built is not None:
@@ -1634,10 +1653,12 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
     for b0 in range(0, len(pending), block):
         sub = pending[b0 : b0 + block]
         # quantized pad classes: one compile per class instead of one per
-        # block when query/candidate sizes drift
+        # block when query/candidate sizes drift; single-device blocks pad
+        # the query axis to the full block size (zero-count pad rows are
+        # inert) so every wave shares one compiled scan shape
         Wmax = -(-max(b[2].shape[0] for _, b, _ in sub) // 128) * 128
         Q = len(sub)
-        Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else Q
+        Qp = -(-Q // n_dev) * n_dev if n_dev > 1 else block
 
         # pass 1: per-query matrices — on-device grouped-order membership
         # for eligible queries (at the block's shared width), host matrix
@@ -1668,7 +1689,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
                 else:
                     Mq, row_src = M, np.arange(len(rows), dtype=np.int64)
                 per_q.append((Mq, row_src))
-        kmax = -(-max(p[0].shape[0] for p in per_q) // 512) * 512
+        kmax = -(-max(p[0].shape[0] for p in per_q) // 1024) * 1024
 
         Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
         Cb = np.zeros((Qp, kmax), dtype=np.int32)
@@ -1751,7 +1772,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
                 coord._sched = scheds[qi]
 
 
-def converge_schedules_batch(coords, threshold_bp, block: int = 64):
+def converge_schedules_batch(coords, threshold_bp, block: int | None = None):
     """compute_schedules_batch plus BATCHED capped-reschedule convergence.
 
     A truncated capped schedule normally converges by per-query
@@ -1764,6 +1785,21 @@ def converge_schedules_batch(coords, threshold_bp, block: int = 64):
     from ..ops.index_ops import counts_for_banks_batch
 
     live = [c for c in coords if c is not None]
+    if block is None:
+        # size the query block so the stacked [Q, k, W] scan matrix stays
+        # ~256 MB: at GTDB scale the resident bank already owns most of
+        # HBM, and a 64-query block OOMed next to an 11 GB bank
+        import os
+
+        cap = int(os.environ.get("SOURMASH_TPU_SCHEDULE_CAP", "4096"))
+        k_est = w_est = 1
+        for c in live:
+            c0 = c.counters[0]
+            k = int(np.count_nonzero(c0.counts))
+            k_est = max(k_est, min(k, cap) if cap else k)
+            w_est = max(w_est, -(-len(c0._q_mins) // 32))
+        block = int(max(4, min(64, (256 << 20) // max(k_est * w_est * 4, 1))))
+        block = 1 << (block.bit_length() - 1)
     compute_schedules_batch(live, threshold_bp, block)
     stalled: set = set()
     for _ in range(16):

@@ -290,7 +290,9 @@ def query_raw_limbs(qs):
     """PAD-padded [bq, L] (hi, lo) u32 limb rows for a query block — the
     ONE upload shared by every per-bank device pack. 2^64-1 tails become
     PAD (excluded from planes, exactly like the host query pack)."""
-    L = max(128, -(-max((len(q) for q in qs), default=1) // 128) * 128)
+    # pow2 length class: per-block exact lengths would recompile the
+    # pack kernel for every wave of queries
+    L = _next_pow2(max(128, max((len(q) for q in qs), default=1)))
     Hi = np.full((len(qs), L), 0xFFFFFFFF, dtype=np.uint32)
     Lo = np.full((len(qs), L), 0xFFFFFFFF, dtype=np.uint32)
     for i, q in enumerate(qs):
@@ -812,11 +814,13 @@ def query_cutoff_counts_bucketed(
     return counts
 
 
-def pairwise_counts_bucketed(mins_list, block=8):
+def pairwise_counts_bucketed(mins_list, block=64):
     """All-pairs exact intersection-count matrix [n, n] via bucketed dense
     compare. One async device dispatch per `block` query rows (pipelined
     by the scheduler); results are read back once at the end (a single
-    tunnel round-trip)."""
+    tunnel round-trip). block=64: dispatch SUBMISSION costs ~15 ms each
+    over a tunneled link, so 8-row blocks spent more wall on issuing than
+    computing (measured ~3.5 s of the 2k-compare wall)."""
     n = len(mins_list)
     if not n:
         return np.zeros((0, 0), dtype=np.int64)
@@ -825,13 +829,14 @@ def pairwise_counts_bucketed(mins_list, block=8):
     if bank is None:
         bank = pack_rows_bucketed(mins_list, B)
     rows = bank.hi.shape[0]
+    block = min(block, rows)
     outs = []
     for i in range(0, rows, block):
         Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, i, block, 0)
         Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, i, block, 0)
         Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, i, block, 0)
         outs.append(_counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt))
-    out = np.asarray(jnp.concatenate(outs, axis=0))[:n, :n].astype(np.int64)
+    out = np.asarray(jnp.concatenate(outs, axis=0)[:n, :n]).astype(np.int64)
     _pairwise_spill_correction(out, mins_list, bank)
     return out
 

@@ -597,6 +597,7 @@ def test_device_membership_schedule_matches_host(monkeypatch):
 
     def run(single_device, cap="0"):
         monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", cap)
+        monkeypatch.setenv("SOURMASH_TPU_DEV_MEMBERSHIP", "1")
         if single_device:
             real = jax.devices()
             monkeypatch.setattr(
@@ -739,6 +740,7 @@ def test_batched_device_membership_matches_host(monkeypatch):
     real = jax.devices()
     monkeypatch.setattr(flat_mod.jax, "devices", lambda *a: real[:1])
     monkeypatch.setenv("SOURMASH_TPU_SCHEDULE_CAP", "16")
+    monkeypatch.setenv("SOURMASH_TPU_DEV_MEMBERSHIP", "1")
     spied = {}
     orig = flat_mod._membership_rows_device_batch
 
