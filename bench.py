@@ -319,6 +319,7 @@ def main():
             samples_at_scale_metrics(
                 extra, ctx[0], ctx[1], ctx[2],
                 _RAND_MINS_HOOK["rand_mins"], _RAND_MINS_HOOK["make_sig"],
+                emit_cb=lambda: emit(extra),
             )
         except Exception as exc:
             print(f"bench: config-5 at-scale failed: {exc!r}", file=sys.stderr)
@@ -634,6 +635,20 @@ def query_engine_metrics():
     db.search(query, threshold=0.05)  # warm/compile the cutoff kernel
     out["search_latency_ms"] = round(
         min(_timed(lambda: db.search(query, threshold=0.05)) for _ in range(3))
+        * 1000,
+        2,
+    )
+    # same query against a 1k-row subset: the warm-latency residual over
+    # the RTT floor scales with rows, i.e. it is device compute, not
+    # host/dispatch overhead (VERDICT r4 item 10 accounting)
+    db1k = FlatIndex(sigs[:1000])
+    db1k._build()
+    db1k.search(query, threshold=0.05)  # warm
+    out["search_latency_1k_ms"] = round(
+        min(
+            _timed(lambda: db1k.search(query, threshold=0.05))
+            for _ in range(3)
+        )
         * 1000,
         2,
     )
@@ -1178,7 +1193,9 @@ def at_scale_metrics(out, rand_mins, make_sig):
     )
 
 
-def samples_at_scale_metrics(out, db, genomes, base_of, rand_mins, make_sig):
+def samples_at_scale_metrics(
+    out, db, genomes, base_of, rand_mins, make_sig, emit_cb=None
+):
     """BASELINE config 5 AT DATABASE SCALE (VERDICT r4 item 1): N metagenome
     samples data-parallel against the full >=85k-sketch realistic bank
     (device-resident), end to end through the multigather machinery —
@@ -1222,6 +1239,7 @@ def samples_at_scale_metrics(out, db, genomes, base_of, rand_mins, make_sig):
     found = exact = 0
     absorbed_ok = 0
     leftover_fail = []
+    done = 0
     wave = 250  # bounds the host counts-cache footprint (~250 x n rows)
     for w0 in range(0, n_samp, wave):
         wq = queries[w0 : w0 + wave]
@@ -1255,6 +1273,25 @@ def samples_at_scale_metrics(out, db, genomes, base_of, rand_mins, make_sig):
                     if left >= 50:
                         leftover_fail.append((w0 + qi, s, int(left)))
                 absorbed_ok += 1
+        done = w0 + len(wq)
+        assert not leftover_fail, leftover_fail[:5]
+        # per-wave partial emit: the longest leg must survive a driver
+        # timeout with the completed portion's rate on record
+        part = time.perf_counter() - t0
+        out["samples_big_n"] = done
+        out["samples_big_db_size"] = len(db)
+        out["samples_big_total_s"] = round(part, 2)
+        out["samples_per_sec_at_scale"] = round(done / part, 2)
+        out["samples_big_exact"] = exact
+        out["samples_big_absorption_verified"] = True
+        out["samples_big_partial"] = done < n_samp
+        if emit_cb is not None:
+            emit_cb()
+        print(
+            f"bench: config-5 at-scale progress {done}/{n_samp} "
+            f"({out['samples_per_sec_at_scale']}/s)",
+            file=sys.stderr,
+        )
     total = time.perf_counter() - t0
     assert not leftover_fail, leftover_fail[:5]
     assert exact >= int(0.5 * n_samp), (exact, n_samp)
@@ -1282,6 +1319,7 @@ def samples_at_scale_metrics(out, db, genomes, base_of, rand_mins, make_sig):
     out["samples_per_sec_at_scale"] = round(n_samp / total, 2)
     out["samples_big_exact"] = exact
     out["samples_big_absorption_verified"] = True
+    out["samples_big_partial"] = False
     print(
         f"bench: config-5 AT SCALE: {n_samp} samples vs {len(db)} sigs "
         f"end-to-end in {total:.1f}s ({out['samples_per_sec_at_scale']}/s; "

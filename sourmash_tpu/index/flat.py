@@ -667,7 +667,10 @@ class FlatCounterGather:
         if cap:
             k = min(k, cap)
         W = -(-len(self._q_mins) // 32)
-        return k * W * 4 >= (4 << 20)
+        # 24 MB: below this the host build + one upload (and the host
+        # path's cross-reschedule device row cache) wins on a ~30 MB/s
+        # link; the GTDB-scale case (~54 MB per reschedule) stays device
+        return k * W * 4 >= (24 << 20)
 
     def _device_membership_ok(self):
         """Eligible for the on-device membership path: banks built and
@@ -1461,7 +1464,7 @@ def _membership_rows_device_batch(
                     (core & np.uint64(B - 1)).astype(np.int64), minlength=B
                 )
                 max_load = max(max_load, int(loads.max()))
-        dqm_of[bank_i] = 1 << max(3, int(max_load - 1).bit_length())
+        dqm_of[bank_i] = max(8, -(-max_load // 8) * 8)
 
     def _slice_for(bank_i):
         B = banks[bank_i].B
@@ -1680,46 +1683,61 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
             )
             per_q = [(Mall[i], row_srcs_b[i]) for i in range(len(sub))]
         else:
+            # host path for the whole block: one [Qp, kmax, Wmax] host
+            # array + ONE upload (per-query device pads cost a dispatch
+            # each and regressed the small-collection batch 3x)
             for coord, (rows, counts, alive_p, thresh, _nk, M), dev_ok in sub:
                 if dev_ok:
-                    Mq, row_src = coord.counters[0]._membership_rows_device(
+                    W = alive_p.shape[0]
+                    M = coord.counters[0]._membership_for_ids(
+                        W,
                         np.asarray([ds for _ci, ds in rows], dtype=np.int64),
-                        Wmax,
                     )
-                else:
-                    Mq, row_src = M, np.arange(len(rows), dtype=np.int64)
-                per_q.append((Mq, row_src))
+                per_q.append((M, np.arange(len(rows), dtype=np.int64)))
         kmax = -(-max(p[0].shape[0] for p in per_q) // 1024) * 1024
 
         Ab = np.zeros((Qp, Wmax), dtype=np.uint32)
         Cb = np.zeros((Qp, kmax), dtype=np.int32)
         Tb = np.ones(Qp, dtype=np.int32)  # pad rows: zero counts, no rounds
         Kb = np.full((Qp, kmax), 1 << 40, dtype=np.int64)
-        mats = []
         row_srcs = []
-        for qi, ((coord, built, dev_ok), (Mq, row_src)) in enumerate(
-            zip(sub, per_q)
-        ):
-            rows, counts, alive_p, thresh = built[0], built[1], built[2], built[3]
-            K, Wq = Mq.shape
-            W = alive_p.shape[0]
-            if dev_ok:
-                mats.append(jnp.pad(Mq, ((0, kmax - K), (0, 0))))
-            else:
-                mats.append(
-                    jnp.pad(jnp.asarray(Mq), ((0, kmax - K), (0, Wmax - Wq)))
+        if all_dev and len(sub) > 1:
+            mats = []
+            for qi, ((coord, built, _d), (Mq, row_src)) in enumerate(
+                zip(sub, per_q)
+            ):
+                rows, counts, alive_p, thresh = (
+                    built[0], built[1], built[2], built[3],
                 )
-            real = row_src >= 0
-            Cb[qi, :K][real] = counts[row_src[real]]
-            Kb[qi, :K][real] = row_src[real]
-            Ab[qi, :W] = alive_p
-            Tb[qi] = thresh
-            row_srcs.append(row_src)
-        if Qp != Q:
-            mats.extend(
-                [jnp.zeros((kmax, Wmax), dtype=jnp.uint32)] * (Qp - Q)
-            )
-        Mb = jnp.stack(mats)
+                K = Mq.shape[0]
+                real = row_src >= 0
+                Cb[qi, :K][real] = counts[row_src[real]]
+                Kb[qi, :K][real] = row_src[real]
+                Ab[qi, : alive_p.shape[0]] = alive_p
+                Tb[qi] = thresh
+                row_srcs.append(row_src)
+                mats.append(jnp.pad(Mq, ((0, kmax - K), (0, 0))))
+            if Qp != Q:
+                mats.extend(
+                    [jnp.zeros((kmax, Wmax), dtype=jnp.uint32)] * (Qp - Q)
+                )
+            Mb = jnp.stack(mats)
+        else:
+            Mb_host = np.zeros((Qp, kmax, Wmax), dtype=np.uint32)
+            for qi, ((coord, built, _d), (Mq, row_src)) in enumerate(
+                zip(sub, per_q)
+            ):
+                rows, counts, alive_p, thresh = (
+                    built[0], built[1], built[2], built[3],
+                )
+                K, Wq = Mq.shape
+                Mb_host[qi, :K, :Wq] = Mq
+                Cb[qi, :K] = counts
+                Kb[qi, :K] = np.arange(K, dtype=np.int64)
+                Ab[qi, : alive_p.shape[0]] = alive_p
+                Tb[qi] = thresh
+                row_srcs.append(row_src)
+            Mb = Mb_host
         chunk = int(min(kmax, 64 if kmax > 4096 else 256))
 
         if n_dev > 1:
@@ -1734,7 +1752,7 @@ def compute_schedules_batch(coords, threshold_bp, block: int = 64, extend=False)
             )
             Tj = jax.device_put(Tb, NamedSharding(mesh, P("data")))
         else:
-            Mj = Mb
+            Mj = jnp.asarray(Mb)  # one upload; the scan loop reuses it
             carry = (jnp.asarray(Ab), jnp.asarray(Cb))
             Tj = jnp.asarray(Tb)
             Kj = jnp.asarray(Kb)

@@ -355,7 +355,10 @@ def pack_query_block_device(qs, B: int, raw=None):
                 (q & np.uint64(B - 1)).astype(np.int64), minlength=B
             )
             max_load = max(max_load, int(loads.max()))
-    dq = _next_pow2(max_load)
+    # multiple-of-8 depth (not pow2): dq is the dominant factor of the
+    # counts pass (ops ~ B*d*dq), and pow2 rounding wasted up to ~2x on
+    # metagenome queries (e.g. max load 17 -> 32)
+    dq = max(8, -(-max_load // 8) * 8)
     Qhi, Qlo, Qcnt = _query_pack_kernel_i32(Hi, Lo, B, dq)
     return Qhi, Qlo, Qcnt, dq, raw
 
