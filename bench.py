@@ -588,11 +588,12 @@ def query_engine_metrics():
             # cache-proof: rotate the starting block so no dispatch
             # repeats with identical operands
             outs = []
-            for i in range(0, rows, 8):
-                j = (i + shift * 8) % rows
-                Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, j, 8, 0)
-                Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, j, 8, 0)
-                Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, j, 8, 0)
+            blk = min(16, rows)
+            for i in range(0, rows, blk):
+                j = (i + shift * blk) % rows
+                Qhi = jax.lax.dynamic_slice_in_dim(bank.hi, j, blk, 0)
+                Qlo = jax.lax.dynamic_slice_in_dim(bank.lo, j, blk, 0)
+                Qcnt = jax.lax.dynamic_slice_in_dim(bank.cnt, j, blk, 0)
                 outs.append(
                     _counts_block(Qhi, Qlo, Qcnt, bank.hi, bank.lo, bank.cnt)
                 )

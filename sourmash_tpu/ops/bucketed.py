@@ -817,13 +817,13 @@ def query_cutoff_counts_bucketed(
     return counts
 
 
-def pairwise_counts_bucketed(mins_list, block=64):
+def pairwise_counts_bucketed(mins_list, block=16):
     """All-pairs exact intersection-count matrix [n, n] via bucketed dense
     compare. One async device dispatch per `block` query rows (pipelined
     by the scheduler); results are read back once at the end (a single
-    tunnel round-trip). block=64: dispatch SUBMISSION costs ~15 ms each
-    over a tunneled link, so 8-row blocks spent more wall on issuing than
-    computing (measured ~3.5 s of the 2k-compare wall)."""
+    tunnel round-trip). block=16 is the measured sweet spot at 2k x 5000:
+    4.6 ms/row kernel time (8-row blocks: 5.3, 32+: 8.1 — an XLA tiling
+    cliff) against ~12-15 ms/dispatch tunnel submission."""
     n = len(mins_list)
     if not n:
         return np.zeros((0, 0), dtype=np.int64)
