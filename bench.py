@@ -763,7 +763,8 @@ def zip_gather_metrics(out, rand_mins, make_sig):
         cold_load_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         view2 = idx2._as_flat_view()
-        view2._build()
+        if view2 is not None:  # <512 sigs: below the flat-view threshold
+            view2._build()
         cold_pack_s = time.perf_counter() - t0
         out["zip_cold_load_s"] = round(cold_load_s, 2)
         out["zip_cold_pack_s"] = round(cold_pack_s, 2)
